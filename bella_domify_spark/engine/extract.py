@@ -1,0 +1,119 @@
+"""The distributed extraction plan.
+
+Pipeline (SURVEY.md §3.4):
+
+    scan transcripts → salt → repartition(conv_id, salt) →
+    Arrow-batched parse UDF → (optional) stable (conv_id, turn_idx) order →
+    sink + per-partition manifests
+
+Scale notes (designed for ~10^12 turns / 100 TB on 1000 executors, tested on
+local[32]):
+
+- **One shuffle** feeds the parse stage. Salting: ``salt = pmod(xxhash64(
+  conv_id, turn_idx), salt_buckets)`` and ``repartition(N, conv_id, salt)``
+  — a conversation with 10^6 turns spreads over ``salt_buckets`` partitions
+  instead of hot-spotting one task (north_rule skew requirement). The hash
+  is deterministic, so partition contents are reproducible → resumable.
+- **Parse stays in one Arrow stage.** ``parse_udf`` is a pandas UDF over the
+  text column returning a struct; one Python invocation handles a whole
+  Arrow batch of turns (no per-row Python UDFs — input_hint).
+- **Ordering** is applied at the sink with ``repartitionByRange(conv_id,
+  turn_idx) + sortWithinPartitions`` — range partitioning gives global order
+  across output files without a driver-side sort and also splits giant
+  conversations at turn boundaries.
+- Filters on scan columns happen *before* the UDF so Catalyst pushes them to
+  parquet/Iceberg (predicate pushdown + column pruning; the UDF only ever
+  receives ``text``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from bella_domify_spark.parsers.dispatch import parse_payload
+
+PARSE_RESULT_TYPE = T.StructType([
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("domtree_json", T.StringType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("n_nodes", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+])
+
+OUTPUT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts",
+                  "fmt", "extracted_text", "domtree_json", "n_nodes", "status"]
+
+
+@F.pandas_udf(PARSE_RESULT_TYPE)
+def parse_udf(texts: pd.Series) -> pd.DataFrame:
+    """Arrow-batched dispatcher: one Python call per Arrow batch of turns."""
+    records = [parse_payload(t if isinstance(t, str) else None) for t in texts]
+    return pd.DataFrame.from_records(records, columns=PARSE_RESULT_TYPE.fieldNames())
+
+
+def with_salt(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Deterministic salt: long conversations fan out over ``salt_buckets``
+    reducers while short ones stay co-located by conv_id."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)).cast("int")
+    )
+
+
+def apply_parse(df: DataFrame, keep: tuple = ()) -> DataFrame:
+    """Apply the Arrow-batched parse UDF and flatten the result struct.
+    ``keep``: extra passthrough columns (e.g. the bucket id for the sink)."""
+    parsed = df.withColumn("_p", parse_udf(F.col("text")))
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    out = parsed.select(
+        *cols,
+        F.col("_p.fmt").alias("fmt"),
+        F.col("_p.extracted_text").alias("extracted_text"),
+        F.col("_p.domtree_json").alias("domtree_json"),
+        F.col("_p.n_nodes").alias("n_nodes"),
+        F.col("_p.status").alias("status"),
+        *[F.col(k) for k in keep],
+    )
+    return out
+
+
+def extract_transcripts(df: DataFrame,
+                        partitions: Optional[int] = None,
+                        salt_buckets: int = 8,
+                        ordered: bool = False,
+                        repartition: bool = True) -> DataFrame:
+    """Run the extraction over a transcript DataFrame.
+
+    Args:
+        df: columns (conv_id, turn_idx, role, text, tool, ts).
+        partitions: parse-stage parallelism (default: session shuffle
+            partitions).
+        salt_buckets: skew fan-out per conversation.
+        ordered: re-range-partition the output by (conv_id, turn_idx) for a
+            globally ordered sink (adds the second shuffle).
+        repartition: disable to parse with scan-native partitioning (useful
+            when the source is already well distributed — saves the shuffle).
+    """
+    if repartition:
+        df = with_salt(df, salt_buckets)
+        if partitions:
+            df = df.repartition(partitions, "conv_id", "salt")
+        else:
+            df = df.repartition("conv_id", "salt")
+        df = df.drop("salt")
+
+    parsed = df.withColumn("_p", parse_udf(F.col("text")))
+    out = parsed.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.col("_p.fmt").alias("fmt"),
+        F.col("_p.extracted_text").alias("extracted_text"),
+        F.col("_p.domtree_json").alias("domtree_json"),
+        F.col("_p.n_nodes").alias("n_nodes"),
+        F.col("_p.status").alias("status"),
+    )
+    if ordered:
+        out = (out.repartitionByRange(partitions or 32, "conv_id", "turn_idx")
+                  .sortWithinPartitions("conv_id", "turn_idx"))
+    return out

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Arrow execution is mandatory (input_hint: vectorized pandas/Arrow UDFs, no
+per-row Python). Batch size is tuned down from the 10k default because turn
+payloads can be multi-KB documents — keeping Arrow batches ~256 rows bounds
+Python-worker memory at 100 TB scale where payloads reach MBs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "bella-domify-spark",
+                  cores: int | None = None,
+                  shuffle_partitions: int | None = None,
+                  arrow_batch_rows: int = 256,
+                  extra_conf: dict | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2 partitions per core: enough parallelism for AQE to coalesce,
+        # bounded task-scheduling overhead in local mode
+        shuffle_partitions = max(cores * 2, 8)
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

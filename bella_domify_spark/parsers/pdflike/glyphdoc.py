@@ -1,0 +1,139 @@
+"""Glyph-document loader: JSON payload mimicking PyMuPDF ``rawdict`` pages.
+
+The synthetic transcript corpus carries PDF-like payloads as JSON (see
+FIXTURES.md §4): pages with text blocks → lines → spans (+chars) and shape
+lists (stroke/fill). This loader restores them into the engine's Line/Span
+value objects, applying the reference's restore-time cleanups
+(/root/reference/doc_parser/dom_parser/parsers/pdf/layout/Blocks.py:123-162):
+explode blocks to lines, drop out-of-page / non-horizontal / whitespace-only
+lines, strip, and list recognition per line (text/Lines.py:74-80).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from bella_domify_spark.core.blocks import Line, Span
+
+
+@dataclass
+class Stroke:
+    bbox: tuple
+    color: int = 0
+    width: float = 1.0
+
+    @property
+    def x0(self):
+        return self.bbox[0]
+
+    @property
+    def y0(self):
+        return self.bbox[1]
+
+    @property
+    def x1(self):
+        return self.bbox[2]
+
+    @property
+    def y1(self):
+        return self.bbox[3]
+
+
+@dataclass
+class Fill:
+    bbox: tuple
+    color: int = 0
+
+
+@dataclass
+class RawPage:
+    width: float
+    height: float
+    lines: List[Line] = field(default_factory=list)
+    strokes: List[Stroke] = field(default_factory=list)
+    fills: List[Fill] = field(default_factory=list)
+    page_id: int = 0
+
+
+def _span_from_raw(raw: dict) -> Span:
+    if raw.get("image") or raw.get("type") == "image":
+        return Span(is_image=True, bbox=tuple(raw.get("bbox", (0, 0, 0, 0))))
+    chars = raw.get("chars")
+    text = raw.get("text")
+    if text is None and chars is not None:
+        text = "".join(c.get("c", "") for c in chars)
+    return Span(
+        text=text or "",
+        bbox=tuple(raw.get("bbox", (0, 0, 0, 0))),
+        font=raw.get("font", ""),
+        size=float(raw.get("size", 12.0)),
+        flags=int(raw.get("flags", 0)),
+        pseudo_bold=bool(raw.get("pseudo_bold", False)),
+        uri=raw.get("uri"),
+    )
+
+
+def _strip_line(line: Line) -> None:
+    """Strip leading/trailing whitespace of the outermost spans
+    (Line.strip → Spans.strip semantics, simplified to text-level strip)."""
+    spans = [s for s in line.spans if s.is_image or s.text]
+    if not spans:
+        line.spans = spans
+        return
+    first_ts = next((s for s in spans if not s.is_image), None)
+    last_ts = next((s for s in reversed(spans) if not s.is_image), None)
+    if first_ts is not None:
+        first_ts.text = first_ts.text.lstrip()
+    if last_ts is not None and last_ts.text:
+        last_ts.text = last_ts.text.rstrip()
+    line.spans = [s for s in spans if s.is_image or s.text]
+
+
+def load(payload: str) -> List[RawPage]:
+    doc = json.loads(payload)
+    pages: List[RawPage] = []
+    for pid, p in enumerate(doc.get("pages", [])):
+        width = float(p.get("width", 612.0))
+        height = float(p.get("height", 792.0))
+        page = RawPage(width=width, height=height, page_id=pid)
+        for raw_block in p.get("blocks", []):
+            for raw_line in raw_block.get("lines", []):
+                direction = tuple(raw_line.get("dir", (1.0, 0.0)))
+                # keep horizontal (1,0) and vertical (0,-1) text only
+                # (layout_parser/pdf_parser.py:21-27 / Blocks.py clean-up)
+                if direction not in ((1.0, 0.0), (0.0, -1.0)):
+                    continue
+                spans = [_span_from_raw(s) for s in raw_line.get("spans", [])]
+                line = Line(
+                    spans=spans,
+                    bbox=tuple(raw_line.get("bbox", (0, 0, 0, 0))),
+                    dir=direction,
+                    page=pid,
+                )
+                # drop out-of-page lines
+                if line.bbox[2] <= 0 or line.bbox[3] <= 0 or \
+                        line.bbox[0] >= width or line.bbox[1] >= height:
+                    continue
+                # drop whitespace-only lines
+                if line.white_space_only:
+                    continue
+                _strip_line(line)
+                if not line.spans:
+                    continue
+                # re-run list recognition after strip
+                from bella_domify_spark.functions.listmark import recognize_list
+                line.list_type, line.list_tag = recognize_list(line.text)
+                page.lines.append(line)
+        for raw_shape in p.get("shapes", []):
+            kind = raw_shape.get("kind", "stroke")
+            bbox = tuple(raw_shape.get("bbox", (0, 0, 0, 0)))
+            if kind == "stroke":
+                page.strokes.append(
+                    Stroke(bbox=bbox, color=int(raw_shape.get("color", 0)),
+                           width=float(raw_shape.get("width", 1.0))))
+            else:
+                page.fills.append(Fill(bbox=bbox, color=int(raw_shape.get("color", 0))))
+        pages.append(page)
+    return pages

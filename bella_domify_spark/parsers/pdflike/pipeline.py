@@ -1,0 +1,104 @@
+"""PDF-like glyph-document pipeline: payload JSON → DomTree.
+
+Stage order mirrors the reference converter
+(/root/reference/doc_parser/dom_parser/parsers/pdf/converter.py:81-108 →
+page/Pages.py:37-132 → layout/Blocks.py:265-294 → domtree_parser.py:57-164):
+
+1. restore raw pages (glyphdoc.load: clean-up + list recognition)
+2. document scans: header/footer vote → cover → catalog → title marking
+3. per page: lattice tables → column split → reading-order sort →
+   paragraph join → paragraph split → title identification → hyphen fixup
+4. cross-page relations (captions/references/continuations)
+5. stack tree build → DomTree
+
+The whole pipeline is per-document and runs inside the Arrow UDF; nothing
+here touches Spark.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from bella_domify_spark.core.blocks import TableBlock, TextBlock
+from bella_domify_spark.core.tree import DomTree
+from bella_domify_spark.parsers.pdflike import docscan, glyphdoc, tables
+from bella_domify_spark.parsers.pdflike.cluster import (
+    sort_in_reading_order_plus,
+    split_columns,
+)
+from bella_domify_spark.parsers.pdflike.paragraphs import (
+    adjust_last_word,
+    identify_titles,
+    join_lines_vertically,
+    split_block_by_text,
+)
+from bella_domify_spark.parsers.pdflike.treebuild import build_tree, construct_relations
+
+
+def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False) -> DomTree:
+    pages = glyphdoc.load(payload)
+    if not pages:
+        return DomTree()
+
+    # ---- document-level scans (P7-P10) ----
+    docscan.identify_header_footer(pages)
+    is_cover = docscan.detect_cover(pages)
+    if is_cover and filter_cover:
+        pages = pages[1:]
+    catalog_titles = docscan.parse_catalog(pages, filter_catalog=filter_catalog)
+    docscan.mark_titles_from_catalog(pages, catalog_titles)
+
+    # ---- page-level layout (P12-P23) ----
+    pages_blocks: List[List] = []
+    for page in pages:
+        page_tables = tables.parse_lattice_tables(page)
+        blocks: List = []
+        for column in split_columns(page.lines, page.width):
+            ordered = sort_in_reading_order_plus(column)
+            joined = join_lines_vertically(ordered)
+            blocks.extend(_split_blocks(joined))
+        # place tables into the flow by vertical position
+        for t in page_tables:
+            idx = len(blocks)
+            for i, b in enumerate(blocks):
+                if b.bbox[1] > t.bbox[1]:
+                    idx = i
+                    break
+            blocks.insert(idx, t)
+        identify_titles(blocks)
+        for b in blocks:
+            if isinstance(b, TextBlock) and b.is_text_block:
+                adjust_last_word(b.lines, delete_end_line_hyphen=True)
+            b.page_num = [page.page_id]
+        pages_blocks.append(blocks)
+
+    # ---- relations + tree (R1-R4, T1-T4) ----
+    construct_relations(pages_blocks)
+    return build_tree(pages_blocks)
+
+
+def _split_blocks(blocks: List) -> List:
+    """Blocks._split_text_block_vertically (Blocks.py:536-568). Note the
+    reference's *sticky* edge variables: a block with ≥3 lines reassigns
+    text_left/right_x, and later short blocks keep using those edges —
+    replicated exactly."""
+    out: List = []
+    text_blocks = [b for b in blocks if isinstance(b, TextBlock) and b.is_text_block]
+    if text_blocks:
+        left = min(b.bbox[0] for b in text_blocks)
+        right = max(b.bbox[2] for b in text_blocks)
+    else:
+        left = right = 0.0
+    for block in blocks:
+        if not (isinstance(block, TextBlock) and block.is_text_block):
+            out.append(block)
+            continue
+        if len(block.lines) >= 3:
+            left = min(l.bbox[0] for l in block.lines)
+            right = max(l.bbox[2] for l in block.lines)
+        out.extend(split_block_by_text(block, left, right))
+    return out
+
+
+def extract_text(payload: str) -> str:
+    return parse(payload).to_markdown()

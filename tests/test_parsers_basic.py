@@ -1,0 +1,143 @@
+"""Unit tests for the non-PDF parsers and the markdown flatten semantics.
+
+Expected strings are hand-derived from the reference semantics
+(/root/reference/doc_parser/dom_parser/parsers/txt/converter.py,
+domtree/domtree.py:219-273, layout_parser/docx_parser.py:40-61,
+layout_parser/csv_parser.py:19-64).
+"""
+
+import json
+
+from bella_domify_spark.parsers import csvlike, docxlike, markdown, txt
+from bella_domify_spark.parsers.dispatch import detect_format, parse_payload
+
+
+class TestTxt:
+    def test_plain_paragraph(self):
+        assert txt.extract_text("Hello world.") == "Hello world.\n\n"
+
+    def test_multiline_kept_verbatim(self):
+        s = "line one\nline two\n\nline three"
+        assert txt.extract_text(s) == s + "\n\n"
+
+    def test_list_quirk_ordered(self):
+        # whole content is ONE line; "1. " matches the ordered-list regex →
+        # List node at level 1 → "# " prefix (reference flatten quirk)
+        assert txt.extract_text("1. first item") == "# 1. first item\n\n"
+
+    def test_list_quirk_special_char(self):
+        assert txt.extract_text("• bullet") == "# • bullet\n\n"
+
+    def test_hash_is_special_char(self):
+        # '#' is not in the excluded punctuation set → unordered list marker
+        assert txt.extract_text("# Title") == "# # Title\n\n"
+
+
+class TestMarkdownTokenizer:
+    def test_flatten_stable_canonical(self):
+        src = "# Title\n\npara one.\n\n- item a\n\n- item b\n\npara two."
+        tree = markdown.parse(src)
+        assert tree.to_markdown() == src.rstrip() + "\n\n"
+
+    def test_heading_nesting(self):
+        tree = markdown.parse("# A\n\n## B\n\npara\n\n# C")
+        root = tree.root
+        assert len(root.child) == 2  # A, C
+        a = root.child[0]
+        assert a.element.text == "A"
+        assert a.child[0].element.text == "B"
+        assert a.child[0].child[0].element.text == "para"
+
+    def test_fenced_code_block(self):
+        src = "intro\n\n```python\nx = 1\n```"
+        tree = markdown.parse(src)
+        code = tree.root.child[1]
+        assert code.element.layout_type == "Code"
+        assert tree.to_markdown() == "intro\n\n```python\nx = 1\n```\n\n"
+
+    def test_table_rows(self):
+        raw = "| a | b |\n| --- | --- |\n| 1 | 2 |"
+        rows = markdown.parse_table_rows(raw)
+        assert rows == [["a", "b"], ["1", "2"]]
+
+    def test_bullets_under_paragraph_are_lists(self):
+        tree = markdown.parse("para\n\n- x\n\n- y")
+        para = tree.root.child[0]
+        assert [c.element.layout_type for c in para.child] == ["List", "List"]
+
+
+class TestDocxLike:
+    XML = ('<w:document><w:body>'
+           '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+           '<w:r><w:t>Intro</w:t></w:r></w:p>'
+           '<w:p><w:r><w:t>Body text.</w:t></w:r></w:p>'
+           '<w:p></w:p>'
+           '<w:tbl><w:tr><w:tc><w:p><w:r><w:t>c1</w:t></w:r></w:p></w:tc>'
+           '<w:tc><w:p><w:r><w:t>c2</w:t></w:r></w:p></w:tc></w:tr>'
+           '<w:tr><w:tc><w:p><w:r><w:t>c3</w:t></w:r></w:p></w:tc>'
+           '<w:tc><w:p><w:r><w:t>c4</w:t></w:r></w:p></w:tc></w:tr></w:tbl>'
+           '</w:body></w:document>')
+
+    def test_flat_text_reference_semantics(self):
+        # every block contributes "；"+text; table cells folded with " | "
+        # starting from the empty string (leading " | ")
+        assert docxlike.extract_text(self.XML) == \
+            "；Intro；Body text.； | c1 | c2 | c3 | c4"
+
+    def test_tree_structure(self):
+        tree = docxlike.parse(self.XML)
+        intro = tree.root.child[0]
+        assert intro.element.is_title
+        assert intro.element.text == "Intro"
+        body = intro.child[0]
+        assert body.element.text == "Body text."
+        table = body.child[0]
+        assert table.element.is_table_block
+        assert table.element.rows[0][0].text == "c1"
+
+    def test_flatten_contains_html_table(self):
+        md = docxlike.parse(self.XML).to_markdown()
+        assert "# Intro\n\n" in md
+        assert "<td rowspan='1' colspan='1'>c4</td>" in md
+
+    def test_empty_paragraph_skipped(self):
+        xml = "<w:document><w:body><w:p><w:r><w:t>  </w:t></w:r></w:p></w:body></w:document>"
+        assert docxlike.extract_text(xml) == ""
+
+
+class TestCsv:
+    def test_normalize(self):
+        # embedded newline inside a quoted field → U+2028
+        src = 'a,b\n"x\ny",z\n'
+        assert csvlike.normalize_text(src) == "a,b\nx y,z\n"
+
+    def test_markdown_table(self):
+        src = "h1,h2\nv1,v2\n"
+        assert csvlike.to_markdown_table(src) == \
+            "| h1 | h2 |\n| --- | --- |\n| v1 | v2 |"
+
+
+class TestDispatch:
+    def test_detect(self):
+        assert detect_format('{"pages": []}') == "pdflike"
+        assert detect_format("<w:document><w:body/></w:document>") == "docxlike"
+        assert detect_format("# hi\n\ntext") == "markdown"
+        assert detect_format("just words") == "plaintext"
+        assert detect_format("") == "empty"
+        assert detect_format(None) == "empty"
+
+    def test_markdown_equality_target_is_txt_rule(self):
+        src = "## Heading\n\nbody"
+        rec = parse_payload(src)
+        # '#' special-char list quirk applies to the whole payload
+        assert rec["extracted_text"] == "# " + src + "\n\n"
+        assert rec["fmt"] == "markdown"
+
+    def test_never_raises(self):
+        rec = parse_payload('{"pages": "garbage"}')
+        assert rec["status"].startswith(("ok", "error:"))
+
+    def test_domtree_json_roundtrip(self):
+        rec = parse_payload("plain body text.")
+        doc = json.loads(rec["domtree_json"])
+        assert doc["root"]["child"][0]["element"]["text"] == "plain body text."
