@@ -1,38 +1,519 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over an events-derived transcript
+table at sf0.001. ``queries()`` — one entry per implemented operator from
+SURVEY.md §2 + the training-data ops; ``oracle_sql()`` — DuckDB twins.
+
+Column aliases match between Spark and SQL exactly (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a transcript-shaped table from the events table: user → conv,
+    event order → turn order, a deterministic mixed-format payload."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    md_payload = F.concat(F.lit("# Event "), F.col("event_type"),
+                          F.lit("\n\n"), F.col("props"))
+    docx_payload = F.concat(
+        F.lit("<w:document><w:body><w:p><w:r><w:t>"),
+        F.col("event_type"), F.lit(" value "),
+        F.col("value").cast("string"),
+        F.lit("</w:t></w:r></w:p></w:body></w:document>"))
+    txt_payload = F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+    payload = (F.when(F.pmod("event_id", F.lit(3)) == 0, txt_payload)
+                .when(F.pmod("event_id", F.lit(3)) == 1, md_payload)
+                .otherwise(docx_payload))
+    return ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit("").alias("tool"),
+        F.col("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 (salted repartition →
+    Arrow parse → stable ordering)."""
+    from bella_domify_spark.engine.extract import extract_transcripts
+
+    df = _events_as_transcripts(spark, SF_DEFAULT)
+    return extract_transcripts(df, partitions=8, ordered=True)
+
+
+# --------------------------------------------------------------------------
+# queries — (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _q_extract_plaintext(spark, sf):
+    from bella_domify_spark.engine.extract import parse_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", parse_udf(F.col("text")).getField("extracted_text")
+                    .alias("extracted_text"))
+
+
+def _q_extract_markdown_flatten(spark, sf):
+    from bella_domify_spark.engine.extract import md_flatten_udf
+    d = _t(spark, sf, "documents")
+    payload = F.concat(F.lit("# "), F.col("source"), F.lit("\n\n"), F.col("text"))
+    return d.select("doc_id", md_flatten_udf(payload).alias("flattened"))
+
+
+def _q_extract_docxlike_flat(spark, sf):
+    from bella_domify_spark.engine.extract import docx_flat_udf
+    d = _t(spark, sf, "documents")
+    payload = F.concat(F.lit("<w:document><w:body><w:p><w:r><w:t>"),
+                       F.col("text"),
+                       F.lit("</w:t></w:r></w:p></w:body></w:document>"))
+    return d.select("doc_id", docx_flat_udf(payload).alias("flat_text"))
+
+
+def _q_format_detect_stats(spark, sf):
+    from bella_domify_spark.engine.extract import detect_format_udf
+    d = _t(spark, sf, "documents")
+    payload = (F.when(F.pmod("doc_id", F.lit(3)) == 0, F.col("text"))
+                .when(F.pmod("doc_id", F.lit(3)) == 1,
+                      F.concat(F.lit("# "), F.col("text")))
+                .otherwise(F.concat(
+                    F.lit("<w:document><w:body><w:p><w:r><w:t>"), F.col("text"),
+                    F.lit("</w:t></w:r></w:p></w:body></w:document>"))))
+    return (d.select(detect_format_udf(payload).alias("fmt"))
+            .groupBy("fmt").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_turn_ordering(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("user_id", "event_id",
+                     F.row_number().over(w).alias("turn_rank"))
+
+
+def _q_conv_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def _q_session_gap(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: route through timestamp (session tz = UTC) to
+    # get epoch seconds comparable with DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    return ev.select("user_id", "event_id", F.round(gap, 6).alias("gap_sec"))
+
+
+def _q_salt_distribution(spark, sf):
+    ev = _t(spark, sf, "events")
+    salt = F.pmod(F.col("user_id") * 1103515245 + F.col("event_id"), F.lit(64))
+    return (ev.select(salt.alias("salt"))
+            .groupBy("salt").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def _q_top_revenue_orders(spark, sf):
+    cu = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+             .groupBy("o_orderkey", "o_orderdate")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def _q_segment_order_stats(spark, sf):
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders")
+    return (od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total_price")))
+
+
+def _q_customers_without_orders(spark, sf):
+    # anti join: customers with no high-value (>350k) order
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 350000)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti") \
+             .select("c_custkey", "c_name")
+
+
+def _q_brands_in_lineitem(spark, sf):
+    pa = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (pa.join(li, pa.p_partkey == li.l_partkey, "left_semi")
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")))
+
+
+def _q_window_topk_orders(spark, sf):
+    od = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (od.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+def _q_rollup_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _q_dedup_exact(spark, sf):
+    from bella_domify_spark.ops.dedup import exact_dedup
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    return jaccard_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    from bella_domify_spark.ops.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+
+def _q_simhash(spark, sf):
+    from bella_domify_spark.ops.dedup import simhash
+    return simhash(_t(spark, sf, "documents"))
+
+
+def _q_doc_quality(spark, sf):
+    from bella_domify_spark.ops.textstats import quality_features
+    return quality_features(_t(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    from bella_domify_spark.ops.textstats import lang_id
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def _q_token_counts(spark, sf):
+    from bella_domify_spark.ops.textstats import token_counts
+    return token_counts(_t(spark, sf, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    from bella_domify_spark.ops.textstats import fingerprint
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+def _q_ann_cosine_topk(spark, sf):
+    from bella_domify_spark.ops.ann import cosine_topk
+    em = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return cosine_topk(em, q, k=5)
+
+
+def _q_ann_lsh_topk(spark, sf):
+    from bella_domify_spark.ops.ann import lsh_topk
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return lsh_topk(em, q, k=5, dim=64)
+
+
+def _q_multimodal_features(spark, sf):
+    from bella_domify_spark.ops.multimodal import attach_media, decode_features
+    media = attach_media(_t(spark, sf, "documents"))
+    feats = decode_features(media)
+    return (feats.join(media.select("media_id", "meta"), "media_id")
+            .select("media_id", "n_bytes", "head_hex",
+                    F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_plaintext": _q_extract_plaintext,
+        "extract_markdown_flatten": _q_extract_markdown_flatten,
+        "extract_docxlike_flat": _q_extract_docxlike_flat,
+        "format_detect_stats": _q_format_detect_stats,
+        "turn_ordering": _q_turn_ordering,
+        "conv_stats": _q_conv_stats,
+        "session_gap": _q_session_gap,
+        "salt_distribution": _q_salt_distribution,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "segment_order_stats": _q_segment_order_stats,
+        "customers_without_orders": _q_customers_without_orders,
+        "brands_in_lineitem": _q_brands_in_lineitem,
+        "window_topk_orders": _q_window_topk_orders,
+        "rollup_revenue": _q_rollup_revenue,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "simhash": _q_simhash,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB) — keys must match queries(); omitted keys fall back to
+# the driver's rows-only check (minhash/simhash/lsh: xxhash64 not available
+# in DuckDB; pytest validates them against brute force instead)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    docx_flat = ("'；' || text")
+    return {
+        "extract_plaintext": """
+            SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
+            FROM documents
+        """,
+        "extract_markdown_flatten": """
+            SELECT doc_id,
+                   '# ' || source || chr(10) || chr(10) || text
+                        || chr(10) || chr(10) AS flattened
+            FROM documents
+        """,
+        "extract_docxlike_flat": f"""
+            SELECT doc_id, {docx_flat} AS flat_text FROM documents
+        """,
+        "format_detect_stats": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'plaintext'
+                                   WHEN 1 THEN 'markdown'
+                                   ELSE 'docxlike' END AS fmt,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "turn_ordering": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS turn_rank
+            FROM events
+        """,
+        "conv_stats": """
+            SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
+                   max(ts) AS last_ts, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "session_gap": """
+            SELECT user_id, event_id,
+                   round(epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_sec
+            FROM events
+        """,
+        "salt_distribution": """
+            SELECT (user_id * 1103515245 + event_id) % 64 AS salt, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "segment_order_stats": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+        """,
+        "brands_in_lineitem": """
+            SELECT p_brand, count(*) AS n_parts FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            GROUP BY p_brand
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey ASC) AS rk
+                FROM orders)
+            WHERE rk <= 3
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, count(*) AS n_dups,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH words AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+            shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE f <= 1000),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_split_to_array(text, '\s+'))::INT AS n_words,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                   round((length(text) - (length(regexp_split_to_array(text, '\s+')) - 1))
+                         / length(regexp_split_to_array(text, '\s+'))::DOUBLE, 4) AS avg_word_len,
+                   round(
+                     (CASE WHEN length(text) < 20 THEN 0.0 ELSE 1.0 END)
+                     * (CASE WHEN (length(text) - (length(regexp_split_to_array(text, '\s+')) - 1))
+                              / length(regexp_split_to_array(text, '\s+'))::DOUBLE > 12
+                             THEN 0.5 ELSE 1.0 END)
+                     * (1.0 - (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                              / (length(text) + 1)), 4) AS quality_score
+            FROM documents
+        """,
+        "lang_id": """
+            WITH s AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+            ),
+            sc AS (
+                SELECT doc_id,
+                  ((length(p)-length(replace(p,' the ','')))/5.0
+                 + (length(p)-length(replace(p,' and ','')))/5.0
+                 + (length(p)-length(replace(p,' of ','')))/4.0
+                 + (length(p)-length(replace(p,' to ','')))/4.0
+                 + (length(p)-length(replace(p,' is ','')))/4.0) AS score_en,
+                  ((length(p)-length(replace(p,' der ','')))/5.0
+                 + (length(p)-length(replace(p,' die ','')))/5.0
+                 + (length(p)-length(replace(p,' und ','')))/5.0
+                 + (length(p)-length(replace(p,' ist ','')))/5.0
+                 + (length(p)-length(replace(p,' das ','')))/5.0) AS score_de,
+                  ((length(p)-length(replace(p,' le ','')))/4.0
+                 + (length(p)-length(replace(p,' la ','')))/4.0
+                 + (length(p)-length(replace(p,' et ','')))/4.0
+                 + (length(p)-length(replace(p,' est ','')))/5.0
+                 + (length(p)-length(replace(p,' les ','')))/5.0) AS score_fr,
+                  ((length(p)-length(replace(p,' el ','')))/4.0
+                 + (length(p)-length(replace(p,' la ','')))/4.0
+                 + (length(p)-length(replace(p,' que ','')))/5.0
+                 + (length(p)-length(replace(p,' de ','')))/4.0
+                 + (length(p)-length(replace(p,' es ','')))/4.0) AS score_es
+                FROM s
+            )
+            SELECT doc_id, score_en, score_de, score_fr, score_es,
+                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0
+                        THEN 'und'
+                        WHEN score_en >= score_de AND score_en >= score_fr
+                             AND score_en >= score_es THEN 'en'
+                        WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                        WHEN score_fr >= score_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM sc
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+                   length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                       '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT q.q_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec) AS c
+                FROM embeddings e, q
+            )
+            SELECT q_id, vec_id, round(c, 6) AS cosine, rank FROM (
+                SELECT q_id, vec_id, c,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY c DESC, vec_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id::BIGINT AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   lower(hex(encode(text)))[1:16] AS head_hex,
+                   (octet_length(encode(text)) % 640 + 16)::INT AS width,
+                   (octet_length(encode(text)) % 480 + 16)::INT AS height
+            FROM documents
+        """,
+    }

@@ -54,6 +54,30 @@ def parse_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame.from_records(records, columns=PARSE_RESULT_TYPE.fieldNames())
 
 
+@F.pandas_udf(T.StringType())
+def md_flatten_udf(texts: pd.Series) -> pd.Series:
+    """Markdown tokenizer → tree → reference flatten (flatten-stability
+    surface for canonical markdown)."""
+    from bella_domify_spark.parsers import markdown as mdp
+
+    return texts.map(lambda t: mdp.parse(t).to_markdown() if isinstance(t, str) else None)
+
+
+@F.pandas_udf(T.StringType())
+def docx_flat_udf(texts: pd.Series) -> pd.Series:
+    """DOCX-like XML walk → reference layout flat text ('；'-joined)."""
+    from bella_domify_spark.parsers import docxlike
+
+    return texts.map(lambda t: docxlike.extract_text(t) if isinstance(t, str) else None)
+
+
+@F.pandas_udf(T.StringType())
+def detect_format_udf(texts: pd.Series) -> pd.Series:
+    from bella_domify_spark.parsers.dispatch import detect_format
+
+    return texts.map(lambda t: detect_format(t if isinstance(t, str) else None))
+
+
 def with_salt(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Deterministic salt: long conversations fan out over ``salt_buckets``
     reducers while short ones stay co-located by conv_id."""

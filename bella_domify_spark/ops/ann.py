@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query set,
+  dot products via ``F.zip_with`` + ``F.aggregate`` (JVM, no Python), rank
+  with a window. The baseline path; exact, SQL-mirrorable.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH. Hyperplanes are
+  generated deterministically (numpy seed) on the driver and broadcast as a
+  literal; bucket assignment is an Arrow-vectorized pandas UDF (one matmul
+  per batch); candidates are scored only within matching buckets, with
+  multi-probe via several independent tables. At 10^9+ vectors the
+  bucket join replaces the O(n·q) crossJoin.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k by cosine for each query vector (queries must be small —
+    they are broadcast). Ties broken by vec_id for determinism."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        (_dot(F.col(vec_col), F.col(q_vec_col)) /
+         (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col)))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype("float64")
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             n_planes: int = 12, n_tables: int = 4, dim: int = 64,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: sign-of-dot-product bucket per hash table; score
+    only bucket-collision candidates. Recall grows with n_tables."""
+    planes = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def bucketize(vec_series: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vec_series.to_numpy())  # (batch, dim)
+        out = {}
+        for t, pl in enumerate(planes):
+            signs = (mat @ pl.T) > 0  # (batch, n_planes)
+            out[f"b{t}"] = signs.dot(1 << np.arange(n_planes)).astype("int64")
+        return pd.DataFrame(out)
+
+    bucket_type = T.StructType([T.StructField(f"b{t}", T.LongType())
+                                for t in range(n_tables)])
+    bucket_udf = F.pandas_udf(bucketize, bucket_type)
+
+    v = vectors.withColumn("_b", bucket_udf(F.col(vec_col).cast("array<double>")))
+    q = queries.withColumn("_qb", bucket_udf(F.col(q_vec_col).cast("array<double>")))
+
+    tables = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"_b.b{t}").alias("bucket"))
+        for t in range(n_tables)])).alias("tb")
+    v_b = v.select(id_col, vec_col, tables).select(
+        id_col, vec_col, "tb.t", "tb.bucket")
+    q_tables = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"_qb.b{t}").alias("bucket"))
+        for t in range(n_tables)])).alias("tb")
+    q_b = q.select(q_id_col, q_vec_col, q_tables).select(
+        q_id_col, q_vec_col, "tb.t", "tb.bucket")
+
+    cand = (v_b.join(F.broadcast(q_b), ["t", "bucket"])
+            .select(q_id_col, q_vec_col, id_col, vec_col).distinct())
+    scored = cand.select(
+        F.col(q_id_col), F.col(id_col),
+        (_dot(F.col(vec_col), F.col(q_vec_col)) /
+         (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col)))).alias("cosine"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank"))

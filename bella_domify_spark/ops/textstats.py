@@ -1,0 +1,104 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything here is built from ``pyspark.sql.functions`` expressions — JVM
+side, vectorized, whole-stage-codegen'd — so each operator has an exact ANSI
+SQL twin for the DuckDB oracle (same formulas, same results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic;
+# deliberately small + deterministic so the SQL oracle can mirror them
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_word(text: Column, w: str) -> Column:
+    # count occurrences of a word with spaces as delimiters (head/tail padded)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (F.length(padded)
+            - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("")))) / (len(w) + 2)
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Length / word / punctuation / uppercase features + a composite score.
+
+    score = 1 within [20, 2000] chars scaled by word-length sanity; the
+    composite is a deterministic arithmetic formula (SQL-mirrorable).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_words = F.size(F.split(text, r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    score = (
+        F.when(n_chars < 20, 0.0).otherwise(1.0)
+        * F.when(avg_word_len > 12, 0.5).otherwise(1.0)
+        * (1.0 - (n_punct / (n_chars + 1)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_upper.alias("n_upper"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-marker language heuristic: the language whose marker words
+    occur most often wins; ties and zero evidence → 'und' (undetermined).
+    Deterministic tie-break: language order as in LANG_MARKERS."""
+    text = F.col(text_col)
+    scores = {lang: sum((_count_word(text, w) for w in words), F.lit(0.0))
+              for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # forward iteration with strict > ⇒ the earliest language in
+    # LANG_MARKERS order wins ties
+    for lang in langs:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].cast("double").alias(f"score_{lang}") for lang in langs],
+        best.alias("lang_pred"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (words and
+    individual punctuation marks)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(text), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("re_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: lowercase, strip non-alnum, collapse
+    whitespace, md5. Two docs differing only in case/punctuation/spacing
+    collide — the classic near-dup canonical key."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+        r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(F.trim(norm)).alias("fingerprint"))

@@ -1,0 +1,123 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, "turns_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_CONVS        (override transcript corpus size).
+
+The flagship query is the transcript extraction (the BASELINE.json metric =
+turns/sec); the rest are headline analytics over the driver tables. The
+transcript corpus is generated once per (sf, convs) and cached under /tmp.
+A warm-up extraction runs first so Python-worker import cost doesn't land
+in the measurement (it is one-time per executor in a real deployment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _ensure_corpus(sf: float, n_convs: int) -> str:
+    path = f"/tmp/bds_bench_corpus_sf{sf}_c{n_convs}"
+    marker = os.path.join(path, "transcripts.parquet")
+    if not os.path.exists(marker):
+        from fixtures.gen_corpus import write_corpus
+        shutil.rmtree(path, ignore_errors=True)
+        write_corpus(path, n_convs=n_convs, with_expected=False)
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    # corpus size scales with sf: sf0.1 → ~30k turns, sf0.01 → ~7.5k
+    default_convs = {0.001: 20, 0.01: 50, 0.1: 200}.get(sf, 200)
+    n_convs = int(os.environ.get("BENCH_CONVS", default_convs))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    corpus = _ensure_corpus(sf, n_convs)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from bella_domify_spark.engine.extract import extract_transcripts
+    from bella_domify_spark.engine.manifest import run_resumable
+    from bella_domify_spark.engine.session import build_session
+
+    spark = build_session(app_name="bella-domify-bench", cores=cpus,
+                          shuffle_partitions=max(cpus, 8))
+
+    tdf = spark.read.parquet(f"{corpus}/transcripts.parquet").cache()
+    n_turns = tdf.count()
+
+    # warm up python workers (one-time import cost per worker)
+    extract_transcripts(tdf.limit(256), repartition=False) \
+        .selectExpr("sum(length(extracted_text))").collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, runs=1):
+        """Record the last of ``runs`` executions — for analytics queries we
+        report steady state (run 2), excluding one-time whole-stage-codegen
+        compilation, which amortizes to zero at production scale."""
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship: full extraction incl. salted shuffle + checkpointed sink
+    out_dir = f"/tmp/bds_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    timed("extract_pipeline", lambda: run_resumable(
+        tdf, out_dir, n_buckets=max(cpus * 2, 16), partitions=cpus))
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # extraction compute only (no sink) — pure parse throughput
+    timed("extract_compute", lambda: extract_transcripts(
+        tdf, partitions=cpus).selectExpr(
+        "sum(length(extracted_text))").collect())
+
+    tdf.unpersist()  # free executor memory before the analytics queries
+
+    qs = entrymod.queries()
+    for name in ["q1_pricing_summary", "top_revenue_orders", "window_topk_orders",
+                 "dedup_exact", "dedup_minhash_lsh", "simhash", "doc_quality",
+                 "ann_cosine_topk", "token_counts"]:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
+              .mode("overwrite").save(), runs=2)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
+        "turns_per_sec_compute": round(n_turns / timings["extract_compute"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

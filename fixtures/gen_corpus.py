@@ -305,7 +305,7 @@ def gen_pdflike(r: _Rng) -> str:
 
 # ---------------- corpus assembly ----------------
 
-def gen_transcripts(n_convs: int = 100, seed: int = 42):
+def gen_transcripts(n_convs: int = 100, seed: int = 42, with_expected: bool = True):
     """Return a pandas DataFrame of the transcript table (+expected columns).
 
     Conversation lengths ~ Zipf(1.2) clamped to [1, 512]; rows emitted in a
@@ -353,6 +353,8 @@ def gen_transcripts(n_convs: int = 100, seed: int = 42):
     perm = np.random.RandomState(seed + 1).permutation(len(df))
     df = df.iloc[perm].reset_index(drop=True)
 
+    if not with_expected:
+        return df, None
     expected = df[["conv_id", "turn_idx"]].copy()
     parsed = [parse_payload(t if isinstance(t, str) else None) for t in df["text"]]
     expected["extracted_text"] = [p["extracted_text"] for p in parsed]
@@ -361,14 +363,17 @@ def gen_transcripts(n_convs: int = 100, seed: int = 42):
     return df, expected
 
 
-def write_corpus(out_dir: str, n_convs: int = 100, seed: int = 42):
+def write_corpus(out_dir: str, n_convs: int = 100, seed: int = 42,
+                 with_expected: bool = True):
     os.makedirs(out_dir, exist_ok=True)
-    df, expected = gen_transcripts(n_convs=n_convs, seed=seed)
+    df, expected = gen_transcripts(n_convs=n_convs, seed=seed,
+                                   with_expected=with_expected)
     # Spark's parquet reader rejects TIMESTAMP(NANOS); store microseconds
     df["ts"] = df["ts"].astype("datetime64[us]")
     df.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
-    expected.sort_values(["conv_id", "turn_idx"]).to_parquet(
-        os.path.join(out_dir, "transcripts_expected.parquet"), index=False)
+    if expected is not None:
+        expected.sort_values(["conv_id", "turn_idx"]).to_parquet(
+            os.path.join(out_dir, "transcripts_expected.parquet"), index=False)
     return len(df)
 
 

@@ -1,0 +1,53 @@
+"""spark-submit entry point for the extraction pipeline.
+
+    spark-submit --py-files engine.zip job.py \
+        --input  <transcripts dir or parquet> \
+        --output <output dir> \
+        [--buckets 512] [--partitions 0=auto] [--run-id run1] [--resume]
+
+Build engine.zip with:  python tools/make_pyfiles.py
+
+The job is resumable: re-running with the same --output skips buckets whose
+manifests exist (see bella_domify_spark/engine/manifest.py). Per-bucket
+lineage + metrics land in <output>/_manifests/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=512)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from bella_domify_spark.engine.manifest import run_resumable
+
+    spark = SparkSession.builder.appName("bella-domify-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    df = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    summary = run_resumable(df, args.output, n_buckets=args.buckets,
+                            partitions=args.partitions or None,
+                            run_id=args.run_id)
+    wall = time.monotonic() - t0
+    summary["wall_sec"] = round(wall, 2)
+    summary["turns_per_sec"] = round(summary["rows"] / wall, 1) if wall > 0 else None
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

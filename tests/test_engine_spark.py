@@ -1,0 +1,130 @@
+"""Spark integration tests: end-to-end equality, ordering, resume, skew salt."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS = "/tmp/bds_test_corpus"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from fixtures.gen_corpus import write_corpus
+
+    if not os.path.exists(f"{CORPUS}/transcripts.parquet"):
+        shutil.rmtree(CORPUS, ignore_errors=True)
+        write_corpus(CORPUS, n_convs=30)
+    return CORPUS
+
+
+class TestEndToEnd:
+    def test_per_turn_equality(self, spark, corpus, tmp_path):
+        from bella_domify_spark.engine.manifest import run_resumable
+
+        out = str(tmp_path / "out")
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        summary = run_resumable(df, out, n_buckets=8, partitions=4)
+        assert summary["rows"] == df.count()
+
+        got = spark.read.parquet(f"{out}/bucket-*.parquet")
+        exp = (spark.read.parquet(f"{corpus}/transcripts_expected.parquet")
+               .select("conv_id", "turn_idx",
+                       F.col("extracted_text").alias("exp_text")))
+        j = got.join(exp, ["conv_id", "turn_idx"])
+        assert j.count() == df.count()
+        mism = j.filter(F.col("extracted_text") != F.col("exp_text")).count()
+        assert mism == 0
+
+    def test_resume_skips_completed(self, spark, corpus, tmp_path):
+        from bella_domify_spark.engine.manifest import (
+            completed_buckets,
+            run_resumable,
+        )
+
+        out = str(tmp_path / "out2")
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        s1 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="a")
+        assert s1["buckets_written"] == 8
+
+        # simulate partial failure: drop 2 buckets
+        for b in sorted(completed_buckets(out))[:2]:
+            os.remove(f"{out}/_manifests/bucket-{b:05d}.json")
+            os.remove(f"{out}/bucket-{b:05d}.parquet")
+        s2 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="b")
+        assert s2["buckets_done_before"] == 6
+        assert s2["buckets_written"] == 2
+
+        s3 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="c")
+        assert s3["buckets_written"] == 0
+
+        # total output is still complete and duplicate-free
+        got = spark.read.parquet(f"{out}/bucket-*.parquet")
+        assert got.count() == df.count()
+        assert got.select("conv_id", "turn_idx").distinct().count() == df.count()
+
+    def test_ordered_output(self, spark, corpus):
+        from bella_domify_spark.engine.extract import extract_transcripts
+
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        rows = (extract_transcripts(df, partitions=4, ordered=True)
+                .select("conv_id", "turn_idx").toLocalIterator())
+        prev = None
+        for r in rows:
+            cur = (r["conv_id"], r["turn_idx"])
+            if prev is not None:
+                assert cur >= prev, f"order violated: {prev} -> {cur}"
+            prev = cur
+
+    def test_error_isolation(self, spark):
+        import pandas as pd
+
+        from bella_domify_spark.engine.extract import extract_transcripts
+
+        bad = pd.DataFrame({
+            "conv_id": ["c"] * 3, "turn_idx": [0, 1, 2],
+            "role": ["user"] * 3,
+            "text": ['{"pages": 42}', None, "fine text"],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime(["2026-01-01"] * 3).astype("datetime64[us]"),
+        })
+        res = extract_transcripts(spark.createDataFrame(bad),
+                                  repartition=False).collect()
+        by_idx = {r["turn_idx"]: r for r in res}
+        assert by_idx[0]["status"].startswith("error:")
+        assert by_idx[1]["status"] == "skipped_empty"
+        assert by_idx[2]["status"] == "ok"
+        assert by_idx[2]["extracted_text"] == "fine text\n\n"
+
+    def test_salt_spreads_long_conversation(self, spark):
+        from bella_domify_spark.engine.manifest import with_bucket
+
+        rows = [("conv_long", i) for i in range(2000)]
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx"])
+        dist = (with_bucket(df, 16).groupBy("pid").count().collect())
+        counts = {r["pid"]: r["count"] for r in dist}
+        assert len(counts) == 16            # all buckets used
+        assert max(counts.values()) < 2000 * 0.2   # no hot bucket
+
+
+class TestEntryContract:
+    def test_entry_smoke(self, spark):
+        import __spark_entry__ as em
+
+        df = em.entry(spark)
+        n = df.count()
+        assert n > 0
+        assert {"conv_id", "turn_idx", "extracted_text", "status"} <= \
+            set(df.columns)
+        ok = df.filter(F.col("status") == "ok").count()
+        assert ok > 0.9 * n
+
+    def test_queries_have_oracles_or_known_exceptions(self):
+        import __spark_entry__ as em
+
+        qs, os_ = set(em.queries()), set(em.oracle_sql())
+        assert os_ <= qs
+        rows_only = qs - os_
+        # only the hash-based ops are allowed to skip the SQL oracle
+        assert rows_only <= {"dedup_minhash_lsh", "simhash", "ann_lsh_topk"}

@@ -1,0 +1,111 @@
+"""Spark tests for the training-data ops: dedup families, ANN, multimodal."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from the loud hunters")
+    near = base.replace("green", "dark")          # 1-word difference
+    rows = [
+        (0, base), (1, base),                      # exact dup pair
+        (2, near),                                 # near dup of 0/1
+        (3, "completely different text about spark sql engines and "
+            "distributed shuffle partitioning strategies for big data"),
+        (4, "yet another unrelated document mentioning embeddings vectors "
+            "and approximate nearest neighbour search techniques"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from bella_domify_spark.ops.dedup import exact_dedup
+
+        res = {r["keeper_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+        assert res[0] == 2          # docs 0,1 identical, keeper = min id
+        assert sum(res.values()) == 5
+
+    def test_jaccard_pairs(self, docs):
+        from bella_domify_spark.ops.dedup import jaccard_pairs
+
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in jaccard_pairs(docs, threshold=0.5).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert 0.5 <= pairs[(0, 2)] < 1.0
+        assert (0, 3) not in pairs
+
+    def test_minhash_estimates_jaccard(self, docs):
+        from bella_domify_spark.ops.dedup import jaccard_pairs, minhash_lsh_pairs
+
+        true = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in jaccard_pairs(docs, threshold=0.0).collect()}
+        est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+               for r in minhash_lsh_pairs(docs, threshold=0.3,
+                                          num_hashes=128, bands=32).collect()}
+        assert est[(0, 1)] == 1.0
+        assert (0, 2) in est
+        assert abs(est[(0, 2)] - true[(0, 2)]) < 0.25
+
+    def test_simhash_properties(self, docs):
+        from bella_domify_spark.ops.dedup import simhash
+
+        fp = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+        assert fp[0] == fp[1]                       # identical text
+        ham_near = bin(fp[0] ^ fp[2]).count("1")
+        ham_far = bin(fp[0] ^ fp[3]).count("1")
+        assert ham_near < ham_far
+        assert ham_near <= 12
+
+    def test_simhash_near_dups(self, docs):
+        from bella_domify_spark.ops.dedup import simhash_near_dups
+
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 simhash_near_dups(docs, max_hamming=12).collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) in pairs
+
+
+class TestAnn:
+    def test_lsh_matches_exact_for_self(self, spark):
+        import numpy as np
+
+        from bella_domify_spark.ops.ann import cosine_topk, lsh_topk
+
+        rng = np.random.RandomState(7)
+        vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+        exact = cosine_topk(df, q, k=1).collect()
+        assert all(r["vec_id"] == r["q_id"] and abs(r["cosine"] - 1.0) < 1e-6
+                   for r in exact)
+
+        approx = lsh_topk(df, q, k=1, n_planes=8, n_tables=4, dim=16).collect()
+        # self-vector always collides with itself in every table
+        assert all(r["vec_id"] == r["q_id"] for r in approx)
+
+
+class TestMultimodal:
+    def test_stub_decode_features(self, spark):
+        from bella_domify_spark.ops.multimodal import attach_media, decode_features
+
+        df = spark.createDataFrame([(1, "abcd"), (2, "")], ["doc_id", "text"])
+        media = attach_media(df)
+        feats = {r["media_id"]: r for r in decode_features(media).collect()}
+        assert feats[1]["n_bytes"] == 4
+        assert feats[1]["byte_sum"] == sum(b"abcd")
+        assert feats[1]["head_hex"] == b"abcd".hex()
+        assert len(feats[1]["thumb"]) == 4
+        assert feats[2]["n_bytes"] == 0
+
+    def test_real_codec_is_stubbed(self, spark):
+        from bella_domify_spark.ops.multimodal import attach_media, decode_features
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(NotImplementedError):
+            decode_features(attach_media(df), codec="real")

