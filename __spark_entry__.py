@@ -84,6 +84,22 @@ def _q_extract_docxlike_flat(spark, sf):
     return d.select("doc_id", docx_flat_udf(payload).alias("flat_text"))
 
 
+def _q_layout_flat_text(spark, sf):
+    from bella_domify_spark.engine.extract import layout_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id",
+                    layout_udf(F.col("text")).getField("layout_text")
+                    .alias("layout_text"))
+
+
+def _q_standard_tokens(spark, sf):
+    from bella_domify_spark.engine.extract import standard_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id",
+                    standard_udf(F.col("text")).getField("tokens")
+                    .alias("tokens"))
+
+
 def _q_format_detect_stats(spark, sf):
     from bella_domify_spark.engine.extract import detect_format_udf
     d = _t(spark, sf, "documents")
@@ -266,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_plaintext": _q_extract_plaintext,
         "extract_markdown_flatten": _q_extract_markdown_flatten,
         "extract_docxlike_flat": _q_extract_docxlike_flat,
+        "layout_flat_text": _q_layout_flat_text,
+        "standard_tokens": _q_standard_tokens,
         "format_detect_stats": _q_format_detect_stats,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
@@ -313,6 +331,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_docxlike_flat": f"""
             SELECT doc_id, {docx_flat} AS flat_text FROM documents
+        """,
+        "layout_flat_text": """
+            SELECT doc_id, '；' || text AS layout_text FROM documents
+        """,
+        "standard_tokens": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS tokens
+            FROM documents
         """,
         "format_detect_stats": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'plaintext'

@@ -185,6 +185,7 @@ class DomTree:
                 return {
                     "block_type": "table",
                     "layout_type": el.layout_type,
+                    "bbox": list(el.bbox),
                     "rows": [
                         [
                             {
@@ -203,6 +204,7 @@ class DomTree:
             return {
                 "block_type": "image" if el.is_image_block else "text",
                 "layout_type": el.layout_type,
+                "bbox": list(el.bbox),
                 "text": None if el.is_image_block else el.text,
                 "page_num": list(el.page_num),
             }

@@ -54,13 +54,24 @@ def parse_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame.from_records(records, columns=PARSE_RESULT_TYPE.fieldNames())
 
 
+def _safe(fn, default=None):
+    def wrapped(t):
+        if not isinstance(t, str):
+            return default
+        try:
+            return fn(t)
+        except Exception:  # noqa: BLE001 — per-document error isolation
+            return default
+    return wrapped
+
+
 @F.pandas_udf(T.StringType())
 def md_flatten_udf(texts: pd.Series) -> pd.Series:
     """Markdown tokenizer → tree → reference flatten (flatten-stability
     surface for canonical markdown)."""
     from bella_domify_spark.parsers import markdown as mdp
 
-    return texts.map(lambda t: mdp.parse(t).to_markdown() if isinstance(t, str) else None)
+    return texts.map(_safe(lambda t: mdp.parse(t).to_markdown()))
 
 
 @F.pandas_udf(T.StringType())
@@ -68,7 +79,65 @@ def docx_flat_udf(texts: pd.Series) -> pd.Series:
     """DOCX-like XML walk → reference layout flat text ('；'-joined)."""
     from bella_domify_spark.parsers import docxlike
 
-    return texts.map(lambda t: docxlike.extract_text(t) if isinstance(t, str) else None)
+    return texts.map(_safe(docxlike.extract_text))
+
+
+STANDARD_RESULT_TYPE = T.StructType([
+    T.StructField("standard_json", T.StringType()),
+    T.StructField("tokens", T.IntegerType()),
+])
+
+
+@F.pandas_udf(STANDARD_RESULT_TYPE)
+def standard_udf(texts: pd.Series) -> pd.DataFrame:
+    """StandardDomTree wire protocol per payload (format-dispatched)."""
+    from bella_domify_spark.core.standard import to_standard
+    from bella_domify_spark.parsers import docxlike, markdown, txt
+    from bella_domify_spark.parsers.dispatch import (
+        FMT_DOCX, FMT_EMPTY, FMT_MD, FMT_PDF, detect_format)
+    from bella_domify_spark.parsers.pdflike import pipeline as pdfpipe
+
+    import json as _json
+
+    out = []
+    for t in texts:
+        t = t if isinstance(t, str) else None
+        fmt = detect_format(t)
+        if fmt == FMT_EMPTY:
+            out.append({"standard_json": None, "tokens": 0})
+            continue
+        try:
+            if fmt == FMT_PDF:
+                tree = pdfpipe.parse(t)
+            elif fmt == FMT_DOCX:
+                tree = docxlike.parse(t)
+            elif fmt == FMT_MD:
+                tree = markdown.parse(t)
+            else:
+                tree = txt.parse(t)
+            std = to_standard(tree)
+            out.append({"standard_json": _json.dumps(std, ensure_ascii=False,
+                                                     separators=(",", ":")),
+                        "tokens": std["root"]["tokens"]})
+        except Exception:  # noqa: BLE001
+            out.append({"standard_json": None, "tokens": 0})
+    return pd.DataFrame.from_records(out, columns=STANDARD_RESULT_TYPE.fieldNames())
+
+
+LAYOUT_RESULT_TYPE = T.StructType([
+    T.StructField("layout_json", T.StringType()),
+    T.StructField("layout_text", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+])
+
+
+@F.pandas_udf(LAYOUT_RESULT_TYPE)
+def layout_udf(texts: pd.Series) -> pd.DataFrame:
+    """Flat layout model (SimpleBlock list + '；'-joined text) per payload."""
+    from bella_domify_spark.parsers.layout_flat import layout_record
+
+    recs = [layout_record(t if isinstance(t, str) else None) for t in texts]
+    return pd.DataFrame.from_records(recs, columns=LAYOUT_RESULT_TYPE.fieldNames())
 
 
 @F.pandas_udf(T.StringType())

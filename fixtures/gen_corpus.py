@@ -305,6 +305,60 @@ def gen_pdflike(r: _Rng) -> str:
 
 # ---------------- corpus assembly ----------------
 
+def _gen_conv(args):
+    """One conversation's rows (top-level function for multiprocessing)."""
+    ci, length, seed = args
+    import datetime as dt
+
+    conv_id = f"conv{ci:08d}"
+    roles = ["user", "assistant", "tool"]
+    base_ts = dt.datetime(2026, 1, 1, 0, 0, 0)
+    r = _Rng(seed * 1_000_003 + ci)
+    rows = []
+    for ti in range(length):
+        u = r.rng.rand()
+        if u < 0.01:
+            text = None
+        elif u < 0.02:
+            text = ""
+        elif u < 0.57:
+            text = gen_plaintext(r)
+        elif u < 0.77:
+            text = gen_markdown(r)
+        elif u < 0.92:
+            text = gen_pdflike(r)
+        else:
+            text = gen_docxlike(r)
+        fmt_tool = "doc_upload" if (text or "").startswith(('{"pages"', "<w:document")) else ""
+        rows.append({
+            "conv_id": conv_id,
+            "turn_idx": np.int32(ti),
+            "role": roles[ti % 3],
+            "text": text,
+            "tool": fmt_tool,
+            "ts": base_ts + dt.timedelta(seconds=ci * 3600 + ti * 7),
+        })
+    return rows
+
+
+def gen_transcripts_parallel(n_convs: int, seed: int = 42, processes: int = 16):
+    """Deterministic corpus generation fanned out over processes — used for
+    large bench corpora (expected outputs are not computed here)."""
+    import multiprocessing as mp
+
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    lengths = np.clip(rng.zipf(1.2, size=n_convs), 1, 512)
+    args = [(ci, int(lengths[ci]), seed) for ci in range(n_convs)]
+    with mp.Pool(processes) as pool:
+        chunks = pool.map(_gen_conv, args, chunksize=8)
+    rows = [r for c in chunks for r in c]
+    df = pd.DataFrame(rows)
+    perm = np.random.RandomState(seed + 1).permutation(len(df))
+    return df.iloc[perm].reset_index(drop=True)
+
+
 def gen_transcripts(n_convs: int = 100, seed: int = 42, with_expected: bool = True):
     """Return a pandas DataFrame of the transcript table (+expected columns).
 
@@ -316,37 +370,10 @@ def gen_transcripts(n_convs: int = 100, seed: int = 42, with_expected: bool = Tr
     from bella_domify_spark.parsers.dispatch import parse_payload
 
     rng = np.random.RandomState(seed)
-    roles = ["user", "assistant", "tool"]
-    rows = []
-    base_ts = dt.datetime(2026, 1, 1, 0, 0, 0)
-
     lengths = np.clip(rng.zipf(1.2, size=n_convs), 1, 512)
+    rows = []
     for ci in range(n_convs):
-        conv_id = f"conv{ci:08d}"
-        r = _Rng(seed * 1_000_003 + ci)
-        for ti in range(int(lengths[ci])):
-            u = r.rng.rand()
-            if u < 0.01:
-                text = None
-            elif u < 0.02:
-                text = ""
-            elif u < 0.57:
-                text = gen_plaintext(r)
-            elif u < 0.77:
-                text = gen_markdown(r)
-            elif u < 0.92:
-                text = gen_pdflike(r)
-            else:
-                text = gen_docxlike(r)
-            fmt_tool = "doc_upload" if (text or "").startswith(('{"pages"', "<w:document")) else ""
-            rows.append({
-                "conv_id": conv_id,
-                "turn_idx": np.int32(ti),
-                "role": roles[ti % 3],
-                "text": text,
-                "tool": fmt_tool,
-                "ts": base_ts + dt.timedelta(seconds=ci * 3600 + ti * 7),
-            })
+        rows.extend(_gen_conv((ci, int(lengths[ci]), seed)))
 
     df = pd.DataFrame(rows)
     # deterministic shuffle to force the engine to re-establish turn order
