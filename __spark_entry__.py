@@ -92,6 +92,23 @@ def _q_layout_flat_text(spark, sf):
                     .alias("layout_text"))
 
 
+def _csv_payload():
+    return F.concat(F.lit("source,lang\n"), F.col("source"), F.lit(","),
+                    F.col("lang"))
+
+
+def _q_csv_normalize(spark, sf):
+    from bella_domify_spark.engine.extract import csv_normalize_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", csv_normalize_udf(_csv_payload()).alias("norm_text"))
+
+
+def _q_csv_markdown(spark, sf):
+    from bella_domify_spark.engine.extract import csv_markdown_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", csv_markdown_udf(_csv_payload()).alias("md_table"))
+
+
 def _q_standard_tokens(spark, sf):
     from bella_domify_spark.engine.extract import standard_udf
     d = _t(spark, sf, "documents")
@@ -284,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docxlike_flat": _q_extract_docxlike_flat,
         "layout_flat_text": _q_layout_flat_text,
         "standard_tokens": _q_standard_tokens,
+        "csv_normalize": _q_csv_normalize,
+        "csv_markdown": _q_csv_markdown,
         "format_detect_stats": _q_format_detect_stats,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
@@ -338,6 +357,18 @@ def oracle_sql() -> dict[str, str]:
         "standard_tokens": r"""
             SELECT doc_id,
                    length(regexp_extract_all(text, '\w+|[^\w\s]'))::INT AS tokens
+            FROM documents
+        """,
+        "csv_normalize": """
+            SELECT doc_id,
+                   'source,lang' || chr(10) || source || ',' || lang || chr(10)
+                       AS norm_text
+            FROM documents
+        """,
+        "csv_markdown": """
+            SELECT doc_id,
+                   '| source | lang |' || chr(10) || '| --- | --- |' || chr(10)
+                       || '| ' || source || ' | ' || lang || ' |' AS md_table
             FROM documents
         """,
         "format_detect_stats": """

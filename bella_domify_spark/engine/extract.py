@@ -141,6 +141,22 @@ def layout_udf(texts: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(T.StringType())
+def csv_normalize_udf(texts: pd.Series) -> pd.Series:
+    """CSV layout normalization (csv_parser.py:19-40 semantics)."""
+    from bella_domify_spark.parsers import csvlike
+
+    return texts.map(_safe(csvlike.normalize_text))
+
+
+@F.pandas_udf(T.StringType())
+def csv_markdown_udf(texts: pd.Series) -> pd.Series:
+    """CSV → GFM pipe table (csv_parser.py:43-64 semantics)."""
+    from bella_domify_spark.parsers import csvlike
+
+    return texts.map(_safe(csvlike.to_markdown_table))
+
+
+@F.pandas_udf(T.StringType())
 def detect_format_udf(texts: pd.Series) -> pd.Series:
     from bella_domify_spark.parsers.dispatch import detect_format
 

@@ -1,0 +1,69 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference consumes parse tasks from Kafka consumer groups
+(/root/reference/server/workers/listeners/file_api_listener.py:7-62). The
+Spark-native equivalent is a streaming DataFrame source feeding the same
+Arrow parse stage, with exactly-once sink semantics via the streaming
+checkpoint — in production `readStream.format("kafka")` or an Iceberg
+streaming read; tested here with the file source.
+
+Also provides a watermarked per-conversation turn-rate aggregation as the
+event-time example (late data handled by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    return (spark.readStream
+            .schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir))
+
+
+def extract_stream(stream_df: DataFrame) -> DataFrame:
+    """Same Arrow-batched parse as the batch path — the stream is
+    per-record, so no shuffle is needed before the UDF."""
+    from bella_domify_spark.engine.extract import apply_parse
+
+    return apply_parse(stream_df)
+
+
+def run_extract_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                       checkpoint_dir: str, available_now: bool = True):
+    """Start (and with available_now=True, drain) the streaming extraction.
+    The checkpoint gives exactly-once file-sink semantics — the streaming
+    twin of the batch bucket manifests."""
+    out = extract_stream(read_transcript_stream(spark, input_dir))
+    writer = (out.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def turn_rate(stream_df: DataFrame, window: str = "10 minutes",
+              watermark: str = "30 minutes") -> DataFrame:
+    """Windowed turns-per-conversation with late-data watermark."""
+    return (stream_df
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(F.col("w.start").alias("window_start"), "conv_id", "n_turns"))

@@ -35,9 +35,12 @@ def _ensure_corpus(sf: float, n_convs: int) -> str:
     path = f"/tmp/bds_bench_corpus_sf{sf}_c{n_convs}"
     marker = os.path.join(path, "transcripts.parquet")
     if not os.path.exists(marker):
-        from fixtures.gen_corpus import write_corpus
+        from fixtures.gen_corpus import gen_transcripts_parallel
         shutil.rmtree(path, ignore_errors=True)
-        write_corpus(path, n_convs=n_convs, with_expected=False)
+        os.makedirs(path, exist_ok=True)
+        df = gen_transcripts_parallel(n_convs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(marker, index=False)
     return path
 
 
@@ -45,8 +48,8 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    # corpus size scales with sf: sf0.1 → ~30k turns, sf0.01 → ~7.5k
-    default_convs = {0.001: 20, 0.01: 50, 0.1: 200}.get(sf, 200)
+    # corpus size scales with sf: sf0.1 → ~58k turns, sf0.01 → ~7.5k
+    default_convs = {0.001: 20, 0.01: 50, 0.1: 400}.get(sf, 400)
     n_convs = int(os.environ.get("BENCH_CONVS", default_convs))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -65,9 +68,14 @@ def main() -> int:
     tdf = spark.read.parquet(f"{corpus}/transcripts.parquet").cache()
     n_turns = tdf.count()
 
-    # warm up python workers (one-time import cost per worker)
-    extract_transcripts(tdf.limit(256), repartition=False) \
-        .selectExpr("sum(length(extracted_text))").collect()
+    # warm up ALL python workers + parse/sink codegen (one-time cost per
+    # executor in a real deployment; repartition spreads the warmup rows
+    # over every core)
+    warm_dir = f"/tmp/bds_bench_warm_{os.getpid()}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    run_resumable(tdf.limit(cpus * 64), warm_dir, n_buckets=cpus,
+                  partitions=cpus)
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
 
@@ -82,15 +90,19 @@ def main() -> int:
 
     # flagship: full extraction incl. salted shuffle + checkpointed sink
     out_dir = f"/tmp/bds_bench_out_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    timed("extract_pipeline", lambda: run_resumable(
-        tdf, out_dir, n_buckets=max(cpus * 2, 16), partitions=cpus))
+
+    def run_pipeline():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        run_resumable(tdf, out_dir, n_buckets=max(cpus * 2, 16),
+                      partitions=cpus)
+
+    timed("extract_pipeline", run_pipeline, runs=2)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # extraction compute only (no sink) — pure parse throughput
     timed("extract_compute", lambda: extract_transcripts(
         tdf, partitions=cpus).selectExpr(
-        "sum(length(extracted_text))").collect())
+        "sum(length(extracted_text))").collect(), runs=2)
 
     tdf.unpersist()  # free executor memory before the analytics queries
 
