@@ -32,7 +32,8 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _ensure_corpus(sf: float, n_convs: int) -> str:
-    path = f"/tmp/bds_bench_corpus_sf{sf}_c{n_convs}"
+    from fixtures.gen_corpus import GEN_VERSION
+    path = f"/tmp/bds_bench_corpus_v{GEN_VERSION}_sf{sf}_c{n_convs}"
     marker = os.path.join(path, "transcripts.parquet")
     if not os.path.exists(marker):
         from fixtures.gen_corpus import gen_transcripts_parallel

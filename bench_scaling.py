@@ -72,9 +72,10 @@ def run_level(cores: int, corpus: str, runs: int) -> dict:
 def main() -> int:
     n_convs = int(os.environ.get("SCALING_CONVS", "600"))
     runs = int(os.environ.get("SCALING_RUNS", "3"))
-    corpus = f"/tmp/bds_scaling_corpus_c{n_convs}"
+    sys.path.insert(0, ROOT)
+    from fixtures.gen_corpus import GEN_VERSION
+    corpus = f"/tmp/bds_scaling_corpus_v{GEN_VERSION}_c{n_convs}"
     if not os.path.exists(f"{corpus}/transcripts.parquet"):
-        sys.path.insert(0, ROOT)
         from fixtures.gen_corpus import gen_transcripts_parallel
 
         os.makedirs(f"{corpus}/transcripts.parquet", exist_ok=True)

@@ -256,9 +256,14 @@ class _Typesetter:
         return json.dumps({"pages": self.pages}, separators=(",", ":"))
 
 
+# bump when payload generation changes: cached corpora under /tmp are keyed
+# by this so stale expected-outputs never leak across generator versions
+GEN_VERSION = 2
+
+
 def gen_pdflike(r: _Rng) -> str:
     ts = _Typesetter()
-    scenario = r.rng.randint(0, 5)
+    scenario = r.rng.randint(0, 7)
     titles = [r.words(2).title() for _ in range(3)]
 
     if scenario == 0:
@@ -293,13 +298,35 @@ def gen_pdflike(r: _Rng) -> str:
                  caption="表 1 " + r.words(2), merged_first_row=True)
         ts.paragraph("As shown in 表 1 the results " + r.sentence(10, 20))
         return ts.finalize(footer=True)
-    # scenario 4: two-column page
-    col_w = (PAGE_W - 2 * MARGIN - 30) / 2
-    left_x, right_x = MARGIN, MARGIN + col_w + 30
-    for x0 in (left_x, right_x):
-        ts.y = 100.0
-        for _ in range(2):
-            ts.paragraph(r.sentence(18, 30), x0=x0, width=col_w)
+    if scenario == 4:
+        # two-column page
+        col_w = (PAGE_W - 2 * MARGIN - 30) / 2
+        left_x, right_x = MARGIN, MARGIN + col_w + 30
+        for x0 in (left_x, right_x):
+            ts.y = 100.0
+            for _ in range(2):
+                ts.paragraph(r.sentence(18, 30), x0=x0, width=col_w)
+        return ts.finalize()
+    if scenario == 5:
+        # hyphenated line breaks + multi-page paragraph continuation
+        # (exercises P23 hyphen/space fixup and R4 continuation chains)
+        words = ("contin-uation hyphen-ated exper-iment trans-action "
+                 "oper-ation").split()
+        for _ in range(int(r.rng.randint(10, 16))):
+            body = r.sentence(25, 45)
+            if r.rng.rand() < 0.5:
+                body += " " + words[int(r.rng.randint(0, len(words)))]
+            ts.paragraph(body)
+        return ts.finalize(footer=True)
+    # scenario 6: sparse cover-like first page, then dense body pages
+    ts.y = 320.0
+    ts.title(r.words(2).title(), size=20.0)
+    ts._new_page()
+    for _ in range(int(r.rng.randint(8, 14))):
+        ts.paragraph(r.sentence(25, 45))
+    ts._ensure_room()
+    ts._new_page()
+    ts.paragraph(r.sentence(25, 45))
     return ts.finalize()
 
 

@@ -6,7 +6,9 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-CORPUS = "/tmp/bds_test_corpus"
+from fixtures.gen_corpus import GEN_VERSION
+
+CORPUS = f"/tmp/bds_test_corpus_v{GEN_VERSION}"
 
 
 @pytest.fixture(scope="module")

@@ -11,7 +11,8 @@ import pytest
 def stream_corpus(spark):
     from fixtures.gen_corpus import write_corpus
 
-    base = "/tmp/bds_stream_corpus"
+    from fixtures.gen_corpus import GEN_VERSION
+    base = f"/tmp/bds_stream_corpus_v{GEN_VERSION}"
     if not os.path.exists(f"{base}/in/part-0.parquet"):
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(f"{base}/in", exist_ok=True)
