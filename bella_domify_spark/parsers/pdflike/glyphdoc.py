@@ -91,6 +91,71 @@ def _strip_line(line: Line) -> None:
     line.spans = [s for s in spans if s.is_image or s.text]
 
 
+def _area(b) -> float:
+    return max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
+
+
+def _inter_area(a, b) -> float:
+    return max(min(a[2], b[2]) - max(a[0], b[0]), 0.0) * \
+        max(min(a[3], b[3]) - max(a[1], b[1]), 0.0)
+
+
+def _is_hidden_block(raw_block: dict, hidden_spans: list) -> bool:
+    """Hidden-text filter (P2, RawPageFitz.py:79-111): drop the whole block
+    if ANY of its spans overlaps a texttrace type-3 span by ≥50% of the
+    span's area with the same font (FACTOR_A_HALF)."""
+    for line in raw_block.get("lines", []):
+        for span in line.get("spans", []):
+            sb = span.get("bbox")
+            if not sb:
+                continue
+            sa = _area(sb)
+            if sa <= 0:
+                continue
+            for h in hidden_spans:
+                if _inter_area(sb, h.get("bbox", (0, 0, 0, 0))) / sa >= 0.5 \
+                        and span.get("font", "") == h.get("font", ""):
+                    return True
+    return False
+
+
+def _pseudo_bold_chars(texttrace: list) -> set:
+    """Pseudo-bold detection (P3, RawPageFitz.py:113-133): a type-1 (stroke)
+    trace whose chars equal the immediately preceding type-0 trace means the
+    glyph run was overdrawn for bolding."""
+    bold = set()
+    prev = None
+    for tr in texttrace:
+        chars = tr.get("chars", "")
+        if tr.get("type") == 1 and prev is not None and \
+                prev.get("type") == 0 and prev.get("chars", "") == chars:
+            bold.add(chars)
+        prev = tr
+    return bold
+
+
+def _dedupe_overlapped(lines: List[Line], threshold: float = 0.9) -> List[Line]:
+    """Overlapped-line dedup (P4, Blocks.py:338-354 + Element.py:180-187):
+    lines whose intersection covers ≥ threshold of the smaller box are
+    duplicates; keep only the largest-area line of each overlap group."""
+    n = len(lines)
+    if n < 2:
+        return lines
+    drop = set()
+    areas = [_area(l.bbox) for l in lines]
+    for i in range(n):
+        if i in drop:
+            continue
+        for j in range(i + 1, n):
+            if j in drop:
+                continue
+            inter = _inter_area(lines[i].bbox, lines[j].bbox)
+            smaller = min(areas[i], areas[j]) or 1e-6
+            if inter / smaller >= threshold:
+                drop.add(i if areas[i] < areas[j] else j)
+    return [l for k, l in enumerate(lines) if k not in drop]
+
+
 def load(payload: str) -> List[RawPage]:
     doc = json.loads(payload)
     pages: List[RawPage] = []
@@ -98,7 +163,14 @@ def load(payload: str) -> List[RawPage]:
         width = float(p.get("width", 612.0))
         height = float(p.get("height", 792.0))
         page = RawPage(width=width, height=height, page_id=pid)
-        for raw_block in p.get("blocks", []):
+        texttrace = p.get("texttrace", [])
+        hidden_spans = [t for t in texttrace if t.get("type") == 3]
+        pseudo_bold = _pseudo_bold_chars(texttrace) if texttrace else set()
+        raw_blocks = p.get("blocks", [])
+        if hidden_spans:
+            raw_blocks = [b for b in raw_blocks
+                          if not _is_hidden_block(b, hidden_spans)]
+        for raw_block in raw_blocks:
             for raw_line in raw_block.get("lines", []):
                 direction = tuple(raw_line.get("dir", (1.0, 0.0)))
                 # keep horizontal (1,0) and vertical (0,-1) text only
@@ -122,10 +194,16 @@ def load(payload: str) -> List[RawPage]:
                 _strip_line(line)
                 if not line.spans:
                     continue
+                # pseudo-bold assignment (Layout.py:81-112 analogue)
+                if pseudo_bold:
+                    for s in line.spans:
+                        if not s.is_image and s.text in pseudo_bold:
+                            s.pseudo_bold = True
                 # re-run list recognition after strip
                 from bella_domify_spark.functions.listmark import recognize_list
                 line.list_type, line.list_tag = recognize_list(line.text)
                 page.lines.append(line)
+        page.lines = _dedupe_overlapped(page.lines)
         for raw_shape in p.get("shapes", []):
             kind = raw_shape.get("kind", "stroke")
             bbox = tuple(raw_shape.get("bbox", (0, 0, 0, 0)))

@@ -1,0 +1,91 @@
+"""Hidden-text filter (P2), pseudo-bold detection (P3), overlapped-line
+dedup (P4) — glyph-document restore-time cleanups.
+
+Reference: RawPageFitz.py:54-133 (hidden text + pseudo bold),
+Blocks.py:338-354 (overlap dedup, threshold 0.9 on the smaller box).
+"""
+
+import json
+
+from bella_domify_spark.parsers.pdflike import glyphdoc
+
+
+def _line(text, bbox, font="H", size=10.5):
+    return {"bbox": bbox, "dir": [1.0, 0.0], "spans": [
+        {"text": text, "bbox": bbox, "font": font, "size": size}]}
+
+
+def _doc(blocks, texttrace=None):
+    page = {"width": 612.0, "height": 792.0,
+            "blocks": [{"type": 0, "bbox": l["bbox"], "lines": [l]} for l in blocks],
+            "shapes": []}
+    if texttrace is not None:
+        page["texttrace"] = texttrace
+    return json.dumps({"pages": [page]})
+
+
+class TestHiddenText:
+    def test_hidden_block_dropped(self):
+        visible = _line("visible", [72, 100, 172, 111])
+        hidden = _line("secret", [72, 200, 172, 211])
+        payload = _doc([visible, hidden], texttrace=[
+            {"type": 3, "bbox": [72, 200, 172, 211], "font": "H",
+             "chars": "secret"}])
+        pages = glyphdoc.load(payload)
+        assert [l.text for l in pages[0].lines] == ["visible"]
+
+    def test_font_mismatch_keeps_block(self):
+        hidden = _line("kept", [72, 200, 172, 211], font="H")
+        payload = _doc([hidden], texttrace=[
+            {"type": 3, "bbox": [72, 200, 172, 211], "font": "OTHER",
+             "chars": "kept"}])
+        pages = glyphdoc.load(payload)
+        assert [l.text for l in pages[0].lines] == ["kept"]
+
+    def test_partial_overlap_below_half_keeps_block(self):
+        line = _line("kept", [72, 200, 172, 211])
+        payload = _doc([line], texttrace=[
+            {"type": 3, "bbox": [160, 200, 172, 211], "font": "H",
+             "chars": "x"}])
+        pages = glyphdoc.load(payload)
+        assert [l.text for l in pages[0].lines] == ["kept"]
+
+
+class TestPseudoBold:
+    def test_stroke_after_fill_marks_bold(self):
+        line = _line("Heading", [72, 100, 172, 111])
+        payload = _doc([line], texttrace=[
+            {"type": 0, "bbox": [72, 100, 172, 111], "font": "H",
+             "chars": "Heading"},
+            {"type": 1, "bbox": [72, 100, 172, 111], "font": "H",
+             "chars": "Heading"},
+        ])
+        pages = glyphdoc.load(payload)
+        assert pages[0].lines[0].spans[0].pseudo_bold
+
+    def test_unrelated_stroke_not_bold(self):
+        line = _line("Body", [72, 100, 172, 111])
+        payload = _doc([line], texttrace=[
+            {"type": 0, "bbox": [72, 100, 172, 111], "font": "H",
+             "chars": "Body"},
+            {"type": 1, "bbox": [72, 300, 172, 311], "font": "H",
+             "chars": "Other"},
+        ])
+        pages = glyphdoc.load(payload)
+        assert not pages[0].lines[0].spans[0].pseudo_bold
+
+
+class TestOverlapDedup:
+    def test_duplicate_kept_largest(self):
+        big = _line("duplicated line big", [72, 100, 272, 112])
+        small = _line("duplicated line", [72, 100, 252, 111])
+        other = _line("other", [72, 200, 172, 211])
+        pages = glyphdoc.load(_doc([big, small, other]))
+        texts = [l.text for l in pages[0].lines]
+        assert texts == ["duplicated line big", "other"]
+
+    def test_mild_overlap_kept(self):
+        a = _line("left half", [72, 100, 172, 111])
+        b = _line("right half", [160, 100, 260, 111])  # ~12% of smaller
+        pages = glyphdoc.load(_doc([a, b]))
+        assert len(pages[0].lines) == 2
