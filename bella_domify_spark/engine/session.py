@@ -1,9 +1,11 @@
 """SparkSession factory tuned for the extraction workload.
 
 Arrow execution is mandatory (input_hint: vectorized pandas/Arrow UDFs, no
-per-row Python). Batch size is tuned down from the 10k default because turn
-payloads can be multi-KB documents — keeping Arrow batches ~256 rows bounds
-Python-worker memory at 100 TB scale where payloads reach MBs.
+per-row Python). Arrow batch size trades Python-worker memory against
+round-trip overhead: measured on the 262k-turn corpus at 32 pinned cores,
+256-row batches gave 23.8k turns/s vs 29.4k at 1024 (4096 only +3% more).
+1024 is the default (KB-scale payloads → ~1-2 MB batches); jobs with
+MB-scale payloads should lower it.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from pyspark.sql import SparkSession
 def build_session(app_name: str = "bella-domify-spark",
                   cores: int | None = None,
                   shuffle_partitions: int | None = None,
-                  arrow_batch_rows: int = 256,
+                  arrow_batch_rows: int = 1024,
                   extra_conf: dict | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

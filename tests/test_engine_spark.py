@@ -109,6 +109,21 @@ class TestEndToEnd:
         assert len(counts) == 16            # all buckets used
         assert max(counts.values()) < 2000 * 0.2   # no hot bucket
 
+    def test_zipf_corpus_buckets_are_even(self, spark, corpus, tmp_path):
+        """north_rule skew evidence: despite Zipf conversation lengths (the
+        largest conversation holds ~25% of all turns), per-bucket manifests
+        show near-even work distribution after salting."""
+        from bella_domify_spark.engine.manifest import read_manifests, run_resumable
+
+        out = str(tmp_path / "skew")
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        run_resumable(df, out, n_buckets=16, partitions=4)
+        rows = [m["rows"] for m in read_manifests(out)]
+        assert len(rows) == 16
+        mean = sum(rows) / len(rows)
+        assert max(rows) < 1.5 * mean
+        assert min(rows) > 0.5 * mean
+
 
 class TestEntryContract:
     def test_entry_smoke(self, spark):
