@@ -458,7 +458,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": """
             WITH words AS (
-                SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+                FROM documents
             ),
             sh AS (
                 SELECT DISTINCT doc_id AS id,

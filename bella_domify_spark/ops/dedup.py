@@ -32,10 +32,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than ``n`` words yield no shingles (guard: Spark's
+    ``sequence(0, size-n)`` auto-reverses when the stop is negative, which
+    would feed ``slice`` invalid start indices and abort the job under ANSI).
+    """
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(0), F.size(words) - n)
-    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    shingle = F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
     return (df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
               .distinct())
 

@@ -77,11 +77,12 @@ def _border_groups(lines: List[Line], ref_dis: float):
             return
         x_p = (min(int(l.bbox[0]) for _, l in tmp), max(int(l.bbox[2]) for _, l in tmp))
         rows = group_physical_rows([l for _, l in tmp])
+        # Reference is_retraction on a Lines row (Blocks.py:399-407) measures
+        # word width from the row's FIRST line only, against the row-union
+        # left edge.
         retraction = any(
-            _is_retraction(
-                (min(l.bbox[0] for l in row), min(l.bbox[1] for l in row),
-                 max(l.bbox[2] for l in row), max(l.bbox[3] for l in row)),
-                len(row[0].text), x_p[0])
+            (min(l.bbox[0] for l in row) - x_p[0]) >
+            1.5 * ((row[0].bbox[2] - row[0].bbox[0]) / max(len(row[0].text), 1))
             for row in rows
         )
         for i, _ in tmp:
@@ -90,7 +91,11 @@ def _border_groups(lines: List[Line], ref_dis: float):
 
     for i, line in enumerate(lines):
         pre_line = tmp[-1][1] if tmp else None
-        pre_pre_line = tmp[-2][1] if len(tmp) > 1 else None
+        # Reference quirk (Blocks.py:441): cal_text_border_group reads
+        # pre_pre_line from the enclosing `lines` list, which is still empty
+        # when the grouping runs — the spacing-delta branch is dead there.
+        # Pinned as None for parity (test_pdflike.py border-group test).
+        pre_pre_line = None
         if not pre_line or pre_line.in_same_row(line):
             pass
         elif pre_pre_line is not None and \

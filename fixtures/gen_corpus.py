@@ -256,9 +256,10 @@ class _Typesetter:
         return json.dumps({"pages": self.pages}, separators=(",", ":"))
 
 
-# bump when payload generation changes: cached corpora under /tmp are keyed
-# by this so stale expected-outputs never leak across generator versions
-GEN_VERSION = 2
+# bump when payload generation OR parser semantics change: cached corpora
+# under /tmp carry expected outputs computed by the parser at generation
+# time, so stale expectations never leak across versions
+GEN_VERSION = 3
 
 
 def gen_pdflike(r: _Rng) -> str:

@@ -3,7 +3,7 @@
     spark-submit --py-files engine.zip job.py \
         --input  <transcripts dir or parquet> \
         --output <output dir> \
-        [--buckets 512] [--partitions 0=auto] [--run-id run1] [--resume]
+        [--buckets 512] [--partitions 0=auto] [--run-id run1]
 
 Build engine.zip with:  python tools/make_pyfiles.py
 

@@ -38,6 +38,24 @@ class TestDedup:
         assert 0.5 <= pairs[(0, 2)] < 1.0
         assert (0, 3) not in pairs
 
+    def test_short_documents_yield_no_shingles(self, spark):
+        # Docs with < n words must not abort the job (Spark's sequence()
+        # auto-reverses for negative stops, feeding slice() bad indices)
+        from bella_domify_spark.ops.dedup import (
+            jaccard_pairs,
+            minhash_lsh_pairs,
+            word_shingles,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "hi"), (1, "two words"), (2, "exactly three words"),
+             (3, "a slightly longer doc here")],
+            ["doc_id", "text"])
+        sh = word_shingles(df, n=3).collect()
+        assert {r["id"] for r in sh} == {2, 3}
+        assert jaccard_pairs(df, threshold=0.1).count() == 0
+        assert minhash_lsh_pairs(df, threshold=0.1).count() == 0
+
     def test_minhash_estimates_jaccard(self, docs):
         from bella_domify_spark.ops.dedup import jaccard_pairs, minhash_lsh_pairs
 

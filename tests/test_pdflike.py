@@ -185,6 +185,36 @@ class TestHyphenFixup:  # P23, text/Lines.py:238-272
         assert l1.spans[-1].text.endswith("ends ")
 
 
+class TestBorderGroups:  # P18 helper, layout/Blocks.py:410-453
+    def test_spacing_delta_branch_is_dead(self):
+        # Reference quirk: cal_text_border_group reads pre_pre_line from the
+        # enclosing (still-empty) `lines` list (Blocks.py:441), so its
+        # spacing-delta branch never fires — grouping flushes purely on
+        # vertical_distance > ref_dis. Pinned here: gaps 9 then 11 with
+        # ref_dis 9 must split into two groups even though 11-9 < 3.
+        from bella_domify_spark.parsers.pdflike.paragraphs import _border_groups
+
+        l1 = mk_line("first line text here", 72, 0)
+        l2 = mk_line("second line text here", 72, 20)   # gap 20-11 = 9
+        l3 = mk_line("third shorter", 72, 42)           # gap 42-31 = 11
+        g = _border_groups([l1, l2, l3], ref_dis=9.0)
+        assert g[0] == g[1]
+        assert g[2][0] != g[0][0]
+
+    def test_row_retraction_uses_first_line_width(self):
+        # Reference is_retraction on a merged row (Blocks.py:399-407) divides
+        # the FIRST line's own width by its text length — not the row-union
+        # width — so a short indented first span flags retraction even when
+        # the row spans most of the column.
+        from bella_domify_spark.parsers.pdflike.paragraphs import _border_groups
+
+        base = mk_line("left-edge reference line sits here", 72, 0)
+        a1 = mk_line("ab", 90, 13)                      # word_w = 10.5*0.5
+        a2 = mk_line("continuation of the same physical row", 300, 13)
+        g = _border_groups([base, a1, a2], ref_dis=5.0)
+        assert g[0][1] is True                          # retraction detected
+
+
 class TestLatticeTables:  # P15 subset, table/TableStructure.py
     def _grid_strokes(self, x0=72, y0=100, cols=3, rows=2, cw=100, rh=20,
                       skip_v=None):
