@@ -331,12 +331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB) — keys must match queries(); omitted keys fall back to
-# the driver's rows-only check (minhash/simhash/lsh: xxhash64 not available
-# in DuckDB; pytest validates them against brute force instead)
+# the driver's rows-only check (ann_lsh_topk: the bucketed numpy matmul has
+# no SQL twin; pytest validates it against brute force instead). minhash and
+# simhash hash via md5 (hashfamily.py) so they have exact DuckDB twins.
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from bella_domify_spark.ops.hashfamily import params_values_sql
+
     docx_flat = ("'；' || text")
+    minhash_params_sql = params_values_sql(64)
     return {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
@@ -480,6 +484,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        # md5-seeded universal hash family — must mirror
+        # bella_domify_spark/ops/hashfamily.py + dedup.py exactly
+        "dedup_minhash_lsh": f"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            xs AS (
+                SELECT id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                           % 2147483647 AS x
+                FROM sh
+            ),
+            mh AS (
+                SELECT id, i, min((a * x + b) % 2147483647) AS mh
+                FROM xs CROSS JOIN {minhash_params_sql}
+                GROUP BY id, i
+            ),
+            sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM mh GROUP BY id),
+            banded AS (
+                SELECT id, band,
+                       md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+                FROM sig, UNNEST(range(0, 16)) AS t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b USING (band, bucket)
+                WHERE a.id < b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   (sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0)
+                       ::DOUBLE AS est_jaccard
+            FROM cand c
+            JOIN mh ma ON ma.id = c.id_a
+            JOIN mh mb ON mb.id = c.id_b AND mb.i = ma.i
+            GROUP BY c.id_a, c.id_b
+            HAVING sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 >= 0.2
+        """,
+        "simhash": """
+            WITH tok AS (
+                SELECT doc_id AS id, t.tok
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            xs AS (
+                SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x
+                FROM tok
+            ),
+            votes AS (
+                SELECT id, b,
+                       sum(CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM xs, UNNEST(range(0, 60)) AS t(b)
+                GROUP BY id, b
+            )
+            SELECT id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                       ::BIGINT AS simhash
+            FROM votes GROUP BY id
         """,
         "doc_quality": r"""
             SELECT doc_id,

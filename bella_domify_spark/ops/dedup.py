@@ -5,20 +5,34 @@ no Python UDFs — so Catalyst handles pushdown and AQE handles skew:
 
 - exact_dedup        — hash-groupBy on md5(text)
 - shingles / jaccard — n-gram explode + self-join on shared shingles
-- minhash signatures + LSH banding — deterministic xxhash64 family
-- simhash            — 64-bit sign-vote over token hashes, built as 64
-                       conditional aggregates (stays in codegen)
+- minhash signatures + LSH banding — md5-seeded universal hash family
+                       (hashfamily.py), min-aggregated per (doc, hash_idx)
+- simhash            — 60-bit sign-vote over md5 token hashes, exploded per
+                       bit and folded by two hash aggregates
 
 Scale notes: the shingle self-join shuffles on the shingle value; frequent
 shingles explode candidate pairs, so `jaccard_pairs` caps per-shingle
 fan-out (`max_shingle_freq`) — standard MinHash-LSH practice. MinHash/LSH
 reduces the candidate space from O(n²) to near-linear: pairs are generated
-only within LSH band buckets.
+only within LSH band buckets. MinHash memory is O(num_hashes) per document
+group (posexplode + min with map-side partial aggregation), never
+O(shingles) — a multi-MB document costs the same aggregation buffer as a
+tweet. Every hash derives from md5, so each operator has an exact DuckDB
+oracle twin (__spark_entry__.oracle_sql).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bella_domify_spark.ops.hashfamily import MERSENNE_P, minhash_params
+
+
+def _md5_int60(col) -> Column:
+    """First 15 hex chars of md5 as a 60-bit non-negative bigint — the
+    shared text→int map (DuckDB twin: ('0x'||substr(md5(s),1,15))::BIGINT).
+    60 bits keeps a_i*x products inside int64 under ANSI mode."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -34,18 +48,26 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Documents with fewer than ``n`` words yield no shingles (guard: Spark's
-    ``sequence(0, size-n)`` auto-reverses when the stop is negative, which
-    would feed ``slice`` invalid start indices and abort the job under ANSI).
+    Documents with fewer than ``n`` words yield no shingles. Construction is
+    ``arrays_zip`` of ``n`` shifted slices of the words array — O(words) per
+    row. (A ``transform(sequence(...), i -> slice(words, i+1, n))`` lambda
+    captures the ``split`` expression and re-evaluates it PER ELEMENT —
+    O(words²), ~23 s for a single 10k-word document. The split is kept
+    behind its own projection so CollapseProject cannot inline the
+    expensive producer into the multi-reference consumer.)
     """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
+    words_df = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"))
+    m = F.size("w") - n + 1  # number of shingles when >= 1
+    zipped = F.arrays_zip(*[F.slice("w", i + 1, m) for i in range(n)])
     shingle = F.when(
-        F.size(words) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        F.size("w") >= n,
+        F.transform(zipped,
+                    lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
-              .distinct())
+    return (words_df.select("id", F.explode(shingle).alias("shingle"))
+                    .distinct())
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -81,30 +103,38 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def minhash_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """(id, i, mh) — mh = min over shingles of h_i(shingle), where h_i is
+    the md5-seeded universal family (hashfamily.py).
+
+    Plan shape for 100 TB: one md5 per distinct shingle, a 64-wide literal
+    projection posexploded to (shingle, i) rows, then ``groupBy(id, i).min``
+    with map-side partial combine — every aggregation buffer is a single
+    long, so group memory is O(1) regardless of document size. This
+    replaces the r1 ``collect_list`` fold that buffered all shingle hash
+    arrays of a document in one group (~0.5 GB for a 10 MB doc).
+
+    A naive ``agg(min(h0)…min(h63))`` is also avoided: 64 aggregate buffers
+    push whole-stage codegen past janino limits (~45 s compile)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    x = _md5_int60(F.col("shingle")) % F.lit(MERSENNE_P)
+    hs = F.array(*[(F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_P)
+                   for a, b in minhash_params(num_hashes)])
+    return (sh.withColumn("x", x)
+              .select("id", F.posexplode(hs).alias("i", "h"))
+              .groupBy("id", "i").agg(F.min("h").alias("mh")))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    xxhash64(i, shingle): num_hashes independent seeded hash functions.
-
-    Implementation note: a naive ``agg(min(h0), ..., min(h63))`` generates a
-    64-buffer hash aggregate whose whole-stage codegen takes ~45 s to
-    compile. (A linear family a_i·x+b_i over one base hash would keep
-    codegen small but barely wraps int64, so its mins are correlated and
-    the Jaccard estimate collapses.) Instead each shingle computes one
-    64-element hash array with a single ``transform`` of seeded xxhash64
-    calls, folded by ONE aggregate: ``reduce(collect_list(hs), +inf…,
-    zip_with(least))`` — small generated code, truly independent hashes,
-    deterministic across runs and cluster sizes."""
-    sh = word_shingles(df, id_col, text_col, n)
-    hs = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                     lambda i: F.xxhash64(i, F.col("shingle")))
-    inf = F.array_repeat(F.lit(2 ** 63 - 1).cast("long"), num_hashes)
-    sig = (sh.select("id", hs.alias("hs"))
-             .groupBy("id").agg(F.collect_list("hs").alias("all_hs"))
-             .select("id", F.reduce(
-                 "all_hs", inf,
-                 lambda acc, x: F.zip_with(acc, x, lambda u, v: F.least(u, v))).alias("sig")))
-    return sig
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of h_i(shingle).
+    Assembled from ``minhash_hashes`` rows: the only per-group list ever
+    materialized is the fixed-width (num_hashes) signature itself."""
+    mh = minhash_hashes(df, id_col, text_col, n, num_hashes)
+    return (mh.groupBy("id")
+              .agg(F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                               lambda s: s.mh).alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -123,10 +153,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select("id", "sig", band_idx).select(
         "id", "band",
-        F.xxhash64(F.col("band"),
-                   F.concat_ws(",", F.transform(
-                       F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
-                       lambda x: x.cast("string")))).alias("bucket"))
+        F.md5(F.concat_ws(",", F.transform(
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))).alias("bucket"))
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -146,31 +175,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return est
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64(token); each bit votes ±1; the
-    sign of the vote sum forms the fingerprint bit. Pure aggregates —
-    whole-stage codegen, no UDF."""
-    def bit_lit(b: int):
-        # bit 63 exceeds signed-long range as a positive literal; use the
-        # two's-complement value (sign bit) — AND/OR semantics are identical
-        return F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+SIMHASH_BITS = 60  # md5-60bit token hash domain (see _md5_int60)
 
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash: per token occurrence, md5-60bit(token); each bit
+    votes ±1; the sign of the vote sum forms the fingerprint bit.
+
+    Plan shape: tokens posexplode to (id, bit, ±1) rows, two hash
+    aggregates (votes per (id, bit), then the fingerprint sum) — map-side
+    partial combine bounds the shuffle at ``bits`` rows per document, and
+    generated code stays tiny (the r1 form used 64 conditional aggregate
+    buffers: ~45 s janino compile, 2.1 s steady-state). md5 keeps an exact
+    DuckDB oracle twin."""
     tok = (df.select(F.col(id_col).alias("id"),
                      F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
              .filter(F.col("tok") != "")
-             .withColumn("h", F.xxhash64("tok")))
-    votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(bit_lit(b)) != 0, 1).otherwise(-1))
-         .alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("id").agg(*votes)
-    fp = agg.select(
-        "id",
-        sum((F.when(F.col(f"b{b}") > 0, bit_lit(b)).otherwise(F.lit(0).cast("long"))
-             for b in range(bits)),
-            start=F.lit(0).cast("long")).alias("simhash"))
+             .withColumn("x", _md5_int60(F.col("tok"))))
+    bit_votes = F.array(*[
+        F.when(F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)) == 1,
+               F.lit(1)).otherwise(F.lit(-1))
+        for b in range(bits)])
+    votes = (tok.select("id", F.posexplode(bit_votes).alias("b", "v"))
+                .groupBy("id", "b").agg(F.sum("v").alias("v")))
+    fp = (votes.groupBy("id")
+               .agg(F.sum(F.when(F.col("v") > 0,
+                                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+                           .otherwise(F.lit(0).cast("long"))).alias("simhash")))
     return fp
 
 
@@ -183,7 +215,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     max_hamming ⇒ narrower chunks ⇒ more candidates (the standard recall/
     cost trade-off)."""
     n_chunks = max_hamming + 1
-    width = max(64 // n_chunks, 1)
+    width = max(SIMHASH_BITS // n_chunks, 1)
     mask = (1 << width) - 1
     fp = simhash(df, id_col, text_col).cache()
     chunks = fp.select(

@@ -68,6 +68,22 @@ class TestDedup:
         assert (0, 2) in est
         assert abs(est[(0, 2)] - true[(0, 2)]) < 0.25
 
+    def test_minhash_memory_bounded_on_huge_doc(self, spark):
+        # r1 buffered every shingle's 64-long hash array per group
+        # (collect_list) — a multi-MB doc was a memory cliff. The reworked
+        # posexplode+min plan keeps O(num_hashes) per group; this ~1.5 MB
+        # document (230k shingles) must aggregate without ballooning.
+        import numpy as np
+
+        from bella_domify_spark.ops.dedup import minhash_signatures
+
+        rng = np.random.RandomState(3)
+        words = " ".join(f"w{rng.randint(0, 5000)}" for _ in range(230_000))
+        df = spark.createDataFrame([(0, words)], ["doc_id", "text"])
+        sig = minhash_signatures(df).collect()
+        assert len(sig) == 1 and len(sig[0]["sig"]) == 64
+        assert all(0 <= v < 2_147_483_647 for v in sig[0]["sig"])
+
     def test_simhash_properties(self, docs):
         from bella_domify_spark.ops.dedup import simhash
 
