@@ -84,6 +84,14 @@ def _q_extract_docxlike_flat(spark, sf):
     return d.select("doc_id", docx_flat_udf(payload).alias("flat_text"))
 
 
+def _q_pdflike_extract(spark, sf):
+    # The full pdflike layout engine (P1-P23, R1-R4, T1-T5) over
+    # deterministic glyph payloads keyed by doc_id; oracle = pinned parquet
+    # from the same pure-Python parse (tools/gen_pdflike_expected.py).
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract
+    return gate_extract(_t(spark, sf, "documents"))
+
+
 def _q_layout_flat_text(spark, sf):
     from bella_domify_spark.engine.extract import layout_udf
     d = _t(spark, sf, "documents")
@@ -299,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_plaintext": _q_extract_plaintext,
         "extract_markdown_flatten": _q_extract_markdown_flatten,
         "extract_docxlike_flat": _q_extract_docxlike_flat,
+        "pdflike_extract": _q_pdflike_extract,
         "layout_flat_text": _q_layout_flat_text,
         "standard_tokens": _q_standard_tokens,
         "csv_normalize": _q_csv_normalize,
@@ -357,6 +366,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "layout_flat_text": """
             SELECT doc_id, '；' || text AS layout_text FROM documents
+        """,
+        "pdflike_extract": """
+            SELECT d.doc_id, e.extracted_text, e.n_nodes, e.status
+            FROM read_parquet('/root/repo/fixtures/pdflike_expected.parquet') e
+            JOIN documents d ON d.doc_id = e.doc_id
         """,
         "standard_tokens": r"""
             SELECT doc_id,

@@ -8,328 +8,30 @@ Payload families (weights 55/20/15/10):
     A plaintext, B markdown, C pdf-like glyph JSON, D docx-like XML
 plus ~1% empty/null turns (skip path).
 
-The companion ``transcripts_expected`` table is produced by the frozen
-single-node oracle — the same pure parsing module the Spark UDF uses
-(bella_domify_spark.parsers.dispatch.parse_payload) — pre-computed at
-generation time so pytest can assert per-turn equality of the *distributed*
-run against it (SURVEY.md §5.2). Reference-semantics parity itself is pinned
-by hand-written unit tests in tests/.
-
-The PDF-like generator is a miniature typesetter: it wraps word streams into
-justified lines (so centering/indent heuristics see realistic geometry),
-adds repeated headers/footers, a dot-leader TOC, titles, ordered/unordered
-lists, a ruled table with a merged cell + caption + reference, and optional
-two-column pages.
+Payload generators live in bella_domify_spark.synthdocs (shared with the
+pdflike correctness gate and shipped in engine.zip); this module assembles
+them into conversations. The companion ``transcripts_expected`` table is
+produced by the frozen single-node oracle — the same pure parsing module
+the Spark UDF uses (bella_domify_spark.parsers.dispatch.parse_payload) —
+pre-computed at generation time so pytest can assert per-turn equality of
+the *distributed* run against it (SURVEY.md §5.2). Reference-semantics
+parity itself is pinned by hand-written unit tests in tests/.
 """
 
 from __future__ import annotations
 
-import datetime as dt
-import json
 import os
-from typing import List, Optional
 
 import numpy as np
 
-WORDS = (
-    "the quick brown fox jumps over lazy dog spark engine table scan merge "
-    "join order window batch stream column row page line span text block "
-    "extract parse tree node title list data model layer shard salt skew "
-    "partition manifest checkpoint lineage resume vector arrow batch turn "
-    "conversation transcript payload format detect flatten markdown"
-).split()
-
-PAGE_W, PAGE_H = 612.0, 792.0
-MARGIN = 72.0
-LINE_H = 13.0
-CHAR_W_FACTOR = 0.5  # char width ≈ size * 0.5
-
-
-class _Rng:
-    def __init__(self, seed: int):
-        self.rng = np.random.RandomState(seed)
-
-    def words(self, n: int) -> str:
-        return " ".join(WORDS[self.rng.randint(0, len(WORDS))] for _ in range(n))
-
-    def sentence(self, lo=6, hi=16) -> str:
-        s = self.words(int(self.rng.randint(lo, hi)))
-        return s[0].upper() + s[1:] + "."
-
-
-# ---------------- family A: plaintext ----------------
-
-def gen_plaintext(r: _Rng) -> str:
-    paras = [r.sentence(8, 20) + " " + r.sentence(6, 14)
-             for _ in range(int(r.rng.randint(1, 4)))]
-    return "\n\n".join(paras)
-
-
-# ---------------- family B: markdown (canonical form) ----------------
-
-def gen_markdown(r: _Rng) -> str:
-    parts = [f"# {r.words(3).title()}"]
-    for _ in range(int(r.rng.randint(1, 3))):
-        parts.append(f"## {r.words(2).title()}")
-        parts.append(r.sentence(10, 22))
-        if r.rng.rand() < 0.5:
-            for _ in range(int(r.rng.randint(2, 4))):
-                parts.append(f"- {r.words(4)}")
-        if r.rng.rand() < 0.3:
-            parts.append("```\n" + r.words(5) + "\n```")
-        if r.rng.rand() < 0.3:
-            parts.append("| a | b |\n| --- | --- |\n| "
-                         + r.words(1) + " | " + r.words(1) + " |")
-    return "\n\n".join(parts)
-
-
-# ---------------- family D: docx-like XML ----------------
-
-def _esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-
-def gen_docxlike(r: _Rng) -> str:
-    body = []
-    body.append('<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
-                f'<w:r><w:t>{_esc(r.words(3).title())}</w:t></w:r></w:p>')
-    for _ in range(int(r.rng.randint(1, 4))):
-        body.append(f"<w:p><w:r><w:t>{_esc(r.sentence(8, 18))}</w:t></w:r></w:p>")
-    if r.rng.rand() < 0.5:
-        rows = []
-        for _ in range(int(r.rng.randint(2, 4))):
-            cells = "".join(
-                f"<w:tc><w:p><w:r><w:t>{_esc(r.words(2))}</w:t></w:r></w:p></w:tc>"
-                for _ in range(3))
-            rows.append(f"<w:tr>{cells}</w:tr>")
-        body.append("<w:tbl>" + "".join(rows) + "</w:tbl>")
-    return "<w:document><w:body>" + "".join(body) + "</w:body></w:document>"
-
-
-# ---------------- family C: pdf-like glyph document ----------------
-
-class _Typesetter:
-    def __init__(self, size: float = 10.5, font: str = "Helvetica"):
-        self.pages: List[dict] = []
-        self.size = size
-        self.font = font
-        self._new_page()
-
-    def _new_page(self):
-        self.pages.append({"width": PAGE_W, "height": PAGE_H,
-                           "blocks": [], "shapes": []})
-        self.y = 100.0
-
-    @property
-    def page(self):
-        return self.pages[-1]
-
-    def _ensure_room(self, needed: float = LINE_H):
-        if self.y + needed > PAGE_H - MARGIN:
-            self._new_page()
-
-    def _char_w(self, size=None):
-        return (size or self.size) * CHAR_W_FACTOR
-
-    def line(self, text: str, x0: float, size: Optional[float] = None,
-             flags: int = 0, font: Optional[str] = None, y: Optional[float] = None):
-        size = size or self.size
-        font = font or self.font
-        w = len(text) * self._char_w(size)
-        yy = self.y if y is None else y
-        bbox = [x0, yy, x0 + w, yy + size + 1.0]
-        self.page["blocks"].append({
-            "type": 0, "bbox": bbox,
-            "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
-                {"text": text, "bbox": bbox, "font": font, "size": size,
-                 "flags": flags}]}],
-        })
-        if y is None:
-            self.y += LINE_H
-
-    def paragraph(self, text: str, x0: float = MARGIN, width: float = PAGE_W - 2 * MARGIN,
-                  indent: bool = True, size: Optional[float] = None):
-        size = size or self.size
-        max_chars = int(width / self._char_w(size))
-        words = text.split()
-        cur = "    " if indent else ""
-        first = True
-        lines = []
-        for w in words:
-            cand = (cur + " " + w) if cur and not cur.endswith(" ") else cur + w
-            if len(cand) > max_chars and cur.strip():
-                lines.append((cur, first))
-                cur, first = w, False
-            else:
-                cur = cand
-        if cur.strip():
-            lines.append((cur, first))
-        for txt, is_first in lines:
-            self._ensure_room()
-            self.line(txt, x0, size=size)
-        self.y += 4.0  # paragraph gap slightly above line gap
-
-    def title(self, text: str, size: float = 16.0, bold: bool = True):
-        self._ensure_room(size + 6)
-        w = len(text) * self._char_w(size)
-        x0 = (PAGE_W - w) / 2.0
-        self.line(text, x0, size=size, flags=16 if bold else 0)
-        self.y += 6.0
-
-    def list_items(self, items: List[str], ordered: bool = True):
-        for i, item in enumerate(items, start=1):
-            self._ensure_room()
-            marker = f"{i}. " if ordered else "• "
-            self.line(marker + item, MARGIN + 10)
-        self.y += 4.0
-
-    def toc(self, titles: List[str]):
-        self._ensure_room(LINE_H * (len(titles) + 1))
-        self.line("目录", MARGIN)
-        for i, t in enumerate(titles):
-            dots = "." * max(10, 60 - len(t))
-            self.line(f"{t}{dots}{i + 2}", MARGIN)
-        self.y += 6.0
-
-    def table(self, rows: List[List[str]], caption: Optional[str] = None,
-              merged_first_row: bool = False):
-        n_rows, n_cols = len(rows), len(rows[0])
-        col_w = (PAGE_W - 2 * MARGIN) / n_cols
-        row_h = LINE_H + 6
-        self._ensure_room(row_h * n_rows + 3 * LINE_H)
-        if caption:
-            self.line(caption, MARGIN)
-            self.y += 2.0
-        top = self.y
-        xs = [MARGIN + i * col_w for i in range(n_cols + 1)]
-        ys = [top + i * row_h for i in range(n_rows + 1)]
-        shapes = self.page["shapes"]
-        for yy in ys:
-            shapes.append({"kind": "stroke", "bbox": [xs[0], yy - 0.35, xs[-1], yy + 0.35],
-                           "color": 0, "width": 0.7})
-        for j, xx in enumerate(xs):
-            # merged cell: skip the inner vertical border inside row 0
-            for i in range(n_rows):
-                if merged_first_row and i == 0 and 0 < j < 2:
-                    continue
-                shapes.append({"kind": "stroke",
-                               "bbox": [xx - 0.35, ys[i], xx + 0.35, ys[i + 1]],
-                               "color": 0, "width": 0.7})
-        for i, row in enumerate(rows):
-            for j, cell in enumerate(row):
-                if merged_first_row and i == 0 and j == 1:
-                    continue
-                cy = ys[i] + 3
-                cx = xs[j] + 3
-                w = len(cell) * self._char_w()
-                bbox = [cx, cy, cx + w, cy + self.size + 1]
-                self.page["blocks"].append({
-                    "type": 0, "bbox": bbox,
-                    "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
-                        {"text": cell, "bbox": bbox, "font": self.font,
-                         "size": self.size, "flags": 0}]}],
-                })
-        self.y = ys[-1] + LINE_H
-
-    def finalize(self, header: Optional[str] = None, footer: bool = False) -> str:
-        if header or footer:
-            for i, page in enumerate(self.pages):
-                if header:
-                    w = len(header) * self._char_w(9.0)
-                    bbox = [MARGIN, 30.0, MARGIN + w, 40.0]
-                    page["blocks"].insert(0, {
-                        "type": 0, "bbox": bbox,
-                        "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
-                            {"text": header, "bbox": bbox, "font": self.font,
-                             "size": 9.0, "flags": 0}]}],
-                    })
-                if footer:
-                    txt = f"Page {i + 1}"
-                    w = len(txt) * self._char_w(9.0)
-                    bbox = [(PAGE_W - w) / 2, 760.0, (PAGE_W + w) / 2, 770.0]
-                    page["blocks"].append({
-                        "type": 0, "bbox": bbox,
-                        "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
-                            {"text": txt, "bbox": bbox, "font": self.font,
-                             "size": 9.0, "flags": 0}]}],
-                    })
-        return json.dumps({"pages": self.pages}, separators=(",", ":"))
-
-
-# bump when payload generation OR parser semantics change: cached corpora
-# under /tmp carry expected outputs computed by the parser at generation
-# time, so stale expectations never leak across versions
-GEN_VERSION = 3
-
-
-def gen_pdflike(r: _Rng) -> str:
-    ts = _Typesetter()
-    scenario = r.rng.randint(0, 7)
-    titles = [r.words(2).title() for _ in range(3)]
-
-    if scenario == 0:
-        # multi-page article with headers + footers (frequency vote needs
-        # count ≥2 and rate ≥0.4 — Pages.py:21-22 — so ≥2 pages)
-        ts.title(r.words(3).title())
-        for _ in range(int(r.rng.randint(14, 22))):
-            ts.paragraph(r.sentence(30, 60))
-        return ts.finalize(header="ACME Quarterly Report", footer=True)
-    if scenario == 1:
-        # TOC + titled sections
-        ts.toc(titles)
-        for t in titles:
-            ts._ensure_room(LINE_H * 4)
-            ts.line(t, MARGIN, size=14.0, flags=16)
-            ts.y += 4.0
-            ts.paragraph(r.sentence(25, 45))
-        return ts.finalize()
-    if scenario == 2:
-        # ordered + unordered lists under a paragraph
-        ts.paragraph(r.sentence(20, 35))
-        ts.list_items([r.words(4) for _ in range(3)], ordered=True)
-        ts.paragraph(r.sentence(15, 25))
-        ts.list_items([r.words(3) for _ in range(2)], ordered=False)
-        return ts.finalize()
-    if scenario == 3:
-        # ruled table with merged cell, caption + later reference
-        ts.paragraph(r.sentence(20, 35))
-        ts.table([["h1", "h2", "h3"],
-                  [r.words(1), r.words(1), r.words(1)],
-                  [r.words(1), r.words(1), r.words(1)]],
-                 caption="表 1 " + r.words(2), merged_first_row=True)
-        ts.paragraph("As shown in 表 1 the results " + r.sentence(10, 20))
-        return ts.finalize(footer=True)
-    if scenario == 4:
-        # two-column page
-        col_w = (PAGE_W - 2 * MARGIN - 30) / 2
-        left_x, right_x = MARGIN, MARGIN + col_w + 30
-        for x0 in (left_x, right_x):
-            ts.y = 100.0
-            for _ in range(2):
-                ts.paragraph(r.sentence(18, 30), x0=x0, width=col_w)
-        return ts.finalize()
-    if scenario == 5:
-        # hyphenated line breaks + multi-page paragraph continuation
-        # (exercises P23 hyphen/space fixup and R4 continuation chains)
-        words = ("contin-uation hyphen-ated exper-iment trans-action "
-                 "oper-ation").split()
-        for _ in range(int(r.rng.randint(10, 16))):
-            body = r.sentence(25, 45)
-            if r.rng.rand() < 0.5:
-                body += " " + words[int(r.rng.randint(0, len(words)))]
-            ts.paragraph(body)
-        return ts.finalize(footer=True)
-    # scenario 6: sparse cover-like first page, then dense body pages
-    ts.y = 320.0
-    ts.title(r.words(2).title(), size=20.0)
-    ts._new_page()
-    for _ in range(int(r.rng.randint(8, 14))):
-        ts.paragraph(r.sentence(25, 45))
-    ts._ensure_room()
-    ts._new_page()
-    ts.paragraph(r.sentence(25, 45))
-    return ts.finalize()
-
+from bella_domify_spark.synthdocs import (  # noqa: F401 (re-exported)
+    GEN_VERSION,
+    _Rng,
+    gen_docxlike,
+    gen_markdown,
+    gen_pdflike,
+    gen_plaintext,
+)
 
 # ---------------- corpus assembly ----------------
 

@@ -1,0 +1,38 @@
+"""Regenerate fixtures/pdflike_expected.parquet — the pinned oracle table
+for the ``pdflike_extract`` correctness-gate query.
+
+Run after ANY change to the pdflike parse semantics or synthdocs generator:
+
+    python tools/gen_pdflike_expected.py [max_doc_id]
+
+Covers doc_ids [0, 5000) by default (superset of every testdata sf dir);
+the oracle SQL joins against the ``documents`` view so extra rows are
+harmless.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures", "pdflike_expected.parquet")
+
+
+def main(max_doc_id: int = 5000) -> None:
+    from bella_domify_spark.parsers.pdflike.gate import expected_frame
+
+    df = expected_frame(max_doc_id)
+    bad = df[df["status"] != "ok"]
+    if len(bad):
+        raise SystemExit(f"{len(bad)} gate payloads failed to parse: "
+                         f"{bad.head(3).to_dict('records')}")
+    df.to_parquet(OUT, index=False)
+    print(f"wrote {len(df)} rows to {OUT} "
+          f"({os.path.getsize(OUT) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5000)
