@@ -117,6 +117,24 @@ def _q_csv_markdown(spark, sf):
     return d.select("doc_id", csv_markdown_udf(_csv_payload()).alias("md_table"))
 
 
+def _xlsx_payload():
+    return F.concat(F.lit('{"sheets":[{"name":"'), F.col("source"),
+                    F.lit('","rows":[["source","'), F.col("source"),
+                    F.lit('"],["lang","'), F.col("lang"), F.lit('"]]}]}'))
+
+
+def _q_extract_xlsxlike_flat(spark, sf):
+    from bella_domify_spark.engine.extract import xlsx_flat_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", xlsx_flat_udf(_xlsx_payload()).alias("sheet_text"))
+
+
+def _q_xlsx_markdown(spark, sf):
+    from bella_domify_spark.engine.extract import xlsx_markdown_udf
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", xlsx_markdown_udf(_xlsx_payload()).alias("md_table"))
+
+
 def _q_standard_tokens(spark, sf):
     from bella_domify_spark.engine.extract import standard_udf
     d = _t(spark, sf, "documents")
@@ -312,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standard_tokens": _q_standard_tokens,
         "csv_normalize": _q_csv_normalize,
         "csv_markdown": _q_csv_markdown,
+        "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
+        "xlsx_markdown": _q_xlsx_markdown,
         "format_detect_stats": _q_format_detect_stats,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
@@ -387,6 +407,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    '| source | lang |' || chr(10) || '| --- | --- |' || chr(10)
                        || '| ' || source || ' | ' || lang || ' |' AS md_table
+            FROM documents
+        """,
+        "extract_xlsxlike_flat": """
+            SELECT doc_id,
+                   'Sheet: ' || source || chr(10)
+                   || 'source' || chr(9) || source || chr(9) || chr(10)
+                   || 'lang' || chr(9) || lang || chr(9) || chr(10)
+                   || chr(10) AS sheet_text
+            FROM documents
+        """,
+        "xlsx_markdown": """
+            SELECT doc_id,
+                   '<table><tr><td rowspan=''1'' colspan=''1''>source</td>'
+                   || '<td rowspan=''1'' colspan=''1''>' || source
+                   || '</td></tr><tr><td rowspan=''1'' colspan=''1''>lang</td>'
+                   || '<td rowspan=''1'' colspan=''1''>' || lang
+                   || '</td></tr></table>' || chr(10) || chr(10) AS md_table
             FROM documents
         """,
         "format_detect_stats": """

@@ -129,6 +129,8 @@ class TextBlock:
     # extend-layer relations
     next_continuous_paragraph: Optional["TextBlock"] = None
     caption_of: Optional[object] = None   # set when this block is a table/figure caption
+    caption_block: Optional["TextBlock"] = None   # image blocks: their caption
+    refed_blocks: List["TextBlock"] = field(default_factory=list)
     is_table_name: bool = False
     is_figure_name: bool = False
     # non-PDF parsers (markdown tokenizer) may force a layout type, e.g. "Code"
@@ -247,6 +249,7 @@ class TableBlock:
     next_continuous_table: Optional["TableBlock"] = None
     caption_block: Optional[TextBlock] = None
     refed_blocks: List[TextBlock] = field(default_factory=list)
+    is_stream: bool = False  # STREAM_TABLE vs LATTICE_TABLE (Block.py type)
 
     @property
     def is_image_block(self) -> bool:

@@ -82,6 +82,24 @@ def docx_flat_udf(texts: pd.Series) -> pd.Series:
     return texts.map(_safe(docxlike.extract_text))
 
 
+@F.pandas_udf(T.StringType())
+def xlsx_flat_udf(texts: pd.Series) -> pd.Series:
+    """Sheet-model payload → reference xlsx layout text with ``Sheet:``
+    headers and tab-joined cells (xlsx_parser.py:20-46)."""
+    from bella_domify_spark.parsers import xlsxlike
+
+    return texts.map(_safe(xlsxlike.layout_text))
+
+
+@F.pandas_udf(T.StringType())
+def xlsx_markdown_udf(texts: pd.Series) -> pd.Series:
+    """Sheet-model payload → Excel domtree → markdown (one HTML table per
+    sheet, excel/converter.py:85-186 + domtree.py:339-350)."""
+    from bella_domify_spark.parsers import xlsxlike
+
+    return texts.map(_safe(xlsxlike.extract_text))
+
+
 STANDARD_RESULT_TYPE = T.StructType([
     T.StructField("standard_json", T.StringType()),
     T.StructField("tokens", T.IntegerType()),
@@ -92,9 +110,9 @@ STANDARD_RESULT_TYPE = T.StructType([
 def standard_udf(texts: pd.Series) -> pd.DataFrame:
     """StandardDomTree wire protocol per payload (format-dispatched)."""
     from bella_domify_spark.core.standard import to_standard
-    from bella_domify_spark.parsers import docxlike, markdown, txt
+    from bella_domify_spark.parsers import docxlike, markdown, txt, xlsxlike
     from bella_domify_spark.parsers.dispatch import (
-        FMT_DOCX, FMT_EMPTY, FMT_MD, FMT_PDF, detect_format)
+        FMT_DOCX, FMT_EMPTY, FMT_MD, FMT_PDF, FMT_XLSX, detect_format)
     from bella_domify_spark.parsers.pdflike import pipeline as pdfpipe
 
     import json as _json
@@ -111,6 +129,8 @@ def standard_udf(texts: pd.Series) -> pd.DataFrame:
                 tree = pdfpipe.parse(t)
             elif fmt == FMT_DOCX:
                 tree = docxlike.parse(t)
+            elif fmt == FMT_XLSX:
+                tree = xlsxlike.build_domtree(t)
             elif fmt == FMT_MD:
                 tree = markdown.parse(t)
             else:

@@ -26,13 +26,14 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from bella_domify_spark.parsers import csvlike, docxlike, markdown, txt
+from bella_domify_spark.parsers import csvlike, docxlike, markdown, txt, xlsxlike
 from bella_domify_spark.parsers.pdflike import pipeline as pdfpipe
 
 FMT_PDF = "pdflike"
 FMT_DOCX = "docxlike"
 FMT_MD = "markdown"
 FMT_TXT = "plaintext"
+FMT_XLSX = "xlsxlike"
 FMT_EMPTY = "empty"
 
 _MD_HINTS = re.compile(
@@ -46,6 +47,8 @@ def detect_format(text: Optional[str]) -> str:
     head = text.lstrip()[:64]
     if head.startswith('{"pages"'):
         return FMT_PDF
+    if head.startswith('{"sheets"'):
+        return FMT_XLSX
     if head.startswith("<w:document") or head.startswith("<document"):
         return FMT_DOCX
     if _MD_HINTS.search(text):
@@ -64,6 +67,9 @@ def parse_payload(text: Optional[str]) -> dict:
     try:
         if fmt == FMT_PDF:
             tree = pdfpipe.parse(text)
+            extracted = tree.to_markdown()
+        elif fmt == FMT_XLSX:
+            tree = xlsxlike.build_domtree(text)
             extracted = tree.to_markdown()
         elif fmt == FMT_DOCX:
             tree = docxlike.parse(text)
@@ -88,5 +94,5 @@ __all__ = [
     "detect_format",
     "parse_payload",
     "csvlike",
-    "FMT_PDF", "FMT_DOCX", "FMT_MD", "FMT_TXT", "FMT_EMPTY",
+    "FMT_PDF", "FMT_DOCX", "FMT_MD", "FMT_TXT", "FMT_XLSX", "FMT_EMPTY",
 ]

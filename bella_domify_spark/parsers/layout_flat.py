@@ -29,6 +29,7 @@ from bella_domify_spark.parsers.dispatch import (
     FMT_EMPTY,
     FMT_MD,
     FMT_PDF,
+    FMT_XLSX,
     detect_format,
 )
 
@@ -140,6 +141,10 @@ def layout_parse(payload: Optional[str]) -> List[SimpleBlock]:
         return pdflike_layout(payload)
     if fmt == FMT_DOCX:
         return docxlike_layout(payload)
+    if fmt == FMT_XLSX:
+        # xlsx_parser.py:20-46: one TEXT block carrying the Sheet: dump
+        from bella_domify_spark.parsers import xlsxlike
+        return [SimpleBlock(type=TEXT, text=xlsxlike.layout_text(payload))]
     # txt & markdown: whole payload = one TEXT block (txt_parser.py:17-25)
     return [SimpleBlock(type=TEXT, text=payload)]
 

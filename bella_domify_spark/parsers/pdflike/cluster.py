@@ -114,29 +114,6 @@ def sort_in_reading_order_plus(lines: Sequence) -> List:
     return out
 
 
-def split_columns(lines: Sequence, page_width: float) -> List[List]:
-    """Two-column layout detection (simplified RawPage.parse_section,
-    /root/reference/.../page/RawPage.py:162-319): if every physical row's
-    lines fall entirely left or right of the page center with a visible gap,
-    emit [left-column lines, right-column lines]; else a single column.
-
-    At 100 TB scale this stays inside the Arrow batch — it is per-document
-    logic and never shuffles.
-    """
-    if not lines:
-        return [list(lines)]
-    mid = page_width / 2.0
-    left, right = [], []
-    for l in lines:
-        if l.bbox[2] <= mid + 1.0:
-            left.append(l)
-        elif l.bbox[0] >= mid - 1.0:
-            right.append(l)
-        else:
-            return [list(lines)]  # a line crosses the center → single column
-    if not left or not right:
-        return [list(lines)]
-    # require a real gutter: max left-right edge < min right-left edge
-    if max(l.bbox[2] for l in left) >= min(r.bbox[0] for r in right):
-        return [list(lines)]
-    return [left, right]
+# Full section/column detection (P12) lives in sections.py — the simplified
+# whole-page gutter test that used to sit here is superseded by the
+# reference-faithful row-by-row state machine (RawPage.parse_section).

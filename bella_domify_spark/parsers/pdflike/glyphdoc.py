@@ -54,6 +54,7 @@ class RawPage:
     lines: List[Line] = field(default_factory=list)
     strokes: List[Stroke] = field(default_factory=list)
     fills: List[Fill] = field(default_factory=list)
+    float_image_lines: List[Line] = field(default_factory=list)  # P5
     page_id: int = 0
 
 
@@ -134,6 +135,51 @@ def _pseudo_bold_chars(texttrace: list) -> set:
     return bold
 
 
+FLOAT_IMAGE_GAP = 5.0  # reference config.py:22 float_image_ignorable_gap
+
+
+def _extract_floating_images(lines: List[Line],
+                             gap: float = FLOAT_IMAGE_GAP) -> tuple:
+    """Floating-image detect (P5, Blocks.py:321-336): group lines by
+    connectivity with boxes shrunk by ``gap`` per side (group_by_connectivity
+    dx=dy=-gap); in any multi-member group, image lines overlap real text and
+    leave the flow layout. Returns (flow_lines, float_image_lines). Must run
+    BEFORE overlapped-line dedup (Blocks.py:158-162 order)."""
+    n = len(lines)
+    if n < 2 or not any(l.image_spans for l in lines):
+        return lines, []
+
+    def connected(a, b) -> bool:
+        # shrunk boxes intersect ⟺ overlap exceeds 2·gap on each axis
+        return (min(a.bbox[2], b.bbox[2]) - max(a.bbox[0], b.bbox[0]) >= 2 * gap
+                and min(a.bbox[3], b.bbox[3]) - max(a.bbox[1], b.bbox[1]) >= 2 * gap)
+
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if connected(lines[i], lines[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    sizes: dict = {}
+    for i in range(n):
+        sizes[find(i)] = sizes.get(find(i), 0) + 1
+    flow, floats = [], []
+    for i, line in enumerate(lines):
+        if sizes[find(i)] > 1 and line.image_spans:
+            floats.append(line)
+        else:
+            flow.append(line)
+    return flow, floats
+
+
 def _dedupe_overlapped(lines: List[Line], threshold: float = 0.9) -> List[Line]:
     """Overlapped-line dedup (P4, Blocks.py:338-354 + Element.py:180-187):
     lines whose intersection covers ≥ threshold of the smaller box are
@@ -203,6 +249,7 @@ def load(payload: str) -> List[RawPage]:
                 from bella_domify_spark.functions.listmark import recognize_list
                 line.list_type, line.list_tag = recognize_list(line.text)
                 page.lines.append(line)
+        page.lines, page.float_image_lines = _extract_floating_images(page.lines)
         page.lines = _dedupe_overlapped(page.lines)
         for raw_shape in p.get("shapes", []):
             kind = raw_shape.get("kind", "stroke")

@@ -22,9 +22,10 @@ from typing import List
 from bella_domify_spark.core.blocks import TableBlock, TextBlock
 from bella_domify_spark.core.tree import DomTree
 from bella_domify_spark.parsers.pdflike import docscan, glyphdoc, tables
-from bella_domify_spark.parsers.pdflike.cluster import (
-    sort_in_reading_order_plus,
-    split_columns,
+from bella_domify_spark.parsers.pdflike.cluster import sort_in_reading_order_plus
+from bella_domify_spark.parsers.pdflike.sections import (
+    calculate_margin,
+    parse_sections,
 )
 from bella_domify_spark.parsers.pdflike.paragraphs import (
     adjust_last_word,
@@ -35,7 +36,10 @@ from bella_domify_spark.parsers.pdflike.paragraphs import (
 from bella_domify_spark.parsers.pdflike.treebuild import build_tree, construct_relations
 
 
-def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False) -> DomTree:
+def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
+          parse_stream_table: bool = False) -> DomTree:
+    """``parse_stream_table`` defaults False like production
+    (reference services/parse_manager.py:572-578)."""
     pages = glyphdoc.load(payload)
     if not pages:
         return DomTree()
@@ -48,15 +52,22 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False)
     catalog_titles = docscan.parse_catalog(pages, filter_catalog=filter_catalog)
     docscan.mark_titles_from_catalog(pages, catalog_titles)
 
-    # ---- page-level layout (P12-P23) ----
+    # ---- page-level layout (P11-P23) ----
     pages_blocks: List[List] = []
     for page in pages:
+        # margins from full content (P11) BEFORE tables consume their lines
+        # (reference order: clean_up → margin → section → table parse)
+        margin = calculate_margin(page)
+        x_range = (margin[0], page.width - margin[1])
         page_tables = tables.parse_lattice_tables(page)
+        if parse_stream_table:
+            page_tables = page_tables + tables.parse_stream_tables(page)
         blocks: List = []
-        for column in split_columns(page.lines, page.width):
-            ordered = sort_in_reading_order_plus(column)
-            joined = join_lines_vertically(ordered)
-            blocks.extend(_split_blocks(joined))
+        for section in parse_sections(page.lines, x_range):
+            for column in section:
+                ordered = sort_in_reading_order_plus(column)
+                joined = join_lines_vertically(ordered)
+                blocks.extend(_split_blocks(joined))
         # place tables into the flow by vertical position
         for t in page_tables:
             idx = len(blocks)
@@ -65,6 +76,10 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False)
                     idx = i
                     break
             blocks.insert(idx, t)
+        # floating images (P5): removed from the text flow at load time,
+        # re-attached as Figure blocks after it (Pages.py:80, float level)
+        for fl in page.float_image_lines:
+            blocks.append(TextBlock(lines=[fl]))
         identify_titles(blocks)
         for b in blocks:
             if isinstance(b, TextBlock) and b.is_text_block:

@@ -1,12 +1,20 @@
-"""Lattice (ruled) table detection from border strokes.
+"""Lattice (ruled) and stream (borderless) table detection.
 
-Parity target: the grid subset of the reference's table stack
-(/root/reference/doc_parser/dom_parser/parsers/pdf/table/TablesConstructor.py:42-103
-and table/TableStructure.py — stroke bucketing into h/v rulings, lattice
-cells, merged-cell detection from missing inner borders, line→cell
-assignment). Stream (borderless) tables are intentionally not implemented:
-``parse_stream_table=False`` is the reference's production default
-(services/parse_manager.py:572-578).
+Parity targets in the reference's table stack:
+- Lattice: the grid subset of
+  /root/reference/doc_parser/dom_parser/parsers/pdf/table/TablesConstructor.py:42-103
+  and table/TableStructure.py — stroke bucketing into h/v rulings, lattice
+  cells, merged-cell detection from missing inner borders, line→cell
+  assignment.
+- Stream: TablesConstructor.py:106-227 + layout/Blocks.py:189-262 —
+  candidate regions from non-flow rows (``collect_stream_lines`` with the
+  ``is_flow_layout`` test, common/Collection.py:305-323), the
+  simple-structure veto (TablesConstructor.py:210-222), and virtual borders
+  from column/row gaps (``_inner_borders``, TablesConstructor.py:294-381).
+  Subset: aligned MxN grids (the recursion for per-column independent row
+  structures and merged stream cells is not ported). Gated behind
+  ``parse_stream_table`` which defaults to False exactly like production
+  (services/parse_manager.py:572-578).
 
 The implementation is a NumPy grid walk sized for per-turn documents; it
 runs entirely inside the Arrow UDF.
@@ -19,8 +27,18 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from bella_domify_spark.core.blocks import Cell, Line, TableBlock
-from bella_domify_spark.parsers.pdflike.cluster import sort_in_reading_order_plus
+from bella_domify_spark.parsers.pdflike.cluster import (
+    group_physical_rows,
+    sort_in_reading_order_plus,
+)
 from bella_domify_spark.parsers.pdflike.glyphdoc import RawPage, Stroke
+from bella_domify_spark.parsers.pdflike.sections import (
+    _bbox,
+    group_by_columns,
+    group_by_rows,
+)
+
+LINE_SEPARATE_THRESHOLD = 5.0  # reference config.py:32
 
 _TOL = 1.5  # ruling snap tolerance in points
 
@@ -170,6 +188,138 @@ def parse_lattice_tables(page: RawPage) -> List[TableBlock]:
                 cell.text = "".join(l.text for l in ordered)
 
         tables.append(TableBlock(rows=cell_rows, bbox=bbox, page_num=[page.page_id]))
+
+    if consumed_ids:
+        page.lines = [l for l in page.lines if id(l) not in consumed_ids]
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# Stream (borderless) tables — P16
+# ---------------------------------------------------------------------------
+
+def _is_flow_layout(row: List[Line],
+                    threshold: float = LINE_SEPARATE_THRESHOLD) -> bool:
+    """Collection.is_flow_layout (Collection.py:305-323), horizontal text:
+    single column → flow; multiple x-columns → not flow; a gap ≥ threshold
+    inside a physical row → not flow. Element order within physical rows
+    follows input order, as in the reference."""
+    if len(row) <= 1:
+        return True
+    if len(group_by_columns(row)) > 1:
+        return False
+    for prow in group_physical_rows(row):
+        for a, b in zip(prow, prow[1:]):
+            if abs(b.bbox[0] - a.bbox[2]) >= threshold:
+                return False
+    return True
+
+
+def collect_stream_lines(lines: List[Line],
+                         threshold: float = LINE_SEPARATE_THRESHOLD) -> List[List[Line]]:
+    """Blocks.collect_stream_lines (Blocks.py:189-262) without the shading
+    path (the glyph payload model has no cell fillings): group page rows,
+    accumulate non-flow rows into candidate regions, close a region on a
+    flow row or a ≥50 pt vertical gap (gap check runs AFTER the current row
+    is accumulated — reference quirk, Blocks.py:253-257)."""
+    if not lines:
+        return []
+    rows = group_by_rows(lines)
+    res: List[List[Line]] = []
+    cur: List[Line] = []
+
+    def close():
+        if cur:
+            res.append(list(cur))
+            cur.clear()
+
+    ref_pos = _bbox(rows[0])[3]
+    for row in rows:
+        bb = _bbox(row)
+        if not _is_flow_layout(row, threshold):
+            cur.extend(row)
+        else:
+            close()
+        if bb[1] - ref_pos >= 50:
+            close()
+        ref_pos = bb[3]
+    close()
+    return res
+
+
+def _is_simple_structure(lines: List[Line]) -> bool:
+    """TablesConstructor._is_simple_structure (TablesConstructor.py:210-222):
+    one column is flow layout; two columns whose physical rows equal aligned
+    rows is a plain paragraph pair."""
+    num = len(group_by_columns(lines))
+    if num == 1:
+        return True
+    if num == 2:
+        return len(group_physical_rows(lines)) == len(group_by_rows(lines))
+    return False
+
+
+def parse_stream_tables(page: RawPage,
+                        threshold: float = LINE_SEPARATE_THRESHOLD) -> List[TableBlock]:
+    """Borderless tables from virtual borders at column/row gaps
+    (TablesConstructor.stream_tables + _inner_borders subset for aligned
+    grids). Consumes the lines placed into table cells. Call AFTER
+    parse_lattice_tables so ruled regions are already claimed."""
+    cands = collect_stream_lines(page.lines, threshold)
+    tables: List[TableBlock] = []
+    consumed_ids: set = set()
+
+    for cand in cands:
+        if not cand:
+            continue
+        region = _bbox(cand)
+        # explicit strokes inside the region disable the simple-structure
+        # veto (TablesConstructor.py:183-185); with none, veto simple shapes
+        has_strokes = any(
+            s.x0 >= region[0] - _TOL and s.x1 <= region[2] + _TOL and
+            s.y0 >= region[1] - _TOL and s.y1 <= region[3] + _TOL
+            for s in page.strokes)
+        if not has_strokes and _is_simple_structure(cand):
+            continue
+
+        cols_lines = group_by_columns(cand)
+        rows_lines = group_by_rows(cand, factor=0.1)
+        n_cols, n_rows = len(cols_lines), len(rows_lines)
+        if n_cols < 2 or n_rows < 1:
+            continue
+
+        # virtual borders at gap midpoints (TablesConstructor.py:336-350)
+        col_bounds = [region[0]]
+        for a, b in zip(cols_lines, cols_lines[1:]):
+            col_bounds.append((_bbox(a)[2] + _bbox(b)[0]) / 2.0)
+        col_bounds.append(region[2])
+        row_bounds = [region[1]]
+        for a, b in zip(rows_lines, rows_lines[1:]):
+            row_bounds.append((_bbox(a)[3] + _bbox(b)[1]) / 2.0)
+        row_bounds.append(region[3])
+
+        cell_rows: List[List[Cell]] = []
+        for i in range(n_rows):
+            cell_rows.append([Cell(text="", start_row=i, end_row=i,
+                                   start_col=j, end_col=j)
+                              for j in range(n_cols)])
+        cell_lines: dict = {}
+        for line in cand:
+            cx = (line.bbox[0] + line.bbox[2]) / 2.0
+            cy = (line.bbox[1] + line.bbox[3]) / 2.0
+            j = max(0, np.searchsorted(np.array(col_bounds), cx) - 1)
+            i = max(0, np.searchsorted(np.array(row_bounds), cy) - 1)
+            cell_lines.setdefault((min(i, n_rows - 1), min(j, n_cols - 1)),
+                                  []).append(line)
+            consumed_ids.add(id(line))
+
+        for i in range(n_rows):
+            for j in range(n_cols):
+                ordered = sort_in_reading_order_plus(cell_lines.get((i, j), []))
+                cell_rows[i][j].text = "".join(l.text for l in ordered)
+
+        tables.append(TableBlock(rows=cell_rows, bbox=region,
+                                 page_num=[page.page_id], is_stream=True))
 
     if consumed_ids:
         page.lines = [l for l in page.lines if id(l) not in consumed_ids]

@@ -94,6 +94,37 @@ def gen_docxlike(r: _Rng) -> str:
     return "<w:document><w:body>" + "".join(body) + "</w:body></w:document>"
 
 
+# ---------------- family E: xlsx-like sheet model ----------------
+
+def gen_xlsxlike(r: _Rng) -> str:
+    """Spreadsheet payload (FIXTURES.md): sheets of cell grids with optional
+    merges, null cells and date cells — exercises F8/F9."""
+    sheets = []
+    for si in range(int(r.rng.randint(1, 3))):
+        n_rows = int(r.rng.randint(2, 5))
+        n_cols = int(r.rng.randint(2, 4))
+        rows = []
+        for _ in range(n_rows):
+            row = []
+            for _ in range(n_cols):
+                u = r.rng.rand()
+                if u < 0.08:
+                    row.append(None)
+                elif u < 0.16:
+                    row.append({"date": [2026, int(r.rng.randint(1, 13)),
+                                         int(r.rng.randint(1, 29)), 0, 0, 0]})
+                elif u < 0.24:
+                    row.append(float(r.rng.randint(0, 1000)))
+                else:
+                    row.append(r.words(int(r.rng.randint(1, 3))))
+            rows.append(row)
+        merged = []
+        if n_rows >= 2 and n_cols >= 2 and r.rng.rand() < 0.5:
+            merged.append([0, 1, 0, 2])  # 1x2 merge across the top-left
+        sheets.append({"name": f"S{si}", "rows": rows, "merged": merged})
+    return json.dumps({"sheets": sheets}, separators=(",", ":"))
+
+
 # ---------------- family C: pdf-like glyph document ----------------
 
 class _Typesetter:
@@ -163,6 +194,16 @@ class _Typesetter:
         x0 = (PAGE_W - w) / 2.0
         self.line(text, x0, size=size, flags=16 if bold else 0)
         self.y += 6.0
+
+    def image(self, x0: float, y0: float, w: float, h: float):
+        """Image span line at an absolute position (does not advance y) —
+        overlapping text makes it a floating image (P5)."""
+        bbox = [x0, y0, x0 + w, y0 + h]
+        self.page["blocks"].append({
+            "type": 0, "bbox": bbox,
+            "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
+                {"type": "image", "bbox": bbox}]}],
+        })
 
     def list_items(self, items: List[str], ordered: bool = True):
         for i, item in enumerate(items, start=1):
@@ -247,13 +288,25 @@ class _Typesetter:
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 3
+GEN_VERSION = 5
 
 
 def gen_pdflike(r: _Rng) -> str:
     ts = _Typesetter()
-    scenario = r.rng.randint(0, 7)
+    scenario = r.rng.randint(0, 8)
     titles = [r.words(2).title() for _ in range(3)]
+
+    if scenario == 7:
+        # floating image overlapping a paragraph (P5) + an isolated inline
+        # image below the text
+        for _ in range(3):
+            ts.paragraph(r.sentence(20, 35))
+        ts.image(150.0, 120.0, 180.0, 90.0)       # overlaps the flow text
+        ts.y += 10.0
+        ts.image(MARGIN, ts.y, 120.0, 60.0)       # isolated: stays inline
+        ts.y += 70.0
+        ts.paragraph(r.sentence(15, 25))
+        return ts.finalize()
 
     if scenario == 0:
         # multi-page article with headers + footers (frequency vote needs
@@ -288,13 +341,20 @@ def gen_pdflike(r: _Rng) -> str:
         ts.paragraph("As shown in 表 1 the results " + r.sentence(10, 20))
         return ts.finalize(footer=True)
     if scenario == 4:
-        # two-column page
+        # mixed layout with mid-page column switches (P12): full-width
+        # intro → two-column body → full-width outro
+        ts.paragraph(r.sentence(18, 30))
         col_w = (PAGE_W - 2 * MARGIN - 30) / 2
         left_x, right_x = MARGIN, MARGIN + col_w + 30
+        y_top = ts.y
+        y_end = y_top
         for x0 in (left_x, right_x):
-            ts.y = 100.0
+            ts.y = y_top
             for _ in range(2):
                 ts.paragraph(r.sentence(18, 30), x0=x0, width=col_w)
+            y_end = max(y_end, ts.y)
+        ts.y = y_end + 4.0
+        ts.paragraph(r.sentence(18, 30))
         return ts.finalize()
     if scenario == 5:
         # hyphenated line breaks + multi-page paragraph continuation

@@ -31,6 +31,7 @@ from bella_domify_spark.synthdocs import (  # noqa: F401 (re-exported)
     gen_markdown,
     gen_pdflike,
     gen_plaintext,
+    gen_xlsxlike,
 )
 
 # ---------------- corpus assembly ----------------
@@ -51,15 +52,18 @@ def _gen_conv(args):
             text = None
         elif u < 0.02:
             text = ""
-        elif u < 0.57:
+        elif u < 0.54:
             text = gen_plaintext(r)
-        elif u < 0.77:
+        elif u < 0.74:
             text = gen_markdown(r)
-        elif u < 0.92:
+        elif u < 0.89:
             text = gen_pdflike(r)
-        else:
+        elif u < 0.96:
             text = gen_docxlike(r)
-        fmt_tool = "doc_upload" if (text or "").startswith(('{"pages"', "<w:document")) else ""
+        else:
+            text = gen_xlsxlike(r)
+        fmt_tool = "doc_upload" if (text or "").startswith(
+            ('{"pages"', '{"sheets"', "<w:document")) else ""
         rows.append({
             "conv_id": conv_id,
             "turn_idx": np.int32(ti),

@@ -25,7 +25,7 @@ def test_gate_scenarios_covered():
     kinds = set()
     for i in range(64):
         doc = json.loads(gate_payload(i))
-        texts = [s["text"] for p in doc["pages"] for b in p["blocks"]
+        texts = [s.get("text", "") for p in doc["pages"] for b in p["blocks"]
                  for l in b["lines"] for s in l["spans"]]
         if any(t == "目录" for t in texts):
             kinds.add("toc")

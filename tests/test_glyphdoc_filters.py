@@ -89,3 +89,42 @@ class TestOverlapDedup:
         b = _line("right half", [160, 100, 260, 111])  # ~12% of smaller
         pages = glyphdoc.load(_doc([a, b]))
         assert len(pages[0].lines) == 2
+
+
+class TestFloatingImages:  # P5, Blocks.py:321-336, gap config.py:22
+    def test_overlapping_image_leaves_flow(self):
+        text = _line("body text line with words", [72, 100, 300, 111])
+        img = {"bbox": [80, 95, 200, 140], "dir": [1.0, 0.0], "spans": [
+            {"type": "image", "bbox": [80, 95, 200, 140]}]}
+        pages = glyphdoc.load(_doc([text]) )
+        # build a combined doc: text + deeply overlapping image line
+        doc = json.loads(_doc([text]))
+        doc["pages"][0]["blocks"].append({"type": 0, "bbox": img["bbox"],
+                                          "lines": [img]})
+        pages = glyphdoc.load(json.dumps(doc))
+        page = pages[0]
+        assert [l.text for l in page.lines] == ["body text line with words"]
+        assert len(page.float_image_lines) == 1
+        assert page.float_image_lines[0].image_spans
+
+    def test_isolated_image_stays_in_flow(self):
+        text = _line("body text line with words", [72, 100, 300, 111])
+        img = {"bbox": [72, 300, 200, 400], "dir": [1.0, 0.0], "spans": [
+            {"type": "image", "bbox": [72, 300, 200, 400]}]}
+        doc = json.loads(_doc([text]))
+        doc["pages"][0]["blocks"].append({"type": 0, "bbox": img["bbox"],
+                                          "lines": [img]})
+        page = glyphdoc.load(json.dumps(doc))[0]
+        assert len(page.float_image_lines) == 0
+        assert len(page.lines) == 2
+
+    def test_shallow_overlap_not_floating(self):
+        # overlap must exceed 2*gap (10pt) per axis; 8pt overlap stays inline
+        text = _line("body text line with words", [72, 100, 300, 111])
+        img = {"bbox": [292, 103, 400, 180], "dir": [1.0, 0.0], "spans": [
+            {"type": "image", "bbox": [292, 103, 400, 180]}]}
+        doc = json.loads(_doc([text]))
+        doc["pages"][0]["blocks"].append({"type": 0, "bbox": img["bbox"],
+                                          "lines": [img]})
+        page = glyphdoc.load(json.dumps(doc))[0]
+        assert len(page.float_image_lines) == 0

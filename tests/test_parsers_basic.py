@@ -117,9 +117,43 @@ class TestCsv:
             "| h1 | h2 |\n| --- | --- |\n| v1 | v2 |"
 
 
+class TestXlsxLike:  # F8/F9, xlsx_parser.py:20-46 + excel/converter.py:85-417
+    PAYLOAD = ('{"sheets":[{"name":"A","rows":[["h1","h2","h3"],'
+               '["a",null,{"date":[2026,3,4,0,0,0]}]],"merged":[[0,1,0,2]]},'
+               '{"name":"B","rows":[[1.0,"x"]]}]}')
+
+    def test_layout_text_sheet_headers_and_none_quirk(self):
+        from bella_domify_spark.parsers import xlsxlike
+        txt = xlsxlike.layout_text(self.PAYLOAD)
+        # covered merge cell AND null cell render as the literal "None"
+        # (openpyxl yields None for both; reference str()s it)
+        assert txt == ("Sheet: A\nh1\tNone\th3\t\na\tNone\t2026-03-04\t\n\n"
+                       "Sheet: B\n1.0\tx\t\n\n")
+
+    def test_domtree_merged_cells_and_dates(self):
+        from bella_domify_spark.parsers import xlsxlike
+        md = xlsxlike.extract_text(self.PAYLOAD)
+        assert "colspan='2'>h1</td>" in md            # 1x2 merge spans
+        assert md.count("<table>") == 2               # one table per sheet
+        assert "2026-03-04</td>" in md                # date-only formatting
+        assert "<td rowspan='1' colspan='1'></td>" in md  # null → '' in tree
+
+    def test_datetime_formatting(self):
+        from bella_domify_spark.parsers.xlsxlike import _fmt_date
+        assert _fmt_date([2026, 3, 4, 0, 0, 0]) == "2026-03-04"
+        assert _fmt_date([2026, 3, 4, 5, 6, 7]) == "2026-03-04 05:06:07"
+
+    def test_dispatch_route(self):
+        rec = parse_payload(self.PAYLOAD)
+        assert rec["fmt"] == "xlsxlike"
+        assert rec["status"] == "ok"
+        assert rec["extracted_text"].count("<table>") == 2
+
+
 class TestDispatch:
     def test_detect(self):
         assert detect_format('{"pages": []}') == "pdflike"
+        assert detect_format('{"sheets": []}') == "xlsxlike"
         assert detect_format("<w:document><w:body/></w:document>") == "docxlike"
         assert detect_format("# hi\n\ntext") == "markdown"
         assert detect_format("just words") == "plaintext"

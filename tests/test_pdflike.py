@@ -13,8 +13,8 @@ from bella_domify_spark.parsers.pdflike import docscan, glyphdoc, pipeline, tabl
 from bella_domify_spark.parsers.pdflike.cluster import (
     group_physical_rows,
     sort_in_reading_order_plus,
-    split_columns,
 )
+from bella_domify_spark.parsers.pdflike.sections import parse_sections
 from bella_domify_spark.parsers.pdflike.paragraphs import adjust_last_word
 
 
@@ -88,14 +88,77 @@ class TestClustering:  # P13/P14, common/Collection.py
     def test_two_columns(self):
         left = [mk_line("l1", 72, 100, w=180), mk_line("l2", 72, 120, w=180)]
         right = [mk_line("r1", 340, 100, w=180), mk_line("r2", 340, 120, w=180)]
-        cols = split_columns(left + right, 612.0)
-        assert len(cols) == 2
-        assert [l.text for l in cols[0]] == ["l1", "l2"]
+        secs = parse_sections(left + right, (72.0, 540.0))
+        assert len(secs) == 1 and len(secs[0]) == 2
+        assert [l.text for l in secs[0][0]] == ["l1", "l2"]
+        assert [l.text for l in secs[0][1]] == ["r1", "r2"]
 
     def test_spanning_line_forces_single_column(self):
         wide = mk_line("wide title line", 72, 80, w=460)
-        cols = split_columns([wide, mk_line("x", 72, 120, w=100)], 612.0)
-        assert len(cols) == 1
+        secs = parse_sections([wide, mk_line("x", 72, 120, w=100)],
+                              (72.0, 540.0))
+        assert len(secs) == 1 and len(secs[0]) == 1
+
+
+class TestSections:  # P11/P12, page/RawPage.py:125-319
+    def _two_col_rows(self, y0, n, cw=180.0, lx=72.0, rx=340.0):
+        rows = []
+        for k in range(n):
+            rows.append(mk_line(f"left {k} text body", lx, y0 + 20 * k, w=cw))
+            rows.append(mk_line(f"right {k} text body", rx, y0 + 20 * k, w=cw))
+        return rows
+
+    def test_mid_page_column_switch(self):
+        # full-width intro, then a two-column body, then a full-width footer
+        # paragraph: three sections with the right shapes
+        intro = [mk_line("a wide introduction paragraph line", 72, 80, w=460),
+                 mk_line("second wide line of the introduction", 72, 100, w=460)]
+        body = self._two_col_rows(140, 4)
+        outro = [mk_line("closing remarks span the whole page", 72, 260, w=460)]
+        secs = parse_sections(intro + body + outro, (72.0, 540.0))
+        assert [len(s) for s in secs] == [1, 2, 1]
+        assert [l.text for l in secs[1][0]] == [f"left {k} text body"
+                                                for k in range(4)]
+
+    def test_min_section_height_folds_thin_two_col(self):
+        # a single two-column row (<20pt tall) between wide rows folds into
+        # the surrounding single-column section (RawPage.py:248-253)
+        wide1 = mk_line("wide paragraph line number one here", 72, 80, w=460)
+        pair = self._two_col_rows(100, 1)
+        wide2 = mk_line("wide paragraph line number two here", 72, 120, w=460)
+        secs = parse_sections([wide1] + pair + [wide2], (72.0, 540.0))
+        assert [len(s) for s in secs] == [1]
+
+    def test_divide_pos_regroups_three_column_row(self):
+        # a row that splits into 3 x-groups still counts as two columns when
+        # an adjacent pair straddles a known divide position
+        body = self._two_col_rows(100, 3)
+        noisy = [mk_line("left0 frag", 72.0, 160, w=80),
+                 mk_line("tail piece", 172.0, 160, w=80),
+                 mk_line("right side continues", 340.0, 160, w=180)]
+        assert max(l.bbox[2] for l in noisy[:2]) == 252.0  # = divide left pos
+        secs = parse_sections(body + noisy, (72.0, 540.0))
+        assert [len(s) for s in secs] == [2]
+
+    def test_width_ratio_veto_single_font(self):
+        # grossly unbalanced "columns" with the same font collapse to one
+        # column (width-ratio veto, RawPage.py:214-237)
+        rows = []
+        for k in range(3):
+            rows.append(mk_line("x", 72, 100 + 20 * k, w=10))
+            rows.append(mk_line("a very long right hand side body line",
+                                120, 100 + 20 * k, w=420))
+        secs = parse_sections(rows, (72.0, 540.0))
+        assert [len(s) for s in secs] == [1]
+
+    def test_margin_calc(self):
+        from bella_domify_spark.parsers.pdflike.sections import calculate_margin
+        page = mk_page([mk_line("content", 90, 120, w=400)])
+        left, right, top, bottom = calculate_margin(page)
+        assert left == 72.0          # capped at 1 inch
+        assert right == min(72.0, round(612.0 - 490.0 - 1.0, 1))
+        assert top == round(120 * 0.5, 1)
+        assert bottom == round((792.0 - 131.0) * 0.5, 1) or bottom == 72.0
 
 
 class TestHeaderFooterVote:  # P7, page/Pages.py:251-401
@@ -257,6 +320,87 @@ class TestLatticeTables:  # P15 subset, table/TableStructure.py
         assert first.text == "wide"
         html = t.to_html()
         assert "<td rowspan='1' colspan='2'>wide</td>" in html
+
+
+class TestStreamTables:  # P16, TablesConstructor.py:106-227, Blocks.py:189-262
+    def _grid_lines(self, x0=72, y0=100, cols=3, rows=3, cw=100.0, rh=20.0):
+        out = []
+        for i in range(rows):
+            for j in range(cols):
+                out.append(mk_line(f"c{i}{j}", x0 + j * cw + 4, y0 + i * rh + 4,
+                                   w=30.0, h=10.0))
+        return out
+
+    def test_borderless_grid_detected(self):
+        from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
+
+        page = mk_page(self._grid_lines())
+        ts = parse_stream_tables(page)
+        assert len(ts) == 1
+        tb = ts[0]
+        assert tb.is_stream
+        assert [[c.text for c in r] for r in tb.rows] == \
+            [[f"c{i}{j}" for j in range(3)] for i in range(3)]
+        assert page.lines == []          # consumed
+
+    def test_two_column_text_vetoed(self):
+        from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
+
+        rows = []
+        for k in range(3):
+            rows.append(mk_line("left paragraph line", 72, 100 + 20 * k, w=180))
+            rows.append(mk_line("right paragraph line", 340, 100 + 20 * k, w=180))
+        page = mk_page(rows)
+        assert parse_stream_tables(page) == []
+        assert len(page.lines) == 6      # untouched
+
+    def test_flow_text_not_a_table(self):
+        from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
+
+        lines = [mk_line("a normal paragraph line of text", 72, 100 + 13 * k,
+                         w=400) for k in range(5)]
+        page = mk_page(lines)
+        assert parse_stream_tables(page) == []
+
+    def test_stream_matches_lattice_html(self):
+        # the same grid with ruled borders (lattice path) and without
+        # (stream path, flag on) must flatten to the same <table> HTML
+        import json as _json
+
+        from bella_domify_spark.synthdocs import _Typesetter
+
+        def build(with_strokes):
+            t = _Typesetter()
+            t.paragraph("An introductory paragraph sits above the table "
+                        "and has enough words to wrap lines")
+            t.table([["h1", "h2", "h3"], ["a", "b", "c"], ["d", "e", "f"]])
+            payload = t.finalize()
+            if not with_strokes:
+                doc = _json.loads(payload)
+                for p in doc["pages"]:
+                    p["shapes"] = []
+                payload = _json.dumps(doc, separators=(",", ":"))
+            return payload
+
+        md_lattice = pipeline.parse(build(True)).to_markdown()
+        md_stream = pipeline.parse(build(False),
+                                   parse_stream_table=True).to_markdown()
+        table_l = [ln for ln in md_lattice.splitlines() if "<table>" in ln]
+        table_s = [ln for ln in md_stream.splitlines() if "<table>" in ln]
+        assert table_l and table_l == table_s
+
+    def test_stream_off_by_default(self):
+        import json as _json
+
+        from bella_domify_spark.synthdocs import _Typesetter
+
+        t = _Typesetter()
+        t.table([["h1", "h2", "h3"], ["a", "b", "c"]])
+        doc = _json.loads(t.finalize())
+        for p in doc["pages"]:
+            p["shapes"] = []
+        md = pipeline.parse(_json.dumps(doc)).to_markdown()
+        assert "<table>" not in md       # production default: no stream parse
 
 
 class TestEndToEnd:
