@@ -17,8 +17,15 @@ Design (plain PySpark, no custom Catalyst):
 - ``repartition(P, "pid") + sortWithinPartitions("pid")`` routes each bucket
   wholly into one task and clusters its rows, so the Arrow sink can stream
   batches into one ``pyarrow.parquet.ParquetWriter`` per bucket and commit
-  each bucket atomically (write-temp + ``os.replace``) with a manifest JSON
-  carrying lineage + metrics (run id, rows, bytes, wall ms).
+  each bucket atomically with a manifest JSON carrying lineage + metrics
+  (run id, rows, bytes, wall ms).
+- **Storage-agnostic**: ``out_dir`` may be a plain local path or any URI
+  pyarrow.fs can open (``file://``, ``s3://``, ``hdfs://``) — required for a
+  real multi-executor cluster where executors do not share the driver's
+  disk. Commit protocol per bucket: data file first, manifest LAST — the
+  manifest's existence IS the commit marker. On local paths both writes are
+  additionally tmp+rename (POSIX atomic); on object stores a single-object
+  PUT is already atomic, and rename doesn't exist.
 - At 100 TB: buckets are the idempotent commit granule (the same role as
   Iceberg file groups); n_buckets scales with data volume, parallelism P
   scales with the cluster — they are independent knobs.
@@ -41,28 +48,105 @@ _SUMMARY_TYPE = T.StructType([
 ])
 
 
-def _manifest_dir(out_dir: str) -> str:
+class BucketStore:
+    """Minimal filesystem facade for the sink + resume bookkeeping.
+
+    Local paths (no scheme) use os/file APIs with tmp+rename commits; URI
+    paths route through ``pyarrow.fs.FileSystem.from_uri`` so the same code
+    runs against file://, hdfs:// or s3:// from every executor. Constructed
+    from a string, so shipping it into a task only captures ``out_dir``.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.is_uri = "://" in out_dir
+        if self.is_uri:
+            import pyarrow.fs as pafs
+
+            self.fs, self.base = pafs.FileSystem.from_uri(out_dir)
+        else:
+            self.fs, self.base = None, out_dir
+
+    # -- paths -----------------------------------------------------------
+    def path(self, *parts: str) -> str:
+        return "/".join([self.base.rstrip("/"), *parts])
+
+    # -- setup / listing ---------------------------------------------------
+    def makedirs(self) -> None:
+        if self.is_uri:
+            self.fs.create_dir(self.path("_manifests"), recursive=True)
+        else:
+            os.makedirs(self.path("_manifests"), exist_ok=True)
+
+    def manifest_names(self) -> List[str]:
+        mdir = self.path("_manifests")
+        if self.is_uri:
+            import pyarrow.fs as pafs
+
+            try:
+                infos = self.fs.get_file_info(
+                    pafs.FileSelector(mdir, allow_not_found=True))
+            except FileNotFoundError:
+                return []
+            return sorted(i.base_name for i in infos
+                          if i.base_name.endswith(".json"))
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+
+    def read_json(self, *parts: str) -> dict:
+        p = self.path(*parts)
+        if self.is_uri:
+            with self.fs.open_input_stream(p) as f:
+                return json.loads(f.read().decode())
+        with open(p) as f:
+            return json.load(f)
+
+    # -- sink-side writes --------------------------------------------------
+    def parquet_writer(self, rel: str, schema):
+        """(writer, commit) pair; ``commit()`` finalizes the bucket file."""
+        import pyarrow.parquet as pq
+
+        final = self.path(rel)
+        if self.is_uri:
+            writer = pq.ParquetWriter(final, schema, filesystem=self.fs)
+            return writer, lambda: None
+        tmp = final + ".tmp"
+        writer = pq.ParquetWriter(tmp, schema)
+        return writer, lambda: os.replace(tmp, final)
+
+    def write_json(self, rel: str, obj: dict) -> None:
+        p = self.path(rel)
+        data = json.dumps(obj).encode()
+        if self.is_uri:
+            with self.fs.open_output_stream(p) as f:
+                f.write(data)
+            return
+        with open(p + ".tmp", "wb") as f:
+            f.write(data)
+        os.replace(p + ".tmp", p)
+
+    def file_size(self, rel: str) -> int:
+        p = self.path(rel)
+        if self.is_uri:
+            return int(self.fs.get_file_info(p).size)
+        return os.path.getsize(p)
+
+
+def _manifest_dir(out_dir: str) -> str:  # kept for callers/tests
     return os.path.join(out_dir, "_manifests")
 
 
 def completed_buckets(out_dir: str) -> set:
-    mdir = _manifest_dir(out_dir)
-    if not os.path.isdir(mdir):
-        return set()
-    return {int(n[7:12]) for n in os.listdir(mdir)
-            if n.startswith("bucket-") and n.endswith(".json")}
+    store = BucketStore(out_dir)
+    return {int(n[7:12]) for n in store.manifest_names()
+            if n.startswith("bucket-")}
 
 
 def read_manifests(out_dir: str) -> List[dict]:
-    mdir = _manifest_dir(out_dir)
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for name in sorted(os.listdir(mdir)):
-        if name.endswith(".json") and name.startswith("bucket-"):
-            with open(os.path.join(mdir, name)) as f:
-                out.append(json.load(f))
-    return out
+    store = BucketStore(out_dir)
+    return [store.read_json("_manifests", n) for n in store.manifest_names()
+            if n.startswith("bucket-")]
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -76,7 +160,8 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
                   partitions: Optional[int] = None, run_id: str = "run",
                   fused: bool = True) -> dict:
     """Full resumable extraction: bucket → resume-filter → shuffle → parse →
-    per-bucket atomic sink. ``df`` is the raw transcript table.
+    per-bucket atomic sink. ``df`` is the raw transcript table; ``out_dir``
+    is a local path or a pyarrow-compatible URI.
 
     fused=True (default) parses INSIDE the sink's Arrow stage: one Python
     worker set and one JVM↔Python crossing for the fat result columns,
@@ -89,8 +174,7 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
     """
     from bella_domify_spark.engine.extract import apply_parse
 
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    BucketStore(out_dir).makedirs()
 
     done = completed_buckets(out_dir)
     df = with_bucket(df, n_buckets)
@@ -105,8 +189,8 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
         import time
 
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
+        store = BucketStore(out_dir)
         out_schema = pa.schema([("bucket", pa.int32()), ("rows", pa.int64()),
                                 ("bytes", pa.int64()), ("wall_ms", pa.float64())])
 
@@ -115,7 +199,6 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
             the two-stage plan produces)."""
             if "extracted_text" in batch.schema.names:
                 return batch  # already parsed upstream (fused=False)
-            from bella_domify_spark.engine.extract import PARSE_RESULT_TYPE
             from bella_domify_spark.parsers.dispatch import parse_payload
 
             texts = batch.column("text").to_pylist()
@@ -136,25 +219,25 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
             cols.append(batch.column("pid"))
             names.append("pid")
             return pa.RecordBatch.from_arrays(cols, names=names)
-        cur_pid, writer, rows, t0 = None, None, 0, 0.0
+
+        cur_pid, writer, commit, rows, t0 = None, None, None, 0, 0.0
         results = []
 
         def close_current():
-            nonlocal writer, rows, cur_pid, t0
+            nonlocal writer, commit, rows, cur_pid, t0
             if writer is None:
                 return
             writer.close()
-            dpath = os.path.join(out_dir, f"bucket-{cur_pid:05d}.parquet")
-            os.replace(dpath + ".tmp", dpath)
+            commit()
+            fname = f"bucket-{cur_pid:05d}.parquet"
             wall_ms = (time.monotonic() - t0) * 1000.0
-            nbytes = os.path.getsize(dpath)
+            nbytes = store.file_size(fname)
             manifest = {"bucket": cur_pid, "run_id": run_id, "rows": rows,
                         "bytes": nbytes, "wall_ms": round(wall_ms, 2),
-                        "file": os.path.basename(dpath)}
-            mpath = os.path.join(out_dir, "_manifests", f"bucket-{cur_pid:05d}.json")
-            with open(mpath + ".tmp", "w") as f:
-                json.dump(manifest, f)
-            os.replace(mpath + ".tmp", mpath)
+                        "file": fname}
+            # manifest write LAST = commit marker (atomic on local via
+            # rename, single PUT on object stores)
+            store.write_json(f"_manifests/bucket-{cur_pid:05d}.json", manifest)
             results.append({"bucket": cur_pid, "rows": rows, "bytes": nbytes,
                             "wall_ms": wall_ms})
             writer, rows = None, 0
@@ -172,9 +255,8 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
                         close_current()
                         cur_pid = pid
                         t0 = time.monotonic()
-                        writer = pq.ParquetWriter(
-                            os.path.join(out_dir, f"bucket-{pid:05d}.parquet.tmp"),
-                            data.schema)
+                        writer, commit = store.parquet_writer(
+                            f"bucket-{pid:05d}.parquet", data.schema)
                     writer.write_batch(data.slice(start, i - start))
                     rows += i - start
                     start = i

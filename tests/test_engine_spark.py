@@ -66,6 +66,36 @@ class TestEndToEnd:
         assert got.count() == df.count()
         assert got.select("conv_id", "turn_idx").distinct().count() == df.count()
 
+    def test_resume_via_uri_scheme(self, spark, corpus, tmp_path):
+        # storage-agnostic sink: file:// routes through pyarrow.fs exactly
+        # like s3://, hdfs:// would on a real cluster (manifest written LAST
+        # as the commit marker; no tmp+rename assumed)
+        from bella_domify_spark.engine.manifest import (
+            completed_buckets,
+            read_manifests,
+            run_resumable,
+        )
+
+        local = tmp_path / "out_uri"
+        out = f"file://{local}"
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        s1 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="u1")
+        assert s1["buckets_written"] == 8
+        assert len(completed_buckets(out)) == 8
+        assert completed_buckets(str(local)) == completed_buckets(out)
+
+        b = sorted(completed_buckets(out))[0]
+        os.remove(local / f"_manifests/bucket-{b:05d}.json")
+        os.remove(local / f"bucket-{b:05d}.parquet")
+        s2 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="u2")
+        assert (s2["buckets_done_before"], s2["buckets_written"]) == (7, 1)
+        assert run_resumable(df, out, n_buckets=8,
+                             partitions=4)["buckets_written"] == 0
+
+        got = spark.read.parquet(f"{local}/bucket-*.parquet")
+        assert got.count() == df.count()
+        assert all(m["run_id"] in ("u1", "u2") for m in read_manifests(out))
+
     def test_ordered_output(self, spark, corpus):
         from bella_domify_spark.engine.extract import extract_transcripts
 
