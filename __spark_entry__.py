@@ -359,17 +359,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --------------------------------------------------------------------------
-# oracle SQL (DuckDB) — keys must match queries(); omitted keys fall back to
-# the driver's rows-only check (ann_lsh_topk: the bucketed numpy matmul has
-# no SQL twin; pytest validates it against brute force instead). minhash and
-# simhash hash via md5 (hashfamily.py) so they have exact DuckDB twins.
+# oracle SQL (DuckDB) — keys must match queries(). EVERY query has a full
+# value-hash oracle: minhash/simhash use the md5-seeded hash family
+# (hashfamily.py), ann_lsh embeds its numpy-seeded hyperplane coefficients
+# as a VALUES table (ops/ann.py planes_values_sql).
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from bella_domify_spark.ops.ann import planes_values_sql
     from bella_domify_spark.ops.hashfamily import params_values_sql
 
     docx_flat = ("'；' || text")
     minhash_params_sql = params_values_sql(64)
+    lsh_planes_sql = planes_values_sql(dim=64, n_planes=12, n_tables=4)
     return {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
@@ -683,6 +685,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q_id, vec_id, c,
                        row_number() OVER (PARTITION BY q_id
                                           ORDER BY c DESC, vec_id ASC) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        """,
+        # random-hyperplane LSH with the exact same numpy-seeded coefficients
+        # embedded as a VALUES table (ops/ann.py planes_values_sql)
+        "ann_lsh_topk": f"""
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            vdot AS (
+                SELECT vec_id, t, p, sum(e[d + 1] * c) AS dp
+                FROM v, {lsh_planes_sql}
+                GROUP BY vec_id, t, p
+            ),
+            vbuck AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                           ::BIGINT AS bucket
+                FROM vdot GROUP BY vec_id, t
+            ),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS q_id, b.vec_id
+                FROM vbuck b JOIN vbuck q ON b.t = q.t AND b.bucket = q.bucket
+                WHERE q.vec_id < 8
+            ),
+            scored AS (
+                SELECT c.q_id, c.vec_id,
+                       list_cosine_similarity(ev.e, eq.e) AS cos
+                FROM cand c
+                JOIN v ev ON ev.vec_id = c.vec_id
+                JOIN v eq ON eq.vec_id = c.q_id
+            )
+            SELECT q_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+                SELECT q_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
                 FROM scored)
             WHERE rank <= 5
         """,

@@ -31,6 +31,7 @@ class Span:
     pseudo_bold: bool = False
     is_image: bool = False
     uri: Optional[str] = None  # hyperlink target, used by the catalog rule
+    style: List[dict] = field(default_factory=list)  # P22 (TextSpan.style)
 
     @property
     def display_text(self) -> str:
@@ -135,6 +136,13 @@ class TextBlock:
     is_figure_name: bool = False
     # non-PDF parsers (markdown tokenizer) may force a layout type, e.g. "Code"
     layout_override: Optional[str] = None
+    # P24 alignment & spacing metadata (TextBlock.py:179-400)
+    alignment: Optional[str] = None
+    left_space: Optional[float] = None
+    right_space: Optional[float] = None
+    first_line_space: Optional[float] = None
+    before_space: Optional[float] = None
+    line_space: Optional[float] = None
     # memoization (invalidated by merge)
     _fsb_cache: Optional[tuple] = field(default=None, repr=False, compare=False)
     _bbox_cache: Optional[tuple] = field(default=None, repr=False, compare=False)

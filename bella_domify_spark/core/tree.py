@@ -201,13 +201,27 @@ class DomTree:
                     ],
                     "page_num": list(el.page_num),
                 }
-            return {
+            d = {
                 "block_type": "image" if el.is_image_block else "text",
                 "layout_type": el.layout_type,
                 "bbox": list(el.bbox),
                 "text": None if el.is_image_block else el.text,
                 "page_num": list(el.page_num),
             }
+            # P24 alignment & spacing metadata (emitted only when parsed)
+            if getattr(el, "alignment", None) is not None:
+                d["alignment"] = el.alignment
+                for k in ("left_space", "right_space", "first_line_space",
+                          "before_space", "line_space"):
+                    v = getattr(el, k, None)
+                    if v is not None:
+                        d[k] = round(float(v), 2)
+            # P22 span styles (hyperlink/highlight/underline/strike)
+            styles = [s for ln in getattr(el, "lines", [])
+                      for sp in ln.spans for s in sp.style]
+            if styles:
+                d["styles"] = styles
+            return d
 
         def node_dict(node: Node) -> dict:
             return {

@@ -51,6 +51,20 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype("float64")
 
 
+def planes_values_sql(dim: int = 64, n_planes: int = 12, n_tables: int = 4,
+                      seed: int = 42) -> str:
+    """The SAME hyperplane coefficients as ``lsh_topk`` uses, rendered as a
+    DuckDB VALUES table ``coefs(t, p, d, c)`` so the oracle can reproduce
+    bucket assignment exactly (sign mismatch would need |dot| ≲ 1e-13)."""
+    rows = []
+    for t in range(n_tables):
+        pl = make_planes(dim, n_planes, seed + t)
+        for p in range(n_planes):
+            for d in range(dim):
+                rows.append(f"({t},{p},{d},{pl[p, d]!r})")
+    return "(VALUES " + ",".join(rows) + ") AS coefs(t, p, d, c)"
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",

@@ -1,0 +1,183 @@
+"""Style metadata (P22) and alignment & spacing metadata (P24).
+
+Metadata-only operators: they decorate spans/blocks for the domtree JSON and
+StandardDomTree output and never change extracted text.
+
+Parity targets in /root/reference/doc_parser/dom_parser/parsers/pdf:
+- P22 text styles — text/TextSpan.py:279-330 classification rules applied
+  per span (highlight: fill height ≥ 0.5·span height, non-white, main-bbox
+  overlap ≥ 0.75; underline: stroke within 0.25·span height of the span
+  bottom; strike: 0.35-0.75·span height above the bottom; hyperlink: span
+  uri), and the stroke-vs-border test of shape/Shape.py:224-248 (same
+  orientation, never exceeding the line's main extent). Subset: styles
+  attach to whole spans — the reference's span *splitting* at style
+  boundaries (text/Lines.py:274-308) is not ported since it only refines
+  style granularity, not text.
+- P24 alignment & spacing — text/TextBlock.py:179-400 ``_parse_alignment``
+  (per-row X0/X1/center dispersion with 1.0/1.0/2.0 pt thresholds,
+  config.py:35-37; JUSTIFY needs ≥3 rows; tab-stop rows force LEFT),
+  relative line spacing (block height over summed row heights, min 1.02 —
+  constants.py:28), and before-space to the previous block
+  (layout/Blocks.py:640-680).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from bella_domify_spark.core.blocks import TextBlock
+from bella_domify_spark.parsers.pdflike.cluster import group_physical_rows
+from bella_domify_spark.parsers.pdflike.glyphdoc import RawPage
+
+LINE_SEPARATE_THRESHOLD = 5.0       # config.py:32
+LEFT_ALIGNED_THRESHOLD = 1.0        # config.py:35
+RIGHT_ALIGNED_THRESHOLD = 1.0       # config.py:36
+CENTER_ALIGNED_THRESHOLD = 2.0      # config.py:37
+DEFAULT_LINE_SPACING = 1.02         # constants.py:28
+MAJOR_DIST = 5.0                    # constants.py:12 (5*PT)
+WHITE = 0xFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# P22 — span styles
+# ---------------------------------------------------------------------------
+
+def _overlap(a: tuple, b: tuple) -> float:
+    return max(min(a[2], b[2]) - max(a[0], b[0]), 0.0) * \
+        max(min(a[3], b[3]) - max(a[1], b[1]), 0.0)
+
+
+def _is_style_stroke(stroke, line) -> bool:
+    """Shape.py:224-248: same orientation as the line and never exceeding
+    the line's main extent ⇒ potential underline/strike, not a border."""
+    if (stroke.y1 - stroke.y0) > (stroke.x1 - stroke.x0):
+        return False  # vertical stroke on horizontal text → border
+    eb = (line.bbox[0] - 2.0, line.bbox[1] - 2.0,
+          line.bbox[2] + 2.0, line.bbox[3] + 2.0)
+    if not (stroke.x0 <= eb[2] and eb[0] <= stroke.x1 and
+            stroke.y0 <= eb[3] and eb[1] <= stroke.y1):
+        return False
+    return stroke.x0 >= line.bbox[0] - 2.0 and stroke.x1 <= line.bbox[2] + 2.0
+
+
+def parse_text_styles(page: RawPage) -> None:
+    """Attach style dicts to spans from the page's fills/strokes + uris.
+    Must run AFTER table parsing so borders are already consumed where
+    possible; the orientation/extent test rejects remaining borders."""
+    for line in page.lines:
+        for span in line.spans:
+            if span.is_image:
+                continue
+            h_span = span.bbox[3] - span.bbox[1]
+            if h_span <= 0:
+                continue
+            if span.uri:
+                span.style.append({"type": "hyperlink", "uri": span.uri})
+            for fill in page.fills:
+                h_rect = fill.bbox[3] - fill.bbox[1]
+                inter = _overlap(span.bbox, fill.bbox)
+                area = (span.bbox[2] - span.bbox[0]) * h_span
+                if h_rect >= 0.5 * h_span and fill.color != WHITE and \
+                        area > 0 and inter / area >= 0.75:
+                    span.style.append({"type": "highlight",
+                                       "color": fill.color})
+            for stroke in page.strokes:
+                if not _is_style_stroke(stroke, line):
+                    continue
+                if not (stroke.x0 <= span.bbox[2] and span.bbox[0] <= stroke.x1):
+                    continue
+                d = abs(span.bbox[3] - stroke.y0)
+                if d <= 0.25 * h_span:
+                    span.style.append({"type": "underline",
+                                       "color": stroke.color})
+                elif 0.35 * h_span < d < 0.75 * h_span:
+                    span.style.append({"type": "strike",
+                                       "color": stroke.color})
+
+
+# ---------------------------------------------------------------------------
+# P24 — alignment & spacing
+# ---------------------------------------------------------------------------
+
+def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
+    X0b, X1b = x_range
+    d_left = round(block.bbox[0] - X0b, 1)
+    d_right = round(X1b - block.bbox[2], 1)
+    d_center = round((d_left - d_right) / 2.0, 1)
+    d_left, d_right = max(d_left, 0.0), max(d_right, 0.0)
+    W = abs(X1b - X0b)
+    block.left_space = d_left
+    block.right_space = d_right
+
+    rows = [sorted(r, key=lambda l: l.bbox[0])
+            for r in group_physical_rows(block.lines, sort_rows=True)]
+
+    # tab-stop rows (large inner gap) force LEFT (TextBlock.py:206-209 +
+    # _parse_alignment first-priority NONE)
+    for row in rows:
+        for a, b in zip(row, row[1:]):
+            if b.bbox[0] - a.bbox[2] >= LINE_SEPARATE_THRESHOLD:
+                block.alignment = "left"
+                return
+
+    def external_alignment() -> str:
+        if abs(d_center) < CENTER_ALIGNED_THRESHOLD:
+            return "center"
+        if d_left <= 0.25 * W:
+            return "left"
+        return "right"
+
+    if len(rows) == 1:
+        block.alignment = external_alignment()
+        return
+
+    X0 = [r[0].bbox[0] for r in rows]
+    X1 = [r[-1].bbox[2] for r in rows]
+    X = [(a + b) / 2.0 for a, b in zip(X0, X1)]
+    if len(rows) >= 3:
+        X0, X1 = X0[1:], X1[:-1]
+    left_ok = abs(max(X0) - min(X0)) <= LEFT_ALIGNED_THRESHOLD
+    right_ok = abs(max(X1) - min(X1)) <= RIGHT_ALIGNED_THRESHOLD
+    center_ok = abs(max(X) - min(X)) <= CENTER_ALIGNED_THRESHOLD
+
+    if left_ok and right_ok:
+        alignment = "justify" if len(rows) >= 3 else external_alignment()
+    elif center_ok:
+        alignment = "center"
+    elif left_ok:
+        alignment = "left"
+    elif right_ok:
+        alignment = "right" if len(rows) >= 3 else "left"
+    else:
+        alignment = "left"  # NONE → LEFT default (TextBlock.py:206-209)
+
+    if alignment in ("left", "justify"):
+        block.first_line_space = rows[0][0].bbox[0] - rows[1][0].bbox[0]
+    block.alignment = alignment
+
+
+def _parse_line_spacing(block: TextBlock) -> None:
+    if any(l.image_spans for l in block.lines):
+        block.line_space = DEFAULT_LINE_SPACING
+        return
+    rows = group_physical_rows(block.lines, sort_rows=True)
+    height = block.bbox[3] - block.bbox[1]
+    std = sum(max(l.bbox[3] - l.bbox[1] for l in row) for row in rows)
+    spacing = height / std if std > 0 else DEFAULT_LINE_SPACING
+    if len(rows) > 1:
+        spacing = max(spacing, DEFAULT_LINE_SPACING)
+    block.line_space = round(spacing, 4)
+
+
+def parse_alignment_spacing(blocks: List, x_range: Tuple[float, float],
+                            y_ref: Optional[float] = None) -> None:
+    """Decorate final page blocks with alignment + spacing metadata."""
+    ref = y_ref if y_ref is not None else 0.0
+    for block in blocks:
+        if isinstance(block, TextBlock) and block.is_text_block and block.lines:
+            _parse_alignment(block, x_range)
+            _parse_line_spacing(block)
+        before = round(max(block.bbox[1] - ref, 0.0), 1)
+        if isinstance(block, TextBlock):
+            block.before_space = before
+        ref = block.bbox[3]

@@ -21,7 +21,7 @@ from typing import List
 
 from bella_domify_spark.core.blocks import TableBlock, TextBlock
 from bella_domify_spark.core.tree import DomTree
-from bella_domify_spark.parsers.pdflike import docscan, glyphdoc, tables
+from bella_domify_spark.parsers.pdflike import docscan, glyphdoc, metadata, tables
 from bella_domify_spark.parsers.pdflike.cluster import sort_in_reading_order_plus
 from bella_domify_spark.parsers.pdflike.sections import (
     calculate_margin,
@@ -85,6 +85,10 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
             if isinstance(b, TextBlock) and b.is_text_block:
                 adjust_last_word(b.lines, delete_end_line_hyphen=True)
             b.page_num = [page.page_id]
+        # metadata-only decoration (P22 styles, P24 alignment & spacing) —
+        # never changes extracted text
+        metadata.parse_text_styles(page)
+        metadata.parse_alignment_spacing(blocks, x_range, y_ref=margin[2])
         pages_blocks.append(blocks)
 
     # ---- relations + tree (R1-R4, T1-T4) ----

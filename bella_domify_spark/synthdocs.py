@@ -205,6 +205,25 @@ class _Typesetter:
                 {"type": "image", "bbox": bbox}]}],
         })
 
+    def style_last_line(self, kind: str = "underline"):
+        """Underline stroke / strike stroke / highlight fill over the most
+        recently emitted block's line (exercises P22 style metadata)."""
+        blk = self.page["blocks"][-1]
+        b = blk["bbox"]
+        if kind == "underline":
+            self.page["shapes"].append(
+                {"kind": "stroke", "bbox": [b[0], b[3] - 0.5, b[2], b[3] + 0.5],
+                 "color": 0, "width": 0.8})
+        elif kind == "strike":
+            mid = (b[1] + b[3]) / 2.0
+            self.page["shapes"].append(
+                {"kind": "stroke", "bbox": [b[0], mid - 0.4, b[2], mid + 0.4],
+                 "color": 0, "width": 0.8})
+        else:
+            self.page["shapes"].append(
+                {"kind": "fill", "bbox": [b[0] - 1, b[1] - 1, b[2] + 1, b[3] + 1],
+                 "color": 0xFFFF00})
+
     def list_items(self, items: List[str], ordered: bool = True):
         for i, item in enumerate(items, start=1):
             self._ensure_room()
@@ -288,7 +307,7 @@ class _Typesetter:
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 5
+GEN_VERSION = 6
 
 
 def gen_pdflike(r: _Rng) -> str:
@@ -325,10 +344,12 @@ def gen_pdflike(r: _Rng) -> str:
             ts.paragraph(r.sentence(25, 45))
         return ts.finalize()
     if scenario == 2:
-        # ordered + unordered lists under a paragraph
+        # ordered + unordered lists under a paragraph; styled lines (P22)
         ts.paragraph(r.sentence(20, 35))
+        ts.style_last_line("underline")
         ts.list_items([r.words(4) for _ in range(3)], ordered=True)
         ts.paragraph(r.sentence(15, 25))
+        ts.style_last_line("highlight")
         ts.list_items([r.words(3) for _ in range(2)], ordered=False)
         return ts.finalize()
     if scenario == 3:

@@ -172,6 +172,6 @@ class TestEntryContract:
 
         qs, os_ = set(em.queries()), set(em.oracle_sql())
         assert os_ <= qs
-        rows_only = qs - os_
-        # only the hash-based ops are allowed to skip the SQL oracle
-        assert rows_only <= {"dedup_minhash_lsh", "simhash", "ann_lsh_topk"}
+        # every query has a full DuckDB oracle (md5 hash family for
+        # minhash/simhash, embedded hyperplane coefficients for ann_lsh)
+        assert qs == os_

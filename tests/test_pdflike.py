@@ -403,6 +403,78 @@ class TestStreamTables:  # P16, TablesConstructor.py:106-227, Blocks.py:189-262
         assert "<table>" not in md       # production default: no stream parse
 
 
+class TestMetadata:  # P22/P24, TextSpan.py:279-330 + TextBlock.py:179-400
+    def _block(self, rows):
+        from bella_domify_spark.core.blocks import TextBlock
+        return TextBlock(lines=[mk_line(t, x, y, w=w) for t, x, y, w in rows])
+
+    def test_justify_needs_three_rows(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("aaa", 72, 100, 400), ("bbb", 72, 113, 400),
+                         ("ccc", 72, 126, 400)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "justify"
+
+    def test_two_equal_rows_fall_back_to_external(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("aaa", 72, 100, 400), ("bbb", 72, 113, 400)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "left"        # d_left=0 ≤ 0.25·W
+
+    def test_center_alignment(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("aaa", 200, 100, 212), ("bb", 230, 113, 152),
+                         ("cccc", 180, 126, 252)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "center"
+
+    def test_left_with_first_line_indent(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("intro", 90, 100, 380), ("body", 72, 113, 300),
+                         ("more", 72, 126, 250)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "left"
+        assert b.first_line_space == 18.0   # rows[0].x0 - rows[1].x0
+
+    def test_tab_stop_row_forces_left(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        from bella_domify_spark.core.blocks import TextBlock
+        b = TextBlock(lines=[mk_line("k", 72, 100, w=30),
+                             mk_line("v", 200, 100, w=30),
+                             mk_line("k2", 72, 113, w=30),
+                             mk_line("v2", 200, 113, w=30)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "left"
+
+    def test_line_spacing_min_default(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_line_spacing
+        b = self._block([("a", 72, 100, 100), ("b", 72, 111, 100)])
+        _parse_line_spacing(b)
+        assert b.line_space >= 1.02
+
+    def test_styles_on_spans(self):
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        from bella_domify_spark.parsers.pdflike.metadata import parse_text_styles
+        line = mk_line("styled words here", 72, 100)
+        b = line.bbox
+        page = mk_page([line])
+        page.strokes = [glyphdoc.Stroke(bbox=(b[0], b[3] - 0.5, b[2], b[3] + 0.5))]
+        page.fills = [glyphdoc.Fill(bbox=(b[0] - 1, b[1] - 1, b[2] + 1, b[3] + 1),
+                                    color=0xFFFF00)]
+        parse_text_styles(page)
+        kinds = {s["type"] for s in line.spans[0].style}
+        assert kinds == {"underline", "highlight"}
+
+    def test_vertical_border_stroke_not_a_style(self):
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        from bella_domify_spark.parsers.pdflike.metadata import parse_text_styles
+        line = mk_line("cell text", 72, 100)
+        page = mk_page([line])
+        page.strokes = [glyphdoc.Stroke(bbox=(71.7, 95, 72.3, 140))]
+        parse_text_styles(page)
+        assert line.spans[0].style == []
+
+
 class TestEndToEnd:
     def test_multipage_article(self):
         pages = []
