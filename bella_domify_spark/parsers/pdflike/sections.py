@@ -79,7 +79,35 @@ def _x_overlaps(a, b, factor: float = 0.0) -> bool:
     return l1 + l2 - span + _EPS >= factor * min(l1, l2)
 
 
+def _group_by_interval(elements: Sequence, lo_idx: int, hi_idx: int) -> List[List]:
+    """Connected components of any-overlap intervals via a sorted sweep —
+    O(n log n), exact for the factor=0 predicates (overlap is an interval
+    relation, so transitive closure = interval merging). Groups come out
+    sorted by start coordinate; members keep input order."""
+    n = len(elements)
+    if n <= 1:
+        return [list(elements)] if n else []
+    lo = [e.bbox[lo_idx] for e in elements]
+    hi = [e.bbox[hi_idx] for e in elements]
+    order = sorted(range(n), key=lo.__getitem__)
+    comp = [0] * n
+    cid = -1
+    run_max = -1e30
+    for i in order:
+        if lo[i] > run_max + _EPS:
+            cid += 1
+        comp[i] = cid
+        if hi[i] > run_max:
+            run_max = hi[i]
+    groups: List[List] = [[] for _ in range(cid + 1)]
+    for i, e in enumerate(elements):
+        groups[comp[i]].append(e)
+    return groups
+
+
 def group_by_rows(elements: Sequence, factor: float = 0.0) -> List[List]:
+    if factor == 0.0:
+        return _group_by_interval(elements, 1, 3)
     rows = _group(elements, lambda a, b: _y_overlaps(a, b, factor))
     rows.sort(key=lambda g: _bbox(g)[1])
     return rows
@@ -87,6 +115,8 @@ def group_by_rows(elements: Sequence, factor: float = 0.0) -> List[List]:
 
 def group_by_columns(elements: Sequence, sort: bool = True,
                      factor: float = 0.0) -> List[List]:
+    if factor == 0.0:
+        return _group_by_interval(elements, 0, 2)  # sorted by x already
     cols = _group(elements, lambda a, b: _x_overlaps(a, b, factor))
     if sort:
         cols.sort(key=lambda g: _bbox(g)[0])
@@ -126,9 +156,13 @@ def calculate_margin(page) -> Tuple[float, float, float, float]:
 def detect_two_column_pos(elements: Sequence) -> set:
     """All observed two-column divide positions: (round(left column right
     edge), round(right column left edge)) — RawPage.py:285-296."""
+    return _detect_two_column_pos([(r, group_by_columns(r))
+                                   for r in group_by_rows(elements)])
+
+
+def _detect_two_column_pos(rows_cols: List[tuple]) -> set:
     out = set()
-    for row in group_by_rows(elements):
-        cols = group_by_columns(row)
+    for _row, cols in rows_cols:
         if len(cols) == 2:
             b0, b1 = _bbox(cols[0]), _bbox(cols[1])
             out.add((round(min(b0[2], b1[2]), 0), round(max(b0[0], b1[0]), 0)))
@@ -183,10 +217,11 @@ def parse_sections(lines: Sequence, x_range: Tuple[float, float],
     pre_num_col = 1
     current_num_col = 1
     collected: List = []
-    divide_pos = detect_two_column_pos(elements)
+    # group rows/columns ONCE, shared by divide-pos detection and the walk
+    rows_cols = [(r, group_by_columns(r)) for r in group_by_rows(elements)]
+    divide_pos = _detect_two_column_pos(rows_cols)
 
-    for row in group_by_rows(elements):
-        cols = group_by_columns(row)
+    for row, cols in rows_cols:
         current_num_col = len(cols)
 
         if current_num_col > 2:
