@@ -32,6 +32,7 @@ class Span:
     is_image: bool = False
     uri: Optional[str] = None  # hyperlink target, used by the catalog rule
     style: List[dict] = field(default_factory=list)  # P22 (TextSpan.style)
+    line_height: Optional[float] = None  # P6 font-metric enrichment
 
     @property
     def display_text(self) -> str:

@@ -213,8 +213,27 @@ def _dedupe_overlapped(lines: List[Line], threshold: float = 0.9) -> List[Line]:
     return [l for l in lines if id(l) not in drop]
 
 
+def _font_descriptor(name: str) -> str:
+    """Fonts._normalized_font_name + _to_descriptor (font/Fonts.py:96-104):
+    'BCDGEE+Calibri-Bold' → 'CALIBRI'."""
+    return (name.split("+")[-1].split("-")[0]
+            .replace(" ", "").replace("-", "").upper())
+
+
+def _font_table(doc: dict) -> dict:
+    """P6 font-metric enrichment (Fonts.py:59-136): the payload's optional
+    ``fonts`` table stands in for fonttools extraction — raw font name →
+    {name: family, ratio: line-height factor}, keyed by descriptor."""
+    out = {}
+    for raw_name, spec in (doc.get("fonts") or {}).items():
+        out[_font_descriptor(raw_name)] = (
+            spec.get("name") or raw_name, spec.get("ratio"))
+    return out
+
+
 def load(payload: str) -> List[RawPage]:
     doc = json.loads(payload)
+    font_map = _font_table(doc)
     pages: List[RawPage] = []
     for pid, p in enumerate(doc.get("pages", [])):
         width = float(p.get("width", 612.0))
@@ -256,6 +275,16 @@ def load(payload: str) -> List[RawPage]:
                     for s in line.spans:
                         if not s.is_image and s.text in pseudo_bold:
                             s.pseudo_bold = True
+                # font-metric enrichment (P6, RawPage.process_font :105-124)
+                if font_map:
+                    for s in line.spans:
+                        if s.is_image:
+                            continue
+                        hit = font_map.get(_font_descriptor(s.font))
+                        if hit:
+                            s.font = hit[0]
+                            if hit[1]:
+                                s.line_height = hit[1] * s.size
                 # re-run list recognition after strip
                 from bella_domify_spark.functions.listmark import recognize_list
                 line.list_type, line.list_tag = recognize_list(line.text)

@@ -157,12 +157,20 @@ def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
 
 
 def _parse_line_spacing(block: TextBlock) -> None:
+    # TextBlock.parse_relative_line_spacing (:231-259): standard height =
+    # sum of per-row max span line_height (P6 font metric when available,
+    # else the line's own bbox height)
     if any(l.image_spans for l in block.lines):
         block.line_space = DEFAULT_LINE_SPACING
         return
+
+    def line_h(ln) -> float:
+        heights = [s.line_height for s in ln.spans if s.line_height]
+        return max(heights) if heights else ln.bbox[3] - ln.bbox[1]
+
     rows = group_physical_rows(block.lines, sort_rows=True)
     height = block.bbox[3] - block.bbox[1]
-    std = sum(max(l.bbox[3] - l.bbox[1] for l in row) for row in rows)
+    std = sum(max(line_h(l) for l in row) for row in rows)
     spacing = height / std if std > 0 else DEFAULT_LINE_SPACING
     if len(rows) > 1:
         spacing = max(spacing, DEFAULT_LINE_SPACING)

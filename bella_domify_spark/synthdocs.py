@@ -279,7 +279,8 @@ class _Typesetter:
                 })
         self.y = ys[-1] + LINE_H
 
-    def finalize(self, header: Optional[str] = None, footer: bool = False) -> str:
+    def finalize(self, header: Optional[str] = None, footer: bool = False,
+                 fonts: Optional[dict] = None) -> str:
         if header or footer:
             for i, page in enumerate(self.pages):
                 if header:
@@ -301,13 +302,16 @@ class _Typesetter:
                             {"text": txt, "bbox": bbox, "font": self.font,
                              "size": 9.0, "flags": 0}]}],
                     })
-        return json.dumps({"pages": self.pages}, separators=(",", ":"))
+        doc = {"pages": self.pages}
+        if fonts:
+            doc["fonts"] = fonts
+        return json.dumps(doc, separators=(",", ":"))
 
 
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 6
+GEN_VERSION = 7
 
 
 def gen_pdflike(r: _Rng) -> str:
@@ -329,11 +333,15 @@ def gen_pdflike(r: _Rng) -> str:
 
     if scenario == 0:
         # multi-page article with headers + footers (frequency vote needs
-        # count ≥2 and rate ≥0.4 — Pages.py:21-22 — so ≥2 pages)
+        # count ≥2 and rate ≥0.4 — Pages.py:21-22 — so ≥2 pages); carries an
+        # embedded-font table exercising P6 enrichment
+        ts.font = "BCDGEE+Helvetica-Bold"
         ts.title(r.words(3).title())
         for _ in range(int(r.rng.randint(14, 22))):
             ts.paragraph(r.sentence(30, 60))
-        return ts.finalize(header="ACME Quarterly Report", footer=True)
+        return ts.finalize(header="ACME Quarterly Report", footer=True,
+                           fonts={"BCDGEE+Helvetica-Bold":
+                                  {"name": "Helvetica", "ratio": 1.15}})
     if scenario == 1:
         # TOC + titled sections
         ts.toc(titles)

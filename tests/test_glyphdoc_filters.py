@@ -128,3 +128,33 @@ class TestFloatingImages:  # P5, Blocks.py:321-336, gap config.py:22
                                           "lines": [img]})
         page = glyphdoc.load(json.dumps(doc))[0]
         assert len(page.float_image_lines) == 0
+
+
+class TestFontEnrichment:  # P6, font/Fonts.py:59-136 + RawPage.py:105-124
+    def test_name_normalized_and_line_height_set(self):
+        doc = json.loads(_doc([_line("some body text", [72, 100, 300, 111],
+                                     font="BCDGEE+Calibri-Bold", size=10.0)]))
+        doc["fonts"] = {"BCDGEE+Calibri-Bold": {"name": "Calibri",
+                                                "ratio": 1.2}}
+        page = glyphdoc.load(json.dumps(doc))[0]
+        span = page.lines[0].spans[0]
+        assert span.font == "Calibri"
+        assert span.line_height == 12.0        # ratio * size
+
+    def test_unknown_font_untouched(self):
+        page = glyphdoc.load(_doc([_line("text", [72, 100, 300, 111],
+                                         font="Times")]))[0]
+        span = page.lines[0].spans[0]
+        assert span.font == "Times" and span.line_height is None
+
+    def test_line_spacing_uses_font_metric(self):
+        from bella_domify_spark.core.blocks import TextBlock
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_line_spacing
+        doc = json.loads(_doc([_line("a", [72, 100, 100, 112], size=10.0),
+                               _line("b", [72, 120, 100, 132], size=10.0)]))
+        doc["fonts"] = {"H": {"name": "H", "ratio": 1.3}}
+        page = glyphdoc.load(json.dumps(doc))[0]
+        block = TextBlock(lines=page.lines)
+        _parse_line_spacing(block)
+        # block height 32 / (2 rows * 13.0 font line height) = 1.2308
+        assert abs(block.line_space - round(32 / 26.0, 4)) < 1e-6
