@@ -117,6 +117,27 @@ def _build_grid(strokes: List[Stroke]) -> Optional[Tuple[List[float], List[float
     return rows, cols
 
 
+def _cell_text(lines: List[Line]) -> str:
+    """Recursive cell layout, text level (P17 — table/Cell.py:27-32 +
+    TableBlock.parse :145-154): a cell runs the same paragraph pipeline as a
+    page column (reading order → paragraph join → split → hyphen/space
+    fixup) and joins its blocks with newlines. Nested tables inside cells
+    are not ported (the synthetic payload model has no nested rulings)."""
+    if not lines:
+        return ""
+    from bella_domify_spark.parsers.pdflike import pipeline
+    from bella_domify_spark.parsers.pdflike.paragraphs import (
+        adjust_last_word,
+        join_lines_vertically,
+    )
+
+    ordered = sort_in_reading_order_plus(lines)
+    blocks = pipeline._split_blocks(join_lines_vertically(ordered))
+    for b in blocks:
+        adjust_last_word(b.lines, delete_end_line_hyphen=True)
+    return "\n".join(b.text for b in blocks)
+
+
 def parse_lattice_tables(page: RawPage) -> List[TableBlock]:
     """Detect lattice tables on a page; consumes the lines that fall inside a
     table region (they are removed from ``page.lines``)."""
@@ -183,9 +204,8 @@ def parse_lattice_tables(page: RawPage) -> List[TableBlock]:
 
         for r in cell_rows:
             for cell in r:
-                lines = cell_lines.get((cell.start_row, cell.start_col), [])
-                ordered = sort_in_reading_order_plus(lines)
-                cell.text = "".join(l.text for l in ordered)
+                cell.text = _cell_text(
+                    cell_lines.get((cell.start_row, cell.start_col), []))
 
         tables.append(TableBlock(rows=cell_rows, bbox=bbox, page_num=[page.page_id]))
 
@@ -315,8 +335,7 @@ def parse_stream_tables(page: RawPage,
 
         for i in range(n_rows):
             for j in range(n_cols):
-                ordered = sort_in_reading_order_plus(cell_lines.get((i, j), []))
-                cell_rows[i][j].text = "".join(l.text for l in ordered)
+                cell_rows[i][j].text = _cell_text(cell_lines.get((i, j), []))
 
         tables.append(TableBlock(rows=cell_rows, bbox=region,
                                  page_num=[page.page_id], is_stream=True))

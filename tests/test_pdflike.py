@@ -322,6 +322,45 @@ class TestLatticeTables:  # P15 subset, table/TableStructure.py
         assert "<td rowspan='1' colspan='2'>wide</td>" in html
 
 
+class TestCellLayout:  # P17 full, table/Cell.py:27-32 + TableBlock.py:145-154
+    def test_multiline_cell_paragraphs_join_with_newline(self):
+        from bella_domify_spark.parsers.pdflike.tables import _cell_text
+
+        # the page paragraph heuristics apply INSIDE the cell: the shorter
+        # second line reads as center-aligned vs the full-width first →
+        # separate blocks, newline-joined (Cell.text '\n'.join)
+        tight = [mk_line("first line ends", 72, 100),
+                 mk_line("second line", 72, 113)]
+        assert _cell_text(tight) == "first line ends\nsecond line"
+        # equal-length lines with a uniform gap share the common spacing →
+        # one paragraph; the inter-line space fixup applies
+        gapped = [mk_line("para one.", 72, 100),
+                  mk_line("para two.", 72, 160)]
+        assert _cell_text(gapped) == "para one. para two."
+
+    def test_multiline_cell_in_lattice_table(self):
+        from bella_domify_spark.parsers.pdflike.tables import parse_lattice_tables
+
+        strokes = []
+        x0, y0, cw, rh = 72, 100, 200, 40
+        for r in range(2):
+            y = y0 + r * rh
+            strokes.append((x0 - .3, y - .3, x0 + 2 * cw + .3, y + .3))
+        strokes.append((x0 - .3, y0 + 2 * rh - .3, x0 + 2 * cw + .3, y0 + 2 * rh + .3))
+        for c in range(3):
+            x = x0 + c * cw
+            strokes.append((x - .3, y0, x + .3, y0 + 2 * rh))
+        cells = [mk_line("wrapped cell", x0 + 4, y0 + 4, h=10),
+                 mk_line("content here", x0 + 4, y0 + 17, h=10),
+                 mk_line("b", x0 + cw + 4, y0 + 4, h=10),
+                 mk_line("c", x0 + 4, y0 + rh + 4, h=10),
+                 mk_line("d", x0 + cw + 4, y0 + rh + 4, h=10)]
+        page = mk_page(cells, strokes=strokes)
+        ts = parse_lattice_tables(page)
+        assert len(ts) == 1
+        assert ts[0].rows[0][0].text == "wrapped cell content here"
+
+
 class TestStreamTables:  # P16, TablesConstructor.py:106-227, Blocks.py:189-262
     def _grid_lines(self, x0=72, y0=100, cols=3, rows=3, cw=100.0, rh=20.0):
         out = []
