@@ -310,6 +310,14 @@ def _q_ann_lsh_topk(spark, sf):
     return lsh_topk(em, q, k=5, dim=64)
 
 
+def _q_ann_ivf_topk(spark, sf):
+    from bella_domify_spark.ops.ann import ivf_topk
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk(em, q, k=5, n_centroids=8, n_probe=2)
+
+
 def _q_multimodal_features(spark, sf):
     from bella_domify_spark.ops.multimodal import attach_media, decode_features
     media = attach_media(_t(spark, sf, "documents"))
@@ -354,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -686,6 +695,50 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY q_id
                                           ORDER BY c DESC, vec_id ASC) AS rank
                 FROM scored)
+            WHERE rank <= 5
+        """,
+        # IVF inverted lists over deterministic seed centroids (the 8
+        # lowest-id vectors); queries probe their 2 nearest lists
+        "ann_ivf_topk": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            cents AS (
+                SELECT vec_id AS c_id, e AS c_vec FROM v
+                ORDER BY vec_id LIMIT 8
+            ),
+            v_assign AS (
+                SELECT vec_id, e, c_id FROM (
+                    SELECT v.vec_id, v.e, c.c_id,
+                           row_number() OVER (
+                               PARTITION BY v.vec_id
+                               ORDER BY list_cosine_similarity(v.e, c.c_vec)
+                                            DESC, c.c_id ASC) AS c_rank
+                    FROM v, cents c)
+                WHERE c_rank <= 1
+            ),
+            q_assign AS (
+                SELECT vec_id AS q_id, e AS qe, c_id FROM (
+                    SELECT v.vec_id, v.e, c.c_id,
+                           row_number() OVER (
+                               PARTITION BY v.vec_id
+                               ORDER BY list_cosine_similarity(v.e, c.c_vec)
+                                            DESC, c.c_id ASC) AS c_rank
+                    FROM v, cents c
+                    WHERE v.vec_id < 8)
+                WHERE c_rank <= 2
+            ),
+            cand AS (
+                SELECT DISTINCT q.q_id, q.qe, a.vec_id, a.e
+                FROM v_assign a JOIN q_assign q USING (c_id)
+            )
+            SELECT q_id, vec_id, round(c, 6) AS cosine, rank FROM (
+                SELECT q_id, vec_id,
+                       list_cosine_similarity(e, qe) AS c,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY list_cosine_similarity(e, qe)
+                                                       DESC, vec_id ASC) AS rank
+                FROM cand)
             WHERE rank <= 5
         """,
         # random-hyperplane LSH with the exact same numpy-seeded coefficients

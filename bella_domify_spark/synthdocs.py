@@ -240,10 +240,13 @@ class _Typesetter:
         self.y += 6.0
 
     def table(self, rows: List[List[str]], caption: Optional[str] = None,
-              merged_first_row: bool = False):
+              merged_first_row: bool = False, wrap_cells: bool = False):
+        """``wrap_cells`` emits two stacked lines in any cell whose text
+        contains a '/' (split there) — exercises the recursive cell layout
+        (P17)."""
         n_rows, n_cols = len(rows), len(rows[0])
         col_w = (PAGE_W - 2 * MARGIN) / n_cols
-        row_h = LINE_H + 6
+        row_h = (2 * LINE_H + 6) if wrap_cells else (LINE_H + 6)
         self._ensure_room(row_h * n_rows + 3 * LINE_H)
         if caption:
             self.line(caption, MARGIN)
@@ -267,16 +270,18 @@ class _Typesetter:
             for j, cell in enumerate(row):
                 if merged_first_row and i == 0 and j == 1:
                     continue
-                cy = ys[i] + 3
-                cx = xs[j] + 3
-                w = len(cell) * self._char_w()
-                bbox = [cx, cy, cx + w, cy + self.size + 1]
-                self.page["blocks"].append({
-                    "type": 0, "bbox": bbox,
-                    "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
-                        {"text": cell, "bbox": bbox, "font": self.font,
-                         "size": self.size, "flags": 0}]}],
-                })
+                parts = cell.split("/") if (wrap_cells and "/" in cell) else [cell]
+                for k, part in enumerate(parts):
+                    cy = ys[i] + 3 + k * LINE_H
+                    cx = xs[j] + 3
+                    w = len(part) * self._char_w()
+                    bbox = [cx, cy, cx + w, cy + self.size + 1]
+                    self.page["blocks"].append({
+                        "type": 0, "bbox": bbox,
+                        "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
+                            {"text": part, "bbox": bbox, "font": self.font,
+                             "size": self.size, "flags": 0}]}],
+                    })
         self.y = ys[-1] + LINE_H
 
     def finalize(self, header: Optional[str] = None, footer: bool = False,
@@ -311,7 +316,7 @@ class _Typesetter:
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 7
+GEN_VERSION = 8
 
 
 def gen_pdflike(r: _Rng) -> str:
@@ -361,12 +366,14 @@ def gen_pdflike(r: _Rng) -> str:
         ts.list_items([r.words(3) for _ in range(2)], ordered=False)
         return ts.finalize()
     if scenario == 3:
-        # ruled table with merged cell, caption + later reference
+        # ruled table with merged cell + a wrapped two-line cell (P17),
+        # caption + later reference
         ts.paragraph(r.sentence(20, 35))
         ts.table([["h1", "h2", "h3"],
-                  [r.words(1), r.words(1), r.words(1)],
+                  [r.words(1) + "/" + r.words(1), r.words(1), r.words(1)],
                   [r.words(1), r.words(1), r.words(1)]],
-                 caption="表 1 " + r.words(2), merged_first_row=True)
+                 caption="表 1 " + r.words(2), merged_first_row=True,
+                 wrap_cells=True)
         ts.paragraph("As shown in 表 1 the results " + r.sentence(10, 20))
         return ts.finalize(footer=True)
     if scenario == 4:

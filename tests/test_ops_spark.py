@@ -123,6 +123,32 @@ class TestAnn:
         # self-vector always collides with itself in every table
         assert all(r["vec_id"] == r["q_id"] for r in approx)
 
+    def test_ivf_recall_on_clustered_vectors(self, spark):
+        import numpy as np
+
+        from bella_domify_spark.ops.ann import cosine_topk, ivf_topk
+
+        # 4 well-separated clusters; centroid seeds (lowest ids) cover them
+        rng = np.random.RandomState(11)
+        centers = np.eye(4).repeat(4, axis=1)  # 4 orthogonal 16-d anchors
+        vecs = []
+        for i in range(48):
+            c = centers[i % 4]
+            vecs.append((i, [float(x) for x in c + rng.normal(scale=0.05,
+                                                              size=16)]))
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        q = df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+        exact = {(r["q_id"], r["vec_id"])
+                 for r in cosine_topk(df, q, k=5).collect()}
+        approx_rows = ivf_topk(df, q, k=5, n_centroids=4, n_probe=1).collect()
+        approx = {(r["q_id"], r["vec_id"]) for r in approx_rows}
+        # every query's own cluster is its probed list → full recall here
+        assert approx == exact
+        assert all(r["vec_id"] == r["q_id"] for r in approx_rows
+                   if r["rank"] == 1)
+
 
 class TestMultimodal:
     def test_stub_decode_features(self, spark):
