@@ -310,6 +310,22 @@ def _q_ann_lsh_topk(spark, sf):
     return lsh_topk(em, q, k=5, dim=64)
 
 
+def _q_dedup_embedding(spark, sf):
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51), so plant near-duplicates: perturbed copies of the first 20
+    # vectors (deterministic affine jitter), ids offset by 100000 — the op
+    # must pair each original with its copy and nothing else
+    from bella_domify_spark.ops.ann import embedding_near_dups
+    em = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    jittered = (em.filter(F.col("vec_id") < 20)
+                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.transform("embedding",
+                                    lambda x: x * 1.001 + 0.003)
+                         .alias("embedding")))
+    return embedding_near_dups(em.unionByName(jittered), threshold=0.98)
+
+
 def _q_ann_ivf_topk(spark, sf):
     from bella_domify_spark.ops.ann import ivf_topk
     em = _t(spark, sf, "embeddings")
@@ -326,6 +342,26 @@ def _q_multimodal_features(spark, sf):
             .select("media_id", "n_bytes", "head_hex",
                     F.col("meta.width").alias("width"),
                     F.col("meta.height").alias("height")))
+
+
+def _q_multimodal_resize(spark, sf):
+    from bella_domify_spark.ops.multimodal import attach_media, resize_media
+    resized = resize_media(attach_media(_t(spark, sf, "documents")),
+                           out_w=64, out_h=64)
+    return resized.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"))
+
+
+def _q_multimodal_frames(spark, sf):
+    from bella_domify_spark.ops.multimodal import attach_media, sample_frames
+    frames = sample_frames(attach_media(_t(spark, sf, "documents")))
+    return frames.select(
+        "media_id", "frame_idx", "frame_bytes",
+        F.lower(F.hex(F.substring("frame", 1, 8))).alias("frame_head_hex"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -355,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_embedding": _q_dedup_embedding,
         "simhash": _q_simhash,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
@@ -364,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -697,6 +736,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rank <= 5
         """,
+        # embedding-cosine near-dups: LSH bucket-collision candidates (same
+        # seeded hyperplanes as ann_lsh) verified by exact cosine
+        "dedup_embedding": f"""
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> x * 1.001 + 0.003)
+                FROM embeddings WHERE vec_id < 20
+            ),
+            vdot AS (
+                SELECT vec_id, t, p, sum(e[d + 1] * c) AS dp
+                FROM v, {lsh_planes_sql}
+                GROUP BY vec_id, t, p
+            ),
+            vbuck AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                           ::BIGINT AS bucket
+                FROM vdot GROUP BY vec_id, t
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM vbuck a JOIN vbuck b ON a.t = b.t AND a.bucket = b.bucket
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(list_cosine_similarity(ea.e, eb.e), 6) AS cosine
+            FROM cand
+            JOIN v ea ON ea.vec_id = id_a
+            JOIN v eb ON eb.vec_id = id_b
+            WHERE list_cosine_similarity(ea.e, eb.e) >= 0.98
+        """,
         # IVF inverted lists over deterministic seed centroids (the 8
         # lowest-id vectors); queries probe their 2 nearest lists
         "ann_ivf_topk": """
@@ -784,5 +857,28 @@ def oracle_sql() -> dict[str, str]:
                    (octet_length(encode(text)) % 640 + 16)::INT AS width,
                    (octet_length(encode(text)) % 480 + 16)::INT AS height
             FROM documents
+        """,
+        # stub resize: payload truncated to out_w*out_h/256 = 16 bytes
+        "multimodal_resize": """
+            SELECT doc_id::BIGINT AS media_id,
+                   least(octet_length(encode(text)), 16) AS n_bytes,
+                   lower(hex(encode(text)))[1:16] AS head_hex,
+                   64 AS width, 64 AS height
+            FROM documents
+        """,
+        # stub frame sampling: n_frames = len%7+1 equal chunks of len//n
+        "multimodal_frames": """
+            WITH m AS (
+                SELECT doc_id::BIGINT AS media_id,
+                       lower(hex(encode(text))) AS full_hex,
+                       octet_length(encode(text)) AS n,
+                       (octet_length(encode(text)) % 7 + 1) AS f
+                FROM documents
+            )
+            SELECT media_id, i::INT AS frame_idx, (n // f)::INT AS frame_bytes,
+                   substr(full_hex, (i * (n // f) * 2 + 1)::INT,
+                          least((n // f) * 2, 16)::INT) AS frame_head_hex
+            FROM m, UNNEST(range(0, f)) AS t(i)
+            WHERE n // f > 0
         """,
     }

@@ -101,6 +101,54 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(n_planes, dim)).astype("float64")
 
 
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 12, n_tables: int = 4, dim: int = 64,
+                        seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from hyperplane-LSH
+    bucket collisions (any table), verified by exact cosine ≥ threshold.
+
+    The scale path for semantic dedup over billions of embeddings: the
+    bucket join is an equality shuffle (no crossJoin anywhere); recall
+    grows with n_tables, and near-identical vectors collide in every
+    table. Same seeded hyperplanes as ``lsh_topk`` so the DuckDB oracle
+    reproduces the candidate set exactly."""
+    planes = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def bucketize(vec_series: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vec_series.to_numpy())
+        out = {}
+        for t, pl in enumerate(planes):
+            signs = (mat @ pl.T) > 0
+            out[f"b{t}"] = signs.dot(1 << np.arange(n_planes)).astype("int64")
+        return pd.DataFrame(out)
+
+    bucket_type = T.StructType([T.StructField(f"b{t}", T.LongType())
+                                for t in range(n_tables)])
+    bucket_udf = F.pandas_udf(bucketize, bucket_type)
+
+    v = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("e")) \
+               .withColumn("_b", bucket_udf(F.col("e")))
+    tables = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"_b.b{t}").alias("bucket"))
+        for t in range(n_tables)])).alias("tb")
+    banded = v.select(id_col, "e", tables).select(id_col, "e", "tb.t", "tb.bucket")
+
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("e").alias("e_a"),
+                      "t", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("e").alias("e_b"),
+                      "t", "bucket")
+    cand = (a.join(b, ["t", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "e_a", "e_b").distinct())
+    return (cand
+            .withColumn("cosine",
+                        _dot(F.col("e_a"), F.col("e_b")) /
+                        (_norm(F.col("e_a")) * _norm(F.col("e_b"))))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
 def planes_values_sql(dim: int = 64, n_planes: int = 12, n_tables: int = 4,
                       seed: int = 42) -> str:
     """The SAME hyperplane coefficients as ``lsh_topk`` uses, rendered as a

@@ -123,6 +123,24 @@ class TestAnn:
         # self-vector always collides with itself in every table
         assert all(r["vec_id"] == r["q_id"] for r in approx)
 
+    def test_embedding_near_dups(self, spark):
+        import numpy as np
+
+        from bella_domify_spark.ops.ann import embedding_near_dups
+
+        rng = np.random.RandomState(5)
+        base = [[float(x) for x in rng.normal(size=16)] for _ in range(30)]
+        rows = [(i, v) for i, v in enumerate(base)]
+        # plant 5 near-duplicates (tiny jitter of vectors 0..4)
+        rows += [(100 + i, [x * 1.001 + 0.002 for x in base[i]])
+                 for i in range(5)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+                 for r in embedding_near_dups(df, threshold=0.98, dim=16,
+                                              n_planes=8, n_tables=4).collect()}
+        assert set(pairs) == {(i, 100 + i) for i in range(5)}
+        assert all(c > 0.99 for c in pairs.values())
+
     def test_ivf_recall_on_clustered_vectors(self, spark):
         import numpy as np
 
@@ -169,3 +187,27 @@ class TestMultimodal:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(NotImplementedError):
             decode_features(attach_media(df), codec="real")
+
+    def test_resize_rewrites_payload_and_meta(self, spark):
+        from bella_domify_spark.ops.multimodal import attach_media, resize_media
+
+        df = spark.createDataFrame([(1, "x" * 100), (2, "ab")],
+                                   ["doc_id", "text"])
+        out = {r["media_id"]: r
+               for r in resize_media(attach_media(df), 64, 64).collect()}
+        assert len(out[1]["payload"]) == 16        # 64*64//256 byte stub
+        assert out[1]["meta"]["width"] == 64
+        assert bytes(out[2]["payload"]) == b"ab"   # shorter than target
+
+    def test_frame_sampling_chunks(self, spark):
+        from bella_domify_spark.ops.multimodal import attach_media, sample_frames
+
+        # len 16 → n_frames = 16%7+1 = 3, chunk = 5, remainder dropped
+        df = spark.createDataFrame([(7, "0123456789abcdef")],
+                                   ["doc_id", "text"])
+        rows = sorted(sample_frames(attach_media(df)).collect(),
+                      key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+        assert all(r["frame_bytes"] == 5 for r in rows)
+        assert bytes(rows[0]["frame"]) == b"01234"
+        assert bytes(rows[2]["frame"]) == b"abcde"
