@@ -67,3 +67,39 @@ def turn_rate(stream_df: DataFrame, window: str = "10 minutes",
             .groupBy(F.window("ts", window).alias("w"), "conv_id")
             .agg(F.count(F.lit(1)).alias("n_turns"))
             .select(F.col("w.start").alias("window_start"), "conv_id", "n_turns"))
+
+
+CONV_STATE_SCHEMA = "n_turns BIGINT, n_chars BIGINT"
+CONV_OUTPUT_SCHEMA = ("conv_id STRING, n_turns BIGINT, n_chars BIGINT, "
+                      "batch_turns BIGINT")
+
+
+def conversation_state(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-conversation totals that survive across micro-batches through the
+    streaming state store (the analogue of the reference's long-lived Kafka
+    consumer accumulating a file's parse tasks). Each micro-batch emits the
+    conversation's updated running totals plus how many turns this batch
+    contributed — the pattern a streaming dedup/assembly stage builds on."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n_turns, n_chars = state.get if state.exists else (0, 0)
+        batch_turns = 0
+        for pdf in pdfs:
+            batch_turns += len(pdf)
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+        state.update((n_turns, n_chars))
+        yield pd.DataFrame([{"conv_id": key[0], "n_turns": n_turns,
+                             "n_chars": n_chars, "batch_turns": batch_turns}])
+
+    return (stream_df
+            .groupBy("conv_id")
+            .applyInPandasWithState(update,
+                                    outputStructType=CONV_OUTPUT_SCHEMA,
+                                    stateStructType=CONV_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

@@ -60,3 +60,38 @@ class TestStreamingExtraction:
         assert q.lastProgress is not None
         assert {"window_start", "conv_id", "n_turns"} == set(
             spark.table("turnrate").columns)
+
+    def test_conversation_state_accumulates_across_batches(
+            self, spark, stream_corpus, tmp_path):
+        from bella_domify_spark.streaming.stream_extract import (
+            conversation_state,
+            read_transcript_stream,
+        )
+
+        # one file per micro-batch so conversations span several batches and
+        # the state store must carry the running totals between them
+        stream = read_transcript_stream(spark, f"{stream_corpus}/in",
+                                        max_files_per_trigger=1)
+        q = (conversation_state(stream)
+             .writeStream.format("memory").queryName("convstate")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt3"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        import pandas as pd
+        got = spark.sql("select * from convstate").toPandas()
+        # the LAST update per conversation equals the batch totals
+        final = (got.sort_values("n_turns").groupby("conv_id").last()
+                 .reset_index())
+        exp = (spark.read.parquet(f"{stream_corpus}/in").toPandas()
+               .assign(n=lambda d: d["text"].fillna("").str.len())
+               .groupby("conv_id").agg(n_turns=("turn_idx", "size"),
+                                       n_chars=("n", "sum")).reset_index())
+        m = final.merge(exp, on="conv_id", suffixes=("_got", "_exp"))
+        assert len(m) == len(exp)
+        assert (m["n_turns_got"] == m["n_turns_exp"]).all()
+        assert (m["n_chars_got"] == m["n_chars_exp"]).all()
+        # conversations long enough to span batches produced >1 update row
+        multi = got.groupby("conv_id").size()
+        assert (multi > 1).any()
