@@ -35,6 +35,15 @@ def _md5_int60(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input is under-split (fewer
+    partitions than cores). A small single-file table scans as ONE split,
+    which would serialize the CPU-heavy map-side hashing that follows; at
+    real scale (splits ≥ cores) this is a no-op — no extra shuffle."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (text_md5, n_dups, keeper_id)."""
     return (df
@@ -45,7 +54,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3, dedupe: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Documents with fewer than ``n`` words yield no shingles. Construction is
@@ -66,8 +75,8 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.transform(zipped,
                     lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     ).otherwise(F.array().cast("array<string>"))
-    return (words_df.select("id", F.explode(shingle).alias("shingle"))
-                    .distinct())
+    out = words_df.select("id", F.explode(shingle).alias("shingle"))
+    return out.distinct() if dedupe else out
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -116,8 +125,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     beats the posexplode-per-hash-index alternative ~4× (that one pushes
     shingles×num_hashes rows through the aggregate: 6.7 s vs 1.7 s at
     sf0.1). The wide aggregate stays inside whole-stage codegen — each
-    buffer's update is a single multiply-add-mod on the shared base hash."""
-    sh = word_shingles(df, id_col, text_col, n)
+    buffer's update is a single multiply-add-mod on the shared base hash.
+
+    Shingles are NOT deduplicated (min over duplicates is identical), so
+    hash+min runs map-side on the scan partitions with no intermediate
+    exchange — a ``distinct`` first puts the hashing after a shuffle that
+    AQE coalesces to ONE partition on small inputs (7-16 s single-task vs
+    ~1 s wide, measured at sf0.1)."""
+    sh = word_shingles(_widen(df), id_col, text_col, n, dedupe=False)
     x = _md5_int60(F.col("shingle")) % F.lit(MERSENNE_P)
     mins = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_P))
              .alias(f"m{i}")
@@ -178,7 +193,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     with map-side partial combine. ~2.6× faster than exploding per-bit
     rows through the aggregate (token_count×bits rows), and md5 keeps an
     exact DuckDB oracle twin."""
-    tok = (df.select(F.col(id_col).alias("id"),
+    tok = (_widen(df).select(F.col(id_col).alias("id"),
                      F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
              .filter(F.col("tok") != "")
              .withColumn("x", _md5_int60(F.col("tok"))))

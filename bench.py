@@ -109,8 +109,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     for name in ["q1_pricing_summary", "top_revenue_orders", "window_topk_orders",
-                 "dedup_exact", "dedup_minhash_lsh", "simhash", "doc_quality",
-                 "ann_cosine_topk", "token_counts"]:
+                 "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+                 "simhash", "doc_quality", "ann_cosine_topk", "ann_ivf_topk",
+                 "token_counts", "pdflike_extract"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(), runs=2)
