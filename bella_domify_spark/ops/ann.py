@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from bella_domify_spark.ops.dedup import _widen
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -34,7 +36,7 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Exact top-k by cosine for each query vector (queries must be small —
     they are broadcast). Ties broken by vec_id for determinism."""
-    j = vectors.crossJoin(F.broadcast(queries))
+    j = _widen(vectors).crossJoin(F.broadcast(queries))
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
@@ -78,8 +80,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                 .filter(F.col("c_rank") <= n_keep)
                 .select(in_id, in_vec, F.col("c_id").alias(out_id)))
 
-    v_lists = nearest(vectors.select(id_col, F.col(vec_col)
-                                     .cast("array<double>").alias(vec_col)),
+    v_lists = nearest(_widen(vectors).select(id_col, F.col(vec_col)
+                                             .cast("array<double>").alias(vec_col)),
                       id_col, vec_col, "list_id", 1)
     q_lists = nearest(queries.select(q_id_col, F.col(q_vec_col)
                                      .cast("array<double>").alias(q_vec_col)),
@@ -127,8 +129,9 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                                 for t in range(n_tables)])
     bucket_udf = F.pandas_udf(bucketize, bucket_type)
 
-    v = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("e")) \
-               .withColumn("_b", bucket_udf(F.col("e")))
+    v = (_widen(vectors)
+         .select(id_col, F.col(vec_col).cast("array<double>").alias("e"))
+         .withColumn("_b", bucket_udf(F.col("e"))))
     tables = F.explode(F.array(*[
         F.struct(F.lit(t).alias("t"), F.col(f"_b.b{t}").alias("bucket"))
         for t in range(n_tables)])).alias("tb")
@@ -184,7 +187,8 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                                 for t in range(n_tables)])
     bucket_udf = F.pandas_udf(bucketize, bucket_type)
 
-    v = vectors.withColumn("_b", bucket_udf(F.col(vec_col).cast("array<double>")))
+    v = _widen(vectors).withColumn(
+        "_b", bucket_udf(F.col(vec_col).cast("array<double>")))
     q = queries.withColumn("_qb", bucket_udf(F.col(q_vec_col).cast("array<double>")))
 
     tables = F.explode(F.array(*[
