@@ -303,39 +303,44 @@ def parse_stream_tables(page: RawPage,
             continue
 
         cols_lines = group_by_columns(cand)
-        rows_lines = group_by_rows(cand, factor=0.1)
-        n_cols, n_rows = len(cols_lines), len(rows_lines)
-        if n_cols < 2 or n_rows < 1:
+        n_cols = len(cols_lines)
+        if n_cols < 2:
             continue
 
-        # virtual borders at gap midpoints (TablesConstructor.py:336-350)
-        col_bounds = [region[0]]
-        for a, b in zip(cols_lines, cols_lines[1:]):
-            col_bounds.append((_bbox(a)[2] + _bbox(b)[0]) / 2.0)
-        col_bounds.append(region[2])
-        row_bounds = [region[1]]
-        for a, b in zip(rows_lines, rows_lines[1:]):
-            row_bounds.append((_bbox(a)[3] + _bbox(b)[1]) / 2.0)
-        row_bounds.append(region[3])
+        # per-column row structure (TablesConstructor._inner_borders
+        # :353-358: a column with a single row group contributes NO inner
+        # horizontal borders — its cell spans every global row slot)
+        col_rows = [group_by_rows(c, factor=0.1) for c in cols_lines]
+        bounds: set = set()
+        for rows in col_rows:
+            for a, b in zip(rows, rows[1:]):
+                bounds.add(round((_bbox(a)[3] + _bbox(b)[1]) / 2.0, 3))
+        row_bounds = [region[1]] + sorted(bounds) + [region[3]]
+        n_rows = len(row_bounds) - 1
+        if n_rows < 1:
+            continue
 
-        cell_rows: List[List[Cell]] = []
-        for i in range(n_rows):
-            cell_rows.append([Cell(text="", start_row=i, end_row=i,
-                                   start_col=j, end_col=j)
-                              for j in range(n_cols)])
-        cell_lines: dict = {}
-        for line in cand:
-            cx = (line.bbox[0] + line.bbox[2]) / 2.0
-            cy = (line.bbox[1] + line.bbox[3]) / 2.0
-            j = max(0, np.searchsorted(np.array(col_bounds), cx) - 1)
-            i = max(0, np.searchsorted(np.array(row_bounds), cy) - 1)
-            cell_lines.setdefault((min(i, n_rows - 1), min(j, n_cols - 1)),
-                                  []).append(line)
-            consumed_ids.add(id(line))
-
-        for i in range(n_rows):
-            for j in range(n_cols):
-                cell_rows[i][j].text = _cell_text(cell_lines.get((i, j), []))
+        # a column's k-th cell spans the global slots between the column's
+        # OWN k-th and (k+1)-th borders (region edges at the extremes) —
+        # columns with fewer row groups than the table get rowspans
+        rb = np.array(row_bounds)
+        cell_rows: List[List[Cell]] = [[] for _ in range(n_rows)]
+        for j, rows in enumerate(col_rows):
+            own = [region[1]]
+            for a, b in zip(rows, rows[1:]):
+                own.append(round((_bbox(a)[3] + _bbox(b)[1]) / 2.0, 3))
+            own.append(region[3])
+            for k, g in enumerate(rows):
+                start = int(np.searchsorted(rb, own[k] + 1e-6) - 1)
+                end = int(np.searchsorted(rb, own[k + 1] - 1e-6) - 1)
+                start = min(max(start, 0), n_rows - 1)
+                end = min(max(end, start), n_rows - 1)
+                cell_rows[start].append(Cell(text=_cell_text(list(g)),
+                                             start_row=start, end_row=end,
+                                             start_col=j, end_col=j))
+                consumed_ids.update(id(l) for l in g)
+        for r in cell_rows:
+            r.sort(key=lambda c: c.start_col)
 
         tables.append(TableBlock(rows=cell_rows, bbox=region,
                                  page_num=[page.page_id], is_stream=True))

@@ -541,3 +541,25 @@ class TestEndToEnd:
         assert "Paragraph 0-0" in md and "Paragraph 1-2" in md
         # reading order preserved across pages
         assert md.index("Paragraph 0-2") < md.index("Paragraph 1-0")
+
+
+class TestStreamMergedCells:  # P16 + _inner_borders :353-358 rowspan rule
+    def test_single_row_column_spans_all_rows(self):
+        from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
+
+        lines = []
+        # columns 0 and 2: three rows each; column 1: ONE tall cell
+        for i in range(3):
+            lines.append(mk_line(f"l{i}", 72, 100 + 30 * i, w=40, h=10))
+            lines.append(mk_line(f"r{i}", 372, 100 + 30 * i, w=40, h=10))
+        lines.append(mk_line("tall", 222, 130, w=40, h=10))
+        page = mk_page(lines)
+        ts = parse_stream_tables(page)
+        assert len(ts) == 1
+        cells = {(c.start_col, c.start_row): c for r in ts[0].rows for c in r}
+        assert cells[(0, 0)].end_row == 0
+        tall = cells[(1, 0)]
+        assert (tall.start_row, tall.end_row) == (0, 2)   # rowspan 3
+        assert tall.text == "tall"
+        html = ts[0].to_html()
+        assert "rowspan='3' colspan='1'>tall" in html
