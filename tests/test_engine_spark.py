@@ -175,3 +175,30 @@ class TestEntryContract:
         # every query has a full DuckDB oracle (md5 hash family for
         # minhash/simhash, embedded hyperplane coefficients for ann_lsh)
         assert qs == os_
+
+
+class TestCrashConsistency:
+    def test_orphan_data_file_is_rewritten_on_resume(self, spark, corpus,
+                                                     tmp_path):
+        # crash window: bucket parquet committed but manifest (the commit
+        # marker) missing — resume must treat the bucket as incomplete and
+        # rewrite the data file without duplicating rows
+        from bella_domify_spark.engine.manifest import (
+            completed_buckets,
+            run_resumable,
+        )
+
+        out = str(tmp_path / "out_crash")
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        run_resumable(df, out, n_buckets=8, partitions=4, run_id="a")
+
+        b = sorted(completed_buckets(out))[0]
+        os.remove(f"{out}/_manifests/bucket-{b:05d}.json")  # orphan the data
+        assert os.path.exists(f"{out}/bucket-{b:05d}.parquet")
+
+        s2 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="b")
+        assert (s2["buckets_done_before"], s2["buckets_written"]) == (7, 1)
+
+        got = spark.read.parquet(f"{out}/bucket-*.parquet")
+        assert got.count() == df.count()
+        assert got.select("conv_id", "turn_idx").distinct().count() == df.count()
