@@ -135,6 +135,18 @@ def _q_xlsx_markdown(spark, sf):
     return d.select("doc_id", xlsx_markdown_udf(_xlsx_payload()).alias("md_table"))
 
 
+def _q_extract_pptxlike_flat(spark, sf):
+    from bella_domify_spark.engine.extract import pptx_flat_udf
+    d = _t(spark, sf, "documents")
+    payload = F.concat(
+        F.lit('{"slides":[{"shapes":[{"type":"text_box","text":"'),
+        F.col("source"),
+        F.lit('"},{"type":"placeholder","placeholder":"body"},'
+              '{"type":"table","rows":[["'), F.col("lang"),
+        F.lit('","x"]]}]}]}'))
+    return d.select("doc_id", pptx_flat_udf(payload).alias("slide_text"))
+
+
 def _q_standard_tokens(spark, sf):
     from bella_domify_spark.engine.extract import standard_udf
     d = _t(spark, sf, "documents")
@@ -376,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_markdown": _q_csv_markdown,
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
         "xlsx_markdown": _q_xlsx_markdown,
+        "extract_pptxlike_flat": _q_extract_pptxlike_flat,
         "format_detect_stats": _q_format_detect_stats,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
@@ -474,6 +487,14 @@ def oracle_sql() -> dict[str, str]:
                    || '</td></tr><tr><td rowspan=''1'' colspan=''1''>lang</td>'
                    || '<td rowspan=''1'' colspan=''1''>' || lang
                    || '</td></tr></table>' || chr(10) || chr(10) AS md_table
+            FROM documents
+        """,
+        # pptx layout quirks: body placeholder → empty text block; table
+        # cells flatten with a LEADING ' | ' (join seeded by '')
+        "extract_pptxlike_flat": """
+            SELECT doc_id,
+                   '；' || source || '；' || '；' || ' | ' || lang || ' | x'
+                       AS slide_text
             FROM documents
         """,
         "format_detect_stats": """

@@ -92,6 +92,15 @@ def xlsx_flat_udf(texts: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def pptx_flat_udf(texts: pd.Series) -> pd.Series:
+    """Slide-model payload → reference pptx layout flat text
+    (pptx_parser.py:22-67 + '；'-joined blocks)."""
+    from bella_domify_spark.parsers import pptxlike
+
+    return texts.map(_safe(pptxlike.flat_text))
+
+
+@F.pandas_udf(T.StringType())
 def xlsx_markdown_udf(texts: pd.Series) -> pd.Series:
     """Sheet-model payload → Excel domtree → markdown (one HTML table per
     sheet, excel/converter.py:85-186 + domtree.py:339-350)."""

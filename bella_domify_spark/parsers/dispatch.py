@@ -34,6 +34,7 @@ FMT_DOCX = "docxlike"
 FMT_MD = "markdown"
 FMT_TXT = "plaintext"
 FMT_XLSX = "xlsxlike"
+FMT_PPTX = "pptxlike"
 FMT_EMPTY = "empty"
 
 _MD_HINTS = re.compile(
@@ -49,6 +50,8 @@ def detect_format(text: Optional[str]) -> str:
         return FMT_PDF
     if head.startswith('{"sheets"'):
         return FMT_XLSX
+    if head.startswith('{"slides"'):
+        return FMT_PPTX
     if head.startswith("<w:document") or head.startswith("<document"):
         return FMT_DOCX
     if _MD_HINTS.search(text):
@@ -71,6 +74,13 @@ def parse_payload(text: Optional[str]) -> dict:
         elif fmt == FMT_XLSX:
             tree = xlsxlike.build_domtree(text)
             extracted = tree.to_markdown()
+        elif fmt == FMT_PPTX:
+            # layout-only format in the reference (no pptx domtree
+            # converter exists); extracted text = the layout flat text,
+            # tree = one node carrying it
+            from bella_domify_spark.parsers import pptxlike
+            extracted = pptxlike.flat_text(text)
+            tree = txt.parse(extracted)
         elif fmt == FMT_DOCX:
             tree = docxlike.parse(text)
             extracted = tree.to_markdown()
@@ -94,5 +104,6 @@ __all__ = [
     "detect_format",
     "parse_payload",
     "csvlike",
-    "FMT_PDF", "FMT_DOCX", "FMT_MD", "FMT_TXT", "FMT_XLSX", "FMT_EMPTY",
+    "FMT_PDF", "FMT_DOCX", "FMT_MD", "FMT_TXT", "FMT_XLSX", "FMT_PPTX",
+    "FMT_EMPTY",
 ]

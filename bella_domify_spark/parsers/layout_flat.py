@@ -29,6 +29,7 @@ from bella_domify_spark.parsers.dispatch import (
     FMT_EMPTY,
     FMT_MD,
     FMT_PDF,
+    FMT_PPTX,
     FMT_XLSX,
     detect_format,
 )
@@ -145,6 +146,12 @@ def layout_parse(payload: Optional[str]) -> List[SimpleBlock]:
         # xlsx_parser.py:20-46: one TEXT block carrying the Sheet: dump
         from bella_domify_spark.parsers import xlsxlike
         return [SimpleBlock(type=TEXT, text=xlsxlike.layout_text(payload))]
+    if fmt == FMT_PPTX:
+        # pptx_parser.py:22-67: per-shape TEXT/IMAGE/TABLE blocks
+        from bella_domify_spark.parsers import pptxlike
+        return [SimpleBlock(type={"TEXT": TEXT, "IMAGE": IMAGE,
+                                  "TABLE": TABLE}[k], text=t or "")
+                for k, t in pptxlike.layout_blocks(payload)]
     # txt & markdown: whole payload = one TEXT block (txt_parser.py:17-25)
     return [SimpleBlock(type=TEXT, text=payload)]
 

@@ -125,6 +125,29 @@ def gen_xlsxlike(r: _Rng) -> str:
     return json.dumps({"sheets": sheets}, separators=(",", ":"))
 
 
+# ---------------- family F: pptx-like slide model ----------------
+
+def gen_pptxlike(r: _Rng) -> str:
+    """Slide payload (FIXTURES.md): text boxes, placeholders (incl. the
+    empty-text quirk), pictures and flattened tables — exercises F7."""
+    slides = []
+    for _ in range(int(r.rng.randint(1, 4))):
+        shapes = [{"type": "text_box", "text": r.sentence(4, 10)}]
+        u = r.rng.rand()
+        if u < 0.3:
+            shapes.append({"type": "placeholder", "placeholder": "body"})
+        elif u < 0.5:
+            shapes.append({"type": "placeholder", "placeholder": "picture"})
+        if r.rng.rand() < 0.4:
+            shapes.append({"type": "picture"})
+        if r.rng.rand() < 0.4:
+            shapes.append({"type": "table",
+                           "rows": [[r.words(1), r.words(1)]
+                                    for _ in range(int(r.rng.randint(1, 3)))]})
+        slides.append({"shapes": shapes})
+    return json.dumps({"slides": slides}, separators=(",", ":"))
+
+
 # ---------------- family C: pdf-like glyph document ----------------
 
 class _Typesetter:
@@ -316,7 +339,7 @@ class _Typesetter:
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 8
+GEN_VERSION = 9
 
 
 def gen_pdflike(r: _Rng) -> str:

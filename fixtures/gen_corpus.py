@@ -31,6 +31,7 @@ from bella_domify_spark.synthdocs import (  # noqa: F401 (re-exported)
     gen_markdown,
     gen_pdflike,
     gen_plaintext,
+    gen_pptxlike,
     gen_xlsxlike,
 )
 
@@ -52,18 +53,20 @@ def _gen_conv(args):
             text = None
         elif u < 0.02:
             text = ""
-        elif u < 0.54:
+        elif u < 0.52:
             text = gen_plaintext(r)
-        elif u < 0.74:
+        elif u < 0.72:
             text = gen_markdown(r)
-        elif u < 0.89:
+        elif u < 0.87:
             text = gen_pdflike(r)
-        elif u < 0.96:
+        elif u < 0.94:
             text = gen_docxlike(r)
-        else:
+        elif u < 0.97:
             text = gen_xlsxlike(r)
+        else:
+            text = gen_pptxlike(r)
         fmt_tool = "doc_upload" if (text or "").startswith(
-            ('{"pages"', '{"sheets"', "<w:document")) else ""
+            ('{"pages"', '{"sheets"', '{"slides"', "<w:document")) else ""
         rows.append({
             "conv_id": conv_id,
             "turn_idx": np.int32(ti),

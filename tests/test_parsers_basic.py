@@ -150,10 +150,43 @@ class TestXlsxLike:  # F8/F9, xlsx_parser.py:20-46 + excel/converter.py:85-417
         assert rec["extracted_text"].count("<table>") == 2
 
 
+class TestPptxLike:  # F7, layout_parser/pptx_parser.py:22-67
+    PAYLOAD = ('{"slides":[{"shapes":['
+               '{"type":"text_box","text":"hello deck"},'
+               '{"type":"placeholder","placeholder":"body"},'
+               '{"type":"placeholder","placeholder":"picture"},'
+               '{"type":"picture"},'
+               '{"type":"table","rows":[["a","b"],["c","d"]]},'
+               '{"type":"text_box","text":""}]}]}')
+
+    def test_layout_blocks_and_quirks(self):
+        from bella_domify_spark.parsers import pptxlike
+        blocks = pptxlike.layout_blocks(self.PAYLOAD)
+        # empty text box skipped; body placeholder kept with EMPTY text;
+        # picture placeholder + picture → IMAGE; table leads with ' | '
+        assert blocks == [("TEXT", "hello deck"), ("TEXT", ""),
+                          ("IMAGE", None), ("IMAGE", None),
+                          ("TABLE", " | a | b | c | d")]
+
+    def test_flat_text(self):
+        from bella_domify_spark.parsers import pptxlike
+        # five blocks (text, empty placeholder, two images, table) → five
+        # '；' separators
+        assert pptxlike.flat_text(self.PAYLOAD) == \
+            "；hello deck；；；； | a | b | c | d"
+
+    def test_dispatch_route(self):
+        rec = parse_payload(self.PAYLOAD)
+        assert rec["fmt"] == "pptxlike"
+        assert rec["status"] == "ok"
+        assert rec["extracted_text"].startswith("；hello deck")
+
+
 class TestDispatch:
     def test_detect(self):
         assert detect_format('{"pages": []}') == "pdflike"
         assert detect_format('{"sheets": []}') == "xlsxlike"
+        assert detect_format('{"slides": []}') == "pptxlike"
         assert detect_format("<w:document><w:body/></w:document>") == "docxlike"
         assert detect_format("# hi\n\ntext") == "markdown"
         assert detect_format("just words") == "plaintext"
