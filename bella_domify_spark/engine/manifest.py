@@ -23,9 +23,11 @@ Design (plain PySpark, no custom Catalyst):
   pyarrow.fs can open (``file://``, ``s3://``, ``hdfs://``) — required for a
   real multi-executor cluster where executors do not share the driver's
   disk. Commit protocol per bucket: data file first, manifest LAST — the
-  manifest's existence IS the commit marker. On local paths both writes are
-  additionally tmp+rename (POSIX atomic); on object stores a single-object
-  PUT is already atomic, and rename doesn't exist.
+  manifest's existence IS the commit marker. On rename-capable filesystems
+  (plain local paths, ``file://``, ``hdfs://``) the manifest write is
+  additionally tmp+move so a mid-write crash can never leave a truncated
+  manifest under its committed name; on object stores a single-object PUT
+  is already atomic, and rename doesn't exist.
 - At 100 TB: buckets are the idempotent commit granule (the same role as
   Iceberg file groups); n_buckets scales with data volume, parallelism P
   scales with the cluster — they are independent knobs.
@@ -57,14 +59,22 @@ class BucketStore:
     from a string, so shipping it into a task only captures ``out_dir``.
     """
 
+    #: URI schemes whose filesystems support an (effectively) atomic rename;
+    #: manifests there get the same tmp+move commit as plain local paths.
+    #: Object stores (s3, gcs, ...) are excluded — a single-object PUT is
+    #: already atomic and "rename" would be a non-atomic copy+delete.
+    RENAME_SCHEMES = ("file", "local", "hdfs", "viewfs")
+
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.is_uri = "://" in out_dir
         if self.is_uri:
             import pyarrow.fs as pafs
 
+            self.scheme = out_dir.split("://", 1)[0].lower()
             self.fs, self.base = pafs.FileSystem.from_uri(out_dir)
         else:
+            self.scheme = None
             self.fs, self.base = None, out_dir
 
     # -- paths -----------------------------------------------------------
@@ -116,11 +126,21 @@ class BucketStore:
         return writer, lambda: os.replace(tmp, final)
 
     def write_json(self, rel: str, obj: dict) -> None:
+        """Commit a manifest. The manifest's *existence* marks the bucket
+        done, so a truncated manifest must never appear under its final
+        name: rename-capable filesystems (local, file://, hdfs://) get
+        tmp+move; object stores rely on single-PUT atomicity."""
         p = self.path(rel)
         data = json.dumps(obj).encode()
         if self.is_uri:
-            with self.fs.open_output_stream(p) as f:
-                f.write(data)
+            if self.scheme in self.RENAME_SCHEMES:
+                tmp = p + ".tmp"
+                with self.fs.open_output_stream(tmp) as f:
+                    f.write(data)
+                self.fs.move(tmp, p)
+            else:
+                with self.fs.open_output_stream(p) as f:
+                    f.write(data)
             return
         with open(p + ".tmp", "wb") as f:
             f.write(data)

@@ -162,7 +162,7 @@ def planes_values_sql(dim: int = 64, n_planes: int = 12, n_tables: int = 4,
         pl = make_planes(dim, n_planes, seed + t)
         for p in range(n_planes):
             for d in range(dim):
-                rows.append(f"({t},{p},{d},{pl[p, d]!r})")
+                rows.append(f"({t},{p},{d},{float(pl[p, d])!r})")
     return "(VALUES " + ",".join(rows) + ") AS coefs(t, p, d, c)"
 
 

@@ -69,7 +69,7 @@ class TestEndToEnd:
     def test_resume_via_uri_scheme(self, spark, corpus, tmp_path):
         # storage-agnostic sink: file:// routes through pyarrow.fs exactly
         # like s3://, hdfs:// would on a real cluster (manifest written LAST
-        # as the commit marker; no tmp+rename assumed)
+        # as the commit marker; rename-capable schemes commit via tmp+move)
         from bella_domify_spark.engine.manifest import (
             completed_buckets,
             read_manifests,
@@ -175,6 +175,33 @@ class TestEntryContract:
         # every query has a full DuckDB oracle (md5 hash family for
         # minhash/simhash, embedded hyperplane coefficients for ann_lsh)
         assert qs == os_
+
+
+class TestManifestCommit:
+    def test_truncated_manifest_tmp_is_not_committed(self, tmp_path):
+        # URI-mode manifests commit via tmp+move on rename-capable schemes,
+        # so a crash mid-write leaves only a *.json.tmp — which must neither
+        # count as completed nor break read_manifests with a JSONDecodeError
+        from bella_domify_spark.engine.manifest import (
+            BucketStore,
+            completed_buckets,
+            read_manifests,
+        )
+
+        local = tmp_path / "out_trunc"
+        out = f"file://{local}"
+        store = BucketStore(out)
+        assert store.scheme in store.RENAME_SCHEMES
+        store.makedirs()
+        store.write_json("_manifests/bucket-00001.json", {"run_id": "x"})
+
+        # simulate the crash window: a half-written manifest under the tmp name
+        (local / "_manifests" / "bucket-00002.json.tmp").write_text('{"run_id')
+
+        assert completed_buckets(out) == {1}
+        assert [m["run_id"] for m in read_manifests(out)] == ["x"]
+        # and no tmp residue from the committed write
+        assert not (local / "_manifests" / "bucket-00001.json.tmp").exists()
 
 
 class TestCrashConsistency:
