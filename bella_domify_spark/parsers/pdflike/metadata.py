@@ -112,14 +112,6 @@ def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
     rows = [sorted(r, key=lambda l: l.bbox[0])
             for r in group_physical_rows(block.lines, sort_rows=True)]
 
-    # tab-stop rows (large inner gap) force LEFT (TextBlock.py:206-209 +
-    # _parse_alignment first-priority NONE)
-    for row in rows:
-        for a, b in zip(row, row[1:]):
-            if b.bbox[0] - a.bbox[2] >= LINE_SEPARATE_THRESHOLD:
-                block.alignment = "left"
-                return
-
     def external_alignment() -> str:
         if abs(d_center) < CENTER_ALIGNED_THRESHOLD:
             return "center"
@@ -127,32 +119,54 @@ def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
             return "left"
         return "right"
 
-    if len(rows) == 1:
-        block.alignment = external_alignment()
-        return
-
-    X0 = [r[0].bbox[0] for r in rows]
-    X1 = [r[-1].bbox[2] for r in rows]
-    X = [(a + b) / 2.0 for a, b in zip(X0, X1)]
-    if len(rows) >= 3:
-        X0, X1 = X0[1:], X1[:-1]
-    left_ok = abs(max(X0) - min(X0)) <= LEFT_ALIGNED_THRESHOLD
-    right_ok = abs(max(X1) - min(X1)) <= RIGHT_ALIGNED_THRESHOLD
-    center_ok = abs(max(X) - min(X)) <= CENTER_ALIGNED_THRESHOLD
-
-    if left_ok and right_ok:
-        alignment = "justify" if len(rows) >= 3 else external_alignment()
-    elif center_ok:
-        alignment = "center"
-    elif left_ok:
-        alignment = "left"
-    elif right_ok:
-        alignment = "right" if len(rows) >= 3 else "left"
+    # tab-stop rows (large inner gap) → NONE temporarily (_parse_alignment
+    # first-priority, TextBlock.py:330-339); becomes LEFT in the
+    # post-processing below WITHOUT a first_line_space
+    tab_stop = any(b.bbox[0] - a.bbox[2] >= LINE_SEPARATE_THRESHOLD
+                   for row in rows for a, b in zip(row, row[1:]))
+    if tab_stop:
+        alignment = "none"
+    elif len(rows) == 1:
+        alignment = external_alignment()
     else:
-        alignment = "left"  # NONE → LEFT default (TextBlock.py:206-209)
+        X0 = [r[0].bbox[0] for r in rows]
+        X1 = [r[-1].bbox[2] for r in rows]
+        X = [(a + b) / 2.0 for a, b in zip(X0, X1)]
+        if len(rows) >= 3:
+            X0, X1 = X0[1:], X1[:-1]
+        left_ok = abs(max(X0) - min(X0)) <= LEFT_ALIGNED_THRESHOLD
+        right_ok = abs(max(X1) - min(X1)) <= RIGHT_ALIGNED_THRESHOLD
+        center_ok = abs(max(X) - min(X)) <= CENTER_ALIGNED_THRESHOLD
 
-    if alignment in ("left", "justify"):
-        block.first_line_space = rows[0][0].bbox[0] - rows[1][0].bbox[0]
+        if left_ok and right_ok:
+            alignment = "justify" if len(rows) >= 3 else external_alignment()
+        elif center_ok:
+            alignment = "center"
+        elif left_ok:
+            alignment = "left"
+        elif right_ok:
+            alignment = "right" if len(rows) >= 3 else "left"
+        else:
+            alignment = "none"
+
+        # first_line_space only for a GENUINE left/justify verdict — the
+        # NONE→LEFT fallback happens after this point in the reference
+        # (TextBlock.py:395-398 then :207-209)
+        if alignment in ("left", "justify"):
+            block.first_line_space = rows[0][0].bbox[0] - rows[1][0].bbox[0]
+
+    # parse_horizontal_spacing post-processing (TextBlock.py:206-225):
+    # NONE → LEFT default, then single-row indentation zeroing by alignment
+    if alignment == "none":
+        alignment = "left"
+    if len(rows) == 1:
+        if alignment == "left":
+            block.right_space = 0.0
+        elif alignment == "right":
+            block.left_space = 0.0
+        elif alignment == "center":
+            block.left_space = 0.0
+            block.right_space = 0.0
     block.alignment = alignment
 
 

@@ -63,7 +63,13 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
         if parse_stream_table:
             page_tables = page_tables + tables.parse_stream_tables(page)
         blocks: List = []
-        for section in parse_sections(page.lines, x_range):
+        # strokes + fills join the section row-grouping like the reference
+        # (RawPage.py:170-173): a rule spanning the gutter forces a 1-column
+        # row. Note the stage order differs (we parse tables first, which
+        # consumes table LINES), but table STROKES survive, so table regions
+        # still assert their row structure here.
+        shapes = list(page.strokes) + list(page.fills)
+        for section in parse_sections(page.lines, x_range, shapes=shapes):
             for column in section:
                 ordered = sort_in_reading_order_plus(column)
                 joined = join_lines_vertically(ordered)

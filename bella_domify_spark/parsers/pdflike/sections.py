@@ -139,8 +139,13 @@ def _is_same_font(col1: List, col2: List) -> bool:
 
 
 def calculate_margin(page) -> Tuple[float, float, float, float]:
-    """(left, right, top, bottom) margins — RawPage.calculate_margin."""
-    content = list(page.lines) + list(getattr(page, "strokes", []))
+    """(left, right, top, bottom) margins — RawPage.calculate_margin
+    (RawPage.py:125-157): blocks ∪ ALL non-hyperlink shapes, i.e. strokes
+    AND fills — a highlight fill extending past the text bbox widens the
+    content bbox (and downstream x_range) exactly as in the reference.
+    Our payloads carry no hyperlink shapes, so no exclusion is needed."""
+    content = (list(page.lines) + list(getattr(page, "strokes", []))
+               + list(getattr(page, "fills", [])))
     if not content:
         return (ITP,) * 4
     u0, v0, u1, v1 = _bbox(content)
@@ -189,30 +194,43 @@ def try_regroup_two_columns(divide_pos: set, row: Sequence,
 
 
 def parse_sections(lines: Sequence, x_range: Tuple[float, float],
-                   min_section_height: float = MIN_SECTION_HEIGHT) -> List[List[List]]:
+                   min_section_height: float = MIN_SECTION_HEIGHT,
+                   shapes: Sequence = ()) -> List[List[List]]:
     """Row-by-row section detection (RawPage.parse_section). Returns a list
     of sections in vertical order; each section is a list of 1 or 2 columns;
     each column is a list of lines (unsorted — the caller applies
-    reading-order within a column)."""
-    elements = list(lines)
+    reading-order within a column).
+
+    ``shapes`` (strokes/fills) participate in the row/column grouping exactly
+    as in the reference (RawPage.py:170-173 collects blocks AND shapes, so a
+    stroke spanning the gutter — e.g. a horizontal rule — forces a 1-column
+    row) but are filtered out of the returned columns: downstream block
+    building only consumes text lines."""
+    elements = list(lines) + list(shapes)
     if not elements:
         return []
     X0, X1 = x_range
     sections: List[List[List]] = []
+
+    def only_lines(elems: Sequence) -> List:
+        return [e for e in elems if getattr(e, "spans", None) is not None]
 
     def close_section(num_col: int, elems: List) -> None:
         if not elems:
             return
         # consecutive single-column sections merge (RawPage.py:180-190)
         if sections and len(sections[-1]) == 1 and num_col == 1:
-            sections[-1][0].extend(elems)
+            sections[-1][0].extend(only_lines(elems))
             return
+        # shape-only sections stay as (possibly empty) placeholders so the
+        # single-column merge chain sees the same section structure as the
+        # reference; empty columns are inert downstream
         if num_col == 2:
             cols = group_by_columns(elems)
             if len(cols) == 2:
-                sections.append([cols[0], cols[1]])
+                sections.append([only_lines(cols[0]), only_lines(cols[1])])
                 return
-        sections.append([list(elems)])
+        sections.append([only_lines(elems)])
 
     pre_num_col = 1
     current_num_col = 1

@@ -160,6 +160,40 @@ class TestSections:  # P11/P12, page/RawPage.py:125-319
         assert top == round(120 * 0.5, 1)
         assert bottom == round((792.0 - 131.0) * 0.5, 1) or bottom == 72.0
 
+    def test_margin_includes_fills(self):
+        # RawPage.py:125-157 unions blocks with ALL non-hyperlink shapes —
+        # a highlight fill extending past the text bbox widens the content
+        # bbox and shrinks the margins
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        from bella_domify_spark.parsers.pdflike.sections import calculate_margin
+        page = mk_page([mk_line("content", 90, 120, w=400)])
+        page.fills = [glyphdoc.Fill(bbox=(85.0, 118.0, 560.0, 133.0))]
+        left, right, top, bottom = calculate_margin(page)
+        assert left == 72.0                              # still capped
+        assert right == round(612.0 - 560.0 - 1.0, 1)    # fill widens content
+        assert top == round(118.0 * 0.5, 1)
+
+    def test_gutter_stroke_forces_single_column(self):
+        # a horizontal rule spanning the gutter joins the row grouping
+        # (reference groups blocks AND shapes, RawPage.py:170-173) and makes
+        # that row 1-column — but never leaks into the output columns
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        body = self._two_col_rows(100, 3)
+        rule = glyphdoc.Stroke(bbox=(72.0, 160.0, 532.0, 161.0))
+        tail = self._two_col_rows(180, 3)
+        secs = parse_sections(body + tail, (72.0, 540.0), shapes=[rule])
+        assert [len(s) for s in secs] == [2, 1, 2]
+        texts = [l.text for s in secs for c in s for l in c]
+        assert all(isinstance(t, str) for t in texts)
+        assert len(texts) == 12      # the stroke itself is filtered out
+
+    def test_without_stroke_same_columns_merge(self):
+        # control for the gutter-stroke case: no stroke → one 2-col section
+        body = self._two_col_rows(100, 3)
+        tail = self._two_col_rows(180, 3)
+        secs = parse_sections(body + tail, (72.0, 540.0))
+        assert [len(s) for s in secs] == [2]
+
 
 class TestHeaderFooterVote:  # P7, page/Pages.py:251-401
     def _doc(self, n_pages=3):
@@ -484,6 +518,41 @@ class TestMetadata:  # P22/P24, TextSpan.py:279-330 + TextBlock.py:179-400
                              mk_line("v2", 200, 113, w=30)])
         _parse_alignment(b, (72.0, 540.0))
         assert b.alignment == "left"
+
+    def test_none_fallback_has_no_first_line_space(self):
+        # NONE→LEFT fallback happens AFTER the first_line_space assignment in
+        # the reference (TextBlock.py:395-398, then :207-209) — a ragged
+        # multi-row block that matches no alignment must not carry one
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("aaaa", 100, 100, 150), ("bb", 72, 113, 100),
+                         ("cccc", 140, 126, 320)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "left"
+        assert b.first_line_space is None
+
+    def test_single_row_left_zeroes_right_space(self):
+        # parse_horizontal_spacing single-row post-processing
+        # (TextBlock.py:215-225): LEFT → right_space=0
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("only", 72, 100, 200)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "left"
+        assert b.left_space == 0.0 and b.right_space == 0.0
+
+    def test_single_row_right_zeroes_left_space(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("only", 400, 100, 140)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "right"
+        assert b.left_space == 0.0
+        assert b.right_space == 0.0  # it already touched the right edge
+
+    def test_single_row_center_zeroes_both_spaces(self):
+        from bella_domify_spark.parsers.pdflike.metadata import _parse_alignment
+        b = self._block([("mid", 256, 100, 100)])
+        _parse_alignment(b, (72.0, 540.0))
+        assert b.alignment == "center"
+        assert b.left_space == 0.0 and b.right_space == 0.0
 
     def test_line_spacing_min_default(self):
         from bella_domify_spark.parsers.pdflike.metadata import _parse_line_spacing
