@@ -9,10 +9,10 @@ Parity targets in /root/reference/doc_parser/dom_parser/parsers/pdf:
   overlap ≥ 0.75; underline: stroke within 0.25·span height of the span
   bottom; strike: 0.35-0.75·span height above the bottom; hyperlink: span
   uri), and the stroke-vs-border test of shape/Shape.py:224-248 (same
-  orientation, never exceeding the line's main extent). Subset: styles
-  attach to whole spans — the reference's span *splitting* at style
-  boundaries (text/Lines.py:274-308) is not ported since it only refines
-  style granularity, not text.
+  orientation, never exceeding the line's main extent). Spans are SPLIT at
+  style boundaries (text/Lines.py:274-308 → TextSpan.split) so the style
+  attaches only to the intersection part; the split never changes line text
+  (spans concatenate with no separator).
 - P24 alignment & spacing — text/TextBlock.py:179-400 ``_parse_alignment``
   (per-row X0/X1/center dispersion with 1.0/1.0/2.0 pt thresholds,
   config.py:35-37; JUSTIFY needs ≥3 rows; tab-stop rows force LEFT),
@@ -60,39 +60,113 @@ def _is_style_stroke(stroke, line) -> bool:
     return stroke.x0 >= line.bbox[0] - 2.0 and stroke.x1 <= line.bbox[2] + 2.0
 
 
+def _copy_span(span, text: str, bbox: tuple):
+    from bella_domify_spark.core.blocks import Span
+    return Span(text=text, bbox=bbox, font=span.font, size=span.size,
+                flags=span.flags, pseudo_bold=span.pseudo_bold,
+                is_image=False, uri=span.uri, style=list(span.style),
+                line_height=span.line_height)
+
+
+def _split_span_by_rect(span, rect: tuple):
+    """TextSpan.split (TextSpan.py:202-277): split span into
+    span-intersection-span; only the intersection part may take the style.
+    Char containment mirrors Char.contained_in_rect (Char.py:33-58: x-overlap
+    > 0.5·char width). Glyph payloads join chars into text at load, so char
+    extents are the uniform division of the span bbox — exact on the
+    fixed-pitch synthetic corpus, proportional otherwise (metadata-only).
+
+    Returns None when the rect misses the span bbox (keep span unsplit), or
+    a list of (span, is_intersection) parts."""
+    x0, y0, x1, y1 = span.bbox
+    ix0, ix1 = max(x0, rect[0]), min(x1, rect[2])
+    iy0, iy1 = max(y0, rect[1]), min(y1, rect[3])
+    n = len(span.text)
+    if ix0 >= ix1 or iy0 >= iy1 or n == 0:
+        return None
+    w = (x1 - x0) / n
+    hit = [i for i in range(n)
+           if min(x0 + (i + 1) * w, rect[2]) - max(x0 + i * w, rect[0])
+           > 0.5 * w] if w > 0 else []
+    # reference takes first hit + hit count as a contiguous run
+    pos = hit[0] if hit else -1
+    length = len(hit)
+    pos_end = max(pos + length, 0)
+    parts = []
+    if pos > 0:
+        parts.append((_copy_span(span, span.text[:pos],
+                                 (x0, y0, ix0, y1)), False))
+    if length > 0:
+        parts.append((_copy_span(span, span.text[pos:pos_end],
+                                 (ix0, y0, ix1, y1)), True))
+    if pos_end < n:
+        # reference quirk preserved: when the rect intersects the bbox but
+        # captures no chars, the whole text lands here with a shrunk bbox
+        parts.append((_copy_span(span, span.text[pos_end:],
+                                 (ix1, y0, x1, y1)), False))
+    return parts or None
+
+
+def _classify_style(span, rect: tuple, color: int) -> None:
+    """TextSpan._parse_text_format (TextSpan.py:279-337) on the intersection
+    part: highlight / underline / strike by rect height and distance to the
+    span bottom; highlight additionally needs non-white color and a ≥0.75
+    main-bbox overlap (Element.get_main_bbox, intersection over the smaller
+    area)."""
+    h_span = span.bbox[3] - span.bbox[1]
+    if h_span <= 0:
+        return
+    h_rect = rect[3] - rect[1]
+    d = abs(span.bbox[3] - rect[1])
+    if h_rect >= 0.5 * h_span:
+        inter = _overlap(span.bbox, rect)
+        a_span = (span.bbox[2] - span.bbox[0]) * h_span
+        a_rect = (rect[2] - rect[0]) * h_rect
+        small = min(a_span, a_rect)
+        if color != WHITE and small > 0 and inter / small >= 0.75:
+            span.style.append({"type": "highlight", "color": color})
+    elif d <= 0.25 * h_span:
+        span.style.append({"type": "underline", "color": color})
+    elif 0.35 * h_span < d < 0.75 * h_span:
+        span.style.append({"type": "strike", "color": color})
+
+
 def parse_text_styles(page: RawPage) -> None:
-    """Attach style dicts to spans from the page's fills/strokes + uris.
-    Must run AFTER table parsing so borders are already consumed where
-    possible; the orientation/extent test rejects remaining borders."""
+    """P22 full: split spans at style boundaries and attach style dicts to
+    the intersection parts (Lines.parse_text_format, Lines.py:274-308 →
+    TextSpan.split). Hyperlinks stay whole-span — our payloads carry the uri
+    on the span itself rather than as a shape. Must run AFTER table parsing
+    so borders are already consumed where possible; the orientation/extent
+    test (_is_style_stroke) rejects remaining borders like the reference's
+    potential-type filter (Shapes.text_style_shapes, Shapes.py:84-92)."""
     for line in page.lines:
         for span in line.spans:
-            if span.is_image:
-                continue
-            h_span = span.bbox[3] - span.bbox[1]
-            if h_span <= 0:
-                continue
-            if span.uri:
+            if not span.is_image and span.uri:
                 span.style.append({"type": "hyperlink", "uri": span.uri})
-            for fill in page.fills:
-                h_rect = fill.bbox[3] - fill.bbox[1]
-                inter = _overlap(span.bbox, fill.bbox)
-                area = (span.bbox[2] - span.bbox[0]) * h_span
-                if h_rect >= 0.5 * h_span and fill.color != WHITE and \
-                        area > 0 and inter / area >= 0.75:
-                    span.style.append({"type": "highlight",
-                                       "color": fill.color})
-            for stroke in page.strokes:
-                if not _is_style_stroke(stroke, line):
+
+    shapes = [(f, f.color, False) for f in page.fills] + \
+             [(s, s.color, True) for s in page.strokes]
+    for shape, color, is_stroke in shapes:
+        for line in page.lines:
+            if is_stroke and not _is_style_stroke(shape, line):
+                continue
+            eb = (line.bbox[0] - MAJOR_DIST, line.bbox[1] - MAJOR_DIST,
+                  line.bbox[2] + MAJOR_DIST, line.bbox[3] + MAJOR_DIST)
+            if not (shape.bbox[0] < eb[2] and eb[0] < shape.bbox[2] and
+                    shape.bbox[1] < eb[3] and eb[1] < shape.bbox[3]):
+                continue
+            new_spans = []
+            for span in line.spans:
+                parts = None if span.is_image else \
+                    _split_span_by_rect(span, shape.bbox)
+                if parts is None:
+                    new_spans.append(span)
                     continue
-                if not (stroke.x0 <= span.bbox[2] and span.bbox[0] <= stroke.x1):
-                    continue
-                d = abs(span.bbox[3] - stroke.y0)
-                if d <= 0.25 * h_span:
-                    span.style.append({"type": "underline",
-                                       "color": stroke.color})
-                elif 0.35 * h_span < d < 0.75 * h_span:
-                    span.style.append({"type": "strike",
-                                       "color": stroke.color})
+                for part, is_mid in parts:
+                    if is_mid:
+                        _classify_style(part, shape.bbox, color)
+                    new_spans.append(part)
+            line.spans = new_spans
 
 
 # ---------------------------------------------------------------------------

@@ -573,6 +573,55 @@ class TestMetadata:  # P22/P24, TextSpan.py:279-330 + TextBlock.py:179-400
         kinds = {s["type"] for s in line.spans[0].style}
         assert kinds == {"underline", "highlight"}
 
+    def test_partial_fill_splits_span(self):
+        # P22 full: a highlight covering only some chars splits the span
+        # span-intersection-span (TextSpan.py:202-277); only the middle part
+        # takes the style, and line text is unchanged
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        from bella_domify_spark.parsers.pdflike.metadata import parse_text_styles
+        line = mk_line("abcdefghij", 100, 200, w=100)  # 10 chars, 10pt each
+        b = line.bbox
+        page = mk_page([line])
+        # cover chars 3..6 (x 130..170) with a tall yellow fill
+        page.fills = [glyphdoc.Fill(bbox=(130.0, b[1] - 1, 170.0, b[3] + 1),
+                                    color=0xFFFF00)]
+        parse_text_styles(page)
+        assert [s.text for s in line.spans] == ["abc", "defg", "hij"]
+        assert line.spans[0].style == [] and line.spans[2].style == []
+        assert line.spans[1].style == [{"type": "highlight", "color": 0xFFFF00}]
+        assert line.text == "abcdefghij"
+        assert line.spans[1].bbox == (130.0, b[1], 170.0, b[3])
+
+    def test_partial_underline_splits_span(self):
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        from bella_domify_spark.parsers.pdflike.metadata import parse_text_styles
+        line = mk_line("abcdefghij", 100, 200, w=100)
+        b = line.bbox
+        page = mk_page([line])
+        # stroke under the last 4 chars, overlapping the span bottom edge
+        page.strokes = [glyphdoc.Stroke(
+            bbox=(160.0, b[3] - 0.5, 200.0, b[3] + 0.5))]
+        parse_text_styles(page)
+        assert [s.text for s in line.spans] == ["abcdef", "ghij"]
+        assert line.spans[0].style == []
+        assert line.spans[1].style == [{"type": "underline", "color": 0}]
+        assert line.text == "abcdefghij"
+
+    def test_non_intersecting_shape_keeps_span_whole(self):
+        # the reference requires a true bbox intersection (TextSpan.py:213-
+        # 219): a stroke strictly below the span bbox neither splits nor
+        # styles
+        from bella_domify_spark.parsers.pdflike import glyphdoc
+        from bella_domify_spark.parsers.pdflike.metadata import parse_text_styles
+        line = mk_line("abcdefghij", 100, 200, w=100)
+        b = line.bbox
+        page = mk_page([line])
+        page.strokes = [glyphdoc.Stroke(bbox=(100.0, b[3] + 1.0,
+                                              200.0, b[3] + 2.0))]
+        parse_text_styles(page)
+        assert [s.text for s in line.spans] == ["abcdefghij"]
+        assert line.spans[0].style == []
+
     def test_vertical_border_stroke_not_a_style(self):
         from bella_domify_spark.parsers.pdflike import glyphdoc
         from bella_domify_spark.parsers.pdflike.metadata import parse_text_styles
