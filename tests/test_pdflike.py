@@ -681,3 +681,53 @@ class TestStreamMergedCells:  # P16 + _inner_borders :353-358 rowspan rule
         assert tall.text == "tall"
         html = ts[0].to_html()
         assert "rowspan='3' colspan='1'>tall" in html
+
+    def test_colspan_from_nested_recursion(self):
+        # a line spanning two columns in one row: the columns merge at the
+        # top level, the per-row recursion re-splits the other rows with real
+        # vertical borders confined to their row (TablesConstructor.py:
+        # 376-381), and the grid walk turns the uncovered row into a colspan
+        from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
+
+        lines = [
+            mk_line("l0", 72, 100, w=40, h=10),
+            mk_line("l1", 72, 130, w=40, h=10),
+            mk_line("l2", 72, 160, w=40, h=10),
+            mk_line("m0", 222, 100, w=40, h=10),
+            # staggered so physical rows != aligned rows (veto passes)
+            mk_line("r0", 372, 106, w=40, h=10),
+            mk_line("wide", 222, 130, w=190, h=10),
+            mk_line("m2", 222, 160, w=40, h=10),
+            mk_line("r2", 372, 160, w=40, h=10),
+        ]
+        page = mk_page(lines)
+        ts = parse_stream_tables(page)
+        assert len(ts) == 1
+        cells = {(c.start_row, c.start_col): c for r in ts[0].rows for c in r}
+        # left 2-col-layout column: reference-only h-borders → one tall cell
+        left = cells[(0, 0)]
+        assert (left.end_row, left.text) == (2, "l0 l1 l2")
+        wide = cells[(1, 1)]
+        assert (wide.start_col, wide.end_col) == (1, 2)   # colspan 2
+        assert wide.text == "wide"
+        assert cells[(0, 1)].text == "m0" and cells[(0, 2)].text == "r0"
+        assert cells[(2, 1)].text == "m2" and cells[(2, 2)].text == "r2"
+
+    def test_two_col_layout_rebuilds_as_1xN(self):
+        # ≤2 columns → horizontal borders are reference-only (TablesConstructor
+        # .py:321-327): the "table" rebuilds the two-column LAYOUT as one row
+        from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
+
+        lines = [
+            mk_line("left one", 72, 100, w=180, h=10),
+            mk_line("left two", 72, 122, w=180, h=10),
+            # staggered: aligned rows = 2, physical rows = 4 → veto passes
+            mk_line("right one", 340, 108, w=180, h=10),
+            mk_line("right two", 340, 130, w=180, h=10),
+        ]
+        page = mk_page(lines)
+        ts = parse_stream_tables(page)
+        assert len(ts) == 1
+        assert len(ts[0].rows) == 1 and len(ts[0].rows[0]) == 2
+        assert ts[0].rows[0][0].text == "left one left two"
+        assert ts[0].rows[0][1].text == "right one right two"
