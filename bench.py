@@ -112,13 +112,17 @@ def main() -> int:
     tdf.unpersist()  # free executor memory before the analytics queries
 
     qs = entrymod.queries()
+    # the heavy hash/vector queries have shown 2-10x host-contention spikes
+    # that can survive best-of-2 (BENCH_r02's dedup_minhash_lsh) — give them
+    # a third attempt
+    extra = {"dedup_minhash_lsh", "simhash", "dedup_embedding", "ann_ivf_topk"}
     for name in ["q1_pricing_summary", "top_revenue_orders", "window_topk_orders",
                  "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
                  "simhash", "doc_quality", "ann_cosine_topk", "ann_ivf_topk",
                  "token_counts", "pdflike_extract"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
-              .mode("overwrite").save(), runs=2)
+              .mode("overwrite").save(), runs=3 if name in extra else 2)
 
     total = round(sum(timings.values()), 3)
     result = {
