@@ -84,6 +84,22 @@ def _q_extract_docxlike_flat(spark, sf):
     return d.select("doc_id", docx_flat_udf(payload).alias("flat_text"))
 
 
+def _q_extract_htmllike(spark, sf):
+    # HTML boilerplate strip + DOM heuristics (north-star extension —
+    # the reference treats .html as plain text, parse_manager.py:90-95):
+    # nav/style/footer must vanish, headings/entities must survive
+    from bella_domify_spark.engine.extract import html_extract_udf
+    d = _t(spark, sf, "documents")
+    payload = F.concat(
+        F.lit('<html><head><title>ignored</title><style>p{c:red}</style>'
+              '</head><body><nav><ul><li><a href="/">Home</a></li></ul>'
+              '</nav><article><h1>'),
+        F.col("source"), F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><h2>Meta &amp; Lang</h2><p>lang: "), F.col("lang"),
+        F.lit('</p></article><footer>(c) 2026 corp</footer></body></html>'))
+    return d.select("doc_id", html_extract_udf(payload).alias("main_text"))
+
+
 def _q_pdflike_extract(spark, sf):
     # The full pdflike layout engine (P1-P23, R1-R4, T1-T5) over
     # deterministic glyph payloads keyed by doc_id; oracle = pinned parquet
@@ -381,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_plaintext": _q_extract_plaintext,
         "extract_markdown_flatten": _q_extract_markdown_flatten,
         "extract_docxlike_flat": _q_extract_docxlike_flat,
+        "extract_htmllike": _q_extract_htmllike,
         "pdflike_extract": _q_pdflike_extract,
         "layout_flat_text": _q_layout_flat_text,
         "standard_tokens": _q_standard_tokens,
@@ -446,6 +463,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_docxlike_flat": f"""
             SELECT doc_id, {docx_flat} AS flat_text FROM documents
+        """,
+        "extract_htmllike": """
+            SELECT doc_id,
+                   '# ' || source || chr(10) || chr(10)
+                   || text || chr(10) || chr(10)
+                   || '## Meta & Lang' || chr(10) || chr(10)
+                   || 'lang: ' || lang || chr(10) || chr(10) AS main_text
+            FROM documents
         """,
         "layout_flat_text": """
             SELECT doc_id, '；' || text AS layout_text FROM documents

@@ -101,6 +101,15 @@ def pptx_flat_udf(texts: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def html_extract_udf(texts: pd.Series) -> pd.Series:
+    """HTML page → boilerplate strip + DOM heuristics → main-content
+    markdown (htmllike.py; engine extension per the north star)."""
+    from bella_domify_spark.parsers import htmllike
+
+    return texts.map(_safe(htmllike.extract_text))
+
+
+@F.pandas_udf(T.StringType())
 def xlsx_markdown_udf(texts: pd.Series) -> pd.Series:
     """Sheet-model payload → Excel domtree → markdown (one HTML table per
     sheet, excel/converter.py:85-186 + domtree.py:339-350)."""

@@ -6,6 +6,7 @@ carry no filename, so format is detected from payload shape (FIXTURES.md §1):
 
 - ``{"pages":``  prefix → PDF-like glyph document
 - ``<w:document`` prefix → DOCX-like WordprocessingML
+- ``<!doctype html`` / ``<html`` prefix → HTML (boilerplate-strip extension)
 - markdown block markers → markdown
 - anything else → plain text
 
@@ -35,6 +36,7 @@ FMT_MD = "markdown"
 FMT_TXT = "plaintext"
 FMT_XLSX = "xlsxlike"
 FMT_PPTX = "pptxlike"
+FMT_HTML = "htmllike"
 FMT_EMPTY = "empty"
 
 _MD_HINTS = re.compile(
@@ -54,6 +56,9 @@ def detect_format(text: Optional[str]) -> str:
         return FMT_PPTX
     if head.startswith("<w:document") or head.startswith("<document"):
         return FMT_DOCX
+    low = head[:16].lower()
+    if low.startswith("<!doctype html") or low.startswith("<html"):
+        return FMT_HTML
     if _MD_HINTS.search(text):
         return FMT_MD
     return FMT_TXT
@@ -83,6 +88,13 @@ def parse_payload(text: Optional[str]) -> dict:
             tree = txt.parse(extracted)
         elif fmt == FMT_DOCX:
             tree = docxlike.parse(text)
+            extracted = tree.to_markdown()
+        elif fmt == FMT_HTML:
+            # ENGINE EXTENSION: the reference routes .html through its txt
+            # converter (parse_manager.py:90-95); the north star asks for
+            # true boilerplate strip + DOM heuristics — see htmllike.py
+            from bella_domify_spark.parsers import htmllike
+            tree = htmllike.parse(text)
             extracted = tree.to_markdown()
         elif fmt == FMT_MD:
             # equality target: txt semantics; tree: block tokenizer

@@ -336,10 +336,65 @@ class _Typesetter:
         return json.dumps(doc, separators=(",", ":"))
 
 
+# ---------------- family H: html page with boilerplate ----------------
+
+def gen_htmllike(r: _Rng) -> str:
+    """Web-page payload: real main content wrapped in randomized boilerplate
+    (head/style/script, nav, banners, sidebars, footers, hidden elements) —
+    exercises the htmllike boilerplate-strip + DOM-heuristics extractor."""
+    out = ["<!DOCTYPE html><html><head>",
+           f"<title>{_esc(r.words(3).title())}</title>",
+           "<style>body { margin: 0; } /* <p> inside css */</style>"]
+    if r.rng.rand() < 0.6:
+        out.append('<script>var a = 1; if (a < 2) { document.title = "x"; }'
+                   "</script>")
+    out.append("</head><body>")
+    if r.rng.rand() < 0.7:
+        items = "".join(f'<li><a href="/{w}">{_esc(w)}</a></li>'
+                        for w in r.words(3).split())
+        out.append(f"<nav><ul>{items}</ul></nav>")
+    if r.rng.rand() < 0.4:
+        out.append(f"<header><h1>{_esc(r.words(2).upper())}</h1></header>")
+    if r.rng.rand() < 0.4:
+        out.append(f'<div class="sidebar"><p>{_esc(r.sentence(4, 8))}</p></div>')
+    if r.rng.rand() < 0.3:
+        out.append(f'<div style="display:none">{_esc(r.words(4))}</div>')
+
+    out.append("<article>")
+    out.append(f"<h1>{_esc(r.words(3).title())}</h1>")
+    for _ in range(int(r.rng.randint(1, 3))):
+        out.append(f"<p>{_esc(r.sentence(8, 18))} &amp; {_esc(r.words(2))}"
+                   f" &#8212; {_esc(r.words(1))}.</p>")
+    if r.rng.rand() < 0.6:
+        out.append(f"<h2>{_esc(r.words(2).title())}</h2>")
+        out.append(f"<p>{_esc(r.sentence(6, 12))}</p>")
+        if r.rng.rand() < 0.5:
+            lis = "".join(f"<li>{_esc(r.words(int(r.rng.randint(1, 4))))}</li>"
+                          for _ in range(int(r.rng.randint(2, 5))))
+            out.append(f"<ul>{lis}</ul>")
+    if r.rng.rand() < 0.35:
+        n_cols = int(r.rng.randint(2, 4))
+        head_cells = "".join(f"<th>{_esc(r.words(1))}</th>" for _ in range(n_cols))
+        rows = [f"<tr>{head_cells}</tr>"]
+        for _ in range(int(r.rng.randint(1, 4))):
+            cells = "".join(f"<td>{_esc(r.words(int(r.rng.randint(1, 3))))}</td>"
+                            for _ in range(n_cols))
+            rows.append(f"<tr>{cells}</tr>")
+        out.append("<table>" + "".join(rows) + "</table>")
+    if r.rng.rand() < 0.2:
+        out.append(f"<pre>code {{\n  {_esc(r.words(2))}\n}}</pre>")
+    out.append("</article>")
+    if r.rng.rand() < 0.7:
+        out.append(f'<footer>&copy; 2026 {_esc(r.words(1))} '
+                   f'<a href="/p">Privacy</a></footer>')
+    out.append("</body></html>")
+    return "".join(out)
+
+
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 9
+GEN_VERSION = 10
 
 
 def gen_pdflike(r: _Rng) -> str:

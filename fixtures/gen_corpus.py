@@ -4,9 +4,11 @@ Schema = BASELINE.json input_hint:
     (conv_id string, turn_idx int32, role string, text string, tool string,
      ts timestamp)
 
-Payload families (weights 55/20/15/10):
-    A plaintext, B markdown, C pdf-like glyph JSON, D docx-like XML
-plus ~1% empty/null turns (skip path).
+Payload families:
+    A plaintext (44%), B markdown (20%), C pdf-like glyph JSON (15%),
+    D docx-like XML (7%), E xlsx-like (3%), F pptx-like (3%),
+    H html page with boilerplate (6%)
+plus ~2% empty/null turns (skip path).
 
 Payload generators live in bella_domify_spark.synthdocs (shared with the
 pdflike correctness gate and shipped in engine.zip); this module assembles
@@ -28,6 +30,7 @@ from bella_domify_spark.synthdocs import (  # noqa: F401 (re-exported)
     GEN_VERSION,
     _Rng,
     gen_docxlike,
+    gen_htmllike,
     gen_markdown,
     gen_pdflike,
     gen_plaintext,
@@ -53,8 +56,10 @@ def _gen_conv(args):
             text = None
         elif u < 0.02:
             text = ""
-        elif u < 0.52:
+        elif u < 0.46:
             text = gen_plaintext(r)
+        elif u < 0.52:
+            text = gen_htmllike(r)
         elif u < 0.72:
             text = gen_markdown(r)
         elif u < 0.87:
