@@ -296,6 +296,13 @@ def _q_dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
 
 
+def _q_dedup_cluster_canonical(spark, sf):
+    # connected components over the near-dup graph: every doc with a dup
+    # gets its cluster's canonical (min) id + cluster size
+    from bella_domify_spark.ops.dedup import duplicate_clusters
+    return duplicate_clusters(_t(spark, sf, "documents"), threshold=0.2)
+
+
 def _q_simhash(spark, sf):
     from bella_domify_spark.ops.dedup import simhash
     return simhash(_t(spark, sf, "documents"))
@@ -421,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_embedding": _q_dedup_embedding,
         "simhash": _q_simhash,
         "doc_quality": _q_doc_quality,
@@ -631,6 +639,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        # connected components via recursive reachability closure: label =
+        # min reachable id — exact twin of Spark's min-label propagation
+        # fixpoint (components here are small; the CTE is O(comp²))
+        "dedup_cluster_canonical": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+            shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE f <= 1000),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY a.id, b.id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            ),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
+            SELECT node AS doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM lab
         """,
         # md5-seeded universal hash family — must mirror
         # bella_domify_spark/ops/hashfamily.py + dedup.py exactly

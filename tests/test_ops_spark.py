@@ -102,6 +102,29 @@ class TestDedup:
         assert (0, 1) in pairs
         assert (0, 2) in pairs
 
+    def test_duplicate_clusters(self, spark):
+        from bella_domify_spark.ops.dedup import duplicate_clusters
+
+        # chain A: 0-1 and 1-2 are near-dups but 0-2 may fall below the
+        # threshold — connected components must still place all three in one
+        # cluster (transitive closure, not pairwise grouping)
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        mid = base.replace("eta theta iota", "one two three")
+        far = mid.replace("alpha beta gamma", "four five six")
+        other = ("spark shuffle partition broadcast join skew salt adaptive "
+                 "execution stage codegen whole arrow batch pandas vector")
+        other2 = other.replace("skew salt", "tilt pepper")
+        docs = spark.createDataFrame(
+            [(10, base), (11, mid), (12, far), (13, other), (14, other2),
+             (15, "totally unrelated singleton document not matching")],
+            ["doc_id", "text"])
+        rows = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+                for r in duplicate_clusters(docs, threshold=0.3).collect()}
+        assert rows[10] == (10, 3) and rows[11] == (10, 3) and rows[12] == (10, 3)
+        assert rows[13] == (13, 2) and rows[14] == (13, 2)
+        assert 15 not in rows          # singletons are not emitted
+
 
 class TestAnn:
     def test_lsh_matches_exact_for_self(self, spark):
