@@ -308,6 +308,12 @@ def _q_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
 
+def _q_train_split(spark, sf):
+    # deterministic content-addressed train/val/test split (md5 mod 100)
+    from bella_domify_spark.ops.textstats import train_split
+    return train_split(_t(spark, sf, "documents"))
+
+
 def _q_doc_quality(spark, sf):
     from bella_domify_spark.ops.textstats import quality_features
     return quality_features(_t(spark, sf, "documents"))
@@ -432,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "simhash": _q_simhash,
         "doc_quality": _q_doc_quality,
+        "train_split": _q_train_split,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -748,6 +755,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
                        ::BIGINT AS simhash
             FROM votes GROUP BY id
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100)::INT AS bucket,
+                   CASE
+                       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 5
+                           THEN 'test'
+                       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+                           THEN 'val'
+                       ELSE 'train'
+                   END AS split
+            FROM documents
         """,
         "doc_quality": r"""
             SELECT doc_id,

@@ -102,3 +102,24 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
         r"\s+", " ")
     return df.select(F.col(id_col), F.md5(F.trim(norm)).alias("fingerprint"))
+
+
+def train_split(df: DataFrame, id_col: str = "doc_id",
+                val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5(id) mod 100.
+
+    Content-addressed splits are the training-pipeline staple — stable
+    across runs, cluster sizes, and row order (unlike ``df.randomSplit``,
+    whose assignment depends on partitioning), and new data lands in the
+    same proportions without reshuffling old rows. Pure Catalyst
+    expressions; no shuffle at all — the assignment is a map-side
+    projection that scans at full width on 100 TB.
+    """
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                       1, 15), 16, 10).cast("long"),
+                    F.lit(100))
+    split = (F.when(bucket < test_pct, F.lit("test"))
+             .when(bucket < test_pct + val_pct, F.lit("val"))
+             .otherwise(F.lit("train")))
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"),
+                     split.alias("split"))

@@ -234,3 +234,22 @@ class TestMultimodal:
         assert all(r["frame_bytes"] == 5 for r in rows)
         assert bytes(rows[0]["frame"]) == b"01234"
         assert bytes(rows[2]["frame"]) == b"abcde"
+
+
+class TestSplit:
+    def test_train_split_deterministic_and_proportional(self, spark):
+        from bella_domify_spark.ops.textstats import train_split
+
+        docs = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+        rows = {r["doc_id"]: (r["bucket"], r["split"])
+                for r in train_split(docs).collect()}
+        again = {r["doc_id"]: (r["bucket"], r["split"])
+                 for r in train_split(docs.repartition(7)).collect()}
+        assert rows == again                     # partitioning-independent
+        from collections import Counter
+        c = Counter(s for _, s in rows.values())
+        assert c["train"] + c["val"] + c["test"] == 2000
+        assert 0.03 < c["test"] / 2000 < 0.07    # ~5% each
+        assert 0.03 < c["val"] / 2000 < 0.07
+        for i, (b, s) in rows.items():
+            assert s == ("test" if b < 5 else "val" if b < 10 else "train")
