@@ -232,7 +232,22 @@ def _font_table(doc: dict) -> dict:
 
 
 def load(payload: str) -> List[RawPage]:
+    return load_doc(payload)[0]
+
+
+def load_doc(payload: str) -> tuple:
+    """(pages, bookmark_titles): bookmark titles come from the payload's
+    optional ``toc`` array of ``[level, title, page]`` rows — the analogue
+    of ``fitz.utils.get_toc`` seeding ``catalog_title_list``
+    (Pages.py:26-32, :46), normalized the same way (strip + drop spaces)."""
     doc = json.loads(payload)
+    toc_titles = [str(item[1]).strip().replace(" ", "")
+                  for item in doc.get("toc", [])
+                  if isinstance(item, (list, tuple)) and len(item) >= 2]
+    return _load_pages(doc), toc_titles
+
+
+def _load_pages(doc: dict) -> List[RawPage]:
     font_map = _font_table(doc)
     pages: List[RawPage] = []
     for pid, p in enumerate(doc.get("pages", [])):

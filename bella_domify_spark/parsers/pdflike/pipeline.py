@@ -40,7 +40,7 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
           parse_stream_table: bool = False) -> DomTree:
     """``parse_stream_table`` defaults False like production
     (reference services/parse_manager.py:572-578)."""
-    pages = glyphdoc.load(payload)
+    pages, bookmark_titles = glyphdoc.load_doc(payload)
     if not pages:
         return DomTree()
 
@@ -49,7 +49,10 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
     is_cover = docscan.detect_cover(pages)
     if is_cover and filter_cover:
         pages = pages[1:]
-    catalog_titles = docscan.parse_catalog(pages, filter_catalog=filter_catalog)
+    # PDF-bookmark titles seed the list; the parsed TOC extends it
+    # (Pages.py:46 + :126-127)
+    catalog_titles = bookmark_titles + \
+        docscan.parse_catalog(pages, filter_catalog=filter_catalog)
     docscan.mark_titles_from_catalog(pages, catalog_titles)
 
     # ---- page-level layout (P11-P23) ----

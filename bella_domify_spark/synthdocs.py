@@ -394,7 +394,7 @@ def gen_htmllike(r: _Rng) -> str:
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 10
+GEN_VERSION = 11
 
 
 def gen_pdflike(r: _Rng) -> str:
@@ -435,14 +435,21 @@ def gen_pdflike(r: _Rng) -> str:
             ts.paragraph(r.sentence(25, 45))
         return ts.finalize()
     if scenario == 2:
-        # ordered + unordered lists under a paragraph; styled lines (P22)
+        # ordered + unordered lists under a paragraph; styled lines (P22);
+        # plus a PDF-bookmark title (P10): a body-sized line promoted to
+        # Title ONLY because the payload's toc names it
         ts.paragraph(r.sentence(20, 35))
         ts.style_last_line("underline")
         ts.list_items([r.words(4) for _ in range(3)], ordered=True)
+        ts._ensure_room(LINE_H * 2)
+        ts.line(titles[0], MARGIN, size=10.5, flags=0)
+        ts.y += 4.0
         ts.paragraph(r.sentence(15, 25))
         ts.style_last_line("highlight")
         ts.list_items([r.words(3) for _ in range(2)], ordered=False)
-        return ts.finalize()
+        doc = json.loads(ts.finalize())
+        doc["toc"] = [[1, titles[0], 1]]
+        return json.dumps(doc, separators=(",", ":"))
     if scenario == 3:
         # ruled table with merged cell + a wrapped two-line cell (P17),
         # caption + later reference

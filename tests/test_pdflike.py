@@ -632,6 +632,59 @@ class TestMetadata:  # P22/P24, TextSpan.py:279-330 + TextBlock.py:179-400
         assert line.spans[0].style == []
 
 
+class TestBookmarkTitles:  # P10, Pages.py:26-32 + :46 (fitz get_toc seed)
+    def test_toc_field_promotes_matching_line(self):
+        import json as _json
+        payload = {
+            "pages": [{
+                "width": 612.0, "height": 792.0, "shapes": [],
+                "blocks": [
+                    {"type": 0, "bbox": [72, 100, 400, 112], "lines": [
+                        {"bbox": [72, 100, 400, 112], "dir": [1.0, 0.0],
+                         "spans": [{"text": "Plain Section Name",
+                                    "bbox": [72, 100, 400, 112],
+                                    "font": "Helvetica", "size": 10.5,
+                                    "flags": 0}]}]},
+                    {"type": 0, "bbox": [72, 130, 480, 142], "lines": [
+                        {"bbox": [72, 130, 480, 142], "dir": [1.0, 0.0],
+                         "spans": [{"text": "body paragraph follows here with words",
+                                    "bbox": [72, 130, 480, 142],
+                                    "font": "Helvetica", "size": 10.5,
+                                    "flags": 0}]}]},
+                ],
+            }],
+            # normalization = strip + drop ALL spaces (Pages.py:30-31)
+            "toc": [[1, "  Plain  Section Name ", 1]],
+        }
+        md = pipeline.parse(_json.dumps(payload)).to_markdown()
+        assert "# Plain Section Name\n\n" in md
+
+    def test_without_toc_stays_text(self):
+        import json as _json
+        payload = {
+            "pages": [{
+                "width": 612.0, "height": 792.0, "shapes": [],
+                "blocks": [
+                    {"type": 0, "bbox": [72, 100, 400, 112], "lines": [
+                        {"bbox": [72, 100, 400, 112], "dir": [1.0, 0.0],
+                         "spans": [{"text": "Plain Section Name",
+                                    "bbox": [72, 100, 400, 112],
+                                    "font": "Helvetica", "size": 10.5,
+                                    "flags": 0}]}]},
+                    {"type": 0, "bbox": [72, 130, 480, 142], "lines": [
+                        {"bbox": [72, 130, 480, 142], "dir": [1.0, 0.0],
+                         "spans": [{"text": "body paragraph follows here with words",
+                                    "bbox": [72, 130, 480, 142],
+                                    "font": "Helvetica", "size": 10.5,
+                                    "flags": 0}]}]},
+                ],
+            }],
+        }
+        md = pipeline.parse(_json.dumps(payload)).to_markdown()
+        assert "# Plain Section Name" not in md
+        assert "Plain Section Name\n\n" in md
+
+
 class TestEndToEnd:
     def test_multipage_article(self):
         pages = []
