@@ -26,6 +26,15 @@ payloads = st.one_of(
     st.text(max_size=200).map(lambda s: '{"sheets"' + s),
     st.text(max_size=200).map(lambda s: '{"slides"' + s),
     st.text(max_size=200).map(lambda s: "<w:document" + s),
+    st.text(max_size=200).map(lambda s: "<html" + s),
+    st.text(max_size=200).map(lambda s: "<!DOCTYPE html>" + s),
+    # tag soup: html-ish markup with unbalanced/hostile structure
+    st.lists(st.sampled_from(
+        ["<p>", "</p>", "<div class='sidebar'>", "</div>", "<table>", "<tr>",
+         "<td rowspan='x'>", "</table>", "<li>", "<script>", "</script>",
+         "<h1>", "</h2>", "<pre>", "&amp;", "&#x41;", "&bogus;", "txt ",
+         "<![CDATA[", "<!--", "-->", "<br/>", "<footer>"]),
+        max_size=30).map(lambda parts: "<html>" + "".join(parts)),
     st.recursive(
         st.one_of(st.none(), st.booleans(), st.integers(), st.floats(),
                   st.text(max_size=20)),
