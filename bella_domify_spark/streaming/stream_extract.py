@@ -103,3 +103,17 @@ def conversation_state(stream_df: DataFrame) -> DataFrame:
                                     stateStructType=CONV_STATE_SCHEMA,
                                     outputMode="update",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def dedup_stream(stream_df: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact-dedup: keep the first occurrence of each content
+    fingerprint (md5 of text). ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state by event time — at 10^12-turn scale an unbounded distinct
+    state is impossible, so duplicates are only suppressed within the
+    watermark horizon (the classic trade: state size vs dedup window).
+    Emits the surviving turns unchanged."""
+    return (stream_df
+            .withColumn("text_md5", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_md5"])
+            .drop("text_md5"))

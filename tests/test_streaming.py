@@ -95,3 +95,45 @@ class TestStreamingExtraction:
         # conversations long enough to span batches produced >1 update row
         multi = got.groupby("conv_id").size()
         assert (multi > 1).any()
+
+
+class TestStreamingDedup:
+    def test_dedup_stream_drops_repeats(self, spark, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+
+        from bella_domify_spark.streaming.stream_extract import (
+            dedup_stream,
+            read_transcript_stream,
+        )
+
+        base = dt.datetime(2026, 1, 1)
+        rows = []
+        # 3 distinct texts, each appearing 3 times across conversations
+        for i in range(9):
+            rows.append({"conv_id": f"c{i % 2}", "turn_idx": i,
+                         "role": "user", "text": f"payload {i % 3}",
+                         "tool": "", "ts": base + dt.timedelta(minutes=i)})
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        src = str(tmp_path / "in")
+        os.makedirs(src, exist_ok=True)
+        pdf.to_parquet(f"{src}/part-0.parquet", index=False)
+
+        out = str(tmp_path / "out")
+        q = (dedup_stream(read_transcript_stream(spark, src))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        got = spark.read.parquet(out)
+        assert got.count() == 3                       # one per distinct text
+        assert {r["text"] for r in got.collect()} == \
+            {"payload 0", "payload 1", "payload 2"}
+        # survivor = first occurrence by event time
+        assert {r["turn_idx"] for r in got.collect()} == {0, 1, 2}
