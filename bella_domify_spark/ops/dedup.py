@@ -273,6 +273,7 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
               .withColumn("label", F.col("node"))).persist()
     labels.count()
 
+    converged = False
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym.src == labels.node)
                 .select(F.col("dst").alias("node"), F.col("label")))
@@ -285,12 +286,27 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently-split clusters are wrong output; fail loudly instead
+        # (a component diameter > max_iter wants large-star/small-star)
+        labels.unpersist()
+        sym.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise it or switch to "
+            "the large-star/small-star variant")
 
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (labels.join(sizes, "label")
            .select(F.col("node").alias(id_col),
                    F.col("label").alias("canonical_id"),
-                   "cluster_size"))
+                   "cluster_size")
+           # eager localCheckpoint materializes the result and cuts the
+           # iterative lineage, so the loop caches can be released now
+           # instead of leaking in executor storage for the session
+           .localCheckpoint(eager=True))
+    labels.unpersist()
     sym.unpersist()
     return out

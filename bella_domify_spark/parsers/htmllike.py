@@ -92,7 +92,12 @@ def decode_entities(text: str) -> str:
         if body.startswith("#"):
             try:
                 code = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
-                return chr(code) if 0 < code <= 0x10FFFF else m.group(0)
+                # exclude UTF-16 surrogates: a lone \ud800 is a valid Python
+                # str but NOT utf-8-encodable — it would kill the whole
+                # Arrow batch, violating the never-fail parse contract
+                if 0 < code <= 0x10FFFF and not 0xD800 <= code <= 0xDFFF:
+                    return chr(code)
+                return m.group(0)
             except (ValueError, OverflowError):
                 return m.group(0)
         return _ENTITIES.get(body, m.group(0))
@@ -139,6 +144,7 @@ def tokenize(html: str) -> List[Tuple[str, object]]:
     pre_depth = 0
     li_depth = 0
     table: Optional[List[List[tuple]]] = None
+    table_depth = 0
     row: Optional[List[tuple]] = None
     cell_buf: Optional[List[str]] = None
     cell_span: Tuple[int, int] = (1, 1)
@@ -210,8 +216,10 @@ def tokenize(html: str) -> List[Tuple[str, object]]:
                             break
             elif name in RAW_TEXT_TAGS and not self_closing:
                 raw_skip = name
-            elif not self_closing and name not in VOID_TAGS and \
-                    _is_boiler_element(name, tok):
+            elif not self_closing and name not in VOID_TAGS:
+                # EVERY nested open tag joins the frame — a same-name child
+                # (<div> inside a boiler <div>) must consume its own close
+                # tag, or the boiler frame would pop early and leak content
                 skip_stack.append(name)
             continue
 
@@ -229,16 +237,28 @@ def tokenize(html: str) -> List[Tuple[str, object]]:
 
         if name == "table":
             if not closing:
-                flush()
-                table, row, cell_buf = [], None, None
+                if table is None:
+                    flush()
+                    table, row, cell_buf = [], None, None
+                    table_depth = 1
+                else:
+                    # nested table: its text flows into the parent cell —
+                    # structure is flattened, content is never dropped
+                    table_depth += 1
             else:
-                close_row()
-                if table:
-                    blocks.append(("table", table))
-                table = None
+                table_depth = max(0, table_depth - 1)
+                if table_depth == 0:
+                    close_row()
+                    if table:
+                        blocks.append(("table", table))
+                    table = None
             continue
         if table is not None:
-            if name == "tr":
+            if table_depth > 1:
+                # inside a nested table: tr/td act as plain separators
+                if name in ("tr", "td", "th") and cell_buf is not None:
+                    cell_buf.append(" ")
+            elif name == "tr":
                 close_row()
                 if not closing:
                     row = []
@@ -265,6 +285,13 @@ def tokenize(html: str) -> List[Tuple[str, object]]:
         if name == "li":
             flush("listitem" if closing else None)
             li_depth = max(0, li_depth - 1) if closing else li_depth + 1
+            continue
+        if name in ("ul", "ol", "dl", "menu") and closing:
+            # implicitly-closed <li>s must not leak list context past the
+            # list itself (an unmatched <li> would otherwise mark every
+            # later paragraph in the document as a list item)
+            flush("listitem" if li_depth else None)
+            li_depth = 0
             continue
         if name == "pre":
             flush()

@@ -32,7 +32,7 @@ payloads = st.one_of(
     st.lists(st.sampled_from(
         ["<p>", "</p>", "<div class='sidebar'>", "</div>", "<table>", "<tr>",
          "<td rowspan='x'>", "</table>", "<li>", "<script>", "</script>",
-         "<h1>", "</h2>", "<pre>", "&amp;", "&#x41;", "&bogus;", "txt ",
+         "<h1>", "</h2>", "<pre>", "&amp;", "&#x41;", "&#xD800;", "&#57343;", "&bogus;", "txt ",
          "<![CDATA[", "<!--", "-->", "<br/>", "<footer>"]),
         max_size=30).map(lambda parts: "<html>" + "".join(parts)),
     st.recursive(
@@ -61,7 +61,11 @@ def test_parse_payload_never_raises(text):
     assert rec["status"] == "ok" or rec["status"].startswith(
         ("error:", "skipped_empty"))
     assert isinstance(rec["extracted_text"], str)
+    # Arrow/utf-8 encodability IS part of the contract: a lone surrogate in
+    # the output would kill the whole pandas-UDF batch, not just one row
+    rec["extracted_text"].encode("utf-8")
     if rec["domtree_json"] is not None:
+        rec["domtree_json"].encode("utf-8")
         json.loads(rec["domtree_json"])  # always valid JSON when present
 
 

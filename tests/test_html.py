@@ -129,6 +129,35 @@ class TestRobustness:
                 "<![CDATA[<p>also no</p>]]></body></html>")
         assert md(html) == "yes\n\n"
 
+    def test_surrogate_entities_stay_encoded(self):
+        # a decoded lone surrogate is a valid Python str that utf-8/Arrow
+        # CANNOT encode — it would kill the whole pandas-UDF batch; the
+        # entity must stay literal
+        out = md("<html><body><p>x &#xD800; y &#55296; z &#x41;</p></body></html>")
+        out.encode("utf-8")     # must not raise
+        assert out == "x &#xD800; y &#55296; z A\n\n"
+
+    def test_nested_same_tag_inside_boilerplate(self):
+        # a <div> inside a boiler <div> must consume its own close tag —
+        # otherwise the boiler frame pops early and junk leaks
+        html = ("<html><body><div class='sidebar'><div>ad</div>"
+                "<p>leaked junk</p></div><p>real</p></body></html>")
+        assert md(html) == "real\n\n"
+
+    def test_li_context_ends_with_the_list(self):
+        # implicitly-closed <li>s must not mark paragraphs AFTER the list
+        html = ("<html><body><ul><li>one<li>two</ul>"
+                "<p>normal paragraph</p></body></html>")
+        assert md(html) == "- one\n\n- two\n\nnormal paragraph\n\n"
+
+    def test_nested_table_content_not_dropped(self):
+        # nested tables flatten into the parent cell; outer rows survive
+        html = ("<html><body><table><tr><td>outer1</td></tr>"
+                "<tr><td>pre <table><tr><td>inner</td></tr></table></td></tr>"
+                "</table></body></html>")
+        out = md(html)
+        assert "outer1" in out and "inner" in out and "pre" in out
+
     def test_garbage_never_raises(self):
         for payload in ["<html", "<html>", "<html><<<>>></whatever>",
                         "<html><table><td>x", "<html>&#xZZ; &unknown; ok",
