@@ -15,6 +15,8 @@ Arrow UDF.
 from __future__ import annotations
 
 import json
+
+from bella_domify_spark.functions import fastjson
 from typing import List, Optional
 
 from bella_domify_spark.core.blocks import TableBlock, TextBlock
@@ -233,4 +235,4 @@ class DomTree:
         return {"root": node_dict(self.root)}
 
     def to_json(self) -> str:
-        return json.dumps(self.to_dict(), ensure_ascii=False, separators=(",", ":"))
+        return fastjson.dumps(self.to_dict())

@@ -19,6 +19,8 @@ csv normalization first); docx-like payloads walk the XML body
 from __future__ import annotations
 
 import json
+
+from bella_domify_spark.functions import fastjson
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -96,7 +98,7 @@ def _mark_holders(page_list: List[List[SimpleBlock]], header: bool) -> None:
 
 
 def pdflike_layout(payload: str) -> List[SimpleBlock]:
-    doc = json.loads(payload)
+    doc = fastjson.loads(payload)
     page_list: List[List[SimpleBlock]] = []
     for page_num, page in enumerate(doc.get("pages", [])):
         page_content: List[SimpleBlock] = []

@@ -12,6 +12,8 @@ lines, strip, and list recognition per line (text/Lines.py:74-80).
 from __future__ import annotations
 
 import json
+
+from bella_domify_spark.functions import fastjson
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -240,7 +242,7 @@ def load_doc(payload: str) -> tuple:
     optional ``toc`` array of ``[level, title, page]`` rows — the analogue
     of ``fitz.utils.get_toc`` seeding ``catalog_title_list``
     (Pages.py:26-32, :46), normalized the same way (strip + drop spaces)."""
-    doc = json.loads(payload)
+    doc = fastjson.loads(payload)
     toc_titles = [str(item[1]).strip().replace(" ", "")
                   for item in doc.get("toc", [])
                   if isinstance(item, (list, tuple)) and len(item) >= 2]

@@ -173,7 +173,8 @@ def parse_text_styles(page: RawPage) -> None:
 # P24 — alignment & spacing
 # ---------------------------------------------------------------------------
 
-def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
+def _parse_alignment(block: TextBlock, x_range: Tuple[float, float],
+                     phys_rows: Optional[List] = None) -> None:
     X0b, X1b = x_range
     d_left = round(block.bbox[0] - X0b, 1)
     d_right = round(X1b - block.bbox[2], 1)
@@ -183,8 +184,9 @@ def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
     block.left_space = d_left
     block.right_space = d_right
 
-    rows = [sorted(r, key=lambda l: l.bbox[0])
-            for r in group_physical_rows(block.lines, sort_rows=True)]
+    if phys_rows is None:
+        phys_rows = group_physical_rows(block.lines, sort_rows=True)
+    rows = [sorted(r, key=lambda l: l.bbox[0]) for r in phys_rows]
 
     def external_alignment() -> str:
         if abs(d_center) < CENTER_ALIGNED_THRESHOLD:
@@ -244,7 +246,8 @@ def _parse_alignment(block: TextBlock, x_range: Tuple[float, float]) -> None:
     block.alignment = alignment
 
 
-def _parse_line_spacing(block: TextBlock) -> None:
+def _parse_line_spacing(block: TextBlock,
+                        phys_rows: Optional[List] = None) -> None:
     # TextBlock.parse_relative_line_spacing (:231-259): standard height =
     # sum of per-row max span line_height (P6 font metric when available,
     # else the line's own bbox height)
@@ -256,7 +259,8 @@ def _parse_line_spacing(block: TextBlock) -> None:
         heights = [s.line_height for s in ln.spans if s.line_height]
         return max(heights) if heights else ln.bbox[3] - ln.bbox[1]
 
-    rows = group_physical_rows(block.lines, sort_rows=True)
+    rows = phys_rows if phys_rows is not None else \
+        group_physical_rows(block.lines, sort_rows=True)
     height = block.bbox[3] - block.bbox[1]
     std = sum(max(line_h(l) for l in row) for row in rows)
     spacing = height / std if std > 0 else DEFAULT_LINE_SPACING
@@ -271,8 +275,10 @@ def parse_alignment_spacing(blocks: List, x_range: Tuple[float, float],
     ref = y_ref if y_ref is not None else 0.0
     for block in blocks:
         if isinstance(block, TextBlock) and block.is_text_block and block.lines:
-            _parse_alignment(block, x_range)
-            _parse_line_spacing(block)
+            # both consumers group the same lines — do it once
+            phys_rows = group_physical_rows(block.lines, sort_rows=True)
+            _parse_alignment(block, x_range, phys_rows)
+            _parse_line_spacing(block, phys_rows)
         before = round(max(block.bbox[1] - ref, 0.0), 1)
         if isinstance(block, TextBlock):
             block.before_space = before

@@ -22,12 +22,14 @@ a layout-only format (the reference has no pptx domtree converter):
 from __future__ import annotations
 
 import json
+
+from bella_domify_spark.functions import fastjson
 from typing import List
 
 
 def layout_blocks(payload: str) -> List[tuple]:
     """[(type, text)] per shape; type ∈ {TEXT, IMAGE, TABLE}."""
-    doc = json.loads(payload)
+    doc = fastjson.loads(payload)
     out: List[tuple] = []
     for slide in doc.get("slides", []):
         for shape in slide.get("shapes", []):

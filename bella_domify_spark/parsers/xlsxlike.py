@@ -24,6 +24,8 @@ Parity targets in /root/reference:
 from __future__ import annotations
 
 import json
+
+from bella_domify_spark.functions import fastjson
 from typing import List, Optional, Tuple
 
 from bella_domify_spark.core.blocks import Cell, TableBlock
@@ -72,7 +74,7 @@ def _main_span(merged: List, r: int, c: int) -> Tuple[int, int]:
 
 def layout_text(payload: str) -> str:
     """F8: flat text with ``Sheet:`` headers and tab-joined cells."""
-    doc = json.loads(payload)
+    doc = fastjson.loads(payload)
     out = []
     for sheet in doc.get("sheets", []):
         out.append(f"Sheet: {sheet.get('name', '')}\n")
@@ -88,7 +90,7 @@ def layout_text(payload: str) -> str:
 
 def build_domtree(payload: str) -> DomTree:
     """F9: one TableBlock per sheet under root."""
-    doc = json.loads(payload)
+    doc = fastjson.loads(payload)
     tree = DomTree()
     for i, sheet in enumerate(doc.get("sheets", [])):
         merged = sheet.get("merged") or []
@@ -120,5 +122,5 @@ def extract_text(payload: str) -> str:
 
 
 def count_nodes(payload: str) -> int:
-    doc = json.loads(payload)
+    doc = fastjson.loads(payload)
     return len(doc.get("sheets", []))
