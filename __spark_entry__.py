@@ -491,7 +491,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '；' || text AS layout_text FROM documents
         """,
         "pdflike_extract": """
-            SELECT d.doc_id, e.extracted_text, e.n_nodes, e.status
+            SELECT d.doc_id, e.extracted_text, e.domtree_json, e.n_nodes,
+                   e.status
             FROM read_parquet('/root/repo/fixtures/pdflike_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
