@@ -405,6 +405,35 @@ def _q_multimodal_frames(spark, sf):
         F.lower(F.hex(F.substring("frame", 1, 8))).alias("frame_head_hex"))
 
 
+def _q_resumable_roundtrip(spark, sf):
+    """S4/S8 sink under the driver oracle: documents → transcript shape →
+    ``run_resumable`` (bucket assignment, resume filter, fused Arrow
+    parse+write, manifest-last commit) into a scratch dir; a second run must
+    be a no-op (resume idempotence); then read the bucket files back. Any
+    row written zero or twice breaks the row-count/hash compare against the
+    pure-SQL extraction oracle. Reference: services/parse_manager.py task
+    lifecycle + S3 result sink (SURVEY.md S4/S8)."""
+    import os
+    import shutil
+
+    from bella_domify_spark.engine.manifest import run_resumable
+
+    t = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"))
+    out = (f"/tmp/bds_roundtrip_{os.path.basename(sf.rstrip('/'))}"
+           f"_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    run_resumable(t, out, n_buckets=16)
+    second = run_resumable(t, out, n_buckets=16)
+    if second["buckets_written"] != 0:  # resume must skip committed buckets
+        raise AssertionError(f"resume re-wrote buckets: {second}")
+    got = spark.read.parquet(f"{out}/bucket-*.parquet")
+    return got.select(F.col("conv_id").cast("bigint").alias("doc_id"),
+                      "extracted_text", "status")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_plaintext": _q_extract_plaintext,
@@ -448,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
+        "resumable_roundtrip": _q_resumable_roundtrip,
     }
 
 
@@ -468,6 +498,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
+            FROM documents
+        """,
+        "resumable_roundtrip": """
+            SELECT doc_id, text || chr(10) || chr(10) AS extracted_text,
+                   'ok' AS status
             FROM documents
         """,
         "extract_markdown_flatten": """
