@@ -49,25 +49,84 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .select(q_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def train_centroids(vectors: DataFrame, n_centroids: int = 8, iters: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_fraction: Optional[float] = None) -> DataFrame:
+    """Lloyd's k-means producing an IVF centroid table (c_id, c_vec).
+
+    Seeds with the ``n_centroids`` lowest-id vectors (deterministic), then
+    iterates broadcast-assign → per-list mean. Each iteration costs one
+    broadcast join (map-side, no shuffle of the big table) plus one
+    aggregation shuffle keyed by list id; the centroid set itself stays
+    driver-resident-tiny. At 100 TB you'd train on a sample — pass
+    ``sample_fraction`` to push a deterministic-seed ``sample()`` into the
+    scan — and the full-corpus assignment still happens once, inside
+    ``ivf_topk``. Empty lists keep their previous centroid (standard Lloyd
+    degenerate-cluster handling)."""
+    src = vectors.select(F.col(id_col).alias("_id"),
+                         F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=7)
+    src = _widen(src).cache()
+    seed_pd = src.orderBy(F.asc("_id")).limit(n_centroids).select("_v").toPandas()
+    mat = np.array(seed_pd["_v"].tolist(), dtype="float64")
+    spark = vectors.sparkSession
+    for _ in range(iters):
+        bc = spark.createDataFrame(
+            [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))],
+            "c_id int, c_vec array<double>")
+        j = src.crossJoin(F.broadcast(bc))
+        scored = j.select(
+            "_id", "_v", "c_id",
+            (_dot(F.col("_v"), F.col("c_vec")) /
+             (_norm(F.col("_v")) * _norm(F.col("c_vec")))).alias("s"))
+        w = Window.partitionBy("_id").orderBy(F.desc("s"), F.asc("c_id"))
+        assigned = (scored.withColumn("r", F.row_number().over(w))
+                    .filter(F.col("r") == 1).select("c_id", "_v"))
+        # per-list elementwise mean: posexplode → (c_id, pos) avg → re-pack.
+        # Rows fan out ×dim but each is (int,int,double) — the narrow shape
+        # shuffles far less than the fat vectors would.
+        means = (assigned.select("c_id", F.posexplode("_v").alias("pos", "x"))
+                 .groupBy("c_id", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("c_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("c_id", F.transform("pm", lambda s: s["m"])
+                         .alias("c_vec")))
+        for row in means.collect():  # n_centroids rows — driver-tiny
+            mat[row["c_id"]] = np.array(row["c_vec"], dtype="float64")
+    src.unpersist()
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "c_id int, c_vec array<double>")
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             n_centroids: int = 8, n_probe: int = 2) -> DataFrame:
+             n_centroids: int = 8, n_probe: int = 2,
+             centroids: Optional[DataFrame] = None) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: every vector is
     assigned to its nearest centroid's list; a query scores only the lists
     of its ``n_probe`` nearest centroids.
 
-    Centroids here are the ``n_centroids`` lowest-id vectors — a one-pass
-    deterministic choice (no k-means iterations) that keeps the operator
-    SQL-twinnable; on a real corpus you'd plug in centroids trained on a
-    sample, the plan shape is identical. At scale: the centroid set is tiny
+    ``centroids`` (a (c_id, c_vec array<double>) DataFrame, e.g. from
+    ``train_centroids``) controls recall; when omitted, the ``n_centroids``
+    lowest-id vectors seed the lists — a one-pass deterministic choice (no
+    k-means iterations) that keeps the default operator SQL-twinnable. The
+    plan shape is identical either way. At scale: the centroid set is tiny
     and broadcast, assignment is a map-side broadcast join (no shuffle of
     the big side beyond the final list-id co-location), and query-time work
     is an equality join on list_id — candidates shrink by ~n_probe/
     n_centroids versus brute force."""
-    cents = (vectors.orderBy(F.asc(id_col)).limit(n_centroids)
-             .select(F.col(id_col).alias("c_id"),
-                     F.col(vec_col).cast("array<double>").alias("c_vec")))
+    if centroids is not None:
+        cents = centroids.select(F.col("c_id"),
+                                 F.col("c_vec").cast("array<double>")
+                                 .alias("c_vec"))
+    else:
+        cents = (vectors.orderBy(F.asc(id_col)).limit(n_centroids)
+                 .select(F.col(id_col).alias("c_id"),
+                         F.col(vec_col).cast("array<double>").alias("c_vec")))
 
     def nearest(df, in_id, in_vec, out_id, n_keep):
         j = df.crossJoin(F.broadcast(cents))
