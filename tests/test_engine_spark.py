@@ -109,6 +109,40 @@ class TestEndToEnd:
                 assert cur >= prev, f"order violated: {prev} -> {cur}"
             prev = cur
 
+    def test_multi_mb_payload_bounded_batches(self, spark, tmp_path):
+        # SURVEY §4 oversized-payload guard: a 10 MB single turn must flow
+        # through the fused parse+sink stage without failing, inside its own
+        # small Arrow batch (maxRecordsPerBatch bounds rows-per-batch, so a
+        # fat row caps worker memory at ~batch_rows × payload instead of
+        # partition × payload). The knob is documented in docs/PLANS.md and
+        # session.py; the shared test session uses 1024 — here we force an
+        # 8-row ceiling via a one-off pandas round and verify equality.
+        from bella_domify_spark.engine.manifest import run_resumable
+        from bella_domify_spark.parsers.dispatch import parse_payload
+
+        para = ("lorem ipsum dolor sit amet " * 40).strip() + "\n\n"
+        big = para * (10 * 1024 * 1024 // len(para) + 1)  # ~10 MB txt
+        assert len(big) > 10 * 1024 * 1024
+        rows = [("cBIG", 0, big)] + [
+            (f"c{i}", t, f"turn {i}.{t} body") for i in range(8)
+            for t in range(4)]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                         "text string")
+        out = str(tmp_path / "out")
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        try:
+            summary = run_resumable(df, out, n_buckets=8, partitions=4)
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        assert summary["rows"] == len(rows)
+        got = {(r["conv_id"], r["turn_idx"]): r
+               for r in spark.read.parquet(f"{out}/bucket-*.parquet").collect()}
+        assert len(got) == len(rows)
+        big_row = got[("cBIG", 0)]
+        assert big_row["status"] == "ok"
+        assert big_row["extracted_text"] == parse_payload(big)["extracted_text"]
+
     def test_error_isolation(self, spark):
         import pandas as pd
 
