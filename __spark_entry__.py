@@ -308,6 +308,18 @@ def _q_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
 
+def _q_dedup_cluster_simhash(spark, sf):
+    # components over the simhash near-dup graph (pigeonhole-blocked
+    # hamming<=3 candidate pairs) via the generalized connected_components,
+    # exercising the O(log n)-round two_star variant under the driver gate
+    # (dedup_cluster_canonical covers label_prop)
+    from bella_domify_spark.ops.dedup import simhash_near_dups
+    from bella_domify_spark.ops.graph import connected_components
+    pairs = simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+    return connected_components(pairs, node_out="doc_id",
+                                algorithm="two_star")
+
+
 def _q_train_split(spark, sf):
     # deterministic content-addressed train/val/test split (md5 mod 100)
     from bella_domify_spark.ops.textstats import train_split
@@ -464,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
+        "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "simhash": _q_simhash,
         "doc_quality": _q_doc_quality,
@@ -710,6 +723,54 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sa ON sa.id = id_a
                 JOIN sizes sb ON sb.id = id_b
                 WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            ),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
+            SELECT node AS doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM lab
+        """,
+        # simhash fingerprints (same md5-vote construction as "simhash"),
+        # all-pairs hamming <= 3 (exact superset of the pigeonhole blocking,
+        # which loses no pairs at this distance), recursive closure as in
+        # dedup_cluster_canonical
+        "dedup_cluster_simhash": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id AS id, t.tok
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            xs AS (
+                SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x
+                FROM tok
+            ),
+            votes AS (
+                SELECT id, b,
+                       sum(CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM xs, UNNEST(range(0, 60)) AS t(b)
+                GROUP BY id, b
+            ),
+            fp AS (
+                SELECT id,
+                       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                           ::BIGINT AS sh
+                FROM votes GROUP BY id
+            ),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM fp a JOIN fp b ON a.id < b.id
+                WHERE bit_count(xor(a.sh, b.sh)) <= 3
             ),
             sym AS (
                 SELECT id_a AS src, id_b AS dst FROM pairs

@@ -245,68 +245,19 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", threshold: float = 0.2,
-                       max_iter: int = 25) -> DataFrame:
+                       max_iter: int = 25,
+                       algorithm: str = "label_prop") -> DataFrame:
     """Connected components over the n-gram-Jaccard near-dup graph →
     ``(doc_id, canonical_id, cluster_size)`` for every document that has at
     least one near-duplicate; canonical = min id per component (the keeper).
 
-    Algorithm: min-label propagation. labels start as each node's own id;
-    each round every node takes the min of its own label and its neighbors'
-    labels; stop at fixpoint. Labels are monotonically non-increasing, so
-    the fixpoint probe (any label changed?) is exact.
+    Thin wrapper: candidate pairs from ``jaccard_pairs``, clustering from
+    ``ops.graph.connected_components`` — which also accepts simhash /
+    embedding / minhash pair sources directly, and offers the O(log n)-round
+    ``two_star`` variant. See that module for the algorithm trade-off and
+    the 100 TB shuffle analysis."""
+    from bella_domify_spark.ops.graph import connected_components
 
-    Scale notes (100 TB): the edge list is the *pair* output — orders of
-    magnitude smaller than the corpus — so each round is one shuffle over
-    edges + labels keyed by node id, broadcast-free and skew-tolerant (a
-    giant near-dup cluster salts naturally: messages group by node, not by
-    cluster). Rounds = graph diameter; near-dup clusters are short chains,
-    and the classic large-star/small-star variant bounds rounds at O(log n)
-    with the same per-round plan shape if diameters grow. Per-round persist
-    + unpersist keeps lineage flat (no exponential replay on failure).
-    """
     pairs = jaccard_pairs(df, id_col, text_col, threshold=threshold)
-    sym = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-           .unionAll(pairs.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst")))).persist()
-
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node"))).persist()
-    labels.count()
-
-    converged = False
-    for _ in range(max_iter):
-        msgs = (sym.join(labels, sym.src == labels.node)
-                .select(F.col("dst").alias("node"), F.col("label")))
-        new = (labels.unionAll(msgs).groupBy("node")
-               .agg(F.min("label").alias("label"))).persist()
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # silently-split clusters are wrong output; fail loudly instead
-        # (a component diameter > max_iter wants large-star/small-star)
-        labels.unpersist()
-        sym.unpersist()
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds — "
-            "component diameter exceeds max_iter; raise it or switch to "
-            "the large-star/small-star variant")
-
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = (labels.join(sizes, "label")
-           .select(F.col("node").alias(id_col),
-                   F.col("label").alias("canonical_id"),
-                   "cluster_size")
-           # eager localCheckpoint materializes the result and cuts the
-           # iterative lineage, so the loop caches can be released now
-           # instead of leaking in executor storage for the session
-           .localCheckpoint(eager=True))
-    labels.unpersist()
-    sym.unpersist()
-    return out
+    return connected_components(pairs, node_out=id_col,
+                                algorithm=algorithm, max_iter=max_iter)

@@ -1,0 +1,157 @@
+"""Distributed connected components over a near-duplicate pair list.
+
+Two interchangeable algorithms, both pure DataFrame ops (no RDDs, no
+driver-side graph):
+
+- ``label_prop`` — min-label propagation to fixpoint. One shuffle per
+  round over (edges ∪ labels) keyed by node id; rounds = component
+  diameter. The right default for near-dup graphs, whose components are
+  short chains.
+- ``two_star`` — alternating large-star / small-star edge rewriting
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14). Converges in O(log n) rounds regardless of diameter, at the
+  cost of two grouped shuffles per round; the escape hatch when a
+  pathological chain blows past ``label_prop``'s round budget.
+
+Both return ``(node, canonical_id, cluster_size)`` for every node that
+appears in the edge list; canonical = min node id per component.
+
+Scale notes (100 TB): the input is the *pair* output of a candidate
+generator (LSH bands, simhash chunks, hyperplane buckets) — orders of
+magnitude smaller than the corpus. Every round shuffles only edges +
+labels keyed by node id, broadcast-free and skew-tolerant (messages group
+by node, not by cluster, so a giant cluster salts naturally). Per-round
+persist/unpersist keeps lineage flat; the final result is eagerly
+localCheckpoint-ed so loop caches release immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetrize(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    return (pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .unionAll(pairs.select(F.col(dst).alias("src"),
+                                   F.col(src).alias("dst"))))
+
+
+def _finish(labels: DataFrame, node_out: str) -> DataFrame:
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("node").alias(node_out),
+                    F.col("label").alias("canonical_id"),
+                    "cluster_size")
+            .localCheckpoint(eager=True))
+
+
+def _label_prop(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation; returns (node, label) at fixpoint or raises."""
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (sym.join(labels, sym.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("label")))
+        # eager localCheckpoint (not persist): truncates the logical plan
+        # so per-round analysis cost stays constant across iterations
+        new = (labels.unionAll(msgs).groupBy("node")
+               .agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            return labels
+    # silently-split clusters are wrong output; fail loudly instead
+    raise RuntimeError(
+        f"connected_components(label_prop) did not converge in {max_iter} "
+        "rounds — component diameter exceeds max_iter; raise it or use "
+        "algorithm='two_star'")
+
+
+def _two_star(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation; returns (node, label) at fixpoint.
+
+    large-star: per node u over its full neighborhood N(u), connect every
+    strictly-larger neighbor to m = min(N(u) ∪ {u}).
+    small-star: orient edges (big, small), then per node u over its ≤
+    neighbors, connect them and u to their min.
+    The edge set monotonically approaches a forest of stars rooted at each
+    component's min; fixpoint = edge set unchanged.
+    """
+    # each round's output is eagerly localCheckpoint-ed: unlike persist,
+    # this truncates the *logical* plan too, so Catalyst analysis cost
+    # stays constant per round instead of compounding (the classic
+    # iterative-DataFrame blowup — measured seconds-per-round growth on a
+    # 12-edge graph without it)
+    edges = (sym.filter(F.col("src") != F.col("dst"))
+             .select(F.greatest("src", "dst").alias("src"),
+                     F.least("src", "dst").alias("dst"))
+             .distinct().localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        # ---- large-star ----
+        both = edges.unionAll(edges.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst")))
+        m = (both.groupBy("src")
+             .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        ls = (both.join(m, "src")
+              .filter(F.col("dst") > F.col("src"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        # keep (u, m) so u itself stays attached to its component min
+        ls = ls.unionAll(m.select("src", F.col("m").alias("dst")))
+        # ---- small-star ----
+        oriented = ls.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst")).distinct()
+        m2 = (oriented.groupBy("src")
+              .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        ss = (oriented.join(m2, "src")
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+              .unionAll(m2.select("src", F.col("m").alias("dst"))))
+        new = (ss.filter(F.col("src") != F.col("dst"))
+               .select(F.greatest("src", "dst").alias("src"),
+                       F.least("src", "dst").alias("dst"))
+               .distinct().localCheckpoint(eager=True))
+        changed = (new.exceptAll(edges).unionAll(edges.exceptAll(new))
+                   .limit(1).count())
+        edges = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(two_star) did not converge in {max_iter} "
+            "rounds")
+
+    # stars: every non-root points at its root; roots label themselves
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node"))).distinct())
+    root_of = edges.groupBy("src").agg(F.min("dst").alias("label"))
+    return (nodes.join(root_of, nodes.node == root_of.src, "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+            .localCheckpoint(eager=True))
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", node_out: str = "doc_id",
+                         algorithm: str = "label_prop",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster an undirected pair list into components: ``(node_out,
+    canonical_id, cluster_size)`` for every node with at least one edge.
+
+    ``pairs`` is any near-dup candidate output (jaccard_pairs,
+    simhash_near_dups, embedding_near_dups, minhash_lsh_pairs). See module
+    docstring for the algorithm trade-off."""
+    sym = _symmetrize(pairs, src, dst).persist()
+    try:
+        if algorithm == "label_prop":
+            labels = _label_prop(sym, max_iter)
+        elif algorithm == "two_star":
+            labels = _two_star(sym, max_iter)
+        else:
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        return _finish(labels, node_out)
+    finally:
+        sym.unpersist()

@@ -126,6 +126,70 @@ class TestDedup:
         assert 15 not in rows          # singletons are not emitted
 
 
+class TestConnectedComponents:
+    def _random_graph(self, seed=3, n=40, m=40):
+        import random
+
+        rng = random.Random(seed)
+        return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    def _reference_cc(self, edges):
+        # driver-side union-find ground truth
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                parent[find(a)] = find(b)
+        comp = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            for x in (a, b):
+                comp.setdefault(find(x), set()).add(x)
+        out = {}
+        for members in comp.values():
+            root = min(members)
+            for x in members:
+                out[x] = (root, len(members))
+        return out
+
+    def test_algorithms_agree_on_random_graph(self, spark):
+        from bella_domify_spark.ops.graph import connected_components
+
+        edges = self._random_graph()
+        expected = self._reference_cc(edges)
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        for alg in ("label_prop", "two_star"):
+            got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+                   for r in connected_components(
+                       df, algorithm=alg, max_iter=40).collect()}
+            assert got == expected, alg
+
+    def test_two_star_beats_diameter_bound(self, spark):
+        # a 40-node chain has diameter 39: label_prop cannot finish in 8
+        # rounds (and must fail loudly), while two_star converges in
+        # O(log n) rounds on the same budget
+        import pytest
+
+        from bella_domify_spark.ops.graph import connected_components
+
+        chain = [(i, i + 1) for i in range(39)]
+        df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+        got = {r["doc_id"]: r["canonical_id"]
+               for r in connected_components(
+                   df, algorithm="two_star", max_iter=8).collect()}
+        assert got == {i: 0 for i in range(40)}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, algorithm="label_prop", max_iter=8)
+
+
 class TestAnn:
     def test_lsh_matches_exact_for_self(self, spark):
         import numpy as np
