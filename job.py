@@ -1,9 +1,18 @@
 """spark-submit entry point for the extraction pipeline.
 
     spark-submit --py-files engine.zip job.py \
-        --input  <transcripts dir or parquet> \
+        --input  <transcripts dir/parquet OR catalog table, e.g.
+                  iceberg_cat.db.transcripts> \
         --output <output dir> \
         [--buckets 512] [--partitions 0=auto] [--run-id run1]
+
+--input is a filesystem path (read as parquet) unless it looks like a
+dotted catalog table name, which is read via spark.read.table — the way an
+Iceberg table is consumed (BASELINE input_hint); Iceberg needs the runtime
+jar + catalog conf on the submitting cluster, e.g.
+--conf spark.sql.catalog.iceberg_cat=org.apache.iceberg.spark.SparkCatalog.
+Either source reaches the same plan: hidden-partition/file pruning and
+column projection push into the scan (docs/PLANS.md §2).
 
 Build engine.zip with:  python tools/make_pyfiles.py
 
@@ -18,6 +27,15 @@ import argparse
 import json
 import sys
 import time
+
+
+def read_input(spark, source: str):
+    """Path → parquet scan; dotted catalog name (no slash, not a .parquet
+    file) → spark.read.table, which is how Iceberg/HMS tables are read."""
+    looks_like_table = ("/" not in source and "." in source
+                        and not source.endswith(".parquet"))
+    return (spark.read.table(source) if looks_like_table
+            else spark.read.parquet(source))
 
 
 def main(argv=None) -> int:
@@ -36,7 +54,7 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("bella-domify-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    df = spark.read.parquet(args.input)
+    df = read_input(spark, args.input)
     t0 = time.monotonic()
     summary = run_resumable(df, args.output, n_buckets=args.buckets,
                             partitions=args.partitions or None,

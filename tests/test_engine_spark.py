@@ -109,6 +109,18 @@ class TestEndToEnd:
                 assert cur >= prev, f"order violated: {prev} -> {cur}"
             prev = cur
 
+    def test_job_reads_catalog_table_or_path(self, spark, corpus):
+        # the spark-submit entrypoint accepts a dotted table name (how an
+        # Iceberg table is consumed) as well as a parquet path
+        from job import read_input
+
+        path_df = read_input(spark, f"{corpus}/transcripts.parquet")
+        src = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        src.limit(20).createOrReplaceGlobalTempView("transcripts_job_test")
+        table_df = read_input(spark, "global_temp.transcripts_job_test")
+        assert table_df.count() == 20
+        assert table_df.schema == path_df.schema
+
     def test_multi_mb_payload_bounded_batches(self, spark, tmp_path):
         # SURVEY §4 oversized-payload guard: a 10 MB single turn must flow
         # through the fused parse+sink stage without failing, inside its own
