@@ -417,6 +417,23 @@ def _q_multimodal_frames(spark, sf):
         F.lower(F.hex(F.substring("frame", 1, 8))).alias("frame_head_hex"))
 
 
+def _q_extraction_eval(spark, sf):
+    """Layout-evaluation harness under the driver gate: self-evaluate the
+    gate documents' trees (reference evaluation/run_evaluation.py analogue,
+    engine/evaluate.py). Even pred==label metrics are non-trivial — greedy
+    containment alignment makes some nodes 1vN, so n_1v1/mean_edit carry
+    real signal; the oracle is a pinned parquet from the same pure-Python
+    evaluation (tools/gen_eval_expected.py), proving the distributed
+    mapInPandas path bit-exactly."""
+    from bella_domify_spark.engine.evaluate import evaluate_extractions
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract
+    trees = (gate_extract(_t(spark, sf, "documents"))
+             .select("doc_id", "domtree_json").cache())
+    m = evaluate_extractions(trees, trees)
+    return m.select("doc_id", "n_label", "n_parsed", "n_1v1", "mean_edit",
+                    "structure_right", "structure_total")
+
+
 def _q_resumable_roundtrip(spark, sf):
     """S4/S8 sink under the driver oracle: documents → transcript shape →
     ``run_resumable`` (bucket assignment, resume filter, fused Arrow
@@ -491,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "resumable_roundtrip": _q_resumable_roundtrip,
+        "extraction_eval": _q_extraction_eval,
     }
 
 
@@ -517,6 +535,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text,
                    'ok' AS status
             FROM documents
+        """,
+        "extraction_eval": """
+            SELECT d.doc_id, e.n_label, e.n_parsed, e.n_1v1, e.mean_edit,
+                   e.structure_right, e.structure_total
+            FROM read_parquet('/root/repo/fixtures/eval_expected.parquet') e
+            JOIN documents d ON d.doc_id = e.doc_id
         """,
         "extract_markdown_flatten": """
             SELECT doc_id,

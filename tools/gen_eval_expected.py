@@ -1,0 +1,44 @@
+"""Regenerate fixtures/eval_expected.parquet — the pinned oracle for the
+``extraction_eval`` correctness-gate query (self-evaluation metrics of the
+gate documents' trees).
+
+Run after ANY change to the pdflike parse, synthdocs, or evaluation
+semantics:
+
+    python tools/gen_eval_expected.py [max_doc_id]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures", "eval_expected.parquet")
+
+
+def main(max_doc_id: int = 5000) -> None:
+    import pandas as pd
+
+    from bella_domify_spark.engine.evaluate import evaluate_pair
+    from bella_domify_spark.parsers.pdflike.gate import gate_record
+
+    rows = []
+    for i in range(max_doc_id):
+        tree = gate_record(i)["domtree_json"]
+        rec = evaluate_pair(tree, tree)
+        rec.pop("confusion")
+        rec["doc_id"] = i
+        rows.append(rec)
+    df = pd.DataFrame(rows)[["doc_id", "n_label", "n_parsed", "n_1v1",
+                             "mean_edit", "structure_right",
+                             "structure_total"]]
+    df.to_parquet(OUT, index=False)
+    print(f"wrote {len(df)} rows to {OUT} "
+          f"({os.path.getsize(OUT) / 1e3:.0f} KB)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5000)
