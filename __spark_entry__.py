@@ -427,8 +427,11 @@ def _q_extraction_eval(spark, sf):
     mapInPandas path bit-exactly."""
     from bella_domify_spark.engine.evaluate import evaluate_extractions
     from bella_domify_spark.parsers.pdflike.gate import gate_extract
+    # no cache: the self-join's two branches each re-run the parse (~2x
+    # gate cost) but nothing is pinned in executor storage after the query
+    # — a session running all 44 queries must not accumulate cached trees
     trees = (gate_extract(_t(spark, sf, "documents"))
-             .select("doc_id", "domtree_json").cache())
+             .select("doc_id", "domtree_json"))
     m = evaluate_extractions(trees, trees)
     return m.select("doc_id", "n_label", "n_parsed", "n_1v1", "mean_edit",
                     "structure_right", "structure_total")
@@ -451,8 +454,9 @@ def _q_resumable_roundtrip(spark, sf):
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("text"))
-    out = (f"/tmp/bds_roundtrip_{os.path.basename(sf.rstrip('/'))}"
-           f"_{os.getpid()}")
+    # fixed path (no pid): each run replaces the previous one's output, so
+    # repeated gate runs leave at most one corpus copy per sf under /tmp
+    out = f"/tmp/bds_roundtrip_{os.path.basename(sf.rstrip('/'))}"
     shutil.rmtree(out, ignore_errors=True)
     run_resumable(t, out, n_buckets=16)
     second = run_resumable(t, out, n_buckets=16)

@@ -31,25 +31,29 @@ sort-merge on ids only), and the metric output is a few rows per doc.
 
 from __future__ import annotations
 
-import json
 import re
 from difflib import SequenceMatcher
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple, Union
 
 from pyspark.sql import DataFrame, functions as F
 
-BLOCK_TYPES = ["Text", "Title", "List", "Catalog", "Table", "Figure",
-               "Formula", "Code", "FigureName", "FigureNote", "TableName",
-               "TableNote"]  # run_evaluation.py:76-89
+from bella_domify_spark.functions.fastjson import loads as _json_loads
+
+# a parsed-side tree for documents the parser produced nothing for (the
+# label left-join substitutes this so total parse failures score as all-p_0
+# instead of silently vanishing from the corpus metrics)
+EMPTY_TREE_JSON = '{"root": {"order_num": null, "element": null, "child": []}}'
 
 _DOTS = re.compile(r"(.)\1{9,}")
 
 
 def clean_text(text: str) -> str:
-    """Whitespace strip + dot-leader normalization (run_evaluation.py:805-814)."""
+    """Whitespace strip + dot-leader normalization (run_evaluation.py:805-814;
+    the replacement marker is the reference's exact CJK string so
+    SequenceMatcher ratios against ordinary Latin text are unchanged)."""
     text = re.sub(r"\s+", "", text or "")
     if _DOTS.search(text):
-        text = re.sub(r"\.{2,}", "<dotleader>", text)
+        text = re.sub(r"\.{2,}", "<目录体中连续点点点>", text)
     return text
 
 
@@ -62,11 +66,12 @@ def edit_ratio(s1: str, s2: str) -> float:
     return SequenceMatcher(None, s1, s2).ratio()
 
 
-def tree_to_nodes(domtree_json: str) -> List[dict]:
-    """Flatten a domtree to evaluation node dicts (tree2list_beike,
-    run_evaluation.py:308-341): text nodes carry their text, tables join
-    all cell texts with ' | ', images become '<image>'."""
-    doc = json.loads(domtree_json)
+def tree_to_nodes(domtree: Union[str, dict]) -> List[dict]:
+    """Flatten a domtree (JSON string or already-parsed dict) to evaluation
+    node dicts (tree2list_beike, run_evaluation.py:308-341): text nodes
+    carry their text, tables join all cell texts with ' | ', images become
+    '<image>'."""
+    doc = _json_loads(domtree) if isinstance(domtree, str) else domtree
     out: List[dict] = []
 
     def walk(node: dict) -> None:
@@ -96,10 +101,10 @@ def tree_to_nodes(domtree_json: str) -> List[dict]:
     return out
 
 
-def tree_to_edges(domtree_json: str) -> dict:
+def tree_to_edges(domtree: Union[str, dict]) -> dict:
     """child order_num → parent order_num, root's children excluded
     (get_pc_edges_beike, run_evaluation.py:1203-1214)."""
-    doc = json.loads(domtree_json)
+    doc = _json_loads(domtree) if isinstance(domtree, str) else domtree
     edges: dict = {}
 
     def walk(parent_order, nodes: List[dict]) -> None:
@@ -119,7 +124,13 @@ def find_mapping(parser_nodes: List[dict],
     """Greedy label→parser alignment (find_mapping,
     run_evaluation.py:817-886, sans logging): similarity ≥ 0.8 retires
     both nodes (1v1); containment keeps scanning and may accumulate
-    several candidates (1vN)."""
+    several candidates (1vN).
+
+    Deliberate deviation (README Faithfulness notes): the reference's
+    containment test treats an EMPTY cleaned text as contained in every
+    parser text, so a whitespace-only label node accumulates the entire
+    pool as 1vN candidates; this port guards empty strings and such nodes
+    score p_0 instead."""
     parser_pool = list(parser_nodes)
     mapping: dict = {}
     dists: List[float] = []
@@ -151,8 +162,10 @@ def find_mapping(parser_nodes: List[dict],
 
 def evaluate_pair(label_json: str, parsed_json: str) -> dict:
     """All three metric families for one document."""
-    label_nodes = tree_to_nodes(label_json)
-    parser_nodes = tree_to_nodes(parsed_json)
+    label_doc = _json_loads(label_json)    # parse each JSON once; nodes and
+    parsed_doc = _json_loads(parsed_json)  # edges walk the same dict
+    label_nodes = tree_to_nodes(label_doc)
+    parser_nodes = tree_to_nodes(parsed_doc)
     by_order = {n["order_num"]: n for n in parser_nodes}
     mapping, all_dists = find_mapping(parser_nodes, label_nodes)
 
@@ -177,8 +190,8 @@ def evaluate_pair(label_json: str, parsed_json: str) -> dict:
             confusion.append((ltype, "p_0", 1.0))
 
     # structure accuracy (cal_structure_accuracy, run_evaluation.py:1181-1200)
-    label_edges = tree_to_edges(label_json)
-    parser_edges = tree_to_edges(parsed_json)
+    label_edges = tree_to_edges(label_doc)
+    parser_edges = tree_to_edges(parsed_doc)
     s_right = 0
     for child, father in label_edges.items():
         cm = mapping.get(child, [])
@@ -212,15 +225,20 @@ _METRIC_SCHEMA = ("doc_id bigint, n_label int, n_parsed int, n_1v1 int, "
 def evaluate_extractions(parsed: DataFrame, labels: DataFrame,
                          id_col: str = "doc_id",
                          json_col: str = "domtree_json") -> DataFrame:
-    """Per-document evaluation metrics: join parsed trees with label trees
-    on ``id_col`` and score each pair inside one Arrow stage."""
+    """Per-document evaluation metrics: label trees LEFT-join parsed trees
+    on ``id_col`` and score each pair inside one Arrow stage. The label
+    (ground-truth) side drives the corpus: a document the parser produced
+    no tree for scores against an empty tree (all label nodes p_0,
+    similarity 0) instead of silently dropping out of the averages."""
     import pandas as pd
 
     p = parsed.select(F.col(id_col).alias("doc_id"),
                       F.col(json_col).alias("_parsed"))
     l = labels.select(F.col(id_col).alias("doc_id"),
                       F.col(json_col).alias("_label"))
-    joined = p.join(l, "doc_id")
+    joined = l.join(p, "doc_id", "left").select(
+        "doc_id", "_label",
+        F.coalesce("_parsed", F.lit(EMPTY_TREE_JSON)).alias("_parsed"))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -30,10 +30,17 @@ import time
 
 
 def read_input(spark, source: str):
-    """Path → parquet scan; dotted catalog name (no slash, not a .parquet
-    file) → spark.read.table, which is how Iceberg/HMS tables are read."""
-    looks_like_table = ("/" not in source and "." in source
-                        and not source.endswith(".parquet"))
+    """Path → parquet scan; dotted catalog identifier → spark.read.table,
+    which is how Iceberg/HMS tables are read. Only a strict
+    ``ident.ident[.ident]`` form that does not exist on the local
+    filesystem routes to the catalog, so file names with dots
+    (events.snappy.pq, data.v2/) keep the parquet path."""
+    import os
+    import re
+
+    looks_like_table = (re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}", source)
+        and not os.path.exists(source))
     return (spark.read.table(source) if looks_like_table
             else spark.read.parquet(source))
 

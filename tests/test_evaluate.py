@@ -58,8 +58,10 @@ class TestPure:
         assert tree_to_edges(SIMPLE) == {"2.1": "2"}
 
     def test_clean_text_dot_leader(self):
+        # marker string is the reference's exact CJK token
+        # (run_evaluation.py:810-812)
         assert clean_text("Intro  ....................  7") == \
-            "Intro<dotleader>7"
+            "Intro<目录体中连续点点点>7"
         assert clean_text(" a\tb\nc ") == "abc"
 
     def test_identical_trees_score_perfect(self):
@@ -140,6 +142,21 @@ class TestSpark:
         conf = layout_confusion(metrics).collect()
         assert all(r["label_type"] == r["parsed_type"] for r in conf)
         metrics.unpersist()
+
+    def test_missing_parsed_doc_scores_p0(self, spark):
+        # a document the parser lost entirely must count against the
+        # corpus (label left join + empty-tree substitute), not vanish
+        from bella_domify_spark.engine.evaluate import evaluate_extractions
+
+        labels = spark.createDataFrame(
+            [(1, SIMPLE), (2, SIMPLE)], ["doc_id", "domtree_json"])
+        parsed = labels.filter("doc_id = 1")
+        rows = {r["doc_id"]: r
+                for r in evaluate_extractions(parsed, labels).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2]["n_parsed"] == 0
+        assert rows[2]["n_1v1"] == 0
+        assert rows[2]["mean_edit"] == pytest.approx(0.0)
 
     def test_degraded_parse_is_scored_down(self, spark):
         # drop every tree's last root child on the "parsed" side
