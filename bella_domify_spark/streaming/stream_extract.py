@@ -59,6 +59,38 @@ def run_extract_stream(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def run_extract_stream_manifest(spark: SparkSession, input_dir: str,
+                                output_dir: str, checkpoint_dir: str,
+                                n_buckets: int = 32,
+                                max_files_per_trigger: int = 8):
+    """Streaming front-end composed with the batch manifest sink via
+    ``foreachBatch``: every micro-batch commits through ``run_resumable``
+    into ``<output_dir>/epoch=<id>/`` — the analogue of the reference's
+    Kafka consumer loop feeding the S3 result sink
+    (file_api_listener.py:7-62 → s3 providers), with BOTH layers of
+    exactly-once: the streaming checkpoint replays an interrupted epoch
+    with identical file-source contents, and the manifest protocol inside
+    the epoch skips its already-committed buckets, so a crash anywhere
+    between bucket write and offset commit cannot duplicate rows."""
+    from bella_domify_spark.engine.manifest import run_resumable
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # run_resumable fuses the Arrow parse inside the sink stage, so the
+        # raw batch goes straight in
+        run_resumable(batch_df, f"{output_dir}/epoch={epoch_id}",
+                      n_buckets=n_buckets, run_id=f"epoch-{epoch_id}")
+
+    stream = read_transcript_stream(spark, input_dir,
+                                    max_files_per_trigger=max_files_per_trigger)
+    q = (stream.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def turn_rate(stream_df: DataFrame, window: str = "10 minutes",
               watermark: str = "30 minutes") -> DataFrame:
     """Windowed turns-per-conversation with late-data watermark."""

@@ -42,6 +42,38 @@ class TestStreamingExtraction:
         run_extract_stream(spark, f"{stream_corpus}/in", out, ckpt)
         assert spark.read.parquet(out).count() == exp.count()
 
+    def test_stream_manifest_sink_exactly_once(self, spark, stream_corpus,
+                                               tmp_path):
+        # foreachBatch → manifest sink: per-epoch bucket commits; a second
+        # drain of the same checkpoint must add nothing (exactly-once
+        # across BOTH the streaming offset log and the bucket manifests)
+        from bella_domify_spark.streaming.stream_extract import (
+            run_extract_stream_manifest,
+        )
+
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        run_extract_stream_manifest(spark, f"{stream_corpus}/in", out, ckpt,
+                                    max_files_per_trigger=2)
+        epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+        assert len(epochs) >= 2  # several micro-batches actually committed
+
+        got = (spark.read.parquet(f"{out}/epoch=*/bucket-*.parquet")
+               .select("conv_id", "turn_idx", "extracted_text"))
+        exp = (spark.read.parquet(
+            f"{stream_corpus}/gen/transcripts_expected.parquet")
+            .select("conv_id", "turn_idx",
+                    F.col("extracted_text").alias("e")))
+        assert got.count() == exp.count()  # every row exactly once
+        j = got.join(exp, ["conv_id", "turn_idx"])
+        assert j.count() == exp.count()
+        assert j.filter(F.col("extracted_text") != F.col("e")).count() == 0
+
+        run_extract_stream_manifest(spark, f"{stream_corpus}/in", out, ckpt,
+                                    max_files_per_trigger=2)
+        assert (spark.read.parquet(f"{out}/epoch=*/bucket-*.parquet").count()
+                == exp.count())
+
     def test_turn_rate_watermarked(self, spark, stream_corpus, tmp_path):
         from bella_domify_spark.streaming.stream_extract import (
             read_transcript_stream,
