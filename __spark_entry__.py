@@ -420,11 +420,13 @@ def _q_multimodal_frames(spark, sf):
 def _q_extraction_eval(spark, sf):
     """Layout-evaluation harness under the driver gate: self-evaluate the
     gate documents' trees (reference evaluation/run_evaluation.py analogue,
-    engine/evaluate.py). Even pred==label metrics are non-trivial — greedy
-    containment alignment makes some nodes 1vN, so n_1v1/mean_edit carry
-    real signal; the oracle is a pinned parquet from the same pure-Python
-    evaluation (tools/gen_eval_expected.py), proving the distributed
-    mapInPandas path bit-exactly."""
+    engine/evaluate.py). Self-evaluation is provably all-1v1 (greedy scan
+    meets each node's own twin first), so the hash signal is the per-doc
+    node and edge counts (n_label 5..50, structure_total) plus the
+    all-perfect metric columns; the oracle is a pinned parquet from the
+    same pure-Python evaluation (tools/gen_eval_expected.py), proving the
+    distributed mapInPandas + left-join path bit-exactly. Degraded-parse
+    scoring is pinned by tests/test_evaluate.py."""
     from bella_domify_spark.engine.evaluate import evaluate_extractions
     from bella_domify_spark.parsers.pdflike.gate import gate_extract
     # no cache: the self-join's two branches each re-run the parse (~2x

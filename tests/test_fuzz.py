@@ -85,3 +85,59 @@ def test_recognize_list_and_detect_never_raise(text):
     assert detect_format(text) in {"pdflike", "docxlike", "markdown",
                                    "plaintext", "xlsxlike", "pptxlike",
                                    "empty"}
+
+
+# --- evaluation-harness invariants over random tree pairs -----------------
+
+def _rand_tree(draw_nodes):
+    """Build a domtree JSON from hypothesis-drawn (type, text, n_children)."""
+    counter = [0]
+
+    def node(spec, depth):
+        t, text, kids = spec
+        counter[0] += 1
+        el = {"block_type": "text", "layout_type": t, "page_num": [0],
+              "text": text}
+        return {"order_num": str(counter[0]), "element": el,
+                "child": [node(k, depth + 1) for k in kids]}
+
+    return json.dumps({"root": {"order_num": None, "element": None,
+                                "child": [node(s, 0) for s in draw_nodes]}})
+
+
+tree_nodes = st.recursive(
+    st.tuples(st.sampled_from(["Text", "Title", "List", "Table"]),
+              st.text(max_size=40), st.just([])),
+    lambda kids: st.tuples(
+        st.sampled_from(["Text", "Title", "List", "Table"]),
+        st.text(max_size=40), st.lists(kids, max_size=3)),
+    max_leaves=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(tree_nodes, max_size=6), st.lists(tree_nodes, max_size=6))
+def test_evaluate_pair_invariants(label_specs, parsed_specs):
+    from bella_domify_spark.engine.evaluate import evaluate_pair
+
+    rec = evaluate_pair(_rand_tree(label_specs), _rand_tree(parsed_specs))
+    assert 0 <= rec["n_1v1"] <= rec["n_label"]
+    assert 0.0 <= rec["mean_edit"] <= 1.0
+    assert 0 <= rec["structure_right"] <= rec["structure_total"]
+    # confusion weights partition the label nodes exactly
+    total_w = sum(c["weight"] for c in rec["confusion"])
+    assert abs(total_w - rec["n_label"]) < 1e-9
+    assert all(c["weight"] >= 0 for c in rec["confusion"])
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(tree_nodes, min_size=1, max_size=6))
+def test_self_evaluation_is_clean(specs):
+    # pred == label: every confusion entry is diagonal or a containment
+    # 1vN artifact (p_N) — never p_0, and structure is fully preserved
+    from bella_domify_spark.engine.evaluate import evaluate_pair
+
+    tree = _rand_tree(specs)
+    rec = evaluate_pair(tree, tree)
+    assert not any(c["parsed_type"] == "p_0" and c["weight"] > 0
+                   for c in rec["confusion"])
+    assert rec["structure_right"] == rec["structure_total"]
