@@ -439,6 +439,25 @@ def _q_extraction_eval(spark, sf):
                     "structure_right", "structure_total")
 
 
+def _q_extraction_eval_degraded(spark, sf):
+    """Harness validation under the gate: score a deterministically
+    DEGRADED parse (drop last root child, retype one node —
+    evaluate.degrade_tree) against the real trees, so the pinned oracle
+    carries non-perfect rows — p_0 counts, broken structure edges,
+    similarity < 1 — and a harness that stopped penalizing mistakes would
+    hash-mismatch immediately."""
+    from bella_domify_spark.engine.evaluate import (
+        degrade_extractions,
+        evaluate_extractions,
+    )
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract
+    trees = (gate_extract(_t(spark, sf, "documents"))
+             .select("doc_id", "domtree_json"))
+    m = evaluate_extractions(degrade_extractions(trees), trees)
+    return m.select("doc_id", "n_label", "n_parsed", "n_1v1", "mean_edit",
+                    "structure_right", "structure_total")
+
+
 def _q_resumable_roundtrip(spark, sf):
     """S4/S8 sink under the driver oracle: documents → transcript shape →
     ``run_resumable`` (bucket assignment, resume filter, fused Arrow
@@ -515,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "resumable_roundtrip": _q_resumable_roundtrip,
         "extraction_eval": _q_extraction_eval,
+        "extraction_eval_degraded": _q_extraction_eval_degraded,
     }
 
 
@@ -546,6 +566,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, e.n_label, e.n_parsed, e.n_1v1, e.mean_edit,
                    e.structure_right, e.structure_total
             FROM read_parquet('/root/repo/fixtures/eval_expected.parquet') e
+            JOIN documents d ON d.doc_id = e.doc_id
+        """,
+        "extraction_eval_degraded": """
+            SELECT d.doc_id, e.n_label, e.n_parsed, e.n_1v1, e.mean_edit,
+                   e.structure_right, e.structure_total
+            FROM read_parquet(
+                '/root/repo/fixtures/eval_degraded_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
         "extract_markdown_flatten": """

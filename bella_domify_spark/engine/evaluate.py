@@ -253,6 +253,45 @@ def evaluate_extractions(parsed: DataFrame, labels: DataFrame,
     return joined.mapInPandas(run, _METRIC_SCHEMA)
 
 
+def degrade_tree(domtree_json: str) -> str:
+    """Deterministic parse degradation for harness validation: drop the
+    last root child (→ its label nodes score p_0 and its edges break) and
+    retype the first remaining Text node to Title (→ one off-diagonal
+    confusion vote). Used by the ``extraction_eval_degraded`` driver gate
+    so the oracle pins NON-perfect metric rows, and available to smoke-test
+    the harness against any real regression corpus."""
+    from bella_domify_spark.functions.fastjson import dumps as _json_dumps
+
+    doc = _json_loads(domtree_json)
+    root = doc.get("root", doc)
+    root["child"] = root.get("child", [])[:-1]
+
+    def retype_first_text(node) -> bool:
+        el = node.get("element")
+        if el and el.get("layout_type") == "Text":
+            el["layout_type"] = "Title"
+            return True
+        return any(retype_first_text(c) for c in node.get("child", []))
+
+    retype_first_text(root)
+    return _json_dumps(doc)
+
+
+def degrade_extractions(trees: DataFrame,
+                        json_col: str = "domtree_json") -> DataFrame:
+    """Apply ``degrade_tree`` to a (id, tree) DataFrame inside one Arrow
+    stage (harness-validation input generator)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[json_col] = [degrade_tree(j) for j in pdf[json_col]]
+            yield pdf
+
+    return trees.mapInPandas(run, trees.schema)
+
+
 def layout_confusion(metrics: DataFrame) -> DataFrame:
     """Corpus-level confusion matrix rows: (label_type, parsed_type,
     weight) — the reference's DataFrame print, as a queryable table."""

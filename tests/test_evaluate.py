@@ -118,6 +118,22 @@ class TestPure:
         assert mapping["1"] == []
 
 
+class TestDegrade:
+    def test_degrade_tree_is_deterministic_and_lossy(self):
+        from bella_domify_spark.engine.evaluate import degrade_tree
+
+        d1, d2 = degrade_tree(SIMPLE), degrade_tree(SIMPLE)
+        assert d1 == d2
+        doc = json.loads(d1)
+        assert len(doc["root"]["child"]) == 3  # last root child dropped
+        rec = evaluate_pair(SIMPLE, d1)
+        assert rec["n_parsed"] < rec["n_label"]
+        assert any(c["parsed_type"] == "p_0" for c in rec["confusion"])
+        assert any(c["label_type"] != c["parsed_type"]
+                   and c["parsed_type"] not in ("p_0", "p_N")
+                   for c in rec["confusion"])  # the retyped node
+
+
 class TestSpark:
     def test_self_evaluation_on_gate_docs(self, spark):
         from bella_domify_spark.parsers.pdflike.gate import gate_extract
