@@ -320,6 +320,13 @@ def _q_dedup_cluster_simhash(spark, sf):
                                 algorithm="two_star")
 
 
+def _q_curate_corpus(spark, sf):
+    # the end-to-end curation composite: quality gate -> near-dup removal
+    # (keep canonical) -> content-addressed split (ops/curate.py)
+    from bella_domify_spark.ops.curate import curate_corpus
+    return curate_corpus(_t(spark, sf, "documents"))
+
+
 def _q_train_split(spark, sf):
     # deterministic content-addressed train/val/test split (md5 mod 100)
     from bella_domify_spark.ops.textstats import train_split
@@ -523,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "doc_quality": _q_doc_quality,
         "train_split": _q_train_split,
+        "curate_corpus": _q_curate_corpus,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -548,6 +556,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.ann import planes_values_sql
     from bella_domify_spark.ops.hashfamily import params_values_sql
+
+    # shared by dedup_cluster_canonical and curate_corpus: 2-gram jaccard
+    # pairs (threshold 0.2, shingle-frequency cap 1000) + recursive
+    # reachability closure — exact twin of jaccard_pairs + ops/graph.py
+    jaccard_cluster_ctes = """words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+            shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE f <= 1000),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY a.id, b.id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+            ),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)"""
 
     docx_flat = ("'；' || text")
     minhash_params_sql = params_values_sql(64)
@@ -756,46 +804,49 @@ def oracle_sql() -> dict[str, str]:
         # connected components via recursive reachability closure: label =
         # min reachable id — exact twin of Spark's min-label propagation
         # fixpoint (components here are small; the CTE is O(comp²))
-        "dedup_cluster_canonical": """
-            WITH RECURSIVE words AS (
-                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id AS id,
-                       array_to_string(w[i:i+2], ' ') AS shingle
-                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
-            ),
-            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-            freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
-            shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE f <= 1000),
-            common AS (
-                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-                FROM shf a JOIN shf b USING (shingle)
-                WHERE a.id < b.id GROUP BY a.id, b.id
-            ),
-            pairs AS (
-                SELECT id_a, id_b
-                FROM common
-                JOIN sizes sa ON sa.id = id_a
-                JOIN sizes sb ON sb.id = id_b
-                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-            ),
-            sym AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL
-                SELECT id_b, id_a FROM pairs
-            ),
-            reach(node, r) AS (
-                SELECT DISTINCT src, src FROM sym
-                UNION
-                SELECT reach.node, sym.dst FROM reach
-                JOIN sym ON sym.src = reach.r
-            ),
-            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
+        "dedup_cluster_canonical": f"""
+            WITH RECURSIVE {jaccard_cluster_ctes}
             SELECT node AS doc_id, canonical_id,
                    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
             FROM lab
+        """,
+        # composition of the quality, cluster, and split oracles — must
+        # mirror ops/curate.py predicate-for-predicate
+        "curate_corpus": f"""
+            WITH RECURSIVE {jaccard_cluster_ctes},
+            dupes AS (
+                SELECT node AS doc_id FROM lab WHERE node <> canonical_id
+            ),
+            qual AS (
+                SELECT doc_id,
+                       length(regexp_split_to_array(text, '\\s+'))::INT
+                           AS n_words,
+                       round(
+                         (CASE WHEN length(text) < 20 THEN 0.0 ELSE 1.0 END)
+                         * (CASE WHEN (length(text)
+                                  - (length(regexp_split_to_array(text, '\\s+')) - 1))
+                                  / length(regexp_split_to_array(text, '\\s+'))::DOUBLE > 12
+                                 THEN 0.5 ELSE 1.0 END)
+                         * (1.0 - (length(text)
+                                  - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                  / (length(text) + 1)), 4) AS quality_score
+                FROM documents
+            ),
+            spl AS (
+                SELECT doc_id,
+                       CASE
+                           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 5
+                               THEN 'test'
+                           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+                               THEN 'val'
+                           ELSE 'train'
+                       END AS split
+                FROM documents
+            )
+            SELECT q.doc_id, q.n_words, q.quality_score, s.split
+            FROM qual q JOIN spl s USING (doc_id)
+            WHERE q.quality_score >= 0.5 AND q.n_words >= 25
+              AND q.doc_id NOT IN (SELECT doc_id FROM dupes)
         """,
         # simhash fingerprints (same md5-vote construction as "simhash"),
         # all-pairs hamming <= 3 (exact superset of the pigeonhole blocking,

@@ -126,6 +126,26 @@ class TestDedup:
         assert 15 not in rows          # singletons are not emitted
 
 
+class TestCurate:
+    def test_curation_predicates_compose(self, spark):
+        from bella_domify_spark.ops.curate import curate_corpus
+
+        long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+        long_b = long_a.replace("alpha3", "delta3")   # near-dup of long_a
+        short = "too short to keep"
+        other = " ".join(f"tok{i} unique{i} words{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(1, long_a), (2, long_b), (3, short), (4, other)],
+            ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+        assert 1 in rows          # cluster canonical survives
+        assert 2 not in rows      # its near-dup is removed
+        assert 3 not in rows      # below the word floor
+        assert 4 in rows
+        assert rows[1]["split"] in {"train", "val", "test"}
+        assert rows[4]["n_words"] == 36
+
+
 class TestConnectedComponents:
     def _random_graph(self, seed=3, n=40, m=40):
         import random
