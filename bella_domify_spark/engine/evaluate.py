@@ -236,9 +236,14 @@ def evaluate_extractions(parsed: DataFrame, labels: DataFrame,
                       F.col(json_col).alias("_parsed"))
     l = labels.select(F.col(id_col).alias("doc_id"),
                       F.col(json_col).alias("_label"))
-    joined = l.join(p, "doc_id", "left").select(
-        "doc_id", "_label",
-        F.coalesce("_parsed", F.lit(EMPTY_TREE_JSON)).alias("_parsed"))
+    # null trees: a failed parse (status=error rows carry domtree_json
+    # NULL) scores as an empty tree via the same coalesce that covers
+    # join misses; a null LABEL tree defines no ground truth — drop it
+    joined = (l.filter(F.col("_label").isNotNull())
+              .join(p, "doc_id", "left")
+              .select("doc_id", "_label",
+                      F.coalesce("_parsed", F.lit(EMPTY_TREE_JSON))
+                      .alias("_parsed")))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -174,6 +174,23 @@ class TestSpark:
         assert rows[2]["n_1v1"] == 0
         assert rows[2]["mean_edit"] == pytest.approx(0.0)
 
+    def test_null_trees_are_survivable(self, spark):
+        # error-status parse rows carry domtree_json NULL: parsed-side
+        # nulls score as empty trees, label-side nulls are dropped
+        from bella_domify_spark.engine.evaluate import evaluate_extractions
+
+        labels = spark.createDataFrame(
+            [(1, SIMPLE), (2, SIMPLE), (3, None)],
+            "doc_id bigint, domtree_json string")
+        parsed = spark.createDataFrame(
+            [(1, SIMPLE), (2, None), (3, SIMPLE)],
+            "doc_id bigint, domtree_json string")
+        rows = {r["doc_id"]: r
+                for r in evaluate_extractions(parsed, labels).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["n_1v1"] == 5
+        assert rows[2]["n_parsed"] == 0
+
     def test_degraded_parse_is_scored_down(self, spark):
         # drop every tree's last root child on the "parsed" side
         from bella_domify_spark.parsers.pdflike.gate import gate_extract
