@@ -15,10 +15,13 @@ result is order-free and incremental-friendly):
   under any partitioning and any future corpus growth).
 
 Plan shape at scale: quality + split are map-side projections fused into
-the scan; the only shuffles belong to the near-dup pair generator and the
-component loop (see ops/graph.py), both over the pair list, not the
-corpus; the final assembly is two id-only joins (broadcast-able once the
-dup set is computed — it is orders of magnitude smaller than the corpus).
+the scan; the only heavy shuffles belong to the near-dup pair generator
+and the component loop (see ops/graph.py), both over the pair list, not
+the corpus. The final assembly joins ONLY narrow id/metric columns: the
+dup-set anti-join stays a shuffled SMJ by design — at web scale the
+duplicate set can be a large fraction of the corpus, so forcing a
+broadcast would be wrong; AQE converts it to broadcast automatically
+whenever the measured dup set is small.
 """
 
 from __future__ import annotations
