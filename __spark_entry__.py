@@ -386,6 +386,23 @@ def _q_dedup_embedding(spark, sf):
     return embedding_near_dups(em.unionByName(jittered), threshold=0.98)
 
 
+def _q_dedup_cluster_embedding(spark, sf):
+    # third pair source through the generic connected_components: the
+    # hyperplane-LSH embedding near-dup graph (same planted corpus as
+    # dedup_embedding); completes the jaccard/simhash/embedding trio
+    from bella_domify_spark.ops.ann import embedding_near_dups
+    from bella_domify_spark.ops.graph import connected_components
+    em = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    jittered = (em.filter(F.col("vec_id") < 20)
+                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.transform("embedding",
+                                    lambda x: x * 1.001 + 0.003)
+                         .alias("embedding")))
+    pairs = embedding_near_dups(em.unionByName(jittered), threshold=0.98)
+    return connected_components(pairs, node_out="vec_id")
+
+
 def _q_ann_ivf_topk(spark, sf):
     from bella_domify_spark.ops.ann import ivf_topk
     em = _t(spark, sf, "embeddings")
@@ -527,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_cluster_embedding": _q_dedup_cluster_embedding,
         "simhash": _q_simhash,
         "doc_quality": _q_doc_quality,
         "train_split": _q_train_split,
@@ -1092,6 +1110,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN v ea ON ea.vec_id = id_a
             JOIN v eb ON eb.vec_id = id_b
             WHERE list_cosine_similarity(ea.e, eb.e) >= 0.98
+        """,
+        # embedding near-dup pairs (identical CTEs to dedup_embedding) +
+        # the same recursive closure used by the other cluster oracles
+        "dedup_cluster_embedding": f"""
+            WITH RECURSIVE v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> x * 1.001 + 0.003)
+                FROM embeddings WHERE vec_id < 20
+            ),
+            vdot AS (
+                SELECT vec_id, t, p, sum(e[d + 1] * c) AS dp
+                FROM v, {lsh_planes_sql}
+                GROUP BY vec_id, t, p
+            ),
+            vbuck AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                           ::BIGINT AS bucket
+                FROM vdot GROUP BY vec_id, t
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM vbuck a JOIN vbuck b ON a.t = b.t AND a.bucket = b.bucket
+                WHERE a.vec_id < b.vec_id
+            ),
+            prs AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN v ea ON ea.vec_id = id_a
+                JOIN v eb ON eb.vec_id = id_b
+                WHERE list_cosine_similarity(ea.e, eb.e) >= 0.98
+            ),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM prs
+                UNION ALL
+                SELECT id_b, id_a FROM prs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
+            SELECT node AS vec_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM lab
         """,
         # IVF inverted lists over deterministic seed centroids (the 8
         # lowest-id vectors); queries probe their 2 nearest lists
