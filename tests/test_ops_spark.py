@@ -183,14 +183,15 @@ class TestConnectedComponents:
     def test_algorithms_agree_on_random_graph(self, spark):
         from bella_domify_spark.ops.graph import connected_components
 
-        edges = self._random_graph()
-        expected = self._reference_cc(edges)
-        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
-        for alg in ("label_prop", "two_star"):
-            got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
-                   for r in connected_components(
-                       df, algorithm=alg, max_iter=40).collect()}
-            assert got == expected, alg
+        for seed in (3, 17, 29):
+            edges = self._random_graph(seed=seed)
+            expected = self._reference_cc(edges)
+            df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+            for alg in ("label_prop", "two_star"):
+                got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+                       for r in connected_components(
+                           df, algorithm=alg, max_iter=40).collect()}
+                assert got == expected, (alg, seed)
 
     def test_two_star_beats_diameter_bound(self, spark):
         # a 40-node chain has diameter 39: label_prop cannot finish in 8
