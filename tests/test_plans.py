@@ -1,0 +1,76 @@
+"""Plan-discipline guards: the performance architecture, enforced by CI.
+
+- No row-at-a-time Python (`BatchEvalPython`) anywhere in any query plan —
+  every Python crossing must be Arrow-vectorized (ArrowEvalPython /
+  MapInPandas / MapInArrow / FlatMapGroupsInPandas*).
+- The extraction compute plan has exactly ONE shuffle (the salted
+  repartition) and one Arrow stage.
+- The documents scan under a projection prunes to the referenced columns.
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries that execute Spark jobs eagerly while building their result
+# (sink roundtrip, iterative component loops) — their returned DataFrame
+# is a scan of checkpointed/committed output, so a plan inspection of the
+# result would not see the interesting stages anyway; their plan shape is
+# covered by the module-level tests of the operators they call
+EAGER = {"resumable_roundtrip", "dedup_cluster_canonical",
+         "dedup_cluster_simhash", "dedup_cluster_embedding",
+         "curate_corpus"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: physical plan printed once
+    return buf.getvalue()
+
+
+class TestPlanDiscipline:
+    def test_no_row_python_in_any_query(self, spark):
+        import __spark_entry__ as entry
+
+        checked = 0
+        for name, fn in entry.queries().items():
+            if name in EAGER:
+                continue
+            plan = _plan(fn(spark, SF))
+            assert "BatchEvalPython" not in plan, name
+            checked += 1
+        assert checked >= 40
+
+    def test_extraction_plan_shape(self, spark):
+        from bella_domify_spark.engine.extract import extract_transcripts
+
+        tdf = spark.createDataFrame(
+            [], "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp")
+        plan = _plan(extract_transcripts(tdf, partitions=4))
+        assert plan.count("Exchange") == 1      # the salted repartition only
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_scan_prunes_columns(self, spark):
+        from bella_domify_spark.engine.extract import parse_udf
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        q = d.select("doc_id",
+                     parse_udf(F.col("text")).getField("extracted_text"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "ReadSchema" in plan
+        read_schema = [ln for ln in plan.splitlines()
+                       if "ReadSchema" in ln][0]
+        assert "doc_id" in read_schema and "text" in read_schema
+        # the wide columns must NOT reach the scan
+        for absent in ("source", "lang", "label"):
+            assert absent not in read_schema, read_schema
