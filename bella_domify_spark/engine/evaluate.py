@@ -306,6 +306,21 @@ def layout_confusion(metrics: DataFrame) -> DataFrame:
             .agg(F.round(F.sum("c.weight"), 6).alias("weight")))
 
 
+def per_type_accuracy(metrics: DataFrame) -> DataFrame:
+    """Per-label-type accuracy rows (cal_accuracy,
+    run_evaluation.py:1301-1321): diagonal weight / row total."""
+    conf = metrics.select(F.explode("confusion").alias("c"))
+    return (conf.groupBy(F.col("c.label_type").alias("label_type"))
+            .agg(F.sum(F.when(F.col("c.label_type") == F.col("c.parsed_type"),
+                              F.col("c.weight")).otherwise(F.lit(0.0)))
+                 .alias("correct"),
+                 F.sum("c.weight").alias("total"))
+            .select("label_type", F.round("correct", 4).alias("correct"),
+                    F.round("total", 4).alias("total"),
+                    F.round(F.col("correct") / F.col("total"), 6)
+                    .alias("accuracy")))
+
+
 def evaluation_summary(metrics: DataFrame) -> DataFrame:
     """One-row corpus summary: block-split 1v1 rate, mean edit similarity,
     overall layout accuracy (diagonal share), structure accuracy."""

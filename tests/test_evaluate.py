@@ -157,6 +157,10 @@ class TestSpark:
         assert summary["structure_accuracy"] == pytest.approx(1.0)
         conf = layout_confusion(metrics).collect()
         assert all(r["label_type"] == r["parsed_type"] for r in conf)
+
+        from bella_domify_spark.engine.evaluate import per_type_accuracy
+        acc = per_type_accuracy(metrics).collect()
+        assert acc and all(r["accuracy"] == pytest.approx(1.0) for r in acc)
         metrics.unpersist()
 
     def test_missing_parsed_doc_scores_p0(self, spark):
