@@ -308,6 +308,15 @@ def _q_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
 
+def _q_dedup_cluster_minhash(spark, sf):
+    # fourth pair source through the generic connected_components: the
+    # minhash-LSH banded candidate graph at est_jaccard >= 0.2
+    from bella_domify_spark.ops.dedup import minhash_lsh_pairs
+    from bella_domify_spark.ops.graph import connected_components
+    pairs = minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.2)
+    return connected_components(pairs, node_out="doc_id")
+
+
 def _q_dedup_cluster_simhash(spark, sf):
     # components over the simhash near-dup graph (pigeonhole-blocked
     # hamming<=3 candidate pairs) via the generalized connected_components,
@@ -542,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
+        "dedup_cluster_minhash": _q_dedup_cluster_minhash,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_cluster_embedding": _q_dedup_cluster_embedding,
@@ -902,6 +912,64 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id_a AS src, id_b AS dst FROM pairs
                 UNION ALL
                 SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
+            SELECT node AS doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM lab
+        """,
+        # minhash pair CTEs (identical to dedup_minhash_lsh) + the shared
+        # recursive closure
+        "dedup_cluster_minhash": f"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            xs AS (
+                SELECT id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                           % 2147483647 AS x
+                FROM sh
+            ),
+            mh AS (
+                SELECT id, i, min((a * x + b) % 2147483647) AS mh
+                FROM xs CROSS JOIN {minhash_params_sql}
+                GROUP BY id, i
+            ),
+            sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM mh GROUP BY id),
+            banded AS (
+                SELECT id, band,
+                       md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+                FROM sig, UNNEST(range(0, 16)) AS t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b USING (band, bucket)
+                WHERE a.id < b.id
+            ),
+            prs AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN mh ma ON ma.id = c.id_a
+                JOIN mh mb ON mb.id = c.id_b AND mb.i = ma.i
+                GROUP BY c.id_a, c.id_b
+                HAVING sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 >= 0.2
+            ),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM prs
+                UNION ALL
+                SELECT id_b, id_a FROM prs
             ),
             reach(node, r) AS (
                 SELECT DISTINCT src, src FROM sym
