@@ -22,8 +22,8 @@ SF = "/root/testdata/sf0.001"
 # result would not see the interesting stages anyway; their plan shape is
 # covered by the module-level tests of the operators they call
 EAGER = {"resumable_roundtrip", "dedup_cluster_canonical",
-         "dedup_cluster_simhash", "dedup_cluster_embedding",
-         "curate_corpus"}
+         "dedup_cluster_minhash", "dedup_cluster_simhash",
+         "dedup_cluster_embedding", "curate_corpus"}
 
 
 def _plan(df) -> str:
