@@ -191,6 +191,25 @@ def _q_turn_ordering(spark, sf):
                      F.row_number().over(w).alias("turn_rank"))
 
 
+def _q_conv_assembly(spark, sf):
+    # per-conversation training-document assembly: parse every turn, then
+    # order-STABLE concatenation via array_sort over (turn_idx, text)
+    # structs — identical output under any partitioning (north_rule:
+    # stable (conv_id, turn_idx) ordering). The group row holds one
+    # conversation's document — the intended product shape; conversation
+    # length, not corpus size, bounds the row.
+    from bella_domify_spark.engine.extract import parse_udf
+    t = _events_as_transcripts(spark, sf)
+    parsed = t.select("conv_id", "turn_idx",
+                      parse_udf(F.col("text")).getField("extracted_text")
+                      .alias("x"))
+    return (parsed.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("turn_idx", "x"))),
+                     lambda s: s["x"])).alias("conv_text")))
+
+
 def _q_conv_stats(spark, sf):
     ev = _t(spark, sf, "events")
     return (ev.groupBy("user_id")
@@ -538,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_detect_stats": _q_format_detect_stats,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
+        "conv_assembly": _q_conv_assembly,
         "session_gap": _q_session_gap,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -736,6 +756,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
                    max(ts) AS last_ts, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # per-payload extraction rules: txt = payload + blank line; md =
+        # the txt list-marker quirk prefixes '# '; docx = inner text +
+        # blank line (ground-truthed against parse_payload directly)
+        "conv_assembly": """
+            WITH t AS (
+                SELECT 'conv' || user_id::VARCHAR AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       CASE
+                           WHEN event_id % 3 = 0 THEN
+                               event_type || ' ' || props
+                               || chr(10) || chr(10)
+                           WHEN event_id % 3 = 1 THEN
+                               '# # Event ' || event_type || chr(10) || chr(10)
+                               || props || chr(10) || chr(10)
+                           ELSE
+                               event_type || ' value ' || value::VARCHAR
+                               || chr(10) || chr(10)
+                       END AS x
+                FROM events
+            )
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(x, '' ORDER BY turn_idx) AS conv_text
+            FROM t GROUP BY conv_id
         """,
         "session_gap": """
             SELECT user_id, event_id,
