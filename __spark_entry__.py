@@ -398,11 +398,16 @@ def _q_ann_lsh_topk(spark, sf):
     return lsh_topk(em, q, k=5, dim=64)
 
 
-def _q_dedup_embedding(spark, sf):
-    # the synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51), so plant near-duplicates: perturbed copies of the first 20
-    # vectors (deterministic affine jitter), ids offset by 100000 — the op
-    # must pair each original with its copy and nothing else
+def _planted_embedding_pairs(spark, sf):
+    """Near-dup pairs over the embeddings table with planted duplicates.
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51), so plant near-duplicates: perturbed copies of the first 20
+    vectors (deterministic affine jitter), ids offset by 100000 — the op
+    must pair each original with its copy and nothing else. Shared by
+    dedup_embedding and dedup_cluster_embedding so the planted corpus and
+    threshold can never drift between the pair and cluster queries (both
+    oracles embed the same constants)."""
     from bella_domify_spark.ops.ann import embedding_near_dups
     em = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
@@ -414,21 +419,17 @@ def _q_dedup_embedding(spark, sf):
     return embedding_near_dups(em.unionByName(jittered), threshold=0.98)
 
 
+def _q_dedup_embedding(spark, sf):
+    return _planted_embedding_pairs(spark, sf)
+
+
 def _q_dedup_cluster_embedding(spark, sf):
     # third pair source through the generic connected_components: the
     # hyperplane-LSH embedding near-dup graph (same planted corpus as
-    # dedup_embedding); completes the jaccard/simhash/embedding trio
-    from bella_domify_spark.ops.ann import embedding_near_dups
+    # dedup_embedding, via the shared helper)
     from bella_domify_spark.ops.graph import connected_components
-    em = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    jittered = (em.filter(F.col("vec_id") < 20)
-                .select((F.col("vec_id") + 100000).alias("vec_id"),
-                        F.transform("embedding",
-                                    lambda x: x * 1.001 + 0.003)
-                         .alias("embedding")))
-    pairs = embedding_near_dups(em.unionByName(jittered), threshold=0.98)
-    return connected_components(pairs, node_out="vec_id")
+    return connected_components(_planted_embedding_pairs(spark, sf),
+                                node_out="vec_id")
 
 
 def _q_ann_ivf_topk(spark, sf):
@@ -605,10 +606,33 @@ def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.ann import planes_values_sql
     from bella_domify_spark.ops.hashfamily import params_values_sql
 
-    # shared by dedup_cluster_canonical and curate_corpus: 2-gram jaccard
-    # pairs (threshold 0.2, shingle-frequency cap 1000) + recursive
-    # reachability closure — exact twin of jaccard_pairs + ops/graph.py
-    jaccard_cluster_ctes = """words AS (
+    # recursive reachability closure over a symmetric pair CTE — the ONE
+    # SQL twin of ops/graph.py connected_components, shared by all four
+    # cluster oracles (label = min reachable id)
+    def _closure(pair_cte: str) -> str:
+        return f"""sym AS (
+                SELECT id_a AS src, id_b AS dst FROM {pair_cte}
+                UNION ALL
+                SELECT id_b, id_a FROM {pair_cte}
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)"""
+
+    def _cluster_select(id_name: str) -> str:
+        return f"""SELECT node AS {id_name}, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM lab"""
+
+    # shared by dedup_cluster_canonical and curate_corpus: word-3-gram
+    # jaccard pairs (shingles = w[i:i+2], a 1-based inclusive 3-element
+    # slice — matches jaccard_pairs' default n=3; threshold 0.2,
+    # shingle-frequency cap 1000) + the closure
+    jaccard_cluster_ctes = f"""words AS (
                 SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
                 FROM documents
             ),
@@ -632,18 +656,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.id = id_b
                 WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.2
             ),
-            sym AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL
-                SELECT id_b, id_a FROM pairs
-            ),
-            reach(node, r) AS (
-                SELECT DISTINCT src, src FROM sym
-                UNION
-                SELECT reach.node, sym.dst FROM reach
-                JOIN sym ON sym.src = reach.r
-            ),
-            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)"""
+            {_closure("pairs")}"""
 
     docx_flat = ("'；' || text")
     minhash_params_sql = params_values_sql(64)
@@ -879,9 +892,7 @@ def oracle_sql() -> dict[str, str]:
         # fixpoint (components here are small; the CTE is O(comp²))
         "dedup_cluster_canonical": f"""
             WITH RECURSIVE {jaccard_cluster_ctes}
-            SELECT node AS doc_id, canonical_id,
-                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-            FROM lab
+            {_cluster_select("doc_id")}
         """,
         # composition of the quality, cluster, and split oracles — must
         # mirror ops/curate.py predicate-for-predicate
@@ -925,7 +936,7 @@ def oracle_sql() -> dict[str, str]:
         # all-pairs hamming <= 3 (exact superset of the pigeonhole blocking,
         # which loses no pairs at this distance), recursive closure as in
         # dedup_cluster_canonical
-        "dedup_cluster_simhash": """
+        "dedup_cluster_simhash": f"""
             WITH RECURSIVE tok AS (
                 SELECT doc_id AS id, t.tok
                 FROM documents,
@@ -953,21 +964,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM fp a JOIN fp b ON a.id < b.id
                 WHERE bit_count(xor(a.sh, b.sh)) <= 3
             ),
-            sym AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL
-                SELECT id_b, id_a FROM pairs
-            ),
-            reach(node, r) AS (
-                SELECT DISTINCT src, src FROM sym
-                UNION
-                SELECT reach.node, sym.dst FROM reach
-                JOIN sym ON sym.src = reach.r
-            ),
-            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
-            SELECT node AS doc_id, canonical_id,
-                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-            FROM lab
+            {_closure("pairs")}
+            {_cluster_select("doc_id")}
         """,
         # minhash pair CTEs (identical to dedup_minhash_lsh) + the shared
         # recursive closure
@@ -1011,21 +1009,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.id_a, c.id_b
                 HAVING sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 >= 0.2
             ),
-            sym AS (
-                SELECT id_a AS src, id_b AS dst FROM prs
-                UNION ALL
-                SELECT id_b, id_a FROM prs
-            ),
-            reach(node, r) AS (
-                SELECT DISTINCT src, src FROM sym
-                UNION
-                SELECT reach.node, sym.dst FROM reach
-                JOIN sym ON sym.src = reach.r
-            ),
-            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
-            SELECT node AS doc_id, canonical_id,
-                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-            FROM lab
+            {_closure("prs")}
+            {_cluster_select("doc_id")}
         """,
         # md5-seeded universal hash family — must mirror
         # bella_domify_spark/ops/hashfamily.py + dedup.py exactly
@@ -1258,21 +1243,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN v eb ON eb.vec_id = id_b
                 WHERE list_cosine_similarity(ea.e, eb.e) >= 0.98
             ),
-            sym AS (
-                SELECT id_a AS src, id_b AS dst FROM prs
-                UNION ALL
-                SELECT id_b, id_a FROM prs
-            ),
-            reach(node, r) AS (
-                SELECT DISTINCT src, src FROM sym
-                UNION
-                SELECT reach.node, sym.dst FROM reach
-                JOIN sym ON sym.src = reach.r
-            ),
-            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)
-            SELECT node AS vec_id, canonical_id,
-                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
-            FROM lab
+            {_closure("prs")}
+            {_cluster_select("vec_id")}
         """,
         # IVF inverted lists over deterministic seed centroids (the 8
         # lowest-id vectors); queries probe their 2 nearest lists

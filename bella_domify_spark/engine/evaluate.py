@@ -291,7 +291,10 @@ def degrade_extractions(trees: DataFrame,
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[json_col] = [degrade_tree(j) for j in pdf[json_col]]
+            # real parse output carries NULL trees on status=error rows —
+            # pass them through (they score as empty trees downstream)
+            pdf[json_col] = [degrade_tree(j) if isinstance(j, str) else None
+                             for j in pdf[json_col]]
             yield pdf
 
     return trees.mapInPandas(run, trees.schema)
