@@ -109,6 +109,32 @@ class TestEndToEnd:
                 assert cur >= prev, f"order violated: {prev} -> {cur}"
             prev = cur
 
+    def test_conv_assembly_partition_independent(self, spark):
+        # the assembled conversation document must be byte-identical under
+        # any partitioning (stable (conv_id, turn_idx) ordering contract)
+        import __spark_entry__ as entry
+
+        base = entry.queries()["conv_assembly"](
+            spark, "/root/testdata/sf0.001")
+        rows = {r["conv_id"]: r["conv_text"] for r in base.collect()}
+        assert rows and all(t.endswith("\n\n") for t in rows.values())
+
+        from pyspark.sql import functions as F
+
+        t = entry._events_as_transcripts(spark, "/root/testdata/sf0.001")
+        from bella_domify_spark.engine.extract import parse_udf
+        parsed = (t.repartition(7)  # adversarial partitioning
+                  .select("conv_id", "turn_idx",
+                          parse_udf(F.col("text"))
+                          .getField("extracted_text").alias("x")))
+        again = (parsed.groupBy("conv_id")
+                 .agg(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("turn_idx", "x"))),
+                     lambda s: s["x"])).alias("conv_text")))
+        assert {r["conv_id"]: r["conv_text"]
+                for r in again.collect()} == rows
+
     def test_job_reads_catalog_table_or_path(self, spark, corpus):
         # the spark-submit entrypoint accepts a dotted table name (how an
         # Iceberg table is consumed) as well as a parquet path
