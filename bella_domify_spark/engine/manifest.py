@@ -113,15 +113,29 @@ class BucketStore:
             return json.load(f)
 
     # -- sink-side writes --------------------------------------------------
+    @staticmethod
+    def _tmp_name(final: str) -> str:
+        """Attempt-unique temp path. A FIXED suffix would let two live
+        attempts of the same task (speculative execution, or a zombie task
+        surviving a driver-side retry) interleave writes into one temp
+        file and then rename garbage into place; with a unique name each
+        attempt renames its own complete file and the last rename wins
+        whole. Ends in .tmp so manifest/bucket listings never pick it up."""
+        import uuid
+
+        return f"{final}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+
     def parquet_writer(self, rel: str, schema):
         """(writer, commit) pair; ``commit()`` finalizes the bucket file."""
         import pyarrow.parquet as pq
 
         final = self.path(rel)
         if self.is_uri:
+            # object stores: single-PUT on close is atomic and concurrent
+            # attempts each PUT a complete object (last write wins whole)
             writer = pq.ParquetWriter(final, schema, filesystem=self.fs)
             return writer, lambda: None
-        tmp = final + ".tmp"
+        tmp = self._tmp_name(final)
         writer = pq.ParquetWriter(tmp, schema)
         return writer, lambda: os.replace(tmp, final)
 
@@ -134,7 +148,7 @@ class BucketStore:
         data = json.dumps(obj).encode()
         if self.is_uri:
             if self.scheme in self.RENAME_SCHEMES:
-                tmp = p + ".tmp"
+                tmp = self._tmp_name(p)
                 with self.fs.open_output_stream(tmp) as f:
                     f.write(data)
                 self.fs.move(tmp, p)
@@ -142,9 +156,10 @@ class BucketStore:
                 with self.fs.open_output_stream(p) as f:
                     f.write(data)
             return
-        with open(p + ".tmp", "wb") as f:
+        tmp = self._tmp_name(p)
+        with open(tmp, "wb") as f:
             f.write(data)
-        os.replace(p + ".tmp", p)
+        os.replace(tmp, p)
 
     def file_size(self, rel: str) -> int:
         p = self.path(rel)

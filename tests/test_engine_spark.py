@@ -250,6 +250,35 @@ class TestEntryContract:
 
 
 class TestManifestCommit:
+    def test_concurrent_attempts_cannot_corrupt_a_bucket(self, tmp_path):
+        # speculative execution: two live attempts write the SAME bucket.
+        # With attempt-unique temp names each renames its own complete
+        # file; the final file must be one attempt's full content, never
+        # an interleaving.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bella_domify_spark.engine.manifest import BucketStore
+
+        store = BucketStore(str(tmp_path / "out"))
+        store.makedirs()
+        schema = pa.schema([("v", pa.int64())])
+        wa, ca = store.parquet_writer("bucket-00000.parquet", schema)
+        wb, cb = store.parquet_writer("bucket-00000.parquet", schema)
+        wa.write_table(pa.table({"v": [1, 2, 3]}))
+        wb.write_table(pa.table({"v": [10, 20, 30]}))
+        wa.close()
+        ca()
+        wb.close()
+        cb()  # last complete attempt wins whole
+        got = pq.read_table(str(tmp_path / "out" / "bucket-00000.parquet"))
+        assert got.column("v").to_pylist() in ([1, 2, 3], [10, 20, 30])
+        assert got.column("v").to_pylist() == [10, 20, 30]
+        # no temp litter is ever listed as data or manifest
+        leftovers = [p for p in (tmp_path / "out").iterdir()
+                     if p.name.endswith(".tmp")]
+        assert leftovers == []
+
     def test_truncated_manifest_tmp_is_not_committed(self, tmp_path):
         # URI-mode manifests commit via tmp+move on rename-capable schemes,
         # so a crash mid-write leaves only a *.json.tmp — which must neither
