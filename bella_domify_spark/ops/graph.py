@@ -36,20 +36,33 @@ def _symmetrize(pairs: DataFrame, src: str, dst: str) -> DataFrame:
                                    F.col(src).alias("dst"))))
 
 
-def _finish(labels: DataFrame, node_out: str) -> DataFrame:
+def _ckpt(df: DataFrame, mode: str) -> DataFrame:
+    """Per-round materialization. ``local`` (default) stores blocks on
+    executors — fastest, but an executor loss mid-loop fails the job (it
+    cannot recompute a truncated lineage). ``reliable`` writes to the
+    directory set via ``sparkContext.setCheckpointDir`` (HDFS/object
+    store) and survives executor loss — the right mode for long loops on
+    large clusters. Both truncate the logical plan, which is the point
+    (see module docstring)."""
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _finish(labels: DataFrame, node_out: str, ckpt: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
             .select(F.col("node").alias(node_out),
                     F.col("label").alias("canonical_id"),
                     "cluster_size")
-            .localCheckpoint(eager=True))
+            .transform(lambda d: _ckpt(d, ckpt)))
 
 
-def _label_prop(sym: DataFrame, max_iter: int) -> DataFrame:
+def _label_prop(sym: DataFrame, max_iter: int, ckpt: str) -> DataFrame:
     """Min-label propagation; returns (node, label) at fixpoint or raises."""
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+              .transform(lambda d: _ckpt(d, ckpt)))
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym.src == labels.node)
                 .select(F.col("dst").alias("node"), F.col("label")))
@@ -57,7 +70,7 @@ def _label_prop(sym: DataFrame, max_iter: int) -> DataFrame:
         # so per-round analysis cost stays constant across iterations
         new = (labels.unionAll(msgs).groupBy("node")
                .agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
+               .transform(lambda d: _ckpt(d, ckpt)))
         changed = (new.alias("n").join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
@@ -71,7 +84,7 @@ def _label_prop(sym: DataFrame, max_iter: int) -> DataFrame:
         "algorithm='two_star'")
 
 
-def _two_star(sym: DataFrame, max_iter: int) -> DataFrame:
+def _two_star(sym: DataFrame, max_iter: int, ckpt: str) -> DataFrame:
     """Large-star/small-star alternation; returns (node, label) at fixpoint.
 
     large-star: per node u over its full neighborhood N(u), connect every
@@ -89,7 +102,7 @@ def _two_star(sym: DataFrame, max_iter: int) -> DataFrame:
     edges = (sym.filter(F.col("src") != F.col("dst"))
              .select(F.greatest("src", "dst").alias("src"),
                      F.least("src", "dst").alias("dst"))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().transform(lambda d: _ckpt(d, ckpt)))
 
     for _ in range(max_iter):
         # ---- large-star ----
@@ -114,7 +127,7 @@ def _two_star(sym: DataFrame, max_iter: int) -> DataFrame:
         new = (ss.filter(F.col("src") != F.col("dst"))
                .select(F.greatest("src", "dst").alias("src"),
                        F.least("src", "dst").alias("dst"))
-               .distinct().localCheckpoint(eager=True))
+               .distinct().transform(lambda d: _ckpt(d, ckpt)))
         changed = (new.exceptAll(edges).unionAll(edges.exceptAll(new))
                    .limit(1).count())
         edges = new
@@ -131,27 +144,30 @@ def _two_star(sym: DataFrame, max_iter: int) -> DataFrame:
     root_of = edges.groupBy("src").agg(F.min("dst").alias("label"))
     return (nodes.join(root_of, nodes.node == root_of.src, "left")
             .select("node", F.coalesce("label", "node").alias("label"))
-            .localCheckpoint(eager=True))
+            .transform(lambda d: _ckpt(d, ckpt)))
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", node_out: str = "doc_id",
                          algorithm: str = "label_prop",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint: str = "local") -> DataFrame:
     """Cluster an undirected pair list into components: ``(node_out,
     canonical_id, cluster_size)`` for every node with at least one edge.
 
     ``pairs`` is any near-dup candidate output (jaccard_pairs,
     simhash_near_dups, embedding_near_dups, minhash_lsh_pairs). See module
-    docstring for the algorithm trade-off."""
+    docstring for the algorithm trade-off, and ``_ckpt`` for the
+    ``checkpoint`` mode ("local" default; "reliable" uses the cluster
+    checkpoint dir and survives executor loss on long loops)."""
     sym = _symmetrize(pairs, src, dst).persist()
     try:
         if algorithm == "label_prop":
-            labels = _label_prop(sym, max_iter)
+            labels = _label_prop(sym, max_iter, checkpoint)
         elif algorithm == "two_star":
-            labels = _two_star(sym, max_iter)
+            labels = _two_star(sym, max_iter, checkpoint)
         else:
             raise ValueError(f"unknown algorithm {algorithm!r}")
-        return _finish(labels, node_out)
+        return _finish(labels, node_out, checkpoint)
     finally:
         sym.unpersist()

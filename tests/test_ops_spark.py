@@ -193,6 +193,19 @@ class TestConnectedComponents:
                            df, algorithm=alg, max_iter=40).collect()}
                 assert got == expected, (alg, seed)
 
+    def test_reliable_checkpoint_mode(self, spark, tmp_path):
+        # checkpoint="reliable" writes rounds to the cluster checkpoint
+        # dir (survives executor loss); results must be identical
+        from bella_domify_spark.ops.graph import connected_components
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        edges = self._random_graph(seed=17)
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+               for r in connected_components(
+                   df, max_iter=40, checkpoint="reliable").collect()}
+        assert got == self._reference_cc(edges)
+
     def test_two_star_beats_diameter_bound(self, spark):
         # a 40-node chain has diameter 39: label_prop cannot finish in 8
         # rounds (and must fail loudly), while two_star converges in
