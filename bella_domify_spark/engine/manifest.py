@@ -42,6 +42,11 @@ from typing import Iterator, List, Optional
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+# resume-filter strategy switch: up to this many completed buckets the
+# filter is a literal NOT IN (pushed into the scan); beyond it, a
+# broadcast anti-join keeps the plan O(1) (see run_resumable)
+RESUME_ISIN_LIMIT = 1000
+
 _SUMMARY_TYPE = T.StructType([
     T.StructField("bucket", T.IntegerType()),
     T.StructField("rows", T.LongType()),
@@ -213,8 +218,18 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
 
     done = completed_buckets(out_dir)
     df = with_bucket(df, n_buckets)
-    if done:
+    if done and len(done) <= RESUME_ISIN_LIMIT:
+        # literal NOT IN pushes into the scan stage (rows of completed
+        # buckets are dropped at the source)
         df = df.filter(~F.col("pid").isin(*[int(b) for b in done]))
+    elif done:
+        # a web-scale resume can carry 10^5-10^6 completed buckets — that
+        # many literals blow up the Catalyst expression tree/codegen, so
+        # switch to a broadcast anti-join: map-side, no shuffle of the big
+        # table, plan size O(1)
+        done_df = df.sparkSession.createDataFrame(
+            [(int(b),) for b in sorted(done)], "pid int")
+        df = df.join(F.broadcast(done_df), "pid", "left_anti")
 
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(min(p, n_buckets), "pid").sortWithinPartitions("pid")

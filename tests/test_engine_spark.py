@@ -66,6 +66,31 @@ class TestEndToEnd:
         assert got.count() == df.count()
         assert got.select("conv_id", "turn_idx").distinct().count() == df.count()
 
+    def test_resume_anti_join_path(self, spark, corpus, tmp_path,
+                                   monkeypatch):
+        # beyond RESUME_ISIN_LIMIT completed buckets the resume filter
+        # switches from literal NOT IN to a broadcast anti-join; force the
+        # switch low and verify identical resume semantics
+        from bella_domify_spark.engine import manifest
+
+        monkeypatch.setattr(manifest, "RESUME_ISIN_LIMIT", 2)
+        out = str(tmp_path / "out_aj")
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet")
+        run_resumable = manifest.run_resumable
+        s1 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="a")
+        assert s1["buckets_written"] == 8
+
+        for b in sorted(manifest.completed_buckets(out))[:3]:
+            os.remove(f"{out}/_manifests/bucket-{b:05d}.json")
+            os.remove(f"{out}/bucket-{b:05d}.parquet")
+        s2 = run_resumable(df, out, n_buckets=8, partitions=4, run_id="b")
+        assert s2["buckets_done_before"] == 5  # > limit → anti-join path
+        assert s2["buckets_written"] == 3
+        got = spark.read.parquet(f"{out}/bucket-*.parquet")
+        assert got.count() == df.count()
+        assert (got.select("conv_id", "turn_idx").distinct().count()
+                == df.count())
+
     def test_resume_via_uri_scheme(self, spark, corpus, tmp_path):
         # storage-agnostic sink: file:// routes through pyarrow.fs exactly
         # like s3://, hdfs:// would on a real cluster (manifest written LAST
