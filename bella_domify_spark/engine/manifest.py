@@ -179,7 +179,11 @@ def _manifest_dir(out_dir: str) -> str:  # kept for callers/tests
 
 def completed_buckets(out_dir: str) -> set:
     store = BucketStore(out_dir)
-    return {int(n[7:12]) for n in store.manifest_names()
+    # parse the FULL id: names are bucket-%05d.json, but %05d widens past
+    # 99,999 (B=2^20 is the recommended web-scale bucket count) — a fixed
+    # [7:12] slice would silently mis-parse bucket 123456 as 12345 and
+    # corrupt the resume set
+    return {int(n[len("bucket-"):n.index(".")]) for n in store.manifest_names()
             if n.startswith("bucket-")}
 
 

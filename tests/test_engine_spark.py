@@ -275,6 +275,21 @@ class TestEntryContract:
 
 
 class TestManifestCommit:
+    def test_completed_buckets_parses_wide_ids(self, tmp_path):
+        # %05d widens beyond 99,999 (the runbook recommends B=2^20); the
+        # resume set must parse the full id, not a 5-digit slice
+        from bella_domify_spark.engine.manifest import (
+            BucketStore,
+            completed_buckets,
+        )
+
+        store = BucketStore(str(tmp_path / "out"))
+        store.makedirs()
+        for b in (3, 99999, 123456, 1048575):
+            store.write_json(f"_manifests/bucket-{b:05d}.json", {"rows": 1})
+        assert completed_buckets(str(tmp_path / "out")) == \
+            {3, 99999, 123456, 1048575}
+
     def test_concurrent_attempts_cannot_corrupt_a_bucket(self, tmp_path):
         # speculative execution: two live attempts write the SAME bucket.
         # With attempt-unique temp names each renames its own complete
