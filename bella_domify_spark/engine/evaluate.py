@@ -320,7 +320,7 @@ def per_type_accuracy(metrics: DataFrame) -> DataFrame:
                  F.sum("c.weight").alias("total"))
             .select("label_type", F.round("correct", 4).alias("correct"),
                     F.round("total", 4).alias("total"),
-                    F.round(F.col("correct") / F.col("total"), 6)
+                    F.round(F.try_divide("correct", "total"), 6)
                     .alias("accuracy")))
 
 
@@ -338,9 +338,12 @@ def evaluation_summary(metrics: DataFrame) -> DataFrame:
         F.avg("mean_edit").alias("mean_edit"),
         F.sum("structure_right").alias("s_right"),
         F.sum("structure_total").alias("s_total"))
+    # try_divide: a flat-tree corpus has structure_total=0 (no edges) and
+    # an empty one has n_label=0 — those ratios are genuinely undefined,
+    # so emit NULL instead of throwing under ANSI mode
     return base.crossJoin(diag).select(
-        F.round(F.col("n_1v1") / F.col("n_label"), 6).alias("block_1v1_rate"),
+        F.round(F.try_divide("n_1v1", "n_label"), 6).alias("block_1v1_rate"),
         F.round("mean_edit", 6).alias("mean_edit_similarity"),
-        F.round(F.col("diag") / F.col("total"), 6).alias("layout_accuracy"),
-        F.round(F.col("s_right") / F.col("s_total"), 6)
+        F.round(F.try_divide("diag", "total"), 6).alias("layout_accuracy"),
+        F.round(F.try_divide("s_right", "s_total"), 6)
         .alias("structure_accuracy"))

@@ -178,6 +178,17 @@ class TestSpark:
         assert rows[2]["n_1v1"] == 0
         assert rows[2]["mean_edit"] == pytest.approx(0.0)
 
+    def test_flat_corpus_summary_is_null_not_crash(self, spark):
+        # a corpus of flat trees has zero structure edges: the structure
+        # ratio is undefined (NULL), not an ANSI DIVIDE_BY_ZERO crash
+        flat = _tree([("1", "text", "Text", "hello world", [])])
+        df = spark.createDataFrame([(1, flat)],
+                                   "doc_id bigint, domtree_json string")
+        s = evaluation_summary(evaluate_extractions(df, df)).collect()[0]
+        assert s["structure_accuracy"] is None
+        assert s["block_1v1_rate"] == pytest.approx(1.0)
+        assert s["layout_accuracy"] == pytest.approx(1.0)
+
     def test_null_trees_are_survivable(self, spark):
         # error-status parse rows carry domtree_json NULL: parsed-side
         # nulls score as empty trees, label-side nulls are dropped
