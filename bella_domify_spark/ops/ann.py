@@ -3,6 +3,12 @@
 - ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query set,
   dot products via ``F.zip_with`` + ``F.aggregate`` (JVM, no Python), rank
   with a window. The baseline path; exact, SQL-mirrorable.
+Precondition (all operators): embedding vectors are non-zero — cosine
+normalization divides by the norm, which under Spark's ANSI mode raises
+DIVIDE_BY_ZERO for an all-zero vector (the same row would poison any
+cosine index); filter degenerate vectors upstream (`aggregate(v,0,(a,x)->
+a+x*x) > 0`) if the corpus can contain them.
+
 - ``lsh_topk`` — the scale path: random-hyperplane LSH. Hyperplanes are
   generated deterministically (numpy seed) on the driver and broadcast as a
   literal; bucket assignment is an Arrow-vectorized pandas UDF (one matmul
