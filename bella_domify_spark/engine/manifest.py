@@ -93,6 +93,30 @@ class BucketStore:
         else:
             os.makedirs(self.path("_manifests"), exist_ok=True)
 
+    def clean_tmp(self) -> int:
+        """Remove orphaned attempt-temp files (crashed/killed attempts
+        leave uniquely-named ``*.tmp`` litter nothing else deletes).
+        Called at job start, when no attempt can be live — never during a
+        run. Returns the number removed."""
+        removed = 0
+        for sub in ("", "_manifests"):
+            d = self.path(sub) if sub else self.base.rstrip("/")
+            if self.is_uri:
+                import pyarrow.fs as pafs
+
+                infos = self.fs.get_file_info(
+                    pafs.FileSelector(d, allow_not_found=True))
+                for i in infos:
+                    if i.base_name.endswith(".tmp"):
+                        self.fs.delete_file(i.path)
+                        removed += 1
+            elif os.path.isdir(d):
+                for n in os.listdir(d):
+                    if n.endswith(".tmp"):
+                        os.remove(os.path.join(d, n))
+                        removed += 1
+        return removed
+
     def manifest_names(self) -> List[str]:
         mdir = self.path("_manifests")
         if self.is_uri:
@@ -136,6 +160,12 @@ class BucketStore:
 
         final = self.path(rel)
         if self.is_uri:
+            if self.scheme in self.RENAME_SCHEMES:
+                # file://, hdfs://: streams interleave in place, so commit
+                # via attempt-unique temp + move exactly like write_json
+                tmp = self._tmp_name(final)
+                writer = pq.ParquetWriter(tmp, schema, filesystem=self.fs)
+                return writer, lambda: self.fs.move(tmp, final)
             # object stores: single-PUT on close is atomic and concurrent
             # attempts each PUT a complete object (last write wins whole)
             writer = pq.ParquetWriter(final, schema, filesystem=self.fs)
@@ -218,7 +248,9 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
     """
     from bella_domify_spark.engine.extract import apply_parse
 
-    BucketStore(out_dir).makedirs()
+    _store = BucketStore(out_dir)
+    _store.makedirs()
+    _store.clean_tmp()  # orphans from crashed attempts; no attempt is live
 
     done = completed_buckets(out_dir)
     df = with_bucket(df, n_buckets)

@@ -46,6 +46,10 @@ def _ckpt(df: DataFrame, mode: str) -> DataFrame:
     (see module docstring)."""
     if mode == "reliable":
         return df.checkpoint(eager=True)
+    if mode != "local":
+        # a typo here would silently demote a long loop to executor-local
+        # blocks — defeating the exact guarantee the caller asked for
+        raise ValueError(f"unknown checkpoint mode {mode!r}")
     return df.localCheckpoint(eager=True)
 
 

@@ -275,6 +275,27 @@ class TestEntryContract:
 
 
 class TestManifestCommit:
+    def test_clean_tmp_removes_orphans(self, spark, corpus, tmp_path):
+        # crashed attempts leave uniquely-named *.tmp litter; the next run
+        # start removes it (data/manifest files untouched)
+        from bella_domify_spark.engine.manifest import (
+            BucketStore,
+            run_resumable,
+        )
+
+        out = str(tmp_path / "out_orphan")
+        store = BucketStore(out)
+        store.makedirs()
+        (tmp_path / "out_orphan" / "bucket-00001.parquet.123-ab.tmp"
+         ).write_bytes(b"junk")
+        (tmp_path / "out_orphan" / "_manifests" /
+         "bucket-00001.json.456-cd.tmp").write_text("junk")
+        df = spark.read.parquet(f"{corpus}/transcripts.parquet").limit(50)
+        run_resumable(df, out, n_buckets=4, partitions=2)
+        left = [p.name for p in (tmp_path / "out_orphan").rglob("*.tmp")]
+        assert left == []
+        assert spark.read.parquet(f"{out}/bucket-*.parquet").count() == 50
+
     def test_completed_buckets_parses_wide_ids(self, tmp_path):
         # %05d widens beyond 99,999 (the runbook recommends B=2^20); the
         # resume set must parse the full id, not a 5-digit slice
@@ -312,8 +333,7 @@ class TestManifestCommit:
         wb.close()
         cb()  # last complete attempt wins whole
         got = pq.read_table(str(tmp_path / "out" / "bucket-00000.parquet"))
-        assert got.column("v").to_pylist() in ([1, 2, 3], [10, 20, 30])
-        assert got.column("v").to_pylist() == [10, 20, 30]
+        assert got.column("v").to_pylist() == [10, 20, 30]  # last commit wins whole
         # no temp litter is ever listed as data or manifest
         leftovers = [p for p in (tmp_path / "out").iterdir()
                      if p.name.endswith(".tmp")]

@@ -44,7 +44,7 @@ def build_report(parsed_path: str, labels_path: str) -> str:
             .filter(F.col("label_type") != F.col("parsed_type"))
             .orderBy(F.desc("weight")).limit(10).collect())
     worst = (metrics
-             .withColumn("score", F.col("n_1v1") / F.col("n_label"))
+             .withColumn("score", F.try_divide("n_1v1", "n_label"))
              .orderBy("score", "doc_id").limit(10)
              .select("doc_id", "n_label", "n_1v1", "mean_edit",
                      "structure_right", "structure_total").collect())

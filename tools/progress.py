@@ -18,10 +18,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def summarize(out_dir: str, total_buckets: int | None = None) -> dict:
-    from bella_domify_spark.engine.manifest import read_manifests
+def _read_all(out_dir: str, max_workers: int = 32) -> list:
+    """Manifest reads fanned out over a thread pool — each is one small
+    GET, so threads (not processes) remove the serial round-trip wall.
+    At the runbook's 2^20-bucket scale even 32-way fan-out means ~10^4+
+    seconds of GETs against an object store: for routine monitoring there,
+    prefer the bucket COUNT (cheap LIST, pct_done only) or point this at
+    a per-run subset; full metric sums are an end-of-run report."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    ms = read_manifests(out_dir)
+    from bella_domify_spark.engine.manifest import BucketStore
+
+    store = BucketStore(out_dir)
+    names = [n for n in store.manifest_names() if n.startswith("bucket-")]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(lambda n: store.read_json("_manifests", n), names))
+
+
+def summarize(out_dir: str, total_buckets: int | None = None) -> dict:
+    ms = _read_all(out_dir)
     rows = sum(m["rows"] for m in ms)
     nbytes = sum(m["bytes"] for m in ms)
     wall_ms = sum(m["wall_ms"] for m in ms)
