@@ -243,6 +243,13 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
     pipeline throughput at high core counts. fused=False keeps the two-stage
     plan (useful when a pre-parsed DataFrame is reused elsewhere).
 
+    One driver per ``out_dir`` at a time: the resume set is read once at
+    start and orphaned attempt-temps are swept then (safe because no task
+    attempt can be live). Concurrent DRIVERS against one out_dir would
+    race both; resubmit sequentially instead — speculative/retried task
+    attempts WITHIN a run are fully supported (attempt-unique temps,
+    manifest-last commit).
+
     Returns {buckets_total, buckets_done_before, buckets_written, rows,
     bytes, wall_ms}.
     """
