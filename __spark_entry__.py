@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves pd.Series hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -208,6 +210,32 @@ def _q_conv_assembly(spark, sf):
                  F.concat_ws("", F.transform(
                      F.array_sort(F.collect_list(F.struct("turn_idx", "x"))),
                      lambda s: s["x"])).alias("conv_text")))
+
+
+def _q_decode_roundtrip(spark, sf):
+    # charset front door (reference csv_parser.py cascade, F1/F3): encode
+    # each document's text executor-side in a per-id charset (utf-8 / gbk
+    # with a CJK marker / latin1), then decode through the gbk-first
+    # cascade. ASCII is invariant under all three and the CJK branch is
+    # true gbk, so the round-trip restores the input exactly — any cascade
+    # reordering or decode bug breaks the hash
+    from pyspark.sql import types as T
+
+    from bella_domify_spark.functions.charset import decode_binary_column
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        def one(i, t):
+            b = int(i) % 3
+            if b == 1:
+                return (t + "目录").encode("gbk")
+            return t.encode("utf-8" if b == 0 else "latin1")
+        return pd.Series([one(i, t) for i, t in zip(doc_id, text)])
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", _enc("doc_id", "text").alias("payload"))
+    return (decode_binary_column(d, "payload", "decoded")
+            .select("doc_id", "decoded"))
 
 
 def _q_conv_stats(spark, sf):
@@ -559,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
         "conv_assembly": _q_conv_assembly,
+        "decode_roundtrip": _q_decode_roundtrip,
         "session_gap": _q_session_gap,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
@@ -769,6 +798,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
                    max(ts) AS last_ts, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "decode_roundtrip": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 1 THEN text || '目录'
+                        ELSE text END AS decoded
+            FROM documents
         """,
         # per-payload extraction rules: txt = payload + blank line; md =
         # the txt list-marker quirk prefixes '# '; docx = inner text +

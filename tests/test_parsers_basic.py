@@ -208,3 +208,45 @@ class TestDispatch:
         rec = parse_payload("plain body text.")
         doc = json.loads(rec["domtree_json"])
         assert doc["root"]["child"][0]["element"]["text"] == "plain body text."
+
+
+class TestCharsetCascades:
+    def test_layout_cascade_gbk_first_quirk(self):
+        # reference csv_parser.py:21 tries gbk BEFORE utf-8. For utf-8
+        # Chinese whose bytes happen to form valid gbk pairs, the layout
+        # cascade yields gbk mojibake while the markdown cascade (utf-8
+        # first, csv_parser.py:44) decodes correctly — pinned, because the
+        # reference ships exactly that divergence
+        from bella_domify_spark.functions.charset import (
+            CSV_LAYOUT_CASCADE,
+            CSV_MARKDOWN_CASCADE,
+            decode_cascade,
+        )
+
+        utf8_cn = "\u6c49\u5b57\u6587\u672c".encode("utf-8")  # 汉字文本
+        assert decode_cascade(utf8_cn, CSV_LAYOUT_CASCADE) == \
+            utf8_cn.decode("gbk")                     # mojibake, like prod
+        assert decode_cascade(utf8_cn, CSV_MARKDOWN_CASCADE) == \
+            "\u6c49\u5b57\u6587\u672c"
+        # bytes gbk CANNOT decode fall through to utf-8 on both cascades
+        utf8_cn2 = "\u4e2d\u6587".encode("utf-8")   # 中文: gbk-illegal
+        assert decode_cascade(utf8_cn2, CSV_LAYOUT_CASCADE) == "\u4e2d\u6587"
+
+    def test_real_gbk_and_ascii_roundtrip(self):
+        from bella_domify_spark.functions.charset import decode_cascade
+
+        assert decode_cascade("\u76ee\u5f55\u8868".encode("gbk")) == \
+            "\u76ee\u5f55\u8868"
+        assert decode_cascade(b"plain ascii text") == "plain ascii text"
+
+    def test_detect_and_decode_without_chardet(self):
+        from bella_domify_spark.functions.charset import detect_and_decode
+
+        assert detect_and_decode("h\u00e9llo".encode("utf-8")) == "h\u00e9llo"
+        # approximation limit (documented): 2-byte gbk that is also valid
+        # utf-8 mojibakes without chardet; with chardet installed the
+        # detect branch would return the gbk reading
+        gbk = "\u76ee\u5f55".encode("gbk")
+        assert detect_and_decode(gbk) == gbk.decode("utf-8")
+        # arbitrary bytes terminate at latin1 (never raises)
+        assert isinstance(detect_and_decode(bytes(range(256))), str)
