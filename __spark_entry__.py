@@ -383,6 +383,13 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(_t(spark, sf, "documents"))
 
 
+def _q_pack_shards(spark, sf):
+    # token-budget sharding: content-addressed shard assignment with
+    # shard count derived from the corpus' total token count
+    from bella_domify_spark.ops.textstats import pack_shards
+    return pack_shards(_t(spark, sf, "documents"), tokens_per_shard=2000)
+
+
 def _q_train_split(spark, sf):
     # deterministic content-addressed train/val/test split (md5 mod 100)
     from bella_domify_spark.ops.textstats import train_split
@@ -609,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "train_split": _q_train_split,
         "curate_corpus": _q_curate_corpus,
+        "pack_shards": _q_pack_shards,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -798,6 +806,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
                    max(ts) AS last_ts, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # shard count derived in-SQL from the same token formula the
+        # Spark side aggregates; assignment = md5(id) mod n (train_split
+        # idiom)
+        "pack_shards": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       length(regexp_split_to_array(trim(text), '\s+'))::INT
+                           AS tokens
+                FROM documents
+            ),
+            n AS (
+                SELECT GREATEST(CEIL(sum(tokens) / 2000.0), 1)::BIGINT AS n
+                FROM t
+            )
+            SELECT doc_id, tokens,
+                   ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                     % (SELECT n FROM n)))::INT AS shard_id
+            FROM t
         """,
         "decode_roundtrip": """
             SELECT doc_id,

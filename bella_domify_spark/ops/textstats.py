@@ -123,3 +123,33 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
              .otherwise(F.lit("train")))
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"),
                      split.alias("split"))
+
+
+def pack_shards(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                tokens_per_shard: int = 2000) -> DataFrame:
+    """Token-budget sharding for training: ``(id, tokens, shard_id)`` with
+    shard count = ceil(total_tokens / tokens_per_shard) and assignment by
+    content-addressed hash (md5(id) mod n_shards).
+
+    Deliberately NOT greedy bin packing: an exact cumulative-sum pack
+    needs a total order over the corpus, i.e. a window whose orderBy spans
+    one task per split — a serial stage at 100 TB. Hash assignment is
+    embarrassingly parallel, stable under any partitioning, and shard
+    token totals concentrate around the budget by the law of large numbers
+    (spread shrinks as docs-per-shard grows; pinned by a balance test).
+    Cost: one count-tokens aggregate (driver scalar) + one projection.
+    """
+    import math
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tokens"))
+    total = toks.agg(F.sum("tokens")).collect()[0][0] or 0
+    n_shards = max(1, math.ceil(total / tokens_per_shard))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(n_shards))
+    return toks.select(F.col(id_col), "tokens",
+                       shard.cast("int").alias("shard_id"))

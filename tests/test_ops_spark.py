@@ -146,6 +146,30 @@ class TestCurate:
         assert rows[4]["n_words"] == 36
 
 
+class TestPackShards:
+    def test_shards_are_balanced_and_deterministic(self, spark):
+        from bella_domify_spark.ops.textstats import pack_shards
+
+        df = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        out = pack_shards(df, tokens_per_shard=10_000).cache()
+        sizes = {r["shard_id"]: r["s"]
+                 for r in out.groupBy("shard_id")
+                 .agg(F.sum("tokens").alias("s")).collect()}
+        total = sum(sizes.values())
+        n = len(sizes)
+        assert n == -(-total // 10_000)  # ceil(total/budget) shards exist
+        mean = total / n
+        # hash balance: no shard strays far from the budgeted mean
+        assert max(sizes.values()) < 1.35 * mean
+        assert min(sizes.values()) > 0.65 * mean
+        # content-addressed: identical under adversarial partitioning
+        again = {(r["doc_id"], r["shard_id"])
+                 for r in pack_shards(df.repartition(7),
+                                      tokens_per_shard=10_000).collect()}
+        assert again == {(r["doc_id"], r["shard_id"]) for r in out.collect()}
+        out.unpersist()
+
+
 class TestConnectedComponents:
     def _random_graph(self, seed=3, n=40, m=40):
         import random
