@@ -355,6 +355,17 @@ def _q_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
 
+def _q_decontaminate(spark, sf):
+    # benchmark decontamination: 8-gram overlap of the corpus against a
+    # deterministic "benchmark" subset (every 97th document) — the planted
+    # self-overlap guarantees hits; near-dups of benchmark docs surface too
+    from bella_domify_spark.ops.dedup import contamination_flags
+    d = _t(spark, sf, "documents")
+    bench = (d.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return contamination_flags(d, bench, n=8)
+
+
 def _q_dedup_cluster_minhash(spark, sf):
     # fourth pair source through the generic connected_components: the
     # minhash-LSH banded candidate graph at est_jaccard >= 0.2
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
+        "decontaminate": _q_decontaminate,
         "dedup_cluster_minhash": _q_dedup_cluster_minhash,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -1028,6 +1040,23 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_closure("pairs")}
             {_cluster_select("doc_id")}
+        """,
+        # 8-gram shingles (same construction as the jaccard CTEs at n=8)
+        # joined against the benchmark subset's shingles
+        "decontaminate": """
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+7], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+            ),
+            b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 97 = 0)
+            SELECT sh.id AS doc_id, b.bench_id, count(*) AS n_collisions
+            FROM sh JOIN b USING (shingle)
+            GROUP BY sh.id, b.bench_id
         """,
         # minhash pair CTEs (identical to dedup_minhash_lsh) + the shared
         # recursive closure

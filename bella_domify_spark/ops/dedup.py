@@ -261,3 +261,26 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     pairs = jaccard_pairs(df, id_col, text_col, threshold=threshold)
     return connected_components(pairs, node_out=id_col,
                                 algorithm=algorithm, max_iter=max_iter)
+
+
+def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_id_col: str = "bench_id", n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    one word ``n``-gram with any benchmark document — the GPT-3/Pile-style
+    n-gram overlap check a training pipeline runs before a data release.
+
+    Returns ``(doc_id, bench_id, n_collisions)`` per contaminated
+    (document, benchmark-item) pair. Plan shape: both sides shingle
+    map-side, the join is an equality shuffle on the shingle (benchmark
+    shingle sets are small → AQE broadcasts them), and the aggregate has
+    map-side partial combine. Documents shorter than ``n`` words produce
+    no shingles and therefore cannot be flagged — choose ``n`` at or
+    below the corpus' minimum retained document length (the classic 13
+    is for web-page-sized documents)."""
+    c = word_shingles(corpus, id_col, text_col, n=n)
+    b = (word_shingles(benchmark, bench_id_col, text_col, n=n)
+         .select(F.col("id").alias("bid"), "shingle"))
+    return (c.join(b, "shingle")
+            .groupBy(F.col("id").alias(id_col), F.col("bid").alias(bench_id_col))
+            .agg(F.count(F.lit(1)).alias("n_collisions")))

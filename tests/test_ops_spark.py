@@ -146,6 +146,25 @@ class TestCurate:
         assert rows[4]["n_words"] == 36
 
 
+class TestDecontamination:
+    def test_flags_ngram_overlap_with_benchmark(self, spark):
+        from bella_domify_spark.ops.dedup import contamination_flags
+
+        bench_text = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame([
+            (1, f"intro words here {bench_text} and trailing content"),
+            (2, "completely different text with no overlapping phrases "
+                "whatsoever in any span of eight consecutive words"),
+            (3, "short doc"),                       # < n words: unflaggable
+        ], ["doc_id", "text"])
+        bench = spark.createDataFrame([(100, bench_text)],
+                                      ["bench_id", "text"])
+        rows = {(r["doc_id"], r["bench_id"]): r["n_collisions"]
+                for r in contamination_flags(corpus, bench, n=8).collect()}
+        assert set(rows) == {(1, 100)}
+        assert rows[(1, 100)] == 3  # 10-word bench text → 3 shared 8-grams
+
+
 class TestPackShards:
     def test_shards_are_balanced_and_deterministic(self, spark):
         from bella_domify_spark.ops.textstats import pack_shards
