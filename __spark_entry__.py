@@ -226,6 +226,15 @@ def _q_decode_roundtrip(spark, sf):
     @F.pandas_udf(T.BinaryType())
     def _enc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         def one(i, t):
+            if t is None:
+                return None  # oracle passes NULL through; so must we
+            if not t.isascii():
+                # non-ASCII would mojibake under the gbk-first cascade and
+                # silently diverge from the oracle — fail LOUDLY so a
+                # fixture regeneration surfaces here, not as a hash drift
+                raise ValueError(
+                    f"decode_roundtrip expects ASCII document text; doc "
+                    f"{int(i)} is not — regenerate the oracle design")
             b = int(i) % 3
             if b == 1:
                 return (t + "目录").encode("gbk")

@@ -45,7 +45,11 @@ def detect_and_decode(data: bytes) -> str:
         from chardet import detect
     except ImportError:
         return decode_cascade(data, ("utf-8", "gbk", "latin1"))
-    enc = detect(data)["encoding"] or "utf-8"
+    enc = detect(data)["encoding"]
+    if enc is None:
+        # reference parity: decode(None) raises there and the handler
+        # falls through to gbk (txt/converter.py:16-19)
+        return data.decode("gbk")
     try:
         return data.decode(enc)
     except (UnicodeDecodeError, LookupError):

@@ -81,6 +81,21 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def _md5_mod(col, n) -> "Column":  # noqa: F821
+    """md5(str(col)) first-15-hex-digits as a 60-bit long, mod n — THE
+    content-addressed hash of this module (train_split buckets, shard
+    assignment). DuckDB twin: ('0x'||substr(md5(x),1,15))::BIGINT % n.
+    One definition so the oracle-pinned formula cannot drift per caller."""
+    return F.pmod(F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                         16, 10).cast("long"), F.lit(n))
+
+
+def _ws_tokens(text) -> "Column":  # noqa: F821
+    """Whitespace token count; twin of the oracle's
+    length(regexp_split_to_array(trim(text), '\\s+'))."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (words and
@@ -88,7 +103,7 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(text), r"\s+")).alias("ws_tokens"),
+        _ws_tokens(text).alias("ws_tokens"),
         F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("re_tokens"),
     )
 
@@ -115,9 +130,7 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
     expressions; no shuffle at all — the assignment is a map-side
     projection that scans at full width on 100 TB.
     """
-    bucket = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
-                                       1, 15), 16, 10).cast("long"),
-                    F.lit(100))
+    bucket = _md5_mod(F.col(id_col), 100)
     split = (F.when(bucket < test_pct, F.lit("test"))
              .when(bucket < test_pct + val_pct, F.lit("val"))
              .otherwise(F.lit("train")))
@@ -144,12 +157,9 @@ def pack_shards(df: DataFrame, id_col: str = "doc_id",
 
     toks = df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tokens"))
+        _ws_tokens(F.col(text_col)).alias("tokens"))
     total = toks.agg(F.sum("tokens")).collect()[0][0] or 0
     n_shards = max(1, math.ceil(total / tokens_per_shard))
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-               16, 10).cast("long"),
-        F.lit(n_shards))
+    shard = _md5_mod(F.col(id_col), n_shards)
     return toks.select(F.col(id_col), "tokens",
                        shard.cast("int").alias("shard_id"))

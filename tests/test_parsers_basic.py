@@ -240,6 +240,12 @@ class TestCharsetCascades:
         assert decode_cascade(b"plain ascii text") == "plain ascii text"
 
     def test_detect_and_decode_without_chardet(self):
+        import importlib.util
+
+        import pytest
+
+        if importlib.util.find_spec("chardet") is not None:
+            pytest.skip("chardet installed: detect branch takes over")
         from bella_domify_spark.functions.charset import detect_and_decode
 
         assert detect_and_decode("h\u00e9llo".encode("utf-8")) == "h\u00e9llo"
