@@ -403,6 +403,23 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(_t(spark, sf, "documents"))
 
 
+def _q_redact_pii(spark, sf):
+    # PII scrubbing over payloads with planted per-doc email + IP (same
+    # synthesis in the oracle) so every row carries real redactions
+    from bella_domify_spark.ops.textstats import redact_pii
+    d = _t(spark, sf, "documents")
+    payload = F.concat(
+        F.col("text"), F.lit(" contact doc"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        F.pmod(F.col("doc_id"), F.lit(255)).cast("string"))
+    return redact_pii(d.select("doc_id", payload.alias("text")))
+
+
+def _q_repetition_stats(spark, sf):
+    from bella_domify_spark.ops.textstats import repetition_stats
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
 def _q_pack_shards(spark, sf):
     # token-budget sharding: content-addressed shard assignment with
     # shard count derived from the corpus' total token count
@@ -638,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "curate_corpus": _q_curate_corpus,
         "pack_shards": _q_pack_shards,
+        "redact_pii": _q_redact_pii,
+        "repetition_stats": _q_repetition_stats,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -827,6 +846,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
                    max(ts) AS last_ts, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # same planted payload, same portable regexes (RE2 ∩ Java)
+        "redact_pii": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact doc' || doc_id::VARCHAR
+                            || '@example.com from 10.0.0.'
+                            || (doc_id % 255)::VARCHAR AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+                       AS redacted_text,
+                   (length(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + length(regexp_extract_all(t,
+                        '\b(\d{1,3}\.){3}\d{1,3}\b')))::INT AS n_redactions
+            FROM p
+        """,
+        "repetition_stats": r"""
+            WITH w AS (
+                SELECT doc_id AS id, t.w
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> ''
+            ),
+            c AS (SELECT id, w, count(*) AS c FROM w GROUP BY id, w)
+            SELECT id AS doc_id, sum(c) AS n_words,
+                   count(*) AS n_distinct_words,
+                   round(1 - count(*) / sum(c)::DOUBLE, 6) AS dup_word_ratio,
+                   round(max(c) / sum(c)::DOUBLE, 6) AS top_word_ratio
+            FROM c GROUP BY id
         """,
         # shard count derived in-SQL from the same token formula the
         # Spark side aggregates; assignment = md5(id) mod n (train_split

@@ -163,3 +163,49 @@ def pack_shards(df: DataFrame, id_col: str = "doc_id",
     shard = _md5_mod(F.col(id_col), n_shards)
     return toks.select(F.col(id_col), "tokens",
                        shard.cast("int").alias("shard_id"))
+
+
+# deliberately simple, engine-portable patterns (RE2 ∩ Java regex: no
+# backrefs, no lookarounds) so the DuckDB oracle matches bit-for-bit
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace emails and IPv4 literals with typed tags and
+    count what was removed — the pre-release redaction pass every
+    training corpus runs. Pure Catalyst regexp expressions (whole-stage
+    codegen, no shuffle, no Python)."""
+    text = F.col(text_col)
+    n = (F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0))
+         + F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+        PII_IPV4, "<IP>")
+    return df.select(F.col(id_col), redacted.alias("redacted_text"),
+                     n.cast("int").alias("n_redactions"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (Gopher-style): duplicate-word ratio and
+    the most-frequent word's share per document. One explode + two hash
+    aggregates with map-side partial combine; words hash by (doc, word)
+    so a giant document spreads across the first aggregate's tasks."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+    counts = (words.filter(F.col("w") != "")
+              .groupBy("id", "w").agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy("id")
+            .agg(F.sum("c").alias("n_words"),
+                 F.count(F.lit(1)).alias("n_distinct_words"),
+                 F.max("c").alias("top_c"))
+            .select(F.col("id").alias(id_col), "n_words",
+                    F.col("n_distinct_words").cast("long")
+                    .alias("n_distinct_words"),
+                    F.round(1 - F.col("n_distinct_words") / F.col("n_words"),
+                            6).alias("dup_word_ratio"),
+                    F.round(F.col("top_c") / F.col("n_words"), 6)
+                    .alias("top_word_ratio")))

@@ -146,6 +146,37 @@ class TestCurate:
         assert rows[4]["n_words"] == 36
 
 
+class TestPiiAndRepetition:
+    def test_redact_pii(self, spark):
+        from bella_domify_spark.ops.textstats import redact_pii
+
+        df = spark.createDataFrame([
+            (1, "mail alice@example.com and 192.168.0.1 plus bob@x.co.uk"),
+            (2, "nothing sensitive here"),
+        ], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        assert rows[1]["redacted_text"] == \
+            "mail <EMAIL> and <IP> plus <EMAIL>"
+        assert rows[1]["n_redactions"] == 3
+        assert rows[2]["n_redactions"] == 0
+        assert rows[2]["redacted_text"] == "nothing sensitive here"
+
+    def test_repetition_stats(self, spark):
+        from bella_domify_spark.ops.textstats import repetition_stats
+
+        df = spark.createDataFrame([
+            (1, "spam spam spam spam eggs"),
+            (2, "all words here are unique"),
+        ], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert rows[1]["n_words"] == 5
+        assert rows[1]["n_distinct_words"] == 2
+        assert rows[1]["dup_word_ratio"] == 0.6
+        assert rows[1]["top_word_ratio"] == 0.8
+        assert rows[2]["dup_word_ratio"] == 0.0
+        assert rows[2]["top_word_ratio"] == 0.2
+
+
 class TestDecontamination:
     def test_flags_ngram_overlap_with_benchmark(self, spark):
         from bella_domify_spark.ops.dedup import contamination_flags
