@@ -403,6 +403,16 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(_t(spark, sf, "documents"))
 
 
+def _q_sample_stratified(spark, sf):
+    # rebalance the language mix: halve English, keep the rest — the
+    # content-addressed decision (md5 mod 1e6) survives re-runs and
+    # corpus growth with the SAME documents retained
+    from bella_domify_spark.ops.textstats import sample_stratified
+    d = _t(spark, sf, "documents")
+    return (sample_stratified(d, {"en": 0.5}, strata_col="lang")
+            .select("doc_id", "lang"))
+
+
 def _q_redact_pii(spark, sf):
     # PII scrubbing over payloads with planted per-doc email + IP (same
     # synthesis in the oracle) so every row carries real redactions
@@ -656,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "pack_shards": _q_pack_shards,
         "redact_pii": _q_redact_pii,
+        "sample_stratified": _q_sample_stratified,
         "repetition_stats": _q_repetition_stats,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -846,6 +857,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_turns, min(ts) AS first_ts,
                    max(ts) AS last_ts, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 1000000
+                  < CASE WHEN lang = 'en' THEN 500000 ELSE 1000000 END
         """,
         # same planted payload, same portable regexes (RE2 ∩ Java)
         "redact_pii": r"""

@@ -209,3 +209,22 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                             6).alias("dup_word_ratio"),
                     F.round(F.col("top_c") / F.col("n_words"), 6)
                     .alias("top_word_ratio")))
+
+
+def sample_stratified(df: DataFrame, rates: dict, strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      default_rate: float = 1.0) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff
+    md5(id) mod 10^6 < rate(stratum) × 10^6 — the content-addressed way
+    to rebalance over-represented strata (languages, sources). Unlike
+    ``df.sampleBy``, the decision depends only on the id, so it is stable
+    across runs, partitionings, and incremental corpus growth, and the
+    SAME documents survive when the job re-runs. Map-side projection +
+    filter; no shuffle."""
+    bucket = _md5_mod(F.col(id_col), 1_000_000)
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))) \
+                .otherwise(rate)
+    return (df.withColumn("_keep", bucket < (rate * 1_000_000).cast("long"))
+            .filter(F.col("_keep")).drop("_keep"))

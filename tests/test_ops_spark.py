@@ -146,6 +146,23 @@ class TestCurate:
         assert rows[4]["n_words"] == 36
 
 
+class TestStratifiedSampling:
+    def test_rates_and_determinism(self, spark):
+        from bella_domify_spark.ops.textstats import sample_stratified
+
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        kept = sample_stratified(df, {"en": 0.25}, strata_col="lang")
+        by_lang = {r["lang"]: r["n"] for r in
+                   kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert by_lang["de"] == 1000                   # untouched stratum
+        assert 175 < by_lang["en"] < 325               # ~25% of 1000
+        ids = {r["doc_id"] for r in kept.collect()}
+        again = {r["doc_id"] for r in sample_stratified(
+            df.repartition(7), {"en": 0.25}, strata_col="lang").collect()}
+        assert ids == again                            # content-addressed
+
+
 class TestPiiAndRepetition:
     def test_redact_pii(self, spark):
         from bella_domify_spark.ops.textstats import redact_pii
