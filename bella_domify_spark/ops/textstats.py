@@ -203,8 +203,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_distinct_words"),
                  F.max("c").alias("top_c"))
             .select(F.col("id").alias(id_col), "n_words",
-                    F.col("n_distinct_words").cast("long")
-                    .alias("n_distinct_words"),
+                    "n_distinct_words",
                     F.round(1 - F.col("n_distinct_words") / F.col("n_words"),
                             6).alias("dup_word_ratio"),
                     F.round(F.col("top_c") / F.col("n_words"), 6)
@@ -222,9 +221,12 @@ def sample_stratified(df: DataFrame, rates: dict, strata_col: str = "lang",
     SAME documents survive when the job re-runs. Map-side projection +
     filter; no shuffle."""
     bucket = _md5_mod(F.col(id_col), 1_000_000)
-    rate = F.lit(default_rate)
+    # thresholds as driver-side ints: float math per-row would truncate
+    # binary-unrepresentable rates (0.29*1e6 → 289999.999…) one bucket
+    # short of the documented bucket < rate×10^6 contract
+    threshold = F.lit(int(round(float(default_rate) * 1_000_000)))
     for stratum, r in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))) \
-                .otherwise(rate)
-    return (df.withColumn("_keep", bucket < (rate * 1_000_000).cast("long"))
-            .filter(F.col("_keep")).drop("_keep"))
+        threshold = F.when(F.col(strata_col) == stratum,
+                           F.lit(int(round(float(r) * 1_000_000)))) \
+                     .otherwise(threshold)
+    return df.filter(bucket < threshold)

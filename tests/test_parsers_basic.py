@@ -256,3 +256,31 @@ class TestCharsetCascades:
         assert detect_and_decode(gbk) == gbk.decode("utf-8")
         # arbitrary bytes terminate at latin1 (never raises)
         assert isinstance(detect_and_decode(bytes(range(256))), str)
+
+    def test_detect_none_falls_to_gbk_parity(self, monkeypatch):
+        # reference parity branch (txt/converter.py:16-19): when chardet
+        # cannot classify (encoding=None) the reference's decode(None)
+        # raises and the handler decodes gbk. Pin with a fake chardet so
+        # the branch executes regardless of the real library's presence.
+        import sys
+        import types
+
+        fake = types.ModuleType("chardet")
+        fake.detect = lambda data: {"encoding": None}
+        monkeypatch.setitem(sys.modules, "chardet", fake)
+        from bella_domify_spark.functions.charset import detect_and_decode
+
+        gbk = "目录表".encode("gbk")
+        assert detect_and_decode(gbk) == "目录表"
+
+    def test_detect_result_decode_failure_falls_to_gbk(self, monkeypatch):
+        import sys
+        import types
+
+        fake = types.ModuleType("chardet")
+        fake.detect = lambda data: {"encoding": "utf-8"}
+        monkeypatch.setitem(sys.modules, "chardet", fake)
+        from bella_domify_spark.functions.charset import detect_and_decode
+
+        gbk = "汉字文本".encode("gbk")  # invalid utf-8 → fallback path
+        assert detect_and_decode(gbk) == "汉字文本"
