@@ -194,6 +194,15 @@ class TestPiiAndRepetition:
         assert rows[2]["top_word_ratio"] == 0.2
 
 
+class TestPackShardsEdges:
+    def test_empty_corpus_yields_single_empty_shard_space(self, spark):
+        from bella_domify_spark.ops.textstats import pack_shards
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        out = pack_shards(empty, tokens_per_shard=1000)
+        assert out.count() == 0  # total=0 → n_shards=1, no division crash
+
+
 class TestDecontamination:
     def test_flags_ngram_overlap_with_benchmark(self, spark):
         from bella_domify_spark.ops.dedup import contamination_flags
