@@ -894,7 +894,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE t.w <> ''
             ),
             c AS (SELECT id, w, count(*) AS c FROM w GROUP BY id, w)
-            SELECT id AS doc_id, sum(c) AS n_words,
+            SELECT id AS doc_id, sum(c)::BIGINT AS n_words,
                    count(*) AS n_distinct_words,
                    round(1 - count(*) / sum(c)::DOUBLE, 6) AS dup_word_ratio,
                    round(max(c) / sum(c)::DOUBLE, 6) AS top_word_ratio
@@ -1017,7 +1017,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id
             FROM documents GROUP BY md5(text)
         """,
-        "dedup_ngram_jaccard": """
+        "dedup_ngram_jaccard": r"""
             WITH words AS (
                 SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
                 FROM documents

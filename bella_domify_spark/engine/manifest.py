@@ -70,6 +70,11 @@ class BucketStore:
     #: already atomic and "rename" would be a non-atomic copy+delete.
     RENAME_SCHEMES = ("file", "local", "hdfs", "viewfs")
 
+    #: subset of RENAME_SCHEMES with POSIX replace-on-rename semantics.
+    #: HDFS-style renames FAIL when the destination exists, so commits
+    #: there must delete-then-move (see _move_commit).
+    POSIX_RENAME_SCHEMES = ("file", "local")
+
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.is_uri = "://" in out_dir
@@ -154,6 +159,38 @@ class BucketStore:
 
         return f"{final}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
 
+    def _move_commit(self, tmp: str, final: str) -> None:
+        """Commit ``tmp`` to ``final`` on a rename-capable URI filesystem.
+
+        POSIX-rename schemes (file://) replace an existing destination, so
+        a plain move is the whole protocol. HDFS/viewfs rename does NOT
+        overwrite: after a crash that committed a bucket data file but not
+        its manifest, the resume run re-parses the bucket and must be able
+        to re-commit over the orphan — delete the existing destination
+        first, and if the move still loses a race, treat an existing
+        complete ``final`` as committed (every attempt writes the same
+        deterministic content, so whichever attempt landed is equally
+        valid) and drop our temp."""
+        import pyarrow.fs as pafs
+
+        if self.scheme in self.POSIX_RENAME_SCHEMES:
+            self.fs.move(tmp, final)
+            return
+        try:
+            self.fs.delete_file(final)
+        except (FileNotFoundError, OSError):
+            pass
+        try:
+            self.fs.move(tmp, final)
+        except OSError:
+            if self.fs.get_file_info(final).type == pafs.FileType.File:
+                try:
+                    self.fs.delete_file(tmp)
+                except (FileNotFoundError, OSError):
+                    pass
+                return
+            raise
+
     def parquet_writer(self, rel: str, schema):
         """(writer, commit) pair; ``commit()`` finalizes the bucket file."""
         import pyarrow.parquet as pq
@@ -165,7 +202,7 @@ class BucketStore:
                 # via attempt-unique temp + move exactly like write_json
                 tmp = self._tmp_name(final)
                 writer = pq.ParquetWriter(tmp, schema, filesystem=self.fs)
-                return writer, lambda: self.fs.move(tmp, final)
+                return writer, lambda: self._move_commit(tmp, final)
             # object stores: single-PUT on close is atomic and concurrent
             # attempts each PUT a complete object (last write wins whole)
             writer = pq.ParquetWriter(final, schema, filesystem=self.fs)
@@ -186,7 +223,7 @@ class BucketStore:
                 tmp = self._tmp_name(p)
                 with self.fs.open_output_stream(tmp) as f:
                     f.write(data)
-                self.fs.move(tmp, p)
+                self._move_commit(tmp, p)
             else:
                 with self.fs.open_output_stream(p) as f:
                     f.write(data)

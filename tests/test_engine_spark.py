@@ -121,6 +121,54 @@ class TestEndToEnd:
         assert got.count() == df.count()
         assert all(m["run_id"] in ("u1", "u2") for m in read_manifests(out))
 
+    def test_move_commit_overwrites_on_hdfs_semantics(self, tmp_path):
+        # hdfs/viewfs rename does NOT replace an existing destination
+        # (unlike POSIX os.replace): after a crash that committed a bucket
+        # data file but not its manifest, the resume re-parse must be able
+        # to re-commit over the orphan. Force the non-POSIX branch on a
+        # local pyarrow filesystem and verify delete-then-move wins.
+        from bella_domify_spark.engine.manifest import BucketStore
+
+        store = BucketStore(f"file://{tmp_path}")
+        store.scheme = "hdfs"  # exercise the delete-then-move commit path
+        final = str(tmp_path / "bucket-00000.parquet")
+        with open(final, "w") as f:
+            f.write("orphan from crashed run")
+        tmp = str(tmp_path / "bucket-00000.parquet.attempt.tmp")
+        with open(tmp, "w") as f:
+            f.write("fresh re-parse")
+        store._move_commit(tmp, final)
+        assert open(final).read() == "fresh re-parse"
+        assert not os.path.exists(tmp)
+
+        # lost race: another attempt re-creates final between our delete
+        # and our move, and the hdfs-style move then fails — an existing
+        # complete final counts as committed; our tmp is dropped.
+        tmp2 = str(tmp_path / "bucket-00000.parquet.attempt2.tmp")
+        with open(tmp2, "w") as f:
+            f.write("slower attempt")
+
+        class RacingFs:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def delete_file(self, p):
+                self._inner.delete_file(p)
+                if p == final:  # winner lands immediately after our delete
+                    with open(final, "w") as f:
+                        f.write("winner attempt")
+
+            def move(self, src, dst):
+                raise OSError("rename failed: destination exists")
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        store.fs = RacingFs(store.fs)
+        store._move_commit(tmp2, final)
+        assert open(final).read() == "winner attempt"
+        assert not os.path.exists(tmp2)
+
     def test_ordered_output(self, spark, corpus):
         from bella_domify_spark.engine.extract import extract_transcripts
 

@@ -18,13 +18,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def normalize(df):
-    """Sort columns by name, round floats, stringify, sort rows."""
+    """Sort columns by name, stringify EXACTLY (no float rounding), sort rows.
+
+    The driver's correctness gate hashes raw stringified values, so a DuckDB
+    HUGEINT that pandas renders as float ('32.0') must NOT be rounded into
+    agreement with Spark's bigint ('32') — local PASS must imply driver PASS.
+    Set SPARK_GRAFT_ORACLE_LOOSE=1 to restore the old %.6g rounding for
+    debugging numeric-noise-only diffs.
+    """
     import pandas as pd
 
+    loose = os.environ.get("SPARK_GRAFT_ORACLE_LOOSE") == "1"
     df = df[sorted(df.columns)]
     def cell(v):
         if isinstance(v, float):
-            return f"{v:.6g}"
+            return f"{v:.6g}" if loose else str(v)
         if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
             return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
