@@ -249,6 +249,11 @@ def tokenize(html: str) -> List[Tuple[str, object]]:
                 table_depth = max(0, table_depth - 1)
                 if table_depth == 0:
                     close_row()
+                    # text seen at table level outside any cell — notably
+                    # <caption> content — precedes the rows in source
+                    # order; flush it as a paragraph BEFORE the table
+                    # block so document order is preserved
+                    flush()
                     if table:
                         blocks.append(("table", table))
                     table = None

@@ -25,6 +25,11 @@ class Stroke:
     bbox: tuple
     color: int = 0
     width: float = 1.0
+    #: set once consumed as a lattice-table ruling; stream-table border
+    #: finalization must skip determined shapes exactly like the
+    #: reference's _finalize_by_strokes (Border.py:302-316 skips shapes
+    #: whose type is already determined)
+    is_determined: bool = False
 
     @property
     def x0(self):

@@ -226,6 +226,11 @@ def parse_lattice_tables(page: RawPage) -> List[TableBlock]:
         table = _table_from_strokes(group, page, consumed_ids)
         if table is not None:
             tables.append(table)
+            # mark the rulings consumed: a later stream-table pass must not
+            # finalize virtual borders from this lattice's strokes
+            # (reference Border.py:302-316 skips determined shapes)
+            for s in group:
+                s.is_determined = True
 
     if consumed_ids:
         page.lines = [l for l in page.lines if id(l) not in consumed_ids]
@@ -517,9 +522,12 @@ def parse_stream_tables(page: RawPage,
                 y_upper = min(y_upper, l.bbox[1])
         outer_bbox = (0.0, y_lower, page.width, y_upper)
 
-        # explicit strokes/shadings in the outer region
+        # explicit strokes/shadings in the outer region; strokes already
+        # consumed as lattice rulings are excluded so an adjacent ruled
+        # table cannot contribute virtual borders here (Border.py:302-316)
         ex_strokes = [s for s in page.strokes
-                      if s.x0 >= outer_bbox[0] - _TOL and s.x1 <= outer_bbox[2] + _TOL
+                      if not s.is_determined
+                      and s.x0 >= outer_bbox[0] - _TOL and s.x1 <= outer_bbox[2] + _TOL
                       and s.y0 >= outer_bbox[1] - _TOL and s.y1 <= outer_bbox[3] + _TOL]
         ex_fills = [f for f in page.fills
                     if f.bbox[0] <= outer_bbox[2] and outer_bbox[0] <= f.bbox[2]

@@ -1,18 +1,21 @@
 """spark-submit entry point for the extraction pipeline.
 
     spark-submit --py-files engine.zip job.py \
-        --input  <transcripts dir/parquet OR catalog table, e.g.
-                  iceberg_cat.db.transcripts> \
+        --input  <transcripts dir/parquet path, or with --table a catalog
+                  identifier, e.g. iceberg_cat.db.transcripts> \
         --output <output dir> \
-        [--buckets 512] [--partitions 0=auto] [--run-id run1]
+        [--table] [--buckets 512] [--partitions 0=auto] [--run-id run1]
 
---input is a filesystem path (read as parquet) unless it looks like a
-dotted catalog table name, which is read via spark.read.table — the way an
-Iceberg table is consumed (BASELINE input_hint); Iceberg needs the runtime
-jar + catalog conf on the submitting cluster, e.g.
+--input is a filesystem path read as parquet; pass --table to read it as a
+catalog identifier via spark.read.table — the way an Iceberg table is
+consumed (BASELINE input_hint); Iceberg needs the runtime jar + catalog
+conf on the submitting cluster, e.g.
 --conf spark.sql.catalog.iceberg_cat=org.apache.iceberg.spark.SparkCatalog.
-Either source reaches the same plan: hidden-partition/file pruning and
-column projection push into the scan (docs/PLANS.md §2).
+The flag is explicit (not inferred from name shape) so a typo'd or
+remote-only path like 'data.parquet' fails as a path error instead of a
+confusing catalog lookup. Either source reaches the same plan:
+hidden-partition/file pruning and column projection push into the scan
+(docs/PLANS.md §2).
 
 Build engine.zip with:  python tools/make_pyfiles.py
 
@@ -29,25 +32,21 @@ import sys
 import time
 
 
-def read_input(spark, source: str):
-    """Path → parquet scan; dotted catalog identifier → spark.read.table,
-    which is how Iceberg/HMS tables are read. Only a strict
-    ``ident.ident[.ident]`` form that does not exist on the local
-    filesystem routes to the catalog, so file names with dots
-    (events.snappy.pq, data.v2/) keep the parquet path."""
-    import os
-    import re
-
-    looks_like_table = (re.fullmatch(
-        r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){1,2}", source)
-        and not os.path.exists(source))
-    return (spark.read.table(source) if looks_like_table
-            else spark.read.parquet(source))
+def read_input(spark, source: str, table: bool = False):
+    """``table=True`` → catalog identifier via spark.read.table (how
+    Iceberg/HMS tables are read); otherwise a filesystem path read as
+    parquet. Explicit, never inferred: a dotted *path* (data.parquet,
+    events.snappy.pq) must fail as a path error, not become a surprise
+    catalog lookup."""
+    return spark.read.table(source) if table else spark.read.parquet(source)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--table", action="store_true",
+                    help="read --input as a catalog table identifier "
+                         "(Iceberg/HMS) instead of a parquet path")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=512)
     ap.add_argument("--partitions", type=int, default=0)
@@ -61,7 +60,7 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("bella-domify-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    df = read_input(spark, args.input)
+    df = read_input(spark, args.input, table=args.table)
     t0 = time.monotonic()
     summary = run_resumable(df, args.output, n_buckets=args.buckets,
                             partitions=args.partitions or None,

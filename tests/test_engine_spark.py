@@ -209,16 +209,23 @@ class TestEndToEnd:
                 for r in again.collect()} == rows
 
     def test_job_reads_catalog_table_or_path(self, spark, corpus):
-        # the spark-submit entrypoint accepts a dotted table name (how an
-        # Iceberg table is consumed) as well as a parquet path
+        # the spark-submit entrypoint reads a parquet path by default and a
+        # catalog table (how an Iceberg table is consumed) with --table;
+        # routing is explicit so a dotted path never becomes a catalog probe
         from job import read_input
 
         path_df = read_input(spark, f"{corpus}/transcripts.parquet")
         src = spark.read.parquet(f"{corpus}/transcripts.parquet")
         src.limit(20).createOrReplaceGlobalTempView("transcripts_job_test")
-        table_df = read_input(spark, "global_temp.transcripts_job_test")
+        table_df = read_input(spark, "global_temp.transcripts_job_test",
+                              table=True)
         assert table_df.count() == 20
         assert table_df.schema == path_df.schema
+        # without the flag a dotted identifier is treated as a path
+        import pytest
+        from pyspark.errors import AnalysisException
+        with pytest.raises(AnalysisException):
+            read_input(spark, "global_temp.transcripts_job_test").count()
 
     def test_multi_mb_payload_bounded_batches(self, spark, tmp_path):
         # SURVEY §4 oversized-payload guard: a 10 MB single turn must flow

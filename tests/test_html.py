@@ -158,6 +158,18 @@ class TestRobustness:
         out = md(html)
         assert "outer1" in out and "inner" in out and "pre" in out
 
+    def test_caption_precedes_table_in_output(self):
+        # <caption> text lives at table level outside any cell; it must be
+        # emitted BEFORE the table block, matching source order
+        html = ("<html><body><p>intro</p>"
+                "<table><caption>Table 1: stats</caption>"
+                "<tr><td>a</td><td>b</td></tr></table>"
+                "<p>outro</p></body></html>")
+        out = md(html)
+        assert "Table 1: stats" in out
+        assert out.index("intro") < out.index("Table 1: stats") \
+            < out.index("<table>") < out.index("outro")
+
     def test_garbage_never_raises(self):
         for payload in ["<html", "<html>", "<html><<<>>></whatever>",
                         "<html><table><td>x", "<html>&#xZZ; &unknown; ok",

@@ -714,6 +714,49 @@ class TestEndToEnd:
         assert md.index("Paragraph 0-2") < md.index("Paragraph 1-0")
 
 
+class TestStreamBordersSkipDetermined:  # Border.py:302-316 determined-skip
+    def test_lattice_rulings_excluded_from_stream_finalize(self):
+        # a ruled table above a borderless candidate: the lattice's strokes
+        # are consumed (is_determined) and must NOT finalize the stream
+        # region's virtual borders — before the fix the stream table's top
+        # border snapped to the lattice's bottom ruling (y=140) instead of
+        # its own content-derived position
+        from bella_domify_spark.parsers.pdflike.tables import (
+            parse_lattice_tables,
+            parse_stream_tables,
+        )
+
+        strokes = []
+        x0, y0, cw, rh = 72.0, 100.0, 150.0, 20.0
+        for r in range(3):
+            y = y0 + r * rh
+            strokes.append((x0 - .3, y - .3, x0 + 2 * cw + .3, y + .3))
+        for c in range(3):
+            x = x0 + c * cw
+            strokes.append((x - .3, y0, x + .3, y0 + 2 * rh))
+        lines = [mk_line("a", x0 + 4, y0 + 4, h=10),
+                 mk_line("b", x0 + cw + 4, y0 + 4, h=10),
+                 mk_line("c", x0 + 4, y0 + rh + 4, h=10),
+                 mk_line("d", x0 + cw + 4, y0 + rh + 4, h=10)]
+        # borderless stream candidate well below, staggered so the
+        # simple-structure veto passes
+        lines += [mk_line("l0", 72, 300, w=40, h=10),
+                  mk_line("m0", 222, 300, w=40, h=10),
+                  mk_line("r0", 372, 306, w=40, h=10),
+                  mk_line("l1", 72, 330, w=40, h=10),
+                  mk_line("m1", 222, 330, w=40, h=10),
+                  mk_line("r1", 372, 336, w=40, h=10)]
+        page = mk_page(lines, strokes=strokes)
+        lat = parse_lattice_tables(page)
+        assert len(lat) == 1
+        assert all(s.is_determined for s in page.strokes)
+        st = parse_stream_tables(page)
+        assert len(st) == 1
+        # top border derives from the stream region's own content, not the
+        # lattice's y=140 bottom ruling
+        assert st[0].bbox[1] > 200.0
+
+
 class TestStreamMergedCells:  # P16 + _inner_borders :353-358 rowspan rule
     def test_single_row_column_spans_all_rows(self):
         from bella_domify_spark.parsers.pdflike.tables import parse_stream_tables
