@@ -110,6 +110,15 @@ def _q_pdflike_extract(spark, sf):
     return gate_extract(_t(spark, sf, "documents"))
 
 
+def _q_pdflike_extract_stream(spark, sf):
+    # P16 under the driver oracle: the SAME pipeline with
+    # parse_stream_table=True over borderless-grid payloads (merged stream
+    # cells, lattice/stream coexistence, veto negatives); oracle = pinned
+    # parquet from the same pure-Python parse (tools/gen_pdflike_expected.py).
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract_stream
+    return gate_extract_stream(_t(spark, sf, "documents"))
+
+
 def _q_layout_flat_text(spark, sf):
     from bella_domify_spark.engine.extract import layout_udf
     d = _t(spark, sf, "documents")
@@ -593,6 +602,24 @@ def _q_extraction_eval_degraded(spark, sf):
                     "structure_right", "structure_total")
 
 
+def _q_extraction_eval_summary(spark, sf):
+    """Corpus-level cal_accuracy totals (run_evaluation.py:1301-1321) over
+    the degraded-parse evaluation: per-label-type diagonal shares plus
+    __blocks__/__structure__ totals. Uses evaluate.cal_accuracy (decimal
+    summation — partition-order-free, exact-hash-safe); oracle = the same
+    aggregation in DuckDB over the pinned per-doc confusion parquet."""
+    from bella_domify_spark.engine.evaluate import (
+        cal_accuracy,
+        degrade_extractions,
+        evaluate_extractions,
+    )
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract
+    trees = (gate_extract(_t(spark, sf, "documents"))
+             .select("doc_id", "domtree_json"))
+    m = evaluate_extractions(degrade_extractions(trees), trees)
+    return cal_accuracy(m)
+
+
 def _q_resumable_roundtrip(spark, sf):
     """S4/S8 sink under the driver oracle: documents → transcript shape →
     ``run_resumable`` (bucket assignment, resume filter, fused Arrow
@@ -630,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docxlike_flat": _q_extract_docxlike_flat,
         "extract_htmllike": _q_extract_htmllike,
         "pdflike_extract": _q_pdflike_extract,
+        "pdflike_extract_stream": _q_pdflike_extract_stream,
         "layout_flat_text": _q_layout_flat_text,
         "standard_tokens": _q_standard_tokens,
         "csv_normalize": _q_csv_normalize,
@@ -680,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_roundtrip": _q_resumable_roundtrip,
         "extraction_eval": _q_extraction_eval,
         "extraction_eval_degraded": _q_extraction_eval_degraded,
+        "extraction_eval_summary": _q_extraction_eval_summary,
     }
 
 
@@ -772,6 +801,37 @@ def oracle_sql() -> dict[str, str]:
                 '/root/repo/fixtures/eval_degraded_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
+        "extraction_eval_summary": """
+            WITH m AS (
+                SELECT e.* FROM read_parquet(
+                    '/root/repo/fixtures/eval_degraded_expected.parquet') e
+                JOIN documents d ON d.doc_id = e.doc_id
+            ), c AS (
+                SELECT e.* FROM read_parquet(
+                    '/root/repo/fixtures/eval_confusion_expected.parquet') e
+                JOIN documents d ON d.doc_id = e.doc_id
+            ), pt AS (
+                SELECT label_type,
+                       round(CAST(sum(CASE WHEN label_type = parsed_type
+                                 THEN CAST(weight AS DECIMAL(20,6))
+                                 ELSE CAST(0 AS DECIMAL(20,6)) END)
+                             AS DOUBLE), 6) AS correct,
+                       round(CAST(sum(CAST(weight AS DECIMAL(20,6)))
+                             AS DOUBLE), 6) AS total
+                FROM c GROUP BY label_type
+            ), extra AS (
+                SELECT '__blocks__' AS label_type,
+                       CAST(sum(n_1v1) AS DOUBLE) AS correct,
+                       CAST(sum(n_label) AS DOUBLE) AS total FROM m
+                UNION ALL
+                SELECT '__structure__',
+                       CAST(sum(structure_right) AS DOUBLE),
+                       CAST(sum(structure_total) AS DOUBLE) FROM m
+            )
+            SELECT label_type, correct, total,
+                   round(correct / total, 6) AS accuracy
+            FROM (SELECT * FROM pt UNION ALL SELECT * FROM extra)
+        """,
         "extract_markdown_flatten": """
             SELECT doc_id,
                    '# ' || source || chr(10) || chr(10) || text
@@ -796,6 +856,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, e.extracted_text, e.domtree_json, e.n_nodes,
                    e.status
             FROM read_parquet('/root/repo/fixtures/pdflike_expected.parquet') e
+            JOIN documents d ON d.doc_id = e.doc_id
+        """,
+        "pdflike_extract_stream": """
+            SELECT d.doc_id, e.extracted_text, e.domtree_json, e.n_nodes,
+                   e.status
+            FROM read_parquet('/root/repo/fixtures/pdflike_stream_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
         "standard_tokens": r"""

@@ -309,6 +309,48 @@ def layout_confusion(metrics: DataFrame) -> DataFrame:
             .agg(F.round(F.sum("c.weight"), 6).alias("weight")))
 
 
+def cal_accuracy(metrics: DataFrame) -> DataFrame:
+    """Corpus-level accuracy totals — the reference's ``cal_accuracy``
+    report (run_evaluation.py:1301-1321) as one queryable table: one row
+    per label type (confusion-matrix diagonal share) plus ``__blocks__``
+    (corpus 1v1 totals) and ``__structure__`` (corpus edge totals) rows,
+    all shaped (label_type, correct, total, accuracy).
+
+    Fractional confusion weights are summed through DECIMAL(20,6), not
+    DOUBLE: double summation is partition-order-dependent, and an
+    exact-value-hash gate cannot tolerate last-ULP drift between runs (or
+    between Spark and the DuckDB oracle). The per-element weights come
+    from the same pure-Python ``evaluate_pair`` on both sides, so after
+    the identical per-element decimal quantization the sums are exact and
+    order-free; they surface as 6-dp doubles."""
+    conf = metrics.select(F.explode("confusion").alias("c"))
+    w = F.col("c.weight").cast("decimal(20,6)")
+    zero = F.lit(0).cast("decimal(20,6)")
+    per_type = (conf.groupBy(F.col("c.label_type").alias("label_type"))
+                .agg(F.sum(F.when(F.col("c.label_type")
+                                  == F.col("c.parsed_type"), w)
+                           .otherwise(zero)).alias("c_"),
+                     F.sum(w).alias("t_"))
+                .select("label_type",
+                        F.round(F.col("c_").cast("double"), 6)
+                        .alias("correct"),
+                        F.round(F.col("t_").cast("double"), 6)
+                        .alias("total")))
+    blocks = (metrics.agg(F.sum("n_1v1").alias("a"),
+                          F.sum("n_label").alias("b"))
+              .select(F.lit("__blocks__").alias("label_type"),
+                      F.col("a").cast("double").alias("correct"),
+                      F.col("b").cast("double").alias("total")))
+    structure = (metrics.agg(F.sum("structure_right").alias("a"),
+                             F.sum("structure_total").alias("b"))
+                 .select(F.lit("__structure__").alias("label_type"),
+                         F.col("a").cast("double").alias("correct"),
+                         F.col("b").cast("double").alias("total")))
+    return (per_type.unionByName(blocks).unionByName(structure)
+            .withColumn("accuracy",
+                        F.round(F.try_divide("correct", "total"), 6)))
+
+
 def per_type_accuracy(metrics: DataFrame) -> DataFrame:
     """Per-label-type accuracy rows (cal_accuracy,
     run_evaluation.py:1301-1321): diagonal weight / row total."""

@@ -391,6 +391,107 @@ def gen_htmllike(r: _Rng) -> str:
     return "".join(out)
 
 
+def gen_pdflike_stream(r: _Rng) -> str:
+    """Glyph documents exercising the STREAM (borderless) table stack —
+    P16 (tables.parse_stream_tables): candidate collection, the
+    simple-structure veto, virtual-border finalization, merged stream
+    cells (row- and column-spans), lattice/stream coexistence (the
+    determined-stroke skip, reference Border.py:302-316), and the ≤2-column
+    layout rebuild. Parsed with ``parse_stream_table=True`` by the
+    pdflike_extract_stream gate (reference flag
+    services/parse_manager.py:572-578)."""
+    ts = _Typesetter()
+    scenario = int(r.rng.randint(0, 6))
+    xs = [MARGIN, MARGIN + 150.0, MARGIN + 300.0]
+
+    def grid_cell(text: str, col: int, y: float):
+        ts.line(text, xs[col], y=y)
+
+    if scenario == 0:
+        # plain borderless grid (3 cols — never "simple structure") between
+        # two flow paragraphs
+        ts.paragraph(r.sentence(18, 30))
+        ts.y += 6.0
+        top = ts.y
+        n_rows = int(r.rng.randint(3, 5))
+        for i in range(n_rows):
+            for j in range(3):
+                grid_cell(r.words(1), j, top + i * 28.0)
+        ts.y = top + n_rows * 28.0 + 8.0
+        ts.paragraph(r.sentence(15, 25))
+        return ts.finalize()
+    if scenario == 1:
+        # rowspan: outer columns carry 3 rows; the middle column is ONE
+        # tall cell (missing inner h-borders → merged stream cell)
+        ts.paragraph(r.sentence(12, 20))
+        ts.y += 6.0
+        top = ts.y
+        for i in range(3):
+            grid_cell(r.words(1), 0, top + i * 28.0)
+            grid_cell(r.words(1), 2, top + i * 28.0)
+        grid_cell(r.words(1), 1, top + 28.0)
+        ts.y = top + 3 * 28.0 + 8.0
+        ts.paragraph(r.sentence(12, 20))
+        return ts.finalize()
+    if scenario == 2:
+        # colspan: a wide middle-row line spans columns 1-2 (its width
+        # reaches past x of column 2, so the columns merge at the top
+        # recursion level and the uncovered rows re-split → colspan cell);
+        # row 0's right cell is staggered so aligned rows != physical rows
+        # and the simple-structure veto passes
+        top = 120.0
+        for i in (0, 2):
+            grid_cell(r.words(1), 0, top + i * 30.0)
+            grid_cell(r.words(1), 1, top + i * 30.0)
+        ts.line(r.words(1), xs[2], y=top + 6.0)
+        ts.line(r.words(1), xs[2], y=top + 60.0)
+        grid_cell(r.words(1), 0, top + 30.0)
+        wide = r.words(2)
+        while len(wide) * ts._char_w() < 195.0:   # must end past xs[2]
+            wide += " " + r.words(1)
+        ts.line(wide, xs[1], y=top + 30.0)
+        ts.y = top + 3 * 30.0 + 8.0
+        ts.paragraph(r.sentence(12, 20))
+        return ts.finalize()
+    if scenario == 3:
+        # a ruled (lattice) table ABOVE a borderless grid: the lattice's
+        # strokes are determined and must not finalize the stream region's
+        # virtual borders
+        ts.paragraph(r.sentence(10, 16))
+        ts.table([["h1", "h2"], [r.words(1), r.words(1)]])
+        ts.y += 10.0
+        top = ts.y
+        for i in range(3):
+            for j in range(3):
+                grid_cell(r.words(1), j, top + i * 28.0)
+        ts.y = top + 3 * 28.0 + 8.0
+        ts.paragraph(r.sentence(10, 16))
+        return ts.finalize()
+    if scenario == 4:
+        # two-column staggered layout: rebuilds as a single 1×2 stream row
+        # (≤2 columns → reference-only h-borders)
+        ts.paragraph(r.sentence(10, 16))
+        ts.y += 6.0
+        top = ts.y
+        for i in range(2):
+            ts.line(r.words(2), MARGIN, y=top + i * 22.0)
+            ts.line(r.words(2), MARGIN + 268.0, y=top + i * 22.0 + 8.0)
+        ts.y = top + 2 * 22.0 + 16.0
+        ts.paragraph(r.sentence(10, 16))
+        return ts.finalize()
+    # scenario 5 — negative: an aligned two-column paragraph pair is simple
+    # structure (veto) and must stay plain text
+    ts.paragraph(r.sentence(10, 16))
+    ts.y += 6.0
+    top = ts.y
+    for i in range(3):
+        ts.line(r.words(3), MARGIN, y=top + i * LINE_H)
+        ts.line(r.words(3), MARGIN + 268.0, y=top + i * LINE_H)
+    ts.y = top + 3 * LINE_H + 8.0
+    ts.paragraph(r.sentence(10, 16))
+    return ts.finalize()
+
+
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions

@@ -206,6 +206,38 @@ class TestSpark:
         assert rows[1]["n_1v1"] == 5
         assert rows[2]["n_parsed"] == 0
 
+    def test_cal_accuracy_totals(self, spark):
+        # corpus totals (run_evaluation.py:1301-1321): per-type rows plus
+        # __blocks__/__structure__; decimal summation makes the values
+        # independent of partitioning (exact-hash-gate requirement)
+        from bella_domify_spark.engine.evaluate import (
+            cal_accuracy,
+            degrade_extractions,
+        )
+        from bella_domify_spark.parsers.pdflike.gate import gate_extract
+
+        docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+        trees = gate_extract(docs).select("doc_id", "domtree_json").cache()
+        m = evaluate_extractions(degrade_extractions(trees), trees)
+        rows = {r["label_type"]: r for r in cal_accuracy(m).collect()}
+        assert "__blocks__" in rows and "__structure__" in rows
+        blocks = rows["__blocks__"]
+        assert 0.0 < blocks["accuracy"] < 1.0   # degraded: imperfect
+        assert blocks["correct"] <= blocks["total"]
+        # per-type rows: at least Text present, diagonal share ≤ 1
+        assert any(t not in ("__blocks__", "__structure__") for t in rows)
+        for t, r in rows.items():
+            if r["accuracy"] is not None:
+                assert 0.0 <= r["accuracy"] <= 1.0
+        # partition-order independence: same values at 1 partition
+        single = {r["label_type"]: r for r in
+                  cal_accuracy(m.coalesce(1)).collect()}
+        assert {t: (r["correct"], r["total"], r["accuracy"])
+                for t, r in rows.items()} == \
+               {t: (r["correct"], r["total"], r["accuracy"])
+                for t, r in single.items()}
+        trees.unpersist()
+
     def test_degraded_parse_is_scored_down(self, spark):
         # drop every tree's last root child on the "parsed" side
         from bella_domify_spark.parsers.pdflike.gate import gate_extract

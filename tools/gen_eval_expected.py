@@ -1,6 +1,8 @@
-"""Regenerate fixtures/eval_expected.parquet — the pinned oracle for the
-``extraction_eval`` correctness-gate query (self-evaluation metrics of the
-gate documents' trees).
+"""Regenerate fixtures/eval_expected.parquet, eval_degraded_expected.parquet
+and eval_confusion_expected.parquet — the pinned oracles for the
+``extraction_eval``, ``extraction_eval_degraded`` and
+``extraction_eval_summary`` correctness-gate queries (evaluation metrics of
+the gate documents' trees, plus the degraded run's per-doc confusion rows).
 
 Run after ANY change to the pdflike parse, synthdocs, or evaluation
 semantics:
@@ -31,16 +33,23 @@ def main(max_doc_id: int = 5000) -> None:
     from bella_domify_spark.engine.evaluate import degrade_tree, evaluate_pair
     from bella_domify_spark.parsers.pdflike.gate import gate_record
 
-    rows, rows_deg = [], []
+    rows, rows_deg, conf_rows = [], [], []
     for i in range(max_doc_id):
         tree = gate_record(i)["domtree_json"]
         for sink, parsed in ((rows, tree), (rows_deg, degrade_tree(tree))):
             rec = evaluate_pair(tree, parsed)
-            rec.pop("confusion")
+            conf = rec.pop("confusion")
             rec["doc_id"] = i
             sink.append(rec)
-    for out, data in ((OUT, rows), (OUT_DEGRADED, rows_deg)):
-        df = pd.DataFrame(data)[COLS]
+            if sink is rows_deg:
+                conf_rows += [{"doc_id": i, **c} for c in conf]
+    for out, data, cols in ((OUT, rows, COLS), (OUT_DEGRADED, rows_deg, COLS),
+                            (OUT.replace("eval_expected",
+                                         "eval_confusion_expected"),
+                             conf_rows,
+                             ["doc_id", "label_type", "parsed_type",
+                              "weight"])):
+        df = pd.DataFrame(data)[cols]
         df.to_parquet(out, index=False)
         print(f"wrote {len(df)} rows to {out} "
               f"({os.path.getsize(out) / 1e3:.0f} KB)")

@@ -1,5 +1,6 @@
-"""Regenerate fixtures/pdflike_expected.parquet — the pinned oracle table
-for the ``pdflike_extract`` correctness-gate query.
+"""Regenerate fixtures/pdflike_expected.parquet AND
+fixtures/pdflike_stream_expected.parquet — the pinned oracle tables for the
+``pdflike_extract`` and ``pdflike_extract_stream`` correctness-gate queries.
 
 Run after ANY change to the pdflike parse semantics or synthdocs generator:
 
@@ -22,16 +23,23 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main(max_doc_id: int = 5000) -> None:
-    from bella_domify_spark.parsers.pdflike.gate import expected_frame
+    from bella_domify_spark.parsers.pdflike.gate import (
+        expected_frame,
+        expected_frame_stream,
+    )
 
-    df = expected_frame(max_doc_id)
-    bad = df[df["status"] != "ok"]
-    if len(bad):
-        raise SystemExit(f"{len(bad)} gate payloads failed to parse: "
-                         f"{bad.head(3).to_dict('records')}")
-    df.to_parquet(OUT, index=False)
-    print(f"wrote {len(df)} rows to {OUT} "
-          f"({os.path.getsize(OUT) / 1e6:.1f} MB)")
+    for frame_fn, out in ((expected_frame, OUT),
+                          (expected_frame_stream,
+                           OUT.replace("pdflike_expected",
+                                       "pdflike_stream_expected"))):
+        df = frame_fn(max_doc_id)
+        bad = df[df["status"] != "ok"]
+        if len(bad):
+            raise SystemExit(f"{len(bad)} gate payloads failed to parse: "
+                             f"{bad.head(3).to_dict('records')}")
+        df.to_parquet(out, index=False)
+        print(f"wrote {len(df)} rows to {out} "
+              f"({os.path.getsize(out) / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
