@@ -323,43 +323,54 @@ def cal_accuracy(metrics: DataFrame) -> DataFrame:
     from the same pure-Python ``evaluate_pair`` on both sides, so after
     the identical per-element decimal quantization the sums are exact and
     order-free; they surface as 6-dp doubles."""
-    conf = metrics.select(F.explode("confusion").alias("c"))
-    w = F.col("c.weight").cast("decimal(20,6)")
-    zero = F.lit(0).cast("decimal(20,6)")
-    per_type = (conf.groupBy(F.col("c.label_type").alias("label_type"))
-                .agg(F.sum(F.when(F.col("c.label_type")
-                                  == F.col("c.parsed_type"), w)
-                           .otherwise(zero)).alias("c_"),
-                     F.sum(w).alias("t_"))
-                .select("label_type",
-                        F.round(F.col("c_").cast("double"), 6)
-                        .alias("correct"),
-                        F.round(F.col("t_").cast("double"), 6)
-                        .alias("total")))
-    blocks = (metrics.agg(F.sum("n_1v1").alias("a"),
-                          F.sum("n_label").alias("b"))
-              .select(F.lit("__blocks__").alias("label_type"),
-                      F.col("a").cast("double").alias("correct"),
-                      F.col("b").cast("double").alias("total")))
-    structure = (metrics.agg(F.sum("structure_right").alias("a"),
-                             F.sum("structure_total").alias("b"))
-                 .select(F.lit("__structure__").alias("label_type"),
-                         F.col("a").cast("double").alias("correct"),
-                         F.col("b").cast("double").alias("total")))
-    return (per_type.unionByName(blocks).unionByName(structure)
+    per_type = _per_type_diagonal(metrics)
+    # ONE scan for both corpus-total rows: metrics is typically an
+    # uncached parse+evaluate plan (the driver-gate queries deliberately
+    # avoid cache), so every extra aggregation over it re-executes the
+    # full-corpus Python parse
+    extra = (metrics.agg(F.sum("n_1v1").alias("b_c"),
+                         F.sum("n_label").alias("b_t"),
+                         F.sum("structure_right").alias("s_c"),
+                         F.sum("structure_total").alias("s_t"))
+             .select(F.explode(F.array(
+                 F.struct(F.lit("__blocks__").alias("label_type"),
+                          F.col("b_c").cast("double").alias("correct"),
+                          F.col("b_t").cast("double").alias("total")),
+                 F.struct(F.lit("__structure__").alias("label_type"),
+                          F.col("s_c").cast("double").alias("correct"),
+                          F.col("s_t").cast("double").alias("total"))))
+                     .alias("r"))
+             .select("r.*"))
+    return (per_type.unionByName(extra)
             .withColumn("accuracy",
                         F.round(F.try_divide("correct", "total"), 6)))
 
 
+def _per_type_diagonal(metrics: DataFrame) -> DataFrame:
+    """Per-label-type (correct, total) diagonal sums — the single home of
+    the cal_accuracy diagonal-share semantic, shared by ``cal_accuracy``
+    (driver-gated) and ``per_type_accuracy`` (eval report) so the two can
+    never desynchronize. DECIMAL(20,6) summation: order-free and exact
+    (see cal_accuracy)."""
+    conf = metrics.select(F.explode("confusion").alias("c"))
+    w = F.col("c.weight").cast("decimal(20,6)")
+    zero = F.lit(0).cast("decimal(20,6)")
+    return (conf.groupBy(F.col("c.label_type").alias("label_type"))
+            .agg(F.sum(F.when(F.col("c.label_type")
+                              == F.col("c.parsed_type"), w)
+                       .otherwise(zero)).alias("c_"),
+                 F.sum(w).alias("t_"))
+            .select("label_type",
+                    F.round(F.col("c_").cast("double"), 6).alias("correct"),
+                    F.round(F.col("t_").cast("double"), 6).alias("total")))
+
+
 def per_type_accuracy(metrics: DataFrame) -> DataFrame:
     """Per-label-type accuracy rows (cal_accuracy,
-    run_evaluation.py:1301-1321): diagonal weight / row total."""
-    conf = metrics.select(F.explode("confusion").alias("c"))
-    return (conf.groupBy(F.col("c.label_type").alias("label_type"))
-            .agg(F.sum(F.when(F.col("c.label_type") == F.col("c.parsed_type"),
-                              F.col("c.weight")).otherwise(F.lit(0.0)))
-                 .alias("correct"),
-                 F.sum("c.weight").alias("total"))
+    run_evaluation.py:1301-1321): diagonal weight / row total. Thin view
+    over ``_per_type_diagonal`` — same aggregation as the driver-gated
+    ``cal_accuracy``, report-friendly 4-dp weights."""
+    return (_per_type_diagonal(metrics)
             .select("label_type", F.round("correct", 4).alias("correct"),
                     F.round("total", 4).alias("total"),
                     F.round(F.try_divide("correct", "total"), 6)

@@ -165,21 +165,20 @@ class BucketStore:
         POSIX-rename schemes (file://) replace an existing destination, so
         a plain move is the whole protocol. HDFS/viewfs rename does NOT
         overwrite: after a crash that committed a bucket data file but not
-        its manifest, the resume run re-parses the bucket and must be able
-        to re-commit over the orphan — delete the existing destination
-        first, and if the move still loses a race, treat an existing
-        complete ``final`` as committed (every attempt writes the same
+        its manifest, the resume run re-parses the bucket and its
+        re-commit move fails on the orphan — accept the existing complete
+        ``final`` as committed (every attempt writes the same
         deterministic content, so whichever attempt landed is equally
-        valid) and drop our temp."""
+        valid) and drop our temp. Never delete ``final`` first: a
+        speculative attempt killed between a delete and its move would
+        permanently destroy an already-committed bucket whose manifest
+        (the commit marker) exists — silent data loss no resume would
+        repair."""
         import pyarrow.fs as pafs
 
         if self.scheme in self.POSIX_RENAME_SCHEMES:
             self.fs.move(tmp, final)
             return
-        try:
-            self.fs.delete_file(final)
-        except (FileNotFoundError, OSError):
-            pass
         try:
             self.fs.move(tmp, final)
         except OSError:

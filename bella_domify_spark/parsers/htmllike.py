@@ -311,9 +311,12 @@ def tokenize(html: str) -> List[Tuple[str, object]]:
         # inline tags (a/span/em/strong/b/i/u/code/img/...) — keep the flow;
         # img contributes nothing (binary payloads are out of scope)
 
-    # EOF: whatever is open flushes as its kind
+    # EOF: whatever is open flushes as its kind; table-level text
+    # (<caption>) precedes the rows in source order, so flush it BEFORE
+    # an unterminated table block — same ordering as the </table> path
     close_row()
     if table:
+        flush()
         blocks.append(("table", table))
     flush()
     return blocks

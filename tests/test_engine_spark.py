@@ -121,53 +121,57 @@ class TestEndToEnd:
         assert got.count() == df.count()
         assert all(m["run_id"] in ("u1", "u2") for m in read_manifests(out))
 
-    def test_move_commit_overwrites_on_hdfs_semantics(self, tmp_path):
+    def test_move_commit_accepts_existing_on_hdfs_semantics(self, tmp_path):
         # hdfs/viewfs rename does NOT replace an existing destination
         # (unlike POSIX os.replace): after a crash that committed a bucket
-        # data file but not its manifest, the resume re-parse must be able
-        # to re-commit over the orphan. Force the non-POSIX branch on a
-        # local pyarrow filesystem and verify delete-then-move wins.
+        # data file but not its manifest, the resume re-parse's re-commit
+        # move fails on the orphan — the existing complete file counts as
+        # committed (content is deterministic) and our temp is dropped.
+        # The commit must NEVER delete final first: a speculative attempt
+        # killed between delete and move would destroy a committed bucket.
         from bella_domify_spark.engine.manifest import BucketStore
 
         store = BucketStore(f"file://{tmp_path}")
-        store.scheme = "hdfs"  # exercise the delete-then-move commit path
+        store.scheme = "hdfs"  # exercise the non-POSIX commit path
         final = str(tmp_path / "bucket-00000.parquet")
-        with open(final, "w") as f:
-            f.write("orphan from crashed run")
         tmp = str(tmp_path / "bucket-00000.parquet.attempt.tmp")
+
+        # no destination yet: plain move commits
         with open(tmp, "w") as f:
-            f.write("fresh re-parse")
+            f.write("first commit")
         store._move_commit(tmp, final)
-        assert open(final).read() == "fresh re-parse"
+        assert open(final).read() == "first commit"
         assert not os.path.exists(tmp)
 
-        # lost race: another attempt re-creates final between our delete
-        # and our move, and the hdfs-style move then fails — an existing
-        # complete final counts as committed; our tmp is dropped.
+        # destination exists and the hdfs-style move fails: the existing
+        # file is accepted as the commit, never deleted, temp removed
         tmp2 = str(tmp_path / "bucket-00000.parquet.attempt2.tmp")
         with open(tmp2, "w") as f:
-            f.write("slower attempt")
+            f.write("orphan re-parse")
 
-        class RacingFs:
+        deletes = []
+
+        class HdfsLikeFs:
             def __init__(self, inner):
                 self._inner = inner
 
             def delete_file(self, p):
+                deletes.append(p)
                 self._inner.delete_file(p)
-                if p == final:  # winner lands immediately after our delete
-                    with open(final, "w") as f:
-                        f.write("winner attempt")
 
             def move(self, src, dst):
-                raise OSError("rename failed: destination exists")
+                if os.path.exists(dst):
+                    raise OSError("rename failed: destination exists")
+                self._inner.move(src, dst)
 
             def __getattr__(self, name):
                 return getattr(self._inner, name)
 
-        store.fs = RacingFs(store.fs)
+        store.fs = HdfsLikeFs(store.fs)
         store._move_commit(tmp2, final)
-        assert open(final).read() == "winner attempt"
+        assert open(final).read() == "first commit"   # winner preserved
         assert not os.path.exists(tmp2)
+        assert deletes == [tmp2]                      # final never deleted
 
     def test_ordered_output(self, spark, corpus):
         from bella_domify_spark.engine.extract import extract_transcripts

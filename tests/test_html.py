@@ -169,6 +169,10 @@ class TestRobustness:
         assert "Table 1: stats" in out
         assert out.index("intro") < out.index("Table 1: stats") \
             < out.index("<table>") < out.index("outro")
+        # same ordering when the document truncates before </table>
+        out2 = md("<html><body><table><caption>Table 1: stats</caption>"
+                  "<tr><td>a</td></tr>")
+        assert out2.index("Table 1: stats") < out2.index("<table>")
 
     def test_garbage_never_raises(self):
         for payload in ["<html", "<html>", "<html><<<>>></whatever>",
