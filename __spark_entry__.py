@@ -275,6 +275,22 @@ def _q_session_gap(spark, sf):
     return ev.select("user_id", "event_id", F.round(gap, 6).alias("gap_sec"))
 
 
+def _q_asof_view_attribution(spark, sf):
+    """Distributed ASOF JOIN (union-and-carry-forward, ops/temporal.py):
+    every click attributed to the user's most recent preceding view.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from bella_domify_spark.ops.temporal import asof_view_attribution
+    return asof_view_attribution(_t(spark, sf, "events"))
+
+
+def _q_range_error_context(spark, sf):
+    """Bounded range join via bucket-equality (ops/temporal.py): events of
+    the same user within ±1 h of each error, counted and value-summed
+    (decimal summation — order-free). Oracle: DuckDB inequality join."""
+    from bella_domify_spark.ops.temporal import range_error_context
+    return range_error_context(_t(spark, sf, "events"))
+
+
 def _q_salt_distribution(spark, sf):
     ev = _t(spark, sf, "events")
     salt = F.pmod(F.col("user_id") * 1103515245 + F.col("event_id"), F.lit(64))
@@ -671,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_assembly": _q_conv_assembly,
         "decode_roundtrip": _q_decode_roundtrip,
         "session_gap": _q_session_gap,
+        "asof_view_attribution": _q_asof_view_attribution,
+        "range_error_context": _q_range_error_context,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1021,6 +1039,24 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(ts) - lag(epoch(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_sec
             FROM events
+        """,
+        "asof_view_attribution": """
+            SELECT c.event_id, c.user_id,
+                   v.event_id AS view_event_id,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "range_error_context": """
+            SELECT e.event_id, e.user_id, count(*) AS n_ctx,
+                   round(CAST(sum(CAST(o.value AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS sum_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN events o
+              ON o.user_id = e.user_id AND o.event_id <> e.event_id
+             AND abs(epoch_us(e.ts) - epoch_us(o.ts)) <= 3600000000
+            GROUP BY e.event_id, e.user_id
         """,
         "salt_distribution": """
             SELECT (user_id * 1103515245 + event_id) % 64 AS salt, count(*) AS n

@@ -1,0 +1,124 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no native ASOF JOIN (DuckDB, pandas ``merge_asof`` and kdb do).
+The scalable distributed realization is **union-and-carry-forward**: tag
+probe and reference rows, union them, sort each key's rows by time inside
+one window, and carry the most recent reference row forward with
+``last(..., ignorenulls=True)`` — ONE shuffle on the key, zero join
+explosion, skew bounded by the busiest key (exactly the profile of a
+sort-merge join without the merge). A naive ``left.join(right, key).filter
+(r.ts <= l.ts)`` + row_number would materialize |probe|x|reference| rows
+per key first; at 100 TB that is the difference between a plan that runs
+and one that doesn't.
+
+The range join turns the time inequality into a bucket-equality join:
+reference rows explode into the (at most 3) fixed-width buckets their
+±window can reach, probes join on their single bucket, and an exact filter
+trims the false candidates. Each (probe, reference) pair meets at most
+once because the probe's bucket value is unique. Bucket width = the window
+size keeps the explosion factor at 3; at higher event densities narrow the
+buckets (cost: more exploded rows, benefit: fewer false candidates).
+
+These operators back the `asof_view_attribution` and `range_error_context`
+queries (events table). No analogue exists in the reference (it is a
+document pipeline); they extend §2.6's relational checklist the same way
+ops/dedup.py extends the corpus stack.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
+              carry: List[str], suffix: str = "_ref") -> DataFrame:
+    """For every probe row, attach the reference row with the greatest
+    ``ts`` <= the probe's ``ts`` for the same ``key`` (DuckDB
+    ``ASOF LEFT JOIN`` semantics: ties match, probes with no earlier
+    reference keep NULLs).
+
+    ``carry`` names the reference columns to attach (emitted as
+    ``<name><suffix>``). The carried columns travel as ONE struct so a
+    legitimately-NULL carried value can never fall through to an older
+    reference row."""
+    probe_cols = probe.columns
+    # reference rows sort BEFORE probe rows at equal ts => ts-tie matches
+    carried = F.struct(*[F.col(c).alias(c) for c in carry])
+    r = reference.select(
+        F.col(key), F.col(ts).alias("_ts"),
+        F.lit(0).alias("_p"), carried.alias("_carry"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_l_{c}")
+          for c in probe_cols])
+    l = probe.select(
+        F.col(key), F.col(ts).alias("_ts"),
+        F.lit(1).alias("_p"), F.lit(None).cast(r.schema["_carry"].dataType)
+        .alias("_carry"),
+        *[F.col(c).alias(f"_l_{c}") for c in probe_cols])
+    w = (Window.partitionBy(key).orderBy("_ts", "_p")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (r.unionByName(l)
+         .withColumn("_m", F.last("_carry", ignorenulls=True).over(w))
+         .filter(F.col("_p") == 1))
+    return u.select(
+        *[F.col(f"_l_{c}").alias(c) for c in probe_cols],
+        *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in carry])
+
+
+def range_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
+               window_us: int, carry: List[str],
+               suffix: str = "_ref") -> DataFrame:
+    """All (probe, reference) pairs with the same ``key`` and
+    ``|probe.ts - reference.ts| <= window_us`` (microseconds), one output
+    row per pair. Bucketed equality join: reference explodes into the <=3
+    buckets its window reaches; probes join on their single bucket; an
+    exact filter trims false candidates — no cartesian, no inequality
+    join."""
+    probe_cols = probe.columns
+    # events ts is TIMESTAMP_NTZ; route through timestamp (session tz =
+    # UTC) for unix_micros, same as the session_gap epoch idiom
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    bucket = lambda c: F.floor(us(c) / F.lit(window_us))  # noqa: E731
+    p = probe.select(*probe_cols, us(F.col(ts)).alias("_pus"),
+                     bucket(F.col(ts)).alias("_b"))
+    r = reference.select(
+        us(F.col(ts)).alias("_rus"), F.col(key).alias("_rkey"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+        F.explode(F.array(bucket(F.col(ts)) - 1, bucket(F.col(ts)),
+                          bucket(F.col(ts)) + 1)).alias("_b"))
+    joined = (p.join(r, (p[key] == r["_rkey"]) & (p["_b"] == r["_b"]))
+              .filter(F.abs(F.col("_pus") - F.col("_rus")) <= window_us))
+    return joined.select(*[p[c] for c in probe_cols],
+                         *[F.col(f"{c}{suffix}") for c in carry])
+
+
+def asof_view_attribution(events: DataFrame) -> DataFrame:
+    """Attribute every click to the most recent preceding view by the same
+    user (the canonical as-of use). Lag is emitted in exact integer
+    microseconds — value-hash-safe across engines."""
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    j = asof_join(clicks, views, key="user_id", ts="ts",
+                  carry=["event_id", "ts"], suffix="_view")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id", "user_id",
+        F.col("event_id_view").alias("view_event_id"),
+        (us("ts") - us("ts_view")).alias("lag_us"))
+
+
+def range_error_context(events: DataFrame,
+                        window_us: int = 3_600_000_000) -> DataFrame:
+    """For each error event: how many same-user events happened within
+    ±1 h, and their total value. The value sum goes through DECIMAL(18,2)
+    (the column's natural scale) so the aggregate is partition-order-free
+    — exact-hash-safe (see evaluate.cal_accuracy)."""
+    errors = events.filter(F.col("event_type") == "error")
+    pairs = (range_join(errors, events, key="user_id", ts="ts",
+                        window_us=window_us, carry=["event_id", "value"])
+             .filter(F.col("event_id") != F.col("event_id_ref")))
+    return (pairs.groupBy("event_id", "user_id")
+            .agg(F.count("*").alias("n_ctx"),
+                 F.round(F.sum(F.col("value_ref").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("sum_value")))

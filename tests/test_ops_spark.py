@@ -478,3 +478,96 @@ class TestSplit:
         assert 0.03 < c["val"] / 2000 < 0.07
         for i, (b, s) in rows.items():
             assert s == ("test" if b < 5 else "val" if b < 10 else "train")
+
+
+class TestTemporalJoins:
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(seconds=s), u, t, float(v))
+             for i, (s, u, t, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double")
+
+    def test_asof_join_semantics(self, spark):
+        from bella_domify_spark.ops.temporal import asof_view_attribution
+
+        ev = self._events(spark, [
+            (0, 1, "view", 1.0),      # id 0
+            (10, 1, "click", 0.0),    # id 1 -> view 0 (lag 10s)
+            (20, 1, "view", 2.0),     # id 2
+            (20, 1, "click", 0.0),    # id 3 -> tie matches view 2 (lag 0)
+            (5, 2, "click", 0.0),     # id 4 -> no prior view: NULLs
+            (30, 2, "view", 3.0),     # id 5
+            (40, 2, "click", 0.0),    # id 6 -> view 5
+        ])
+        got = {r["event_id"]: (r["view_event_id"], r["lag_us"])
+               for r in asof_view_attribution(ev).collect()}
+        assert got == {1: (0, 10_000_000), 3: (2, 0),
+                       4: (None, None), 6: (5, 10_000_000)}
+
+    def test_asof_join_partitioning_independent(self, spark):
+        from bella_domify_spark.ops.temporal import asof_view_attribution
+
+        ev = self._events(spark, [(s, s % 5, ("view" if s % 3 else "click"),
+                                   s * 0.5) for s in range(200)])
+        a = sorted(map(tuple, asof_view_attribution(ev).collect()))
+        b = sorted(map(tuple,
+                       asof_view_attribution(ev.repartition(13)).collect()))
+        assert a == b and len(a) > 30
+
+    def test_range_join_window_boundaries_and_buckets(self, spark):
+        from bella_domify_spark.ops.temporal import range_join
+
+        # window 60 s: matches at exactly +/-60 s are IN, 61 s is OUT;
+        # candidates deliberately land in the probe's bucket and both
+        # neighbors to exercise the 3-bucket explosion
+        ev = self._events(spark, [
+            (100, 1, "error", 0.0),   # probe id 0, bucket 1
+            (40, 1, "x", 1.0),        # id 1: -60s, bucket 0 -> IN
+            (39, 1, "x", 1.0),        # id 2: -61s -> OUT
+            (160, 1, "x", 1.0),       # id 3: +60s, bucket 2 -> IN
+            (161, 1, "x", 1.0),       # id 4: +61s -> OUT
+            (110, 1, "x", 1.0),       # id 5: +10s, same bucket -> IN
+            (100, 2, "x", 1.0),       # id 6: other user -> OUT
+        ])
+        probe = ev.filter("event_type = 'error'")
+        got = sorted(r["event_id_ref"] for r in
+                     range_join(probe, ev, key="user_id", ts="ts",
+                                window_us=60_000_000,
+                                carry=["event_id"]).collect())
+        assert got == [0, 1, 3, 5]    # includes the probe itself (id 0)
+
+    def test_range_error_context_excludes_self_and_sums(self, spark):
+        from bella_domify_spark.ops.temporal import range_error_context
+
+        ev = self._events(spark, [
+            (0, 1, "error", 9.0),
+            (10, 1, "click", 1.25),
+            (20, 1, "view", 2.50),
+            (90_000, 1, "view", 4.0),   # > 1h away -> excluded
+        ])
+        rows = range_error_context(ev).collect()
+        assert len(rows) == 1
+        assert (rows[0]["n_ctx"], rows[0]["sum_value"]) == (2, 3.75)
+
+    def test_no_cartesian_in_temporal_plans(self, spark):
+        import contextlib
+        import io
+
+        from bella_domify_spark.ops.temporal import (
+            asof_view_attribution,
+            range_error_context,
+        )
+
+        ev = self._events(spark, [(s, s % 3, "error" if s % 4 else "view",
+                                   1.0) for s in range(50)])
+        for df in (asof_view_attribution(ev), range_error_context(ev)):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain()
+            plan = buf.getvalue()
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
