@@ -275,6 +275,38 @@ def _q_session_gap(spark, sf):
     return ev.select("user_id", "event_id", F.round(gap, 6).alias("gap_sec"))
 
 
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (ops/temporal.py): a new session starts
+    when the same user's inter-event gap exceeds 30 min. One window over
+    (user_id, ts) — cumulative sum of new-session flags, single shuffle."""
+    from bella_domify_spark.ops.temporal import sessionize
+    return sessionize(_t(spark, sf, "events"))
+
+
+def _q_event_value_quantiles(spark, sf):
+    """Exact per-type quantiles via distributed sort + indexed pick:
+    target row = floor((n-1)*p) + 1 of the (value, event_id)-ordered
+    group — a deterministic rule both engines compute identically (engine
+    quantile functions differ in interpolation, which is not exact-hash
+    safe). The per-type window sort is the exact baseline; at web scale
+    with few types use approx_percentile or pre-bucketed histograms
+    (documented trade, same category as ann_cosine_topk)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n = Window.partitionBy("event_type")
+    r = ev.select("event_type", "value",
+                  F.row_number().over(w).alias("rn"),
+                  F.count("*").over(n).alias("n"))
+
+    def pick(p, name):
+        return F.max(F.when(
+            F.col("rn") == F.floor((F.col("n") - 1) * F.lit(p)) + 1,
+            F.col("value"))).alias(name)
+
+    return (r.groupBy("event_type")
+            .agg(F.max("n").alias("n"), pick(0.5, "p50"), pick(0.95, "p95")))
+
+
 def _q_asof_view_attribution(spark, sf):
     """Distributed ASOF JOIN (union-and-carry-forward, ops/temporal.py):
     every click attributed to the user's most recent preceding view.
@@ -689,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_gap": _q_session_gap,
         "asof_view_attribution": _q_asof_view_attribution,
         "range_error_context": _q_range_error_context,
+        "sessionize": _q_sessionize,
+        "event_value_quantiles": _q_event_value_quantiles,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1039,6 +1073,35 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(ts) - lag(epoch(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_sec
             FROM events
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800.0
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)::INT AS session_idx
+            FROM g
+        """,
+        "event_value_quantiles": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type, max(n) AS n,
+                   max(CASE WHEN rn = floor((n - 1) * 0.5) + 1
+                            THEN value END) AS p50,
+                   max(CASE WHEN rn = floor((n - 1) * 0.95) + 1
+                            THEN value END) AS p95
+            FROM r GROUP BY event_type
         """,
         "asof_view_attribution": """
             SELECT c.event_id, c.user_id,

@@ -93,6 +93,23 @@ def range_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
                          *[F.col(f"{c}{suffix}") for c in carry])
 
 
+def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               order_col: str = "event_id",
+               gap_sec: float = 1800.0) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the same key's
+    inter-event gap STRICTLY exceeds ``gap_sec``. One window over
+    (key, ts) — a cumulative sum of new-session flags; single shuffle, no
+    state loop, no iteration."""
+    w = Window.partitionBy(key).orderBy(ts, order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = F.col(ts).cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    return events.select(
+        key, order_col,
+        F.sum(new_sess).over(cum).cast("int").alias("session_idx"))
+
+
 def asof_view_attribution(events: DataFrame) -> DataFrame:
     """Attribute every click to the most recent preceding view by the same
     user (the canonical as-of use). Lag is emitted in exact integer

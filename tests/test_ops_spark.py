@@ -571,3 +571,18 @@ class TestTemporalJoins:
             plan = buf.getvalue()
             assert "CartesianProduct" not in plan
             assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_sessionize_boundary_strictly_greater(self, spark):
+        from bella_domify_spark.ops.temporal import sessionize
+
+        # gap == gap_sec stays in the SAME session (strict >); gap_sec+1
+        # starts a new one; first event of each user opens session 1
+        ev = self._events(spark, [
+            (0, 1, "x", 0.0),         # id 0: session 1
+            (1800, 1, "x", 0.0),      # id 1: gap exactly 1800 -> session 1
+            (3601, 1, "x", 0.0),      # id 2: gap 1801 -> session 2
+            (0, 2, "x", 0.0),         # id 3: user 2, session 1
+        ])
+        got = {r["event_id"]: r["session_idx"]
+               for r in sessionize(ev).collect()}
+        assert got == {0: 1, 1: 1, 2: 2, 3: 1}
