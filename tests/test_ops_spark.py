@@ -586,3 +586,62 @@ class TestTemporalJoins:
         got = {r["event_id"]: r["session_idx"]
                for r in sessionize(ev).collect()}
         assert got == {0: 1, 1: 1, 2: 2, 3: 1}
+
+    def test_asof_and_range_match_bruteforce(self, spark):
+        # seeded random corpora vs a pure-Python brute force — an oracle
+        # independent of both Spark and DuckDB
+        import datetime as dt
+
+        import numpy as np
+
+        from bella_domify_spark.ops.temporal import (
+            asof_view_attribution,
+            range_join,
+        )
+
+        for seed in (1, 7, 42):
+            rng = np.random.RandomState(seed)
+            rows = []
+            for i in range(150):
+                rows.append((int(rng.randint(0, 400_000)),
+                             int(rng.randint(0, 6)),
+                             ["view", "click", "error"][int(rng.randint(0, 3))],
+                             float(rng.randint(0, 1000)) / 100))
+            # unique (user, ts): drop collisions like the real generator
+            seen, uniq = set(), []
+            for s, u, t, v in rows:
+                if (u, s) not in seen:
+                    seen.add((u, s))
+                    uniq.append((s, u, t, v))
+            ev = self._events(spark, uniq)
+
+            # brute-force asof
+            exp = {}
+            for i, (s, u, t, v) in enumerate(uniq):
+                if t != "click":
+                    continue
+                cands = [(s2, j) for j, (s2, u2, t2, _) in enumerate(uniq)
+                         if u2 == u and t2 == "view" and s2 <= s]
+                if cands:
+                    s2, j = max(cands)
+                    exp[i] = (j, (s - s2) * 1_000_000)
+                else:
+                    exp[i] = (None, None)
+            got = {r["event_id"]: (r["view_event_id"], r["lag_us"])
+                   for r in asof_view_attribution(ev).collect()}
+            assert got == exp, f"asof mismatch seed={seed}"
+
+            # brute-force range join (window 10 min, probe = errors)
+            W = 600
+            exp_pairs = sorted(
+                (i, j)
+                for i, (s, u, t, _) in enumerate(uniq) if t == "error"
+                for j, (s2, u2, _, _) in enumerate(uniq)
+                if u2 == u and abs(s - s2) <= W)
+            probe = ev.filter("event_type = 'error'")
+            got_pairs = sorted(
+                (r["event_id"], r["event_id_ref"])
+                for r in range_join(probe, ev, key="user_id", ts="ts",
+                                    window_us=W * 1_000_000,
+                                    carry=["event_id"]).collect())
+            assert got_pairs == exp_pairs, f"range mismatch seed={seed}"
