@@ -32,8 +32,16 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _us(col: Column) -> Column:
+    """Exact integer microseconds since epoch. The events ts column is
+    TIMESTAMP_NTZ; route through timestamp (session tz = UTC) for
+    unix_micros — same as the session_gap epoch idiom."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
-              carry: List[str], suffix: str = "_ref") -> DataFrame:
+              carry: List[str], suffix: str = "_ref",
+              ref_order: Optional[str] = None) -> DataFrame:
     """For every probe row, attach the reference row with the greatest
     ``ts`` <= the probe's ``ts`` for the same ``key`` (DuckDB
     ``ASOF LEFT JOIN`` semantics: ties match, probes with no earlier
@@ -42,21 +50,32 @@ def asof_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
     ``carry`` names the reference columns to attach (emitted as
     ``<name><suffix>``). The carried columns travel as ONE struct so a
     legitimately-NULL carried value can never fall through to an older
-    reference row."""
+    reference row.
+
+    When the reference side can hold duplicate ``(key, ts)`` rows, pass
+    ``ref_order`` (a reference column, typically the unique id): among
+    tied reference rows the LARGEST ``ref_order`` wins, deterministically.
+    Without it, a (key, ts)-duplicated reference makes the winner
+    shuffle-layout-dependent — unacceptable upstream of an exact-hash
+    gate."""
     probe_cols = probe.columns
     # reference rows sort BEFORE probe rows at equal ts => ts-tie matches
     carried = F.struct(*[F.col(c).alias(c) for c in carry])
+    tb_type = (reference.schema[ref_order].dataType if ref_order else None)
     r = reference.select(
         F.col(key), F.col(ts).alias("_ts"),
         F.lit(0).alias("_p"), carried.alias("_carry"),
+        *([F.col(ref_order).alias("_tb")] if ref_order else []),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_l_{c}")
           for c in probe_cols])
     l = probe.select(
         F.col(key), F.col(ts).alias("_ts"),
         F.lit(1).alias("_p"), F.lit(None).cast(r.schema["_carry"].dataType)
         .alias("_carry"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if ref_order else []),
         *[F.col(c).alias(f"_l_{c}") for c in probe_cols])
-    w = (Window.partitionBy(key).orderBy("_ts", "_p")
+    order = ["_ts", "_p"] + (["_tb"] if ref_order else [])
+    w = (Window.partitionBy(key).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = (r.unionByName(l)
          .withColumn("_m", F.last("_carry", ignorenulls=True).over(w))
@@ -76,14 +95,14 @@ def range_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
     exact filter trims false candidates — no cartesian, no inequality
     join."""
     probe_cols = probe.columns
-    # events ts is TIMESTAMP_NTZ; route through timestamp (session tz =
-    # UTC) for unix_micros, same as the session_gap epoch idiom
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    bucket = lambda c: F.floor(us(c) / F.lit(window_us))  # noqa: E731
-    p = probe.select(*probe_cols, us(F.col(ts)).alias("_pus"),
+
+    def bucket(c):
+        return F.floor(_us(c) / F.lit(window_us))
+
+    p = probe.select(*probe_cols, _us(F.col(ts)).alias("_pus"),
                      bucket(F.col(ts)).alias("_b"))
     r = reference.select(
-        us(F.col(ts)).alias("_rus"), F.col(key).alias("_rkey"),
+        _us(F.col(ts)).alias("_rus"), F.col(key).alias("_rkey"),
         *[F.col(c).alias(f"{c}{suffix}") for c in carry],
         F.explode(F.array(bucket(F.col(ts)) - 1, bucket(F.col(ts)),
                           bucket(F.col(ts)) + 1)).alias("_b"))
@@ -117,12 +136,12 @@ def asof_view_attribution(events: DataFrame) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click")
     views = events.filter(F.col("event_type") == "view")
     j = asof_join(clicks, views, key="user_id", ts="ts",
-                  carry=["event_id", "ts"], suffix="_view")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+                  carry=["event_id", "ts"], suffix="_view",
+                  ref_order="event_id")
     return j.select(
         "event_id", "user_id",
         F.col("event_id_view").alias("view_event_id"),
-        (us("ts") - us("ts_view")).alias("lag_us"))
+        (_us(F.col("ts")) - _us(F.col("ts_view"))).alias("lag_us"))
 
 
 def range_error_context(events: DataFrame,

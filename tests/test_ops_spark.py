@@ -645,3 +645,22 @@ class TestTemporalJoins:
                                     window_us=W * 1_000_000,
                                     carry=["event_id"]).collect())
             assert got_pairs == exp_pairs, f"range mismatch seed={seed}"
+
+    def test_asof_ref_order_breaks_ts_ties_deterministically(self, spark):
+        import datetime as dt
+
+        from bella_domify_spark.ops.temporal import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        # two views at the SAME (user, ts): largest ref_order must win,
+        # independent of partition layout
+        ref = spark.createDataFrame(
+            [(5, base, 1), (9, base, 1), (2, base, 2)],
+            "event_id long, ts timestamp, user_id long")
+        probe = spark.createDataFrame(
+            [(100, base + dt.timedelta(seconds=1), 1)],
+            "event_id long, ts timestamp, user_id long")
+        for layout in (ref, ref.repartition(7), ref.coalesce(1)):
+            got = asof_join(probe, layout, key="user_id", ts="ts",
+                            carry=["event_id"], ref_order="event_id").collect()
+            assert [r["event_id_ref"] for r in got] == [9]
