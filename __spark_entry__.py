@@ -307,6 +307,16 @@ def _q_event_value_quantiles(spark, sf):
             .agg(F.max("n").alias("n"), pick(0.5, "p50"), pick(0.95, "p95")))
 
 
+def _q_approx_distinct_hll(spark, sf):
+    """Deterministic HyperLogLog distinct-user sketch per event type
+    (ops/sketches.py): md5-derived registers, integer-exact harmonic sum,
+    linear-counting correction — bit-identical across engines (built-in
+    approx_count_distinct implementations never hash-compare). n_exact is
+    carried alongside so the oracle also pins the estimate's accuracy."""
+    from bella_domify_spark.ops.sketches import hll_distinct
+    return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id")
+
+
 def _q_asof_view_attribution(spark, sf):
     """Distributed ASOF JOIN (union-and-carry-forward, ops/temporal.py):
     every click attributed to the user's most recent preceding view.
@@ -723,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_error_context": _q_range_error_context,
         "sessionize": _q_sessionize,
         "event_value_quantiles": _q_event_value_quantiles,
+        "approx_distinct_hll": _q_approx_distinct_hll,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -830,6 +841,8 @@ def oracle_sql() -> dict[str, str]:
     docx_flat = ("'；' || text")
     minhash_params_sql = params_values_sql(64)
     lsh_planes_sql = planes_values_sql(dim=64, n_planes=12, n_tables=4)
+    from bella_domify_spark.ops.sketches import HLL_NUMERATOR
+    hll_num = repr(HLL_NUMERATOR)  # repr round-trips float64 exactly
     return {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
@@ -1102,6 +1115,46 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = floor((n - 1) * 0.95) + 1
                             THEN value END) AS p95
             FROM r GROUP BY event_type
+        """,
+        "approx_distinct_hll": f"""
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                           AS h
+                FROM events
+            ), r AS (
+                SELECT event_type, h & 63 AS j,
+                       CASE WHEN (h >> 6) > 0
+                            THEN 55 - length(bin(h >> 6))
+                            ELSE 55 END AS rho
+                FROM h
+            ), regs AS (
+                SELECT event_type, j, max(rho) AS mj
+                FROM r GROUP BY event_type, j
+            ), g AS (
+                SELECT event_type,
+                       sum(1::BIGINT << (55 - mj))::BIGINT AS s_present,
+                       count(*) AS n_buckets
+                FROM regs GROUP BY event_type
+            ), e AS (
+                SELECT event_type,
+                       {hll_num} / CAST(s_present
+                           + (64 - n_buckets) * (1::BIGINT << 55)
+                           AS DOUBLE) AS raw,
+                       CAST(64 - n_buckets AS DOUBLE) AS v
+                FROM g
+            ), e2 AS (
+                SELECT event_type,
+                       CASE WHEN raw <= 160.0 AND v > 0
+                            THEN 64.0 * ln(64.0 / v)
+                            ELSE raw END AS est
+                FROM e
+            )
+            SELECT x.event_type, x.n_exact, round(e2.est, 4) AS est_hll,
+                   round((e2.est - x.n_exact) / x.n_exact, 4) AS rel_err
+            FROM (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                  FROM events GROUP BY event_type) x
+            JOIN e2 USING (event_type)
         """,
         "asof_view_attribution": """
             SELECT c.event_id, c.user_id,

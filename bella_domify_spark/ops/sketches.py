@@ -1,0 +1,87 @@
+"""Deterministic HyperLogLog distinct-count sketch with an exact DuckDB
+twin.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) and DuckDB's
+``approx_count_distinct`` use different hash functions and register
+layouts, so their estimates never hash-compare. This operator instead
+builds the classic Flajolet HLL from the repo's md5-hash idiom
+(ops/hashfamily.py) with *integer-exact* register arithmetic, so Spark and
+any ANSI-SQL engine produce bit-identical estimates:
+
+- 60-bit hash ``h`` = first 15 hex chars of md5(value) (the minhash x
+  mapping) — bucket ``j = h % m``, payload ``w = h div m`` (54 bits at
+  m=64).
+- register rho = 54 - bit_length(w) + 1 (w=0 → 55): pure integer string
+  length of the binary form — no float log.
+- The harmonic sum uses ``1 << (55 - M_j)`` summed as BIGINT (empty
+  registers contribute ``1 << 55`` each): exact, order-free, no float
+  summation drift. Only the final estimate division and the
+  linear-counting branch (``m * ln(m/V)``) are doubles, computed from
+  identical integer inputs by the same IEEE expression on both sides.
+
+Scale: one md5 per row map-side, one (group, bucket) partial-combining
+aggregate (m rows per group), one tiny per-group reduce — the same shape
+as the minhash pipeline, mergeable across partitions by construction
+(max of registers). This is the sketch path for distinct counts too large
+to count exactly; the gate query carries the exact distinct alongside so
+the oracle also pins the estimate's accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+M = 64          # registers (p = 6)
+W_BITS = 54     # 60-bit hash minus 6 bucket bits
+RHO_MAX = W_BITS + 1
+
+#: alpha_m * m^2 * 2^RHO_MAX, computed ONCE driver-side; its repr() is
+#: embedded verbatim in the oracle SQL (the hyperplane-VALUES idiom) so
+#: neither engine's expression-evaluation order can perturb the constant
+HLL_NUMERATOR = 0.7213 / (1 + 1.079 / M) * M * M * float(1 << RHO_MAX)
+
+
+def _h60(col):
+    """The repo's md5 -> 60-bit int idiom (hashfamily docstring)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate of ``value_col`` with the standard
+    small-range (linear counting) correction, plus the exact distinct for
+    accuracy pinning. Output: (group, n_exact, est_hll, rel_err)."""
+    h = _h60(F.col(value_col))
+    # bucket/payload split via bit ops — h/M float division would lose
+    # exactness above 2^53
+    j = h.bitwiseAND(F.lit(M - 1)).alias("j")
+    w = F.shiftright(h, 6)
+    rho = (F.when(w > 0, F.lit(RHO_MAX) - F.length(F.bin(w)))
+           .otherwise(F.lit(RHO_MAX)).cast("int"))
+
+    regs = (df.select(F.col(group_col), j, rho.alias("rho"))
+            .groupBy(group_col, "j").agg(F.max("rho").alias("mj")))
+
+    # integer-exact harmonic sum: present buckets 1<<(55-mj); the
+    # (M - count) empty buckets contribute 1<<55 each
+    # SQL-expr shiftleft: the python F.shiftleft only takes a literal
+    # shift amount, not a per-row column
+    per_group = (regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_MAX} - mj)"))
+        .alias("s_present"),
+        F.count("*").alias("n_buckets")))
+    s_total = (F.col("s_present")
+               + (F.lit(M) - F.col("n_buckets"))
+               * F.lit(1 << RHO_MAX).cast("long"))
+    v = (F.lit(M) - F.col("n_buckets")).cast("double")   # empty registers
+    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
+    est = F.when((raw <= 2.5 * M) & (v > 0),
+                 F.lit(float(M)) * F.log(F.lit(float(M)) / v)).otherwise(raw)
+
+    exact = (df.groupBy(group_col)
+             .agg(F.count_distinct(F.col(value_col)).alias("n_exact")))
+    return (exact.join(per_group, group_col)
+            .select(group_col, "n_exact",
+                    F.round(est, 4).alias("est_hll"),
+                    F.round((est - F.col("n_exact"))
+                            / F.col("n_exact"), 4).alias("rel_err")))

@@ -664,3 +664,27 @@ class TestTemporalJoins:
             got = asof_join(probe, layout, key="user_id", ts="ts",
                             carry=["event_id"], ref_order="event_id").collect()
             assert [r["event_id_ref"] for r in got] == [9]
+
+
+class TestSketches:
+    def test_hll_accuracy_and_partitioning_independence(self, spark):
+        from bella_domify_spark.ops.sketches import hll_distinct
+
+        # groups of very different cardinality; estimate must stay within
+        # ~3 sigma of HLL's theoretical error (1.04/sqrt(64) ~ 13%) and be
+        # bit-identical across partition layouts (integer-exact registers)
+        rows = [("small", v) for v in range(10)] \
+             + [("mid", v) for v in range(300)] \
+             + [("big", v) for v in range(5000)] \
+             + [("big", v) for v in range(5000)]     # dups must not count
+        df = spark.createDataFrame(rows, "grp string, val long")
+        got = {r["grp"]: r for r in
+               hll_distinct(df, "grp", "val").collect()}
+        assert got["small"]["n_exact"] == 10
+        assert got["big"]["n_exact"] == 5000
+        for g in ("small", "mid", "big"):
+            assert abs(got[g]["rel_err"]) < 0.4, (g, got[g])
+        again = {r["grp"]: r for r in
+                 hll_distinct(df.repartition(17), "grp", "val").collect()}
+        assert {g: (r["est_hll"], r["rel_err"]) for g, r in got.items()} \
+            == {g: (r["est_hll"], r["rel_err"]) for g, r in again.items()}
