@@ -307,6 +307,22 @@ def _q_event_value_quantiles(spark, sf):
             .agg(F.max("n").alias("n"), pick(0.5, "p50"), pick(0.95, "p95")))
 
 
+def _q_funnel_stages(spark, sf):
+    """Sequential signup->click->purchase funnel (ops/temporal.py):
+    furthest stage per user, each stage strictly after the user's first
+    qualifying event of the previous one. All-integer microsecond logic."""
+    from bella_domify_spark.ops.temporal import funnel_stages
+    return funnel_stages(_t(spark, sf, "events"))
+
+
+def _q_bigram_surprisal(spark, sf):
+    """Perplexity-proxy quality scoring (ops/textstats.py): per-doc mean
+    conditional bigram surprisal under the corpus's own statistics —
+    the zero-external-model analogue of perplexity filtering."""
+    from bella_domify_spark.ops.textstats import bigram_surprisal
+    return bigram_surprisal(_t(spark, sf, "documents"))
+
+
 def _q_approx_distinct_hll(spark, sf):
     """Deterministic HyperLogLog distinct-user sketch per event type
     (ops/sketches.py): md5-derived registers, integer-exact harmonic sum,
@@ -734,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "event_value_quantiles": _q_event_value_quantiles,
         "approx_distinct_hll": _q_approx_distinct_hll,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "funnel_stages": _q_funnel_stages,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1115,6 +1133,56 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = floor((n - 1) * 0.95) + 1
                             THEN value END) AS p95
             FROM r GROUP BY event_type
+        """,
+        "funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+                SELECT user_id, min(epoch_us(ts)) AS t1_us
+                FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   (CASE WHEN t3_us IS NOT NULL THEN 3
+                         WHEN t2_us IS NOT NULL THEN 2
+                         WHEN t1_us IS NOT NULL THEN 1
+                         ELSE 0 END)::INT AS stage,
+                   t1_us, t2_us, t3_us
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+        """,
+        "bigram_surprisal": r"""
+            WITH w AS (
+                SELECT doc_id AS id,
+                       regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ), b AS (
+                SELECT id, a[i] AS w1, a[i + 1] AS w2
+                FROM w, UNNEST(range(1, len(a))) AS t(i)
+                WHERE a[i] <> '' AND a[i + 1] <> ''
+            ), c1 AS (
+                SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+            ), c12 AS (
+                SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+            ), s AS (
+                SELECT b.id,
+                       round(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1),
+                             12)::DECIMAL(28,12) AS s
+                FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            )
+            SELECT id AS doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(s) AS DOUBLE) / count(*),
+                         6) AS mean_surprisal
+            FROM s GROUP BY id
         """,
         "approx_distinct_hll": f"""
             WITH h AS (

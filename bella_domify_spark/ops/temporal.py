@@ -144,6 +144,39 @@ def asof_view_attribution(events: DataFrame) -> DataFrame:
         (_us(F.col("ts")) - _us(F.col("ts_view"))).alias("lag_us"))
 
 
+def funnel_stages(events: DataFrame,
+                  stages: List[str] = ("signup", "click", "purchase")) \
+        -> DataFrame:
+    """Sequential funnel: per user, the furthest stage reached where each
+    stage's event must come STRICTLY after the user's first qualifying
+    event of the previous stage (first-touch semantics). Emits the stage
+    index plus each stage's first-qualifying time in exact integer
+    microseconds — all-integer logic, exact-hash-safe.
+
+    Plan: one tiny aggregate per stage (keyed by user, partial-combining)
+    chained by broadcast-joinable per-user frames; no window over the raw
+    event stream, no ordering shuffle of the corpus."""
+    users = events.select("user_id").distinct()
+    out = users
+    prev_t: Optional[str] = None
+    for i, stage in enumerate(stages, start=1):
+        ev = events.filter(F.col("event_type") == stage) \
+            .select("user_id", _us(F.col("ts")).alias("_t"))
+        if prev_t is not None:
+            ev = (ev.join(out.select("user_id", prev_t), "user_id")
+                  .filter(F.col("_t") > F.col(prev_t))
+                  .select("user_id", "_t"))
+        firsts = ev.groupBy("user_id").agg(F.min("_t").alias(f"t{i}_us"))
+        out = out.join(firsts, "user_id", "left")
+        prev_t = f"t{i}_us"
+    stage_idx = F.lit(0)
+    for i in range(1, len(stages) + 1):
+        stage_idx = F.when(F.col(f"t{i}_us").isNotNull(), i) \
+            .otherwise(stage_idx)
+    return out.select("user_id", stage_idx.cast("int").alias("stage"),
+                      *[f"t{i}_us" for i in range(1, len(stages) + 1)])
+
+
 def range_error_context(events: DataFrame,
                         window_us: int = 3_600_000_000) -> DataFrame:
     """For each error event: how many same-user events happened within

@@ -230,3 +230,45 @@ def sample_stratified(df: DataFrame, rates: dict, strata_col: str = "lang",
                            F.lit(int(round(float(r) * 1_000_000)))) \
                      .otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality signal: per-document mean conditional
+    bigram surprisal -ln(c(w1,w2)/c(w1)) under the corpus's OWN bigram
+    statistics (the zero-external-model analogue of perplexity filtering —
+    low mean = templated/repetitive text, high mean = unusual word
+    transitions). c(w1) is the count of bigrams starting with w1, so
+    p(w2|w1) is the exact MLE over the bigram table.
+
+    Exact-hash discipline: each bigram's surprisal is rounded to 12 dp and
+    summed as DECIMAL(28,12) — partition-order-free (double summation
+    drifts by ULPs across shuffle layouts; see evaluate.cal_accuracy).
+    Scale: two bigram-keyed aggregations (map-side partial combine) + one
+    join keyed by bigram — hot bigrams spread by key, no collect, no
+    driver state. Docs under two words have no bigrams and drop out (both
+    engines agree)."""
+    words = df.select(F.col(id_col).alias("id"),
+                      F.split(F.lower(F.col(text_col)), r"\s+").alias("a"))
+    # producers behind their own projection: a transform() capturing
+    # split() would re-evaluate it per element
+    n = F.size("a")
+    bi = (words.select(
+        "id", F.explode(F.arrays_zip(
+            F.slice("a", 1, n - 1).alias("w1"),
+            F.slice("a", 2, n - 1).alias("w2"))).alias("z"))
+        .select("id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    s = (bi.join(c12, ["w1", "w2"]).join(c1, ["w1"])
+         .select("id", F.round(-F.log(F.col("c12").cast("double")
+                                      / F.col("c1")), 12)
+                 .cast("decimal(28,12)").alias("s")))
+    return (s.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("s").alias("ssum"))
+            .select(F.col("id").alias(id_col), "n_bigrams",
+                    F.round(F.col("ssum").cast("double")
+                            / F.col("n_bigrams"), 6)
+                    .alias("mean_surprisal")))

@@ -688,3 +688,51 @@ class TestSketches:
                  hll_distinct(df.repartition(17), "grp", "val").collect()}
         assert {g: (r["est_hll"], r["rel_err"]) for g, r in got.items()} \
             == {g: (r["est_hll"], r["rel_err"]) for g, r in again.items()}
+
+
+class TestFunnelAndSurprisal:
+    _events = TestTemporalJoins._events
+
+    def test_funnel_strictly_sequential(self, spark):
+        from bella_domify_spark.ops.temporal import funnel_stages
+
+        ev = self._events(spark, [
+            (10, 1, "signup", 0.0),
+            (5, 1, "click", 0.0),        # BEFORE signup: must not count
+            (20, 1, "click", 0.0),
+            (15, 1, "purchase", 0.0),    # before the qualifying click
+            (30, 1, "purchase", 0.0),    # after it: stage 3
+            (0, 2, "click", 0.0),        # no signup at all: stage 0
+            (0, 3, "signup", 0.0),       # signup only: stage 1
+            (1, 3, "purchase", 0.0),     # purchase without click ignored
+        ])
+        import calendar
+        import datetime as dt
+
+        base_us = calendar.timegm(
+            dt.datetime(2024, 1, 1).timetuple()) * 1_000_000
+        got = {r["user_id"]: (r["stage"], r["t1_us"], r["t2_us"], r["t3_us"])
+               for r in funnel_stages(ev).collect()}
+        assert got[1] == (3, base_us + 10_000_000, base_us + 20_000_000,
+                          base_us + 30_000_000)
+        assert got[2] == (0, None, None, None)
+        assert got[3] == (1, base_us, None, None)
+
+    def test_bigram_surprisal_formula(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import bigram_surprisal
+
+        # corpus: "a b a b" + "a c": bigrams ab, ba, ab, ac
+        # c1(a)=3, c1(b)=1; p(b|a)=2/3, p(a|b)=1/1, p(c|a)=1/3
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c"), (3, "solo")],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+        s_ab = round(-math.log(2 / 3), 12)
+        s_ba = round(-math.log(1 / 1), 12)
+        s_ac = round(-math.log(1 / 3), 12)
+        assert got[1]["n_bigrams"] == 3
+        assert got[1]["mean_surprisal"] == round((2 * s_ab + s_ba) / 3, 6)
+        assert got[2]["mean_surprisal"] == round(s_ac / 1, 6)
+        assert 3 not in got                      # <2 words: no bigrams
