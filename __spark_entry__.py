@@ -1169,18 +1169,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, a[i] AS w1, a[i + 1] AS w2
                 FROM w, UNNEST(range(1, len(a))) AS t(i)
                 WHERE a[i] <> '' AND a[i + 1] <> ''
-            ), c1 AS (
-                SELECT w1, count(*) AS c1 FROM b GROUP BY w1
             ), c12 AS (
                 SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1
+            ), st AS (
+                -- floor(x*1e12): bit-identical across engines, unlike
+                -- round() (implementations differ; see textstats)
+                SELECT w1, w2,
+                       floor(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)
+                             * 1e12)::DECIMAL(20,0) AS s
+                FROM c12 JOIN c1 USING (w1)
             ), s AS (
-                SELECT b.id,
-                       round(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1),
-                             12)::DECIMAL(28,12) AS s
-                FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                SELECT b.id, st.s FROM b JOIN st USING (w1, w2)
             )
             SELECT id AS doc_id, count(*) AS n_bigrams,
-                   round(CAST(sum(s) AS DOUBLE) / count(*),
+                   round(CAST(sum(s) AS DOUBLE) / 1e12 / count(*),
                          6) AS mean_surprisal
             FROM s GROUP BY id
         """,

@@ -29,10 +29,11 @@ from bella_domify_spark.ops.hashfamily import MERSENNE_P, minhash_params
 
 
 def _md5_int60(col) -> Column:
-    """First 15 hex chars of md5 as a 60-bit non-negative bigint — the
-    shared text→int map (DuckDB twin: ('0x'||substr(md5(s),1,15))::BIGINT).
-    60 bits keeps a_i*x products inside int64 under ANSI mode."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """Shared text→int map — single definition in hashfamily.md5_int60_col
+    (DuckDB twin: ('0x'||substr(md5(s),1,15))::BIGINT)."""
+    from bella_domify_spark.ops.hashfamily import md5_int60_col
+
+    return md5_int60_col(col)
 
 
 def _widen(df: DataFrame) -> DataFrame:

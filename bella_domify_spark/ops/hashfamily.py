@@ -42,3 +42,15 @@ def params_values_sql(num_hashes: int = 64) -> str:
     rows = ", ".join(f"({i}, {a}, {b})"
                      for i, (a, b) in enumerate(minhash_params(num_hashes)))
     return f"(VALUES {rows}) AS params(i, a, b)"
+
+
+def md5_int60_col(col):
+    """First 15 hex chars of md5 as a 60-bit non-negative bigint Column —
+    the ONE Spark-side definition of the engine-shared text→int map
+    (DuckDB twin: ``('0x'||substr(md5(s),1,15))::BIGINT``). 60 bits keeps
+    a_i*x products inside int64 under ANSI mode. Every caller (minhash,
+    simhash, HLL, content-addressed splits) must route through here so
+    the oracle-pinned formula cannot drift per caller."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -42,9 +42,10 @@ HLL_NUMERATOR = 0.7213 / (1 + 1.079 / M) * M * M * float(1 << RHO_MAX)
 
 
 def _h60(col):
-    """The repo's md5 -> 60-bit int idiom (hashfamily docstring)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10) \
-        .cast("long")
+    """The repo's md5 -> 60-bit int idiom (hashfamily.md5_int60_col)."""
+    from bella_domify_spark.ops.hashfamily import md5_int60_col
+
+    return md5_int60_col(col.cast("string"))
 
 
 def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:

@@ -85,9 +85,11 @@ def _md5_mod(col, n) -> "Column":  # noqa: F821
     """md5(str(col)) first-15-hex-digits as a 60-bit long, mod n — THE
     content-addressed hash of this module (train_split buckets, shard
     assignment). DuckDB twin: ('0x'||substr(md5(x),1,15))::BIGINT % n.
-    One definition so the oracle-pinned formula cannot drift per caller."""
-    return F.pmod(F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
-                         16, 10).cast("long"), F.lit(n))
+    One definition so the oracle-pinned formula cannot drift per caller
+    (the int map itself lives in hashfamily.md5_int60_col)."""
+    from bella_domify_spark.ops.hashfamily import md5_int60_col
+
+    return F.pmod(md5_int60_col(col.cast("string")), F.lit(n))
 
 
 def _ws_tokens(text) -> "Column":  # noqa: F821
@@ -241,13 +243,20 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
     transitions). c(w1) is the count of bigrams starting with w1, so
     p(w2|w1) is the exact MLE over the bigram table.
 
-    Exact-hash discipline: each bigram's surprisal is rounded to 12 dp and
-    summed as DECIMAL(28,12) — partition-order-free (double summation
-    drifts by ULPs across shuffle layouts; see evaluate.cal_accuracy).
-    Scale: two bigram-keyed aggregations (map-side partial combine) + one
-    join keyed by bigram — hot bigrams spread by key, no collect, no
-    driver state. Docs under two words have no bigrams and drop out (both
-    engines agree)."""
+    Exact-hash discipline: each bigram's surprisal quantizes via
+    ``floor(x * 1e12)`` — floor of an IEEE multiply is bit-identical
+    across engines on identical inputs, unlike ``round()``, whose
+    implementations genuinely differ (Spark rounds the shortest decimal
+    repr HALF_UP, DuckDB scales-and-rounds the binary double: confirmed
+    divergent at e.g. c12=25/c1=358). The quantized integers sum as
+    DECIMAL(20,0) — exact, partition-order-free, overflow-safe for
+    billion-bigram documents.
+
+    Scale: the bigram stream (the largest relation) is aggregated ONCE
+    (``groupBy(w1, w2)``) and joined ONCE — c1 derives from c12 (an
+    aggregate-sized input) and pre-joins into it, so the big stream never
+    shuffles a second time. Docs under two words have no bigrams and drop
+    out (both engines agree)."""
     words = df.select(F.col(id_col).alias("id"),
                       F.split(F.lower(F.col(text_col)), r"\s+").alias("a"))
     # producers behind their own projection: a transform() capturing
@@ -259,16 +268,17 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
             F.slice("a", 2, n - 1).alias("w2"))).alias("z"))
         .select("id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != "")))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    s = (bi.join(c12, ["w1", "w2"]).join(c1, ["w1"])
-         .select("id", F.round(-F.log(F.col("c12").cast("double")
-                                      / F.col("c1")), 12)
-                 .cast("decimal(28,12)").alias("s")))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    stats = c12.join(c1, ["w1"]).select(
+        "w1", "w2",
+        F.floor(-F.log(F.col("c12").cast("double") / F.col("c1"))
+                * F.lit(1e12)).cast("decimal(20,0)").alias("s"))
+    s = bi.join(stats, ["w1", "w2"]).select("id", "s")
     return (s.groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("s").alias("ssum"))
             .select(F.col("id").alias(id_col), "n_bigrams",
-                    F.round(F.col("ssum").cast("double")
+                    F.round(F.col("ssum").cast("double") / F.lit(1e12)
                             / F.col("n_bigrams"), 6)
                     .alias("mean_surprisal")))

@@ -729,10 +729,10 @@ class TestFunnelAndSurprisal:
             [(1, "a b a b"), (2, "a c"), (3, "solo")],
             ["doc_id", "text"])
         got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
-        s_ab = round(-math.log(2 / 3), 12)
-        s_ba = round(-math.log(1 / 1), 12)
-        s_ac = round(-math.log(1 / 3), 12)
+        s_ab = math.floor(-math.log(2 / 3) * 1e12)
+        s_ba = math.floor(-math.log(1 / 1) * 1e12)
+        s_ac = math.floor(-math.log(1 / 3) * 1e12)
         assert got[1]["n_bigrams"] == 3
-        assert got[1]["mean_surprisal"] == round((2 * s_ab + s_ba) / 3, 6)
-        assert got[2]["mean_surprisal"] == round(s_ac / 1, 6)
+        assert got[1]["mean_surprisal"] == round((2 * s_ab + s_ba) / 1e12 / 3, 6)
+        assert got[2]["mean_surprisal"] == round(s_ac / 1e12 / 1, 6)
         assert 3 not in got                      # <2 words: no bigrams
