@@ -121,7 +121,9 @@ def main() -> int:
     for name in ["q1_pricing_summary", "top_revenue_orders", "window_topk_orders",
                  "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
                  "simhash", "doc_quality", "ann_cosine_topk", "ann_ivf_topk",
-                 "token_counts", "pdflike_extract", "pdflike_extract_stream"]:
+                 "token_counts", "pdflike_extract", "pdflike_extract_stream",
+                 "asof_view_attribution", "bigram_surprisal",
+                 "approx_distinct_hll"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
