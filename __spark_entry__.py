@@ -315,6 +315,14 @@ def _q_funnel_stages(spark, sf):
     return funnel_stages(_t(spark, sf, "events"))
 
 
+def _q_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters (ops/sketches.py): exact top-20
+    corpus words with their all-integer CMS estimates — the mergeable
+    frequency sketch, overestimate pinned by the oracle."""
+    from bella_domify_spark.ops.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(_t(spark, sf, "documents"))
+
+
 def _q_bigram_surprisal(spark, sf):
     """Perplexity-proxy quality scoring (ops/textstats.py): per-doc mean
     conditional bigram surprisal under the corpus's own statistics —
@@ -752,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": _q_approx_distinct_hll,
         "bigram_surprisal": _q_bigram_surprisal,
         "funnel_stages": _q_funnel_stages,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -861,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
     lsh_planes_sql = planes_values_sql(dim=64, n_planes=12, n_tables=4)
     from bella_domify_spark.ops.sketches import HLL_NUMERATOR
     hll_num = repr(HLL_NUMERATOR)  # repr round-trips float64 exactly
+    cms_params = params_values_sql(4)  # CMS_D rows of the shared family
     return {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
@@ -1133,6 +1143,42 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = floor((n - 1) * 0.95) + 1
                             THEN value END) AS p95
             FROM r GROUP BY event_type
+        """,
+        "cms_heavy_hitters": rf"""
+            WITH t AS (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                    AS word
+                FROM documents
+            ), w AS (
+                SELECT word FROM t WHERE word <> ''
+            ), x AS (
+                SELECT word,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT
+                           % 2147483647 AS x
+                FROM w
+            ), h AS (
+                SELECT x.word, params.i,
+                       ((params.a * x.x + params.b) % 2147483647) % 512
+                           AS bucket
+                FROM x, {cms_params}
+            ), cms AS (
+                SELECT i, bucket, count(*) AS c FROM h GROUP BY i, bucket
+            ), top AS (
+                SELECT word, count(*) AS n_exact
+                FROM w GROUP BY word
+                ORDER BY n_exact DESC, word LIMIT 20
+            ), th AS (
+                SELECT top.word, top.n_exact, params.i,
+                       ((params.a * (('0x' || substr(md5(top.word), 1, 15))
+                             ::BIGINT % 2147483647) + params.b)
+                        % 2147483647) % 512 AS bucket
+                FROM top, {cms_params}
+            )
+            SELECT th.word, th.n_exact,
+                   min(cms.c)::BIGINT AS est_cms,
+                   (min(cms.c) - th.n_exact)::BIGINT AS overestimate
+            FROM th JOIN cms USING (i, bucket)
+            GROUP BY th.word, th.n_exact
         """,
         "funnel_stages": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

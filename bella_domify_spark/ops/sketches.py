@@ -86,3 +86,65 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
                     F.round(est, 4).alias("est_hll"),
                     F.round((est - F.col("n_exact"))
                             / F.col("n_exact"), 4).alias("rel_err")))
+
+
+CMS_D = 4       # count-min depth (hash rows, from the minhash family)
+CMS_W = 512     # count-min width (buckets per row)
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
+                      k: int = 20) -> DataFrame:
+    """Count-min-sketch word-frequency estimation, validated against the
+    exact heavy hitters: build a d×w CMS over the corpus's words (the
+    md5-seeded (a_i, b_i) universal hashes of ops/hashfamily — the same
+    family the DuckDB twin regenerates), then estimate the exact top-k
+    words' counts as min_i cms[i][h_i(word)]. ALL-integer: counts,
+    buckets, minimum — nothing floats, so the sketch is exact-hash-safe
+    by construction.
+
+    Output (word, n_exact, est_cms, overestimate): CMS guarantees
+    est >= exact; the overestimate column makes collision inflation
+    visible (and pins it in the oracle).
+
+    Scale: one word aggregate for the exact side; the sketch side
+    inflates the token stream d=4x map-side and collapses into at most
+    d*w = 2048 partial-combined rows — the sketch itself is tiny and
+    mergeable, which is the point of CMS at 100 TB (union = cell-wise
+    sum). Top-k ordering ties break on the word for determinism."""
+    from bella_domify_spark.ops.hashfamily import (
+        MERSENNE_P,
+        md5_int60_col,
+        minhash_params,
+    )
+
+    words = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"\s+")).alias("word"))
+             .filter(F.col("word") != ""))
+    x = (md5_int60_col(F.col("word")) % F.lit(MERSENNE_P)).alias("x")
+    params = minhash_params(CMS_D)
+    a = F.element_at(F.array(*[F.lit(p[0]) for p in params]),
+                     F.col("i") + 1)
+    b = F.element_at(F.array(*[F.lit(p[1]) for p in params]),
+                     F.col("i") + 1)
+    bucket = ((a * F.col("x") + b) % F.lit(MERSENNE_P)) % F.lit(CMS_W)
+
+    hashed = (words.select("word", x)
+              .withColumn("i", F.explode(F.array(
+                  *[F.lit(i) for i in range(CMS_D)])))
+              .withColumn("bucket", bucket))
+    cms = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    top = (words.groupBy("word").agg(F.count(F.lit(1)).alias("n_exact"))
+           .orderBy(F.desc("n_exact"), "word").limit(k))
+    top_h = (top.select("word", "n_exact",
+                        (md5_int60_col(F.col("word"))
+                         % F.lit(MERSENNE_P)).alias("x"))
+             .withColumn("i", F.explode(F.array(
+                 *[F.lit(i) for i in range(CMS_D)])))
+             .withColumn("bucket", bucket))
+    return (top_h.join(cms, ["i", "bucket"])
+            .groupBy("word", "n_exact")
+            .agg(F.min("c").alias("est_cms"))
+            .select("word", "n_exact", "est_cms",
+                    (F.col("est_cms") - F.col("n_exact"))
+                    .alias("overestimate")))

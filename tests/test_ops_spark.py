@@ -736,3 +736,20 @@ class TestFunnelAndSurprisal:
         assert got[1]["mean_surprisal"] == round((2 * s_ab + s_ba) / 1e12 / 3, 6)
         assert got[2]["mean_surprisal"] == round(s_ac / 1e12 / 1, 6)
         assert 3 not in got                      # <2 words: no bigrams
+
+    def test_cms_overestimates_never_undercount(self, spark):
+        from bella_domify_spark.ops.sketches import cms_heavy_hitters
+
+        docs = spark.createDataFrame(
+            [(i, ("alpha " * 30 + "beta " * 20 + f"rare{i} ").strip())
+             for i in range(40)], ["doc_id", "text"])
+        got = {r["word"]: r for r in cms_heavy_hitters(docs).collect()}
+        assert got["alpha"]["n_exact"] == 1200
+        assert got["beta"]["n_exact"] == 800
+        for r in got.values():
+            assert r["overestimate"] >= 0          # CMS one-sided error
+            assert r["est_cms"] >= r["n_exact"]
+        again = {r["word"]: (r["n_exact"], r["est_cms"]) for r in
+                 cms_heavy_hitters(docs.repartition(11)).collect()}
+        assert again == {w: (r["n_exact"], r["est_cms"])
+                         for w, r in got.items()}
