@@ -1,5 +1,5 @@
-"""Deterministic HyperLogLog distinct-count sketch with an exact DuckDB
-twin.
+"""Deterministic sketches (HyperLogLog distinct-count, count-min
+frequency) with exact DuckDB twins.
 
 Spark's built-in ``approx_count_distinct`` (HLL++) and DuckDB's
 ``approx_count_distinct`` use different hash functions and register
