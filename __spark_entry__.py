@@ -870,7 +870,8 @@ def oracle_sql() -> dict[str, str]:
     lsh_planes_sql = planes_values_sql(dim=64, n_planes=12, n_tables=4)
     from bella_domify_spark.ops.sketches import HLL_NUMERATOR
     hll_num = repr(HLL_NUMERATOR)  # repr round-trips float64 exactly
-    cms_params = params_values_sql(4)  # CMS_D rows of the shared family
+    from bella_domify_spark.ops.sketches import CMS_D, CMS_W
+    cms_params = params_values_sql(CMS_D)  # the shared hash family
     return {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
@@ -1158,7 +1159,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             ), h AS (
                 SELECT x.word, params.i,
-                       ((params.a * x.x + params.b) % 2147483647) % 512
+                       ((params.a * x.x + params.b) % 2147483647) % {CMS_W}
                            AS bucket
                 FROM x, {cms_params}
             ), cms AS (
@@ -1168,11 +1169,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM w GROUP BY word
                 ORDER BY n_exact DESC, word LIMIT 20
             ), th AS (
-                SELECT top.word, top.n_exact, params.i,
-                       ((params.a * (('0x' || substr(md5(top.word), 1, 15))
-                             ::BIGINT % 2147483647) + params.b)
-                        % 2147483647) % 512 AS bucket
-                FROM top, {cms_params}
+                SELECT top.word, top.n_exact, h.i, h.bucket
+                FROM top JOIN h USING (word)
+                GROUP BY top.word, top.n_exact, h.i, h.bucket
             )
             SELECT th.word, th.n_exact,
                    min(cms.c)::BIGINT AS est_cms,

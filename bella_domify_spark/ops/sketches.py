@@ -106,11 +106,13 @@ def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
     est >= exact; the overestimate column makes collision inflation
     visible (and pins it in the oracle).
 
-    Scale: one word aggregate for the exact side; the sketch side
-    inflates the token stream d=4x map-side and collapses into at most
-    d*w = 2048 partial-combined rows — the sketch itself is tiny and
-    mergeable, which is the point of CMS at 100 TB (union = cell-wise
-    sum). Top-k ordering ties break on the word for determinism."""
+    Scale: ONE word aggregate feeds both sides — the sketch hashes the
+    DISTINCT words and sums their counts per cell (identical cells to
+    hashing every token instance, at O(distinct) md5 cost instead of
+    O(tokens)), collapsing into at most d*w = 2048 partial-combined rows.
+    The sketch itself is tiny and mergeable, which is the point of CMS at
+    100 TB (union = cell-wise sum). Top-k ordering ties break on the word
+    for determinism."""
     from bella_domify_spark.ops.hashfamily import (
         MERSENNE_P,
         md5_int60_col,
@@ -120,7 +122,7 @@ def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
     words = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
                                          r"\s+")).alias("word"))
              .filter(F.col("word") != ""))
-    x = (md5_int60_col(F.col("word")) % F.lit(MERSENNE_P)).alias("x")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_exact"))
     params = minhash_params(CMS_D)
     a = F.element_at(F.array(*[F.lit(p[0]) for p in params]),
                      F.col("i") + 1)
@@ -128,20 +130,16 @@ def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
                      F.col("i") + 1)
     bucket = ((a * F.col("x") + b) % F.lit(MERSENNE_P)) % F.lit(CMS_W)
 
-    hashed = (words.select("word", x)
-              .withColumn("i", F.explode(F.array(
-                  *[F.lit(i) for i in range(CMS_D)])))
-              .withColumn("bucket", bucket))
-    cms = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    hashed = (counts.select(
+        "word", "n_exact",
+        (md5_int60_col(F.col("word")) % F.lit(MERSENNE_P)).alias("x"))
+        .withColumn("i", F.explode(F.array(
+            *[F.lit(i) for i in range(CMS_D)])))
+        .withColumn("bucket", bucket))
+    cms = hashed.groupBy("i", "bucket").agg(F.sum("n_exact").alias("c"))
 
-    top = (words.groupBy("word").agg(F.count(F.lit(1)).alias("n_exact"))
-           .orderBy(F.desc("n_exact"), "word").limit(k))
-    top_h = (top.select("word", "n_exact",
-                        (md5_int60_col(F.col("word"))
-                         % F.lit(MERSENNE_P)).alias("x"))
-             .withColumn("i", F.explode(F.array(
-                 *[F.lit(i) for i in range(CMS_D)])))
-             .withColumn("bucket", bucket))
+    top = counts.orderBy(F.desc("n_exact"), "word").limit(k)
+    top_h = hashed.join(top.select("word"), "word")
     return (top_h.join(cms, ["i", "bucket"])
             .groupBy("word", "n_exact")
             .agg(F.min("c").alias("est_cms"))

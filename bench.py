@@ -122,7 +122,7 @@ def main() -> int:
                  "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
                  "simhash", "doc_quality", "ann_cosine_topk", "ann_ivf_topk",
                  "token_counts", "pdflike_extract", "pdflike_extract_stream",
-                 "asof_view_attribution", "bigram_surprisal",
+                 "asof_view_attribution", "bigram_surprisal", "cms_heavy_hitters",
                  "approx_distinct_hll"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
