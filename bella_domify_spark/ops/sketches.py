@@ -52,6 +52,10 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group HLL distinct estimate of ``value_col`` with the standard
     small-range (linear counting) correction, plus the exact distinct for
     accuracy pinning. Output: (group, n_exact, est_hll, rel_err)."""
+    # NULL values carry no identity: count_distinct ignores them, so the
+    # register side must too (md5(NULL) would otherwise thread NULL
+    # buckets through the aggregate)
+    df = df.filter(F.col(value_col).isNotNull())
     h = _h60(F.col(value_col))
     # bucket/payload split via bit ops — h/M float division would lose
     # exactness above 2^53

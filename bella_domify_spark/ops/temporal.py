@@ -57,7 +57,12 @@ def asof_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
     tied reference rows the LARGEST ``ref_order`` wins, deterministically.
     Without it, a (key, ts)-duplicated reference makes the winner
     shuffle-layout-dependent — unacceptable upstream of an exact-hash
-    gate."""
+    gate.
+
+    NULL-key rows: the window groups NULL keys together, so a NULL-key
+    probe would match NULL-key references — SQL equality-join semantics
+    (DuckDB ASOF ON key =) would NOT. Callers with nullable keys must
+    filter them first; the events contract here is non-null."""
     probe_cols = probe.columns
     # reference rows sort BEFORE probe rows at equal ts => ts-tie matches
     carried = F.struct(*[F.col(c).alias(c) for c in carry])

@@ -753,3 +753,16 @@ class TestFunnelAndSurprisal:
                  cms_heavy_hitters(docs.repartition(11)).collect()}
         assert again == {w: (r["n_exact"], r["est_cms"])
                          for w, r in got.items()}
+
+    def test_hll_ignores_null_values(self, spark):
+        from bella_domify_spark.ops.sketches import hll_distinct
+
+        df = spark.createDataFrame(
+            [("g", v) for v in range(50)] + [("g", None)] * 5,
+            "grp string, val long")
+        row = hll_distinct(df, "grp", "val").collect()[0]
+        assert row["n_exact"] == 50
+        clean = spark.createDataFrame([("g", v) for v in range(50)],
+                                      "grp string, val long")
+        assert row["est_hll"] == \
+            hll_distinct(clean, "grp", "val").collect()[0]["est_hll"]
