@@ -283,6 +283,24 @@ def _q_sessionize(spark, sf):
     return sessionize(_t(spark, sf, "events"))
 
 
+def _q_session_window_stats(spark, sf):
+    """Spark's NATIVE session_window (the Structured-Streaming session
+    primitive, here in batch mode) with a 30-min gap: per (user, session)
+    event count and exact integer start/end micros. Empirically pinned
+    boundary: a gap of exactly 30 min merges, 30 min + 1 s splits — the
+    same strict-> rule as ops/temporal.sessionize, which is what the
+    DuckDB oracle computes (DuckDB has no session windows)."""
+    ev = _t(spark, sf, "events")
+    w = (ev.groupBy(F.session_window(F.col("ts").cast("timestamp"),
+                                     "30 minutes").alias("w"), "user_id")
+         .agg(F.count(F.lit(1)).alias("n_events")))
+    return w.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("start_us"),
+        F.unix_micros(F.col("w.end")).alias("end_us"),
+        "n_events")
+
+
 def _q_event_value_quantiles(spark, sf):
     """Exact per-type quantiles via distributed sort + indexed pick:
     target row = floor((n-1)*p) + 1 of the (value, event_id)-ordered
@@ -756,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_attribution": _q_asof_view_attribution,
         "range_error_context": _q_range_error_context,
         "sessionize": _q_sessionize,
+        "session_window_stats": _q_session_window_stats,
         "event_value_quantiles": _q_event_value_quantiles,
         "approx_distinct_hll": _q_approx_distinct_hll,
         "bigram_surprisal": _q_bigram_surprisal,
@@ -1129,6 +1148,26 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING)::INT AS session_idx
             FROM g
+        """,
+        "session_window_stats": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800.0
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS start_us,
+                   max(epoch_us(ts)) + 1800000000 AS end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
         "event_value_quantiles": """
             WITH r AS (

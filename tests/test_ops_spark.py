@@ -766,3 +766,26 @@ class TestFunnelAndSurprisal:
                                       "grp string, val long")
         assert row["est_hll"] == \
             hll_distinct(clean, "grp", "val").collect()[0]["est_hll"]
+
+    def test_native_session_window_matches_sessionize_grouping(self, spark):
+        # the native session_window and the gap-based sessionize must carve
+        # identical sessions, INCLUDING the boundary (gap == 30 min merges,
+        # 30 min + 1 s splits)
+        from pyspark.sql import functions as F
+
+        from bella_domify_spark.ops.temporal import sessionize
+
+        ev = self._events(spark, [
+            (0, 1, "x", 0.0), (1800, 1, "x", 0.0),   # merge
+            (3601, 1, "x", 0.0),                     # split
+            (0, 2, "x", 0.0),
+        ])
+        native = sorted(
+            (r["user_id"], r["n"]) for r in
+            ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+              .agg(F.count("*").alias("n")).collect())
+        gap = sorted(
+            (r["user_id"], r["n"]) for r in
+            sessionize(ev).groupBy("user_id", "session_idx")
+                          .agg(F.count("*").alias("n")).collect())
+        assert native == gap == [(1, 1), (1, 2), (2, 1)]
