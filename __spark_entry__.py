@@ -1150,16 +1150,22 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "session_window_stats": """
+            -- integer-microsecond gaps (the Spark side is exact-integer
+            -- native session_window; a float epoch() gap could round an
+            -- exactly-30-min boundary the other way) and a full
+            -- (ts, event_id) order so ts-peers never split across
+            -- sessions
             WITH g AS (
-                SELECT user_id, ts,
-                       epoch(ts) - lag(epoch(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                SELECT user_id, event_id, ts,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap_us
                 FROM events
             ), s AS (
                 SELECT user_id, ts,
-                       sum(CASE WHEN gap IS NULL OR gap > 1800.0
+                       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                                 THEN 1 ELSE 0 END) OVER (
-                           PARTITION BY user_id ORDER BY ts
+                           PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sess
                 FROM g
             )
@@ -1274,10 +1280,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_hll": f"""
             WITH h AS (
+                -- NULL users carry no identity (count_distinct ignores
+                -- them; the Spark side filters them the same way)
                 SELECT event_type,
                        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
                            AS h
-                FROM events
+                FROM events WHERE user_id IS NOT NULL
             ), r AS (
                 SELECT event_type, h & 63 AS j,
                        CASE WHEN (h >> 6) > 0
