@@ -310,7 +310,11 @@ def _q_event_value_quantiles(spark, sf):
     with few types use approx_percentile or pre-bucketed histograms
     (documented trade, same category as ann_cosine_topk)."""
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST pinned explicitly: Spark default-orders NULLs FIRST
+    # ascending, DuckDB LAST — a NULL value (schema-legal) would shift
+    # every row_number and diverge from the oracle
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id")
     n = Window.partitionBy("event_type")
     r = ev.select("event_type", "value",
                   F.row_number().over(w).alias("rn"),
@@ -1179,7 +1183,8 @@ def oracle_sql() -> dict[str, str]:
             WITH r AS (
                 SELECT event_type, value,
                        row_number() OVER (PARTITION BY event_type
-                                          ORDER BY value, event_id) AS rn,
+                                          ORDER BY value NULLS LAST,
+                                                   event_id) AS rn,
                        count(*) OVER (PARTITION BY event_type) AS n
                 FROM events
             )
@@ -1273,9 +1278,12 @@ def oracle_sql() -> dict[str, str]:
             ), s AS (
                 SELECT b.id, st.s FROM b JOIN st USING (w1, w2)
             )
+            -- integer-exact mean at 1e-6 (HUGEINT floor division) — no
+            -- double round-trip, mirrors the Spark div
             SELECT id AS doc_id, count(*) AS n_bigrams,
-                   round(CAST(sum(s) AS DOUBLE) / 1e12 / count(*),
-                         6) AS mean_surprisal
+                   (sum(s)::HUGEINT
+                    // (count(*)::HUGEINT * 1000000))::BIGINT
+                       AS mean_surprisal_e6
             FROM s GROUP BY id
         """,
         "approx_distinct_hll": f"""
@@ -1314,8 +1322,12 @@ def oracle_sql() -> dict[str, str]:
                             ELSE raw END AS est
                 FROM e
             )
-            SELECT x.event_type, x.n_exact, round(e2.est, 4) AS est_hll,
-                   round((e2.est - x.n_exact) / x.n_exact, 4) AS rel_err
+            -- floor(x*1e4) -> BIGINT, not round(): round() diverges
+            -- across engines (see bigram_surprisal)
+            SELECT x.event_type, x.n_exact,
+                   floor(e2.est * 1e4)::BIGINT AS est_hll_e4,
+                   floor((e2.est - x.n_exact) / x.n_exact * 1e4)::BIGINT
+                       AS rel_err_e4
             FROM (SELECT event_type, count(DISTINCT user_id) AS n_exact
                   FROM events GROUP BY event_type) x
             JOIN e2 USING (event_type)
@@ -1325,13 +1337,22 @@ def oracle_sql() -> dict[str, str]:
                    v.event_id AS view_event_id,
                    epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
             FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            -- pre-dedup the reference side to the largest event_id per
+            -- (user_id, ts): DuckDB's ASOF JOIN leaves the winner among
+            -- duplicate-ts rows unspecified, the Spark side's ref_order
+            -- tiebreak (ops/temporal.py) pins largest-event_id-wins
+            ASOF LEFT JOIN (
+                SELECT * FROM events WHERE event_type = 'view'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) = 1) v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "range_error_context": """
+            -- integer cents: a decimal output would stringify '51.40' in
+            -- Spark but float-ify to '51.4' through DuckDB's pandas path
             SELECT e.event_id, e.user_id, count(*) AS n_ctx,
-                   round(CAST(sum(CAST(o.value AS DECIMAL(18,2)))
-                         AS DOUBLE), 2) AS sum_value
+                   sum((CAST(o.value AS DECIMAL(18,2)) * 100)::BIGINT)
+                       ::BIGINT AS sum_value_cents
             FROM (SELECT * FROM events WHERE event_type = 'error') e
             JOIN events o
               ON o.user_id = e.user_id AND o.event_id <> e.event_id

@@ -51,7 +51,8 @@ def _h60(col):
 def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group HLL distinct estimate of ``value_col`` with the standard
     small-range (linear counting) correction, plus the exact distinct for
-    accuracy pinning. Output: (group, n_exact, est_hll, rel_err)."""
+    accuracy pinning. Output: (group, n_exact, est_hll_e4, rel_err_e4) —
+    the estimate and relative error floor-quantized at 1e-4 as BIGINT."""
     # NULL values carry no identity: count_distinct ignores them, so the
     # register side must too (md5(NULL) would otherwise thread NULL
     # buckets through the aggregate)
@@ -85,11 +86,17 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
     exact = (df.groupBy(group_col)
              .agg(F.count_distinct(F.col(value_col)).alias("n_exact")))
+    # outputs quantized with floor(x*1e4) -> BIGINT, not round(x, 4):
+    # round() is NOT cross-engine deterministic (Spark shortest-repr
+    # HALF_UP vs DuckDB binary scaling), floor of an IEEE multiply is
+    # bit-identical on identical inputs
     return (exact.join(per_group, group_col)
             .select(group_col, "n_exact",
-                    F.round(est, 4).alias("est_hll"),
-                    F.round((est - F.col("n_exact"))
-                            / F.col("n_exact"), 4).alias("rel_err")))
+                    F.floor(est * F.lit(1e4)).cast("long")
+                    .alias("est_hll_e4"),
+                    F.floor((est - F.col("n_exact"))
+                            / F.col("n_exact") * F.lit(1e4)).cast("long")
+                    .alias("rel_err_e4")))
 
 
 CMS_D = 4       # count-min depth (hash rows, from the minhash family)

@@ -185,14 +185,17 @@ def funnel_stages(events: DataFrame,
 def range_error_context(events: DataFrame,
                         window_us: int = 3_600_000_000) -> DataFrame:
     """For each error event: how many same-user events happened within
-    ±1 h, and their total value. The value sum goes through DECIMAL(18,2)
-    (the column's natural scale) so the aggregate is partition-order-free
-    — exact-hash-safe (see evaluate.cal_accuracy)."""
+    ±1 h, and their total value. Each value rounds once to DECIMAL(18,2)
+    (the column's natural scale) and the sum is carried as integer CENTS
+    (BIGINT), so the aggregate is partition-order-free and never
+    round-trips a double — exact-hash-safe (a raw decimal output would
+    stringify '51.40' in Spark but float-ify to '51.4' through DuckDB's
+    pandas conversion)."""
     errors = events.filter(F.col("event_type") == "error")
     pairs = (range_join(errors, events, key="user_id", ts="ts",
                         window_us=window_us, carry=["event_id", "value"])
              .filter(F.col("event_id") != F.col("event_id_ref")))
     return (pairs.groupBy("event_id", "user_id")
             .agg(F.count("*").alias("n_ctx"),
-                 F.round(F.sum(F.col("value_ref").cast("decimal(18,2)"))
-                         .cast("double"), 2).alias("sum_value")))
+                 F.sum((F.col("value_ref").cast("decimal(18,2)") * 100)
+                       .cast("long")).alias("sum_value_cents")))

@@ -279,6 +279,9 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("s").alias("ssum"))
             .select(F.col("id").alias(id_col), "n_bigrams",
-                    F.round(F.col("ssum").cast("double") / F.lit(1e12)
-                            / F.col("n_bigrams"), 6)
-                    .alias("mean_surprisal")))
+                    # integer-exact mean at 1e-6: ssum (1e12-scaled) div
+                    # n_bigrams*1e6 — no double round-trip, so no round()
+                    # divergence risk at any scale factor
+                    F.expr("ssum div (CAST(n_bigrams AS DECIMAL(20,0))"
+                           " * 1000000)").cast("long")
+                    .alias("mean_surprisal_e6")))

@@ -551,7 +551,7 @@ class TestTemporalJoins:
         ])
         rows = range_error_context(ev).collect()
         assert len(rows) == 1
-        assert (rows[0]["n_ctx"], rows[0]["sum_value"]) == (2, 3.75)
+        assert (rows[0]["n_ctx"], rows[0]["sum_value_cents"]) == (2, 375)
 
     def test_no_cartesian_in_temporal_plans(self, spark):
         import contextlib
@@ -683,11 +683,11 @@ class TestSketches:
         assert got["small"]["n_exact"] == 10
         assert got["big"]["n_exact"] == 5000
         for g in ("small", "mid", "big"):
-            assert abs(got[g]["rel_err"]) < 0.4, (g, got[g])
+            assert abs(got[g]["rel_err_e4"]) < 4000, (g, got[g])
         again = {r["grp"]: r for r in
                  hll_distinct(df.repartition(17), "grp", "val").collect()}
-        assert {g: (r["est_hll"], r["rel_err"]) for g, r in got.items()} \
-            == {g: (r["est_hll"], r["rel_err"]) for g, r in again.items()}
+        assert {g: (r["est_hll_e4"], r["rel_err_e4"]) for g, r in got.items()} \
+            == {g: (r["est_hll_e4"], r["rel_err_e4"]) for g, r in again.items()}
 
 
 class TestFunnelAndSurprisal:
@@ -733,8 +733,8 @@ class TestFunnelAndSurprisal:
         s_ba = math.floor(-math.log(1 / 1) * 1e12)
         s_ac = math.floor(-math.log(1 / 3) * 1e12)
         assert got[1]["n_bigrams"] == 3
-        assert got[1]["mean_surprisal"] == round((2 * s_ab + s_ba) / 1e12 / 3, 6)
-        assert got[2]["mean_surprisal"] == round(s_ac / 1e12 / 1, 6)
+        assert got[1]["mean_surprisal_e6"] == (2 * s_ab + s_ba) // (3 * 10**6)
+        assert got[2]["mean_surprisal_e6"] == s_ac // 10**6
         assert 3 not in got                      # <2 words: no bigrams
 
     def test_cms_overestimates_never_undercount(self, spark):
@@ -764,8 +764,8 @@ class TestFunnelAndSurprisal:
         assert row["n_exact"] == 50
         clean = spark.createDataFrame([("g", v) for v in range(50)],
                                       "grp string, val long")
-        assert row["est_hll"] == \
-            hll_distinct(clean, "grp", "val").collect()[0]["est_hll"]
+        assert row["est_hll_e4"] == \
+            hll_distinct(clean, "grp", "val").collect()[0]["est_hll_e4"]
 
     def test_native_session_window_matches_sessionize_grouping(self, spark):
         # the native session_window and the gap-based sessionize must carve
