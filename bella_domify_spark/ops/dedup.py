@@ -36,6 +36,20 @@ def _md5_int60(col) -> Column:
     return md5_int60_col(col)
 
 
+def _eager_release(result: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint — small candidate-pair
+    outputs only) and release the persisted intermediates it reused, so an
+    operator call never leaves entries pinned in the session's cache
+    manager (the graph.py try/finally discipline). The checkpoint also
+    truncates the logical plan, which downstream iterative consumers
+    (duplicate_clusters) want anyway."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for p in persisted:
+            p.unpersist()
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input is under-split (fewer
     partitions than cores). A small single-file table scans as ONE split,
@@ -89,7 +103,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     candidates without adding signal) → self-join on shingle → count common
     shingles → Jaccard = common / (|A| + |B| - common).
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    # deliberately NOT cached: the exploded shingle set is ~n× the input
+    # size, so pinning it in executor memory is the scale-wrong choice —
+    # recomputing it (scan + split, narrow and codegen'd) for the three
+    # consumers is cheaper than spilling a 10×-input cache at 100 TB
+    sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     sh_f = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
@@ -154,7 +172,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     shuffle — near-linear, no O(n²) crossJoin.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # signatures are compact (num_hashes longs/doc) but expensive to build
+    # (wide min-agg over exploded shingles) and reused three times —
+    # persist for the single materializing pass, release before returning
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select("id", "sig", band_idx).select(
@@ -178,7 +199,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                                        lambda m: m)) / F.lit(num_hashes))
            .filter(F.col("est_jaccard") >= threshold)
            .select("id_a", "id_b", "est_jaccard"))
-    return est
+    return _eager_release(est, sig)
 
 
 SIMHASH_BITS = 60  # md5-60bit token hash domain (see _md5_int60)
@@ -221,7 +242,9 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     n_chunks = max_hamming + 1
     width = max(SIMHASH_BITS // n_chunks, 1)
     mask = (1 << width) - 1
-    fp = simhash(df, id_col, text_col).cache()
+    # fingerprints: one long/doc, two consumers (chunk sides a and b) of an
+    # expensive bit-vote aggregate — persist, release before returning
+    fp = simhash(df, id_col, text_col).persist()
     chunks = fp.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -241,7 +264,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
               .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
               .filter(F.col("hamming") <= max_hamming)
               .select("id_a", "id_b", "hamming"))
-    return pairs
+    return _eager_release(pairs, fp)
 
 
 def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",

@@ -102,6 +102,25 @@ class TestDedup:
         assert (0, 1) in pairs
         assert (0, 2) in pairs
 
+    def test_operators_release_their_caches(self, docs, spark):
+        # every dedup operator must leave the session's cache manager empty
+        # after its call: a leaked .cache() on a long shared session pins
+        # executor memory until LRU eviction (persist is released in the
+        # operator via _eager_release; jaccard deliberately never caches)
+        from bella_domify_spark.ops.dedup import (
+            jaccard_pairs,
+            minhash_lsh_pairs,
+            simhash_near_dups,
+        )
+
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
+        for op in (lambda d: jaccard_pairs(d, threshold=0.5),
+                   lambda d: minhash_lsh_pairs(d, threshold=0.3),
+                   lambda d: simhash_near_dups(d, max_hamming=12)):
+            assert op(docs).count() > 0
+            assert cache_mgr.isEmpty(), op
+
     def test_duplicate_clusters(self, spark):
         from bella_domify_spark.ops.dedup import duplicate_clusters
 
