@@ -119,6 +119,17 @@ def _q_pdflike_extract_stream(spark, sf):
     return gate_extract_stream(_t(spark, sf, "documents"))
 
 
+def _q_layout_ocr_text(spark, sf):
+    # S5/F10 provider seam under the driver oracle: the SAME gate payloads
+    # parsed with providers.StubImageProvider — Figure markdown carries
+    # ![Figure](stub://…) + "> "-quoted OCR (domtree.py:239-242) and the
+    # flat layout's IMAGE SimpleBlocks carry ocr_result
+    # (simple_block.py:25-38); oracle = pinned parquet
+    # (tools/gen_pdflike_expected.py).
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract_ocr
+    return gate_extract_ocr(_t(spark, sf, "documents"))
+
+
 def _q_layout_flat_text(spark, sf):
     from bella_domify_spark.engine.extract import layout_udf
     d = _t(spark, sf, "documents")
@@ -762,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_htmllike": _q_extract_htmllike,
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
+        "layout_ocr_text": _q_layout_ocr_text,
         "layout_flat_text": _q_layout_flat_text,
         "standard_tokens": _q_standard_tokens,
         "csv_normalize": _q_csv_normalize,
@@ -979,6 +991,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, e.extracted_text, e.domtree_json, e.n_nodes,
                    e.status
             FROM read_parquet('/root/repo/fixtures/pdflike_stream_expected.parquet') e
+            JOIN documents d ON d.doc_id = e.doc_id
+        """,
+        "layout_ocr_text": """
+            SELECT d.doc_id, e.extracted_text, e.layout_text, e.n_images,
+                   e.status
+            FROM read_parquet('/root/repo/fixtures/pdflike_ocr_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
         "standard_tokens": r"""

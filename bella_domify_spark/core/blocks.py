@@ -30,6 +30,10 @@ class Span:
     flags: int = 0
     pseudo_bold: bool = False
     is_image: bool = False
+    # image spans: payload metadata standing in for the raw bytes —
+    # n_bytes/sha/width/height (ImageSpan.py image + ImagesExtractor P25;
+    # consumed by providers.ImageStorageProvider and the domtree JSON)
+    image_meta: Optional[dict] = None
     uri: Optional[str] = None  # hyperlink target, used by the catalog rule
     style: List[dict] = field(default_factory=list)  # P22 (TextSpan.style)
     line_height: Optional[float] = None  # P6 font-metric enrichment
@@ -135,6 +139,11 @@ class TextBlock:
     refed_blocks: List["TextBlock"] = field(default_factory=list)
     is_table_name: bool = False
     is_figure_name: bool = False
+    # image provider results (TextBlockExtend.py:84-85,137-143): set by
+    # pipeline.parse when an image_provider is configured; drive the
+    # Figure markdown path (domtree.py:239-242)
+    image_link: Optional[str] = None
+    image_ocr_result: Optional[str] = None
     # non-PDF parsers (markdown tokenizer) may force a layout type, e.g. "Code"
     layout_override: Optional[str] = None
     # P24 alignment & spacing metadata (TextBlock.py:179-400)

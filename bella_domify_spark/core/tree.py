@@ -210,6 +210,21 @@ class DomTree:
                 "text": None if el.is_image_block else el.text,
                 "page_num": list(el.page_num),
             }
+            # P25 placeholder fidelity: Figure nodes pin the image span's
+            # position/size and byte-payload metadata (ImageSpanExtend
+            # fields / ImagesExtractor recovery stand-in), plus provider
+            # results when an image_provider ran
+            if el.is_image_block:
+                span = next((s for ln in getattr(el, "lines", [])
+                             for s in ln.spans if s.is_image), None)
+                if span is not None:
+                    img = {"bbox": list(span.bbox)}
+                    if span.image_meta:
+                        img.update(span.image_meta)
+                    d["image"] = img
+                if getattr(el, "image_link", None):
+                    d["image_link"] = el.image_link
+                    d["ocr_result"] = el.image_ocr_result or ""
             # P24 alignment & spacing metadata (emitted only when parsed)
             if getattr(el, "alignment", None) is not None:
                 d["alignment"] = el.alignment

@@ -47,10 +47,22 @@ class SimpleBlock:
     page_num: int = 0
     is_header: bool = False
     is_footer: bool = False
+    # byte-payload metadata stand-in (simple_block.py:16 image_bytes);
+    # not part of get_result, like the reference
+    image_meta: Optional[dict] = None
 
     def get_result(self) -> dict:
         return {"text": self.text, "ocr_result": self.ocr_text,
                 "type": self.type, "page_num": self.page_num}
+
+    def generate_s3_url(self, image_provider) -> None:
+        """simple_block.py:33-38: IMAGE blocks upload their bytes through
+        the provider; text becomes the URL, ocr_text the OCR result."""
+        if self.type == IMAGE and image_provider is not None:
+            url, ocr = image_provider.get_pic_url_and_ocr(
+                self.image_meta or {})
+            self.text = url
+            self.ocr_text = ocr
 
 
 def _trans_block2text(block: dict) -> str:
@@ -111,7 +123,15 @@ def pdflike_layout(payload: str) -> List[SimpleBlock]:
                     page_content.append(SimpleBlock(type=TEXT, page_num=page_num,
                                                     text=text))
             elif block.get("type") == 1:
-                page_content.append(SimpleBlock(type=IMAGE, page_num=page_num))
+                # pdf_parser.py:53-54: image blocks carry their bytes —
+                # here the byte-metadata stand-in (n_bytes/sha + bbox)
+                meta = {k: block[k]
+                        for k in ("n_bytes", "sha", "width", "height")
+                        if k in block}
+                if "bbox" in block:
+                    meta.setdefault("bbox", list(block["bbox"]))
+                page_content.append(SimpleBlock(type=IMAGE, page_num=page_num,
+                                                image_meta=meta or None))
         page_list.append(page_content)
 
     _mark_holders(page_list, header=True)
@@ -136,7 +156,19 @@ def docxlike_layout(payload: str) -> List[SimpleBlock]:
     return blocks
 
 
-def layout_parse(payload: Optional[str]) -> List[SimpleBlock]:
+def layout_parse(payload: Optional[str],
+                 image_provider=None) -> List[SimpleBlock]:
+    """``image_provider`` mirrors get_s3_links_for_simple_block_batch
+    (pdf_parser.py:71-73 runs it on the filtered block list, before the
+    flat-text fold): IMAGE blocks get text=url + ocr_text set."""
+    blocks = _layout_parse_raw(payload)
+    if image_provider is not None:
+        for b in blocks:
+            b.generate_s3_url(image_provider)
+    return blocks
+
+
+def _layout_parse_raw(payload: Optional[str]) -> List[SimpleBlock]:
     fmt = detect_format(payload)
     if fmt == FMT_EMPTY:
         return []
@@ -164,7 +196,8 @@ def csv_layout(payload: str) -> List[SimpleBlock]:
 
 def flat_text(blocks: List[SimpleBlock]) -> str:
     """trans_simple_block_list2string: '；' + text per TEXT/TABLE block,
-    '；' + ocr_result per IMAGE block (empty here — no OCR provider)."""
+    '；' + ocr_result per IMAGE block (empty unless an OCR provider ran
+    — layout_parse(image_provider=...))."""
     doc_text = ""
     for b in blocks:
         r = b.get_result()
@@ -175,12 +208,12 @@ def flat_text(blocks: List[SimpleBlock]) -> str:
     return doc_text
 
 
-def layout_record(payload: Optional[str]) -> dict:
+def layout_record(payload: Optional[str], image_provider=None) -> dict:
     """Layout-model projection of one payload: JSON block list + flat text.
     Never raises — malformed payloads yield an empty record (per-document
     error isolation, cf. reference pdf/converter.py:160-166)."""
     try:
-        blocks = layout_parse(payload)
+        blocks = layout_parse(payload, image_provider=image_provider)
     except Exception:  # noqa: BLE001
         return {"layout_json": None, "layout_text": "", "n_blocks": 0}
     return {

@@ -65,9 +65,18 @@ class RawPage:
     page_id: int = 0
 
 
+def _image_meta(raw: dict) -> dict:
+    """Byte-payload stand-in carried by image spans/blocks (P25,
+    ImagesExtractor.py:1-368 recovers real bytes; the glyph model carries
+    their metadata): n_bytes, sha, optional explicit width/height."""
+    return {k: raw[k] for k in ("n_bytes", "sha", "width", "height")
+            if k in raw}
+
+
 def _span_from_raw(raw: dict) -> Span:
     if raw.get("image") or raw.get("type") == "image":
-        return Span(is_image=True, bbox=tuple(raw.get("bbox", (0, 0, 0, 0))))
+        return Span(is_image=True, bbox=tuple(raw.get("bbox", (0, 0, 0, 0))),
+                    image_meta=_image_meta(raw) or None)
     chars = raw.get("chars")
     text = raw.get("text")
     if text is None and chars is not None:
@@ -269,6 +278,20 @@ def _load_pages(doc: dict) -> List[RawPage]:
             raw_blocks = [b for b in raw_blocks
                           if not _is_hidden_block(b, hidden_spans)]
         for raw_block in raw_blocks:
+            # type-1 = standalone image block (pymupdf rawdict): becomes a
+            # single image line, the simplified stand-in for P25's
+            # ImagesExtractor recovery (the reference re-inserts recovered
+            # images as ImageSpans the same way)
+            if raw_block.get("type") == 1:
+                bbox = tuple(raw_block.get("bbox", (0, 0, 0, 0)))
+                if bbox[2] <= 0 or bbox[3] <= 0 or \
+                        bbox[0] >= width or bbox[1] >= height:
+                    continue
+                page.lines.append(Line(
+                    spans=[Span(is_image=True, bbox=bbox,
+                                image_meta=_image_meta(raw_block) or None)],
+                    bbox=bbox, dir=(1.0, 0.0), page=pid))
+                continue
             for raw_line in raw_block.get("lines", []):
                 direction = tuple(raw_line.get("dir", (1.0, 0.0)))
                 # keep horizontal (1,0) and vertical (0,-1) text only

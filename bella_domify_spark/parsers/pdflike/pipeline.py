@@ -37,9 +37,13 @@ from bella_domify_spark.parsers.pdflike.treebuild import build_tree, construct_r
 
 
 def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
-          parse_stream_table: bool = False) -> DomTree:
+          parse_stream_table: bool = False,
+          image_provider=None, user: str = "") -> DomTree:
     """``parse_stream_table`` defaults False like production
-    (reference services/parse_manager.py:572-578)."""
+    (reference services/parse_manager.py:572-578). ``image_provider``
+    (a providers.ImageStorageProvider) enables the Figure link/OCR path;
+    None (the default) keeps images as bare placeholders — same as the
+    reference with no provider configured (TextBlockExtend.py:137-143)."""
     pages, bookmark_titles = glyphdoc.load_doc(payload)
     if not pages:
         return DomTree()
@@ -99,6 +103,21 @@ def parse(payload: str, filter_catalog: bool = True, filter_cover: bool = False,
         metadata.parse_text_styles(page)
         metadata.parse_alignment_spacing(blocks, x_range, y_ref=margin[2])
         pages_blocks.append(blocks)
+
+    # ---- image provider (S5/F10 seam) ----
+    # TextBlockExtend.image_handler (TextBlockExtend.py:137-143): when a
+    # provider is configured, each image block's FIRST image span is
+    # uploaded and OCR'd; the results drive the Figure markdown path
+    if image_provider is not None:
+        for blocks in pages_blocks:
+            for b in blocks:
+                if isinstance(b, TextBlock) and b.is_image_block:
+                    span = next(s for ln in b.lines
+                                for s in ln.spans if s.is_image)
+                    meta = dict(span.image_meta or {})
+                    meta.setdefault("bbox", list(span.bbox))
+                    b.image_link, b.image_ocr_result = \
+                        image_provider.get_pic_url_and_ocr(meta, user)
 
     # ---- relations + tree (R1-R4, T1-T4) ----
     construct_relations(pages_blocks)

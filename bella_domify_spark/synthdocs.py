@@ -218,6 +218,18 @@ class _Typesetter:
         self.line(text, x0, size=size, flags=16 if bold else 0)
         self.y += 6.0
 
+    @staticmethod
+    def _img_meta(bbox) -> dict:
+        """Deterministic byte-payload stand-in (P25): the length real RGB
+        bytes would have and a content-address — what md5 over the bytes
+        would give — derived from the image's geometry so payloads stay
+        doc_id-only functions."""
+        import hashlib
+        n_bytes = int((bbox[2] - bbox[0]) * (bbox[3] - bbox[1]) * 3)
+        key = f"{bbox[0]:.1f},{bbox[1]:.1f},{bbox[2]:.1f},{bbox[3]:.1f},{n_bytes}"
+        return {"n_bytes": n_bytes,
+                "sha": hashlib.md5(key.encode()).hexdigest()[:16]}
+
     def image(self, x0: float, y0: float, w: float, h: float):
         """Image span line at an absolute position (does not advance y) —
         overlapping text makes it a floating image (P5)."""
@@ -225,8 +237,16 @@ class _Typesetter:
         self.page["blocks"].append({
             "type": 0, "bbox": bbox,
             "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
-                {"type": "image", "bbox": bbox}]}],
+                {"type": "image", "bbox": bbox, **self._img_meta(bbox)}]}],
         })
+
+    def image_block(self, x0: float, y0: float, w: float, h: float):
+        """Standalone type-1 image block (pymupdf rawdict shape) — the
+        layout parser's IMAGE SimpleBlock source (pdf_parser.py:53-54) and
+        glyphdoc's P25 recovery stand-in. Does not advance y."""
+        bbox = [x0, y0, x0 + w, y0 + h]
+        self.page["blocks"].append(
+            {"type": 1, "bbox": bbox, **self._img_meta(bbox)})
 
     def style_last_line(self, kind: str = "underline"):
         """Underline stroke / strike stroke / highlight fill over the most
@@ -513,6 +533,18 @@ def gen_pdflike(r: _Rng) -> str:
         ts.image(MARGIN, ts.y, 120.0, 60.0)       # isolated: stays inline
         ts.y += 70.0
         ts.paragraph(r.sentence(15, 25))
+        # standalone type-1 image block with a Figure caption beneath it
+        # (ImageSpanExtend caption search) — fixed geometry/text so the
+        # rng draw sequence of every other scenario is untouched
+        ts._ensure_room(140.0)
+        ts.image_block(MARGIN, ts.y, 200.0, 100.0)
+        ts.y += 108.0
+        ts.line("Figure 1 stub payload illustration", MARGIN)
+        ts.y += 6.0
+        # below the 28 px OCR minimum: provider uploads but skips OCR
+        ts._ensure_room(40.0)
+        ts.image_block(MARGIN, ts.y, 20.0, 20.0)
+        ts.y += 30.0
         return ts.finalize()
 
     if scenario == 0:

@@ -29,8 +29,9 @@ def test_gate_scenarios_covered():
     kinds = set()
     for i in range(64):
         doc = json.loads(gate_payload(i))
+        # type-1 image blocks have no lines (P25 stand-in)
         texts = [s.get("text", "") for p in doc["pages"] for b in p["blocks"]
-                 for l in b["lines"] for s in l["spans"]]
+                 for l in b.get("lines", []) for s in l["spans"]]
         if any(t == "目录" for t in texts):
             kinds.add("toc")
         if any(t.startswith("1. ") for t in texts):

@@ -25,13 +25,17 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def main(max_doc_id: int = 5000) -> None:
     from bella_domify_spark.parsers.pdflike.gate import (
         expected_frame,
+        expected_frame_ocr,
         expected_frame_stream,
     )
 
     for frame_fn, out in ((expected_frame, OUT),
                           (expected_frame_stream,
                            OUT.replace("pdflike_expected",
-                                       "pdflike_stream_expected"))):
+                                       "pdflike_stream_expected")),
+                          (expected_frame_ocr,
+                           OUT.replace("pdflike_expected",
+                                       "pdflike_ocr_expected"))):
         df = frame_fn(max_doc_id)
         bad = df[df["status"] != "ok"]
         if len(bad):
