@@ -606,6 +606,54 @@ class TestTemporalJoins:
                for r in sessionize(ev).collect()}
         assert got == {0: 1, 1: 1, 2: 2, 3: 1}
 
+    def test_asof_hot_key_zipf_matches_bruteforce(self, spark):
+        # skew evidence (round-4 verdict ask): ONE user holds ~50% of a
+        # 20k-event corpus. asof_join's keyed window serializes that key
+        # into one task by design (sort-merge profile) — this pins
+        # correctness under the hot key, including the duplicate
+        # (user, ts) reference ties the dense key produces (largest
+        # event_id wins via ref_order). Task-time bound recorded in
+        # docs/PLANS.md §8.
+        import bisect
+
+        import numpy as np
+
+        from bella_domify_spark.ops.temporal import asof_join
+
+        rng = np.random.RandomState(11)
+        n = 20_000
+        users = np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 200, n))
+        secs = rng.randint(0, 500_000, n)
+        kinds = np.where(rng.rand(n) < 0.5, "view", "click")
+        rows = [(int(s), int(u), str(t), 0.0)
+                for s, u, t in zip(secs, users, kinds)]
+        assert sum(1 for _, u, _, _ in rows if u == 0) > 0.45 * n
+        # dense hot key must actually produce (user, ts) duplicates
+        vk = [(u, s) for s, u, t, _ in rows if t == "view"]
+        assert len(vk) != len(set(vk))
+
+        ev = self._events(spark, rows)
+        got = {r["event_id"]: r["event_id_ref"] for r in
+               asof_join(ev.filter("event_type = 'click'"),
+                         ev.filter("event_type = 'view'"),
+                         key="user_id", ts="ts", carry=["event_id"],
+                         ref_order="event_id").collect()}
+
+        by_user: dict = {}
+        for i, (s, u, t, _) in enumerate(rows):
+            if t == "view":
+                by_user.setdefault(u, []).append((s, i))
+        for v in by_user.values():
+            v.sort()     # (ts, id): among tied ts the LAST entry = max id
+        exp = {}
+        for i, (s, u, t, _) in enumerate(rows):
+            if t != "click":
+                continue
+            v = by_user.get(u, [])
+            k = bisect.bisect_right(v, (s, n)) - 1
+            exp[i] = v[k][1] if k >= 0 else None
+        assert got == exp
+
     def test_asof_and_range_match_bruteforce(self, spark):
         # seeded random corpora vs a pure-Python brute force — an oracle
         # independent of both Spark and DuckDB
