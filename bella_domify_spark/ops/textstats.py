@@ -8,7 +8,7 @@ SQL twin for the DuckDB oracle (same formulas, same results).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column, functions as F
+from pyspark.sql import DataFrame, Column, Window, functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic;
 # deliberately small + deterministic so the SQL oracle can mirror them
@@ -285,3 +285,86 @@ def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
                     F.expr("ssum div (CAST(n_bigrams AS DECIMAL(20,0))"
                            " * 1000000)").cast("long")
                     .alias("mean_surprisal_e6")))
+
+
+#: Gopher-rule stopword probe set (Rae et al. 2021 §A1.1 use
+#: {the, be, to, of, and, that, have, with}; the corpus vocabulary
+#: contains a/the — the rule counts DISTINCT probe words present)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style repetition-free quality gates (Rae et al. 2021, §A1.1)
+    as pure JVM expressions: word-count window, mean-word-length window,
+    alphabetic-word ratio, and the stopword-presence rule (≥2 distinct
+    probe words). Output flags each rule plus the composite ``keep``.
+
+    Exact-hash discipline: mean word length is emitted as
+    ``mean_word_len_e4 = floor(x*1e4)`` BIGINT and the alpha ratio as
+    ``alpha_ratio_e4`` — floor of an IEEE divide+multiply on identical
+    integer inputs is bit-identical across engines (cf. bigram_surprisal).
+
+    Scale: one projection, no shuffle at all — the filter composes with
+    any downstream groupBy/join and Catalyst pushes it into the scan."""
+    text = F.col(text_col)
+    words = F.split(F.lower(text), r"\s+")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    n_chars_in_words = (F.length(text)
+                        - (F.size(words) - F.lit(1)))  # minus separators
+    mean_wl = n_chars_in_words / n_words
+    alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$")))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_stop = stop_hits >= min_stop_hits
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        F.floor(mean_wl * F.lit(1e4)).cast("long").alias("mean_word_len_e4"),
+        F.floor(alpha / n_words * F.lit(1e4)).cast("long")
+        .alias("alpha_ratio_e4"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_stop).alias("keep"))
+
+
+def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document, integer-exact:
+    ``idf_e12 = floor(ln(N/df)*1e12)`` is a BIGINT (N, df are integers, so
+    both engines compute the identical double before the floor), and
+    ``score_e12 = tf * idf_e12`` is a pure integer product — no float
+    leaves the plan. Rank ties break on the term (deterministic total
+    order).
+
+    Scale: two aggregations over the exploded token stream (both
+    partial-combining) + one broadcast-sized join on the term — the
+    document-frequency table is vocabulary-sized, tiny next to the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")) \
+        .filter(F.col("w") != "")
+    tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1))).first()[0]
+    dfreq = (tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+             .withColumn("idf_e12",
+                         F.floor(F.log(F.lit(float(n_docs)) / F.col("df"))
+                                 * F.lit(1e12)).cast("long")))
+    scored = (tf.join(F.broadcast(dfreq), "w")
+              .withColumn("score_e12", F.col("tf") * F.col("idf_e12")))
+    win = Window.partitionBy("id").orderBy(F.col("score_e12").desc(),
+                                           F.col("w").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(F.col("id").alias(id_col), F.col("w").alias("term"),
+                    "tf", "df", "score_e12", "rank"))

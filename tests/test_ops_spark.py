@@ -856,3 +856,69 @@ class TestFunnelAndSurprisal:
             sessionize(ev).groupBy("user_id", "session_idx")
                           .agg(F.count("*").alias("n")).collect())
         assert native == gap == [(1, 1), (1, 2), (2, 1)]
+
+
+class TestGopherAndTfidf:
+    def test_gopher_rules(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import gopher_quality
+
+        long_ok = "the quick brown fox jumps over a lazy dog " * 6  # 54 words
+        short = "too short a doc"                                   # 4 words
+        longwords = ("pneumonoultramicroscopic " * 60).strip()      # mwl 24
+        nostop = ("zebra quartz jolt vex " * 15).strip()            # no probes
+        df = spark.createDataFrame(
+            [(1, long_ok.strip()), (2, short), (3, longwords), (4, nostop)],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+        assert got[1]["keep"] and got[1]["ok_word_count"] \
+            and got[1]["ok_word_len"] and got[1]["ok_stopwords"]
+        assert not got[2]["ok_word_count"] and not got[2]["keep"]
+        assert not got[3]["ok_word_len"] and not got[3]["keep"]
+        assert got[4]["ok_word_count"] and not got[4]["ok_stopwords"]
+        # quantization formula: floor(mean_word_len * 1e4)
+        n_words = got[1]["n_words"]
+        text = long_ok.strip()
+        mwl = (len(text) - (n_words - 1)) / n_words
+        assert got[1]["mean_word_len_e4"] == math.floor(mwl * 1e4)
+        assert got[1]["alpha_ratio_e4"] == 10_000   # all-alphabetic words
+
+    def test_tfidf_scores_and_ranking(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import tfidf_keywords
+
+        df = spark.createDataFrame([
+            (1, "apple apple apple banana common"),
+            (2, "banana banana cherry common"),
+            (3, "cherry common common"),
+        ], ["doc_id", "text"])
+        got = {(r["doc_id"], r["rank"]): r
+               for r in tfidf_keywords(df, k=2).collect()}
+
+        def idf(df_count):
+            return math.floor(math.log(3 / df_count) * 1e12)
+
+        # doc 1: apple tf=3 df=1 -> 3*idf(1); banana tf=1 df=2
+        assert got[(1, 1)]["term"] == "apple"
+        assert got[(1, 1)]["score_e12"] == 3 * idf(1)
+        assert got[(1, 2)]["term"] == "banana"
+        assert got[(1, 2)]["score_e12"] == idf(2)
+        # common appears in all docs -> idf(3) == 0 -> never outranks
+        assert all(r["term"] != "common" or r["score_e12"] == 0
+                   for r in got.values())
+        # deterministic tie-break: equal scores order by term asc
+        tie = spark.createDataFrame([(7, "beta alpha")], ["doc_id", "text"])
+        t = [r["term"] for r in tfidf_keywords(tie, k=2).collect()]
+        assert t == ["alpha", "beta"]
+
+    def test_tfidf_partitioning_independent(self, spark):
+        from bella_domify_spark.ops.textstats import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [(i, f"alpha w{i % 7} w{i % 3} beta") for i in range(60)],
+            ["doc_id", "text"])
+        a = sorted(map(tuple, tfidf_keywords(df).collect()))
+        b = sorted(map(tuple, tfidf_keywords(df.repartition(11)).collect()))
+        assert a == b

@@ -1,0 +1,189 @@
+"""Shared DuckDB-oracle SQL builders for __spark_entry__.oracle_sql().
+
+Every fragment here is the single source of truth for a construction that
+more than one oracle query embeds (the round-4 verdict's size audit):
+
+- ``md5_int60`` — the repo-wide text→60-bit-int hash
+  (hashfamily.md5_int60_col's SQL twin).
+- ``closure`` / ``cluster_select`` — recursive reachability closure over a
+  symmetric pair CTE, the ONE SQL twin of ops/graph.py
+  connected_components (label = min reachable id), shared by all four
+  dedup_cluster_* oracles.
+- ``shingle_ctes`` — words → DISTINCT n-gram shingles (jaccard n=3,
+  minhash n=3, decontaminate n=8 all build on it).
+- ``jaccard_pair_ctes`` — shingles → thresholded jaccard ``pairs``
+  (dedup_cluster_canonical, curate_corpus).
+- ``minhash_cand_ctes`` — shingles → md5-seeded minhash signatures → LSH
+  band buckets → ``cand``/``mh`` (dedup_minhash_lsh,
+  dedup_cluster_minhash).
+- ``simhash_fp_ctes`` — tokens → md5 bit votes → 60-bit fingerprints
+  (simhash, dedup_cluster_simhash).
+- ``lsh_bucket_ctes`` — embedding × seeded hyperplanes → per-table sign
+  buckets → candidate pairs/probes (ann_lsh_topk, dedup_embedding,
+  dedup_cluster_embedding).
+
+Formulas MUST mirror bella_domify_spark/ops/{dedup,hashfamily,ann}.py
+exactly — change them only together with their Spark twins (and re-run
+tools/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+
+def md5_int60(expr: str) -> str:
+    """('0x'||substr(md5(x),1,15))::BIGINT — 60 bits, ANSI-product-safe."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def closure(pair_cte: str) -> str:
+    """Recursive reachability closure + min-label (needs WITH RECURSIVE)."""
+    return f"""sym AS (
+                SELECT id_a AS src, id_b AS dst FROM {pair_cte}
+                UNION ALL
+                SELECT id_b, id_a FROM {pair_cte}
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.node, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node)"""
+
+
+def cluster_select(id_name: str) -> str:
+    return f"""SELECT node AS {id_name}, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+            FROM lab"""
+
+
+def shingle_ctes(n: int = 3) -> str:
+    """words + DISTINCT word-``n``-gram shingles over the documents view
+    (w[i:i+k] is a 1-based inclusive slice: k = n-1 spans n words) —
+    mirrors dedup.word_shingles."""
+    k = n - 1
+    return f"""words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS id,
+                       array_to_string(w[i:i+{k}], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - {k - 1})) AS t(i)
+            )"""
+
+
+def jaccard_pair_ctes(threshold: float = 0.2,
+                      max_shingle_freq: int = 1000) -> str:
+    """shingle_ctes(3) → thresholded jaccard ``pairs`` (dedup.jaccard_pairs
+    defaults: n=3, stop-shingle cap 1000)."""
+    return f"""{shingle_ctes(3)},
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+            shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE f <= {max_shingle_freq}),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY a.id, b.id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+            )"""
+
+
+def minhash_cand_ctes(minhash_params_sql: str) -> str:
+    """shingles → md5-seeded minhash (64 hashes) → 16 bands × 4 rows LSH
+    buckets → DISTINCT candidate pairs. Exposes ``mh`` (id, i, mh) for the
+    estimated-jaccard verification and ``cand`` (id_a, id_b). Mirrors
+    dedup.minhash_signatures + minhash_lsh_pairs defaults."""
+    return f"""{shingle_ctes(3)},
+            xs AS (
+                SELECT id,
+                       {md5_int60('shingle')}
+                           % 2147483647 AS x
+                FROM sh
+            ),
+            mh AS (
+                SELECT id, i, min((a * x + b) % 2147483647) AS mh
+                FROM xs CROSS JOIN {minhash_params_sql}
+                GROUP BY id, i
+            ),
+            sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM mh GROUP BY id),
+            banded AS (
+                SELECT id, band,
+                       md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+                FROM sig, UNNEST(range(0, 16)) AS t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b USING (band, bucket)
+                WHERE a.id < b.id
+            )"""
+
+
+def simhash_fp_ctes(fp_alias: str = "sh") -> str:
+    """tokens → per-bit md5 sign votes → 60-bit fingerprint CTE ``fp``
+    with the fingerprint column named ``fp_alias`` (dedup.simhash)."""
+    return f"""tok AS (
+                SELECT doc_id AS id, t.tok
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            xs AS (
+                SELECT id, {md5_int60('tok')} AS x
+                FROM tok
+            ),
+            votes AS (
+                SELECT id, b,
+                       sum(CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM xs, UNNEST(range(0, 60)) AS t(b)
+                GROUP BY id, b
+            ),
+            fp AS (
+                SELECT id,
+                       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                           ::BIGINT AS {fp_alias}
+                FROM votes GROUP BY id
+            )"""
+
+
+def lsh_bucket_ctes(lsh_planes_sql: str) -> str:
+    """``v`` (vec_id, e DOUBLE[]) × seeded hyperplanes → per-table sign
+    buckets ``vbuck`` (ops/ann.py hyperplane LSH). The caller supplies the
+    ``v`` CTE (plain embeddings, or the perturbed near-dup augmentation)
+    and the candidate join over ``vbuck``."""
+    return f"""vdot AS (
+                SELECT vec_id, t, p, sum(e[d + 1] * c) AS dp
+                FROM v, {lsh_planes_sql}
+                GROUP BY vec_id, t, p
+            ),
+            vbuck AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                           ::BIGINT AS bucket
+                FROM vdot GROUP BY vec_id, t
+            )"""
+
+
+#: embeddings + 20 perturbed near-dup twins — the dedup_embedding /
+#: dedup_cluster_embedding input (mirrors ops/ann.py's gate augmentation)
+EMBEDDING_AUGMENTED_V = """v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> x * 1.001 + 0.003)
+                FROM embeddings WHERE vec_id < 20
+            )"""
+
+#: candidate pairs from same-table same-bucket collisions (near-dup form)
+LSH_PAIR_CAND = """cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM vbuck a JOIN vbuck b ON a.t = b.t AND a.bucket = b.bucket
+                WHERE a.vec_id < b.vec_id
+            )"""
