@@ -779,6 +779,31 @@ def _q_tfidf_keywords(spark, sf):
     return tfidf_keywords(_t(spark, sf, "documents"))
 
 
+def _q_hist_event_quantiles(spark, sf):
+    """Mergeable histogram quantiles (ops/sketches.hist_quantiles) — the
+    web-scale variant of event_value_quantiles: groups×bins aggregate
+    rows instead of a full per-group sort; integer-exact bin logic."""
+    from bella_domify_spark.ops.sketches import hist_quantiles
+    return hist_quantiles(_t(spark, sf, "events"))
+
+
+def _q_ann_recall(spark, sf):
+    """Recall@5 of the LSH and IVF scale paths against the exact brute
+    force — all-integer quality evidence for the approximate ANN
+    strategies (hits out of k per query)."""
+    exact = _q_ann_cosine_topk(spark, sf).select("q_id", "vec_id")
+    lsh = (_q_ann_lsh_topk(spark, sf).select("q_id", "vec_id")
+           .withColumn("in_lsh", F.lit(1)))
+    ivf = (_q_ann_ivf_topk(spark, sf).select("q_id", "vec_id")
+           .withColumn("in_ivf", F.lit(1)))
+    j = (exact.join(lsh, ["q_id", "vec_id"], "left")
+         .join(ivf, ["q_id", "vec_id"], "left"))
+    return j.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("hits_lsh"),
+        F.sum(F.coalesce(F.col("in_ivf"), F.lit(0))).alias("hits_ivf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries. Window policy (see comments inline): never-confirmed and
@@ -831,13 +856,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "decontaminate": _q_decontaminate,
         "curate_corpus": _q_curate_corpus,
-        "session_window_stats": _q_session_window_stats,
-        "sessionize": _q_sessionize,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         # new this round:
         "gopher_quality": _q_gopher_quality,
         "tfidf_keywords": _q_tfidf_keywords,
+        "hist_event_quantiles": _q_hist_event_quantiles,
+        "ann_recall": _q_ann_recall,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
+        "session_window_stats": _q_session_window_stats,
+        "sessionize": _q_sessionize,
         "funnel_stages": _q_funnel_stages,
         "conv_assembly": _q_conv_assembly,
         "pack_shards": _q_pack_shards,
@@ -896,7 +923,7 @@ def oracle_sql() -> dict[str, str]:
     hll_num = repr(HLL_NUMERATOR)  # repr round-trips float64 exactly
     from bella_domify_spark.ops.sketches import CMS_D, CMS_W
     cms_params = params_values_sql(CMS_D)  # the shared hash family
-    return {
+    sqls = {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
             FROM documents
@@ -1831,3 +1858,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE n // f > 0
         """,
     }
+    # mergeable histogram quantiles — the web-scale variant of
+    # event_value_quantiles (ops/sketches.hist_quantiles); bin index and
+    # midpoints use identical IEEE expression order on both engines
+    sqls["hist_event_quantiles"] = """
+        WITH vals AS (
+            SELECT event_type AS g, value::DOUBLE AS v
+            FROM events WHERE value IS NOT NULL
+        ), rng AS (
+            SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n
+            FROM vals GROUP BY g
+        ), binned AS (
+            SELECT vals.g, n,
+                   CASE WHEN hi = lo THEN 0
+                        ELSE least(floor((v - lo) / (hi - lo) * 256)::INT,
+                                   255) END AS b
+            FROM vals JOIN rng USING (g)
+        ), hist AS (
+            SELECT g, n, b, count(*) AS c FROM binned GROUP BY g, n, b
+        ), cum AS (
+            SELECT g, n, b,
+                   sum(c) OVER (PARTITION BY g ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM hist
+        ), bins AS (
+            SELECT g, n,
+                   min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) AS b50,
+                   min(CASE WHEN cum >= ceil(0.95 * n) THEN b END) AS b95,
+                   min(CASE WHEN cum >= ceil(0.99 * n) THEN b END) AS b99
+            FROM cum GROUP BY g, n
+        )
+        SELECT g AS event_type, bins.n AS n,
+               floor((CASE WHEN hi = lo THEN lo
+                           ELSE lo + (b50 + 0.5) * ((hi - lo) / 256) END)
+                     * 1e6)::BIGINT AS p50_est_e6,
+               floor((CASE WHEN hi = lo THEN lo
+                           ELSE lo + (b95 + 0.5) * ((hi - lo) / 256) END)
+                     * 1e6)::BIGINT AS p95_est_e6,
+               floor((CASE WHEN hi = lo THEN lo
+                           ELSE lo + (b99 + 0.5) * ((hi - lo) / 256) END)
+                     * 1e6)::BIGINT AS p99_est_e6
+        FROM bins JOIN rng USING (g)
+    """
+    # recall@5 of the approximate ANN paths vs exact — composes the three
+    # ANN oracles as CTEs so the formulas can never drift apart
+    sqls["ann_recall"] = f"""
+        WITH exact AS ({sqls["ann_cosine_topk"]}),
+             lshr AS ({sqls["ann_lsh_topk"]}),
+             ivfr AS ({sqls["ann_ivf_topk"]})
+        SELECT e.q_id, count(*) AS k,
+               sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS hits_lsh,
+               sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS hits_ivf
+        FROM exact e
+        LEFT JOIN lshr l ON l.q_id = e.q_id AND l.vec_id = e.vec_id
+        LEFT JOIN ivfr i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+        GROUP BY e.q_id
+    """
+    return sqls

@@ -29,7 +29,7 @@ the oracle also pins the estimate's accuracy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 M = 64          # registers (p = 6)
 W_BITS = 54     # 60-bit hash minus 6 bucket bits
@@ -157,3 +157,65 @@ def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
             .select("word", "n_exact", "est_cms",
                     (F.col("est_cms") - F.col("n_exact"))
                     .alias("overestimate")))
+
+
+HIST_BINS = 256  # histogram-quantile resolution (error <= range/bins)
+
+
+def hist_quantiles(df: DataFrame, group_col: str = "event_type",
+                   value_col: str = "value",
+                   ps=(0.5, 0.95, 0.99), n_bins: int = HIST_BINS) -> DataFrame:
+    """Mergeable fixed-width-histogram quantiles — THE web-scale variant
+    the exact ``event_value_quantiles`` docstring promises: per group,
+    bucket values into ``n_bins`` equal-width bins over the group's own
+    [min, max] range, then read each quantile's bin by cumulative count
+    and estimate it as the bin midpoint.
+
+    Exactness discipline: the bin index is ``floor((v - lo) / (hi - lo)
+    * n_bins)`` — floor of identical IEEE ops on identical doubles, so
+    both engines agree bit-for-bit; the cumulative pick is pure integer
+    logic (target row = smallest bin whose running count reaches
+    ``ceil(p * n)``); midpoints quantize via floor×1e6 BIGINT. NULL
+    values carry no position (filtered on both sides).
+
+    Scale: min/max and the bin histogram are both partial-combining
+    aggregates — the corpus shuffles ≤ groups×n_bins rows TOTAL, and
+    histograms merge by cell-wise sum across partitions/days/shards
+    (unlike the exact variant's full per-group sort). Accuracy is
+    bounded by range/n_bins per group."""
+    vals = df.filter(F.col(value_col).isNotNull()) \
+             .select(F.col(group_col).alias("g"),
+                     F.col(value_col).cast("double").alias("v"))
+    rng = vals.groupBy("g").agg(F.min("v").alias("lo"),
+                                F.max("v").alias("hi"),
+                                F.count(F.lit(1)).alias("n"))
+    binned = (vals.join(F.broadcast(rng), "g")
+              .select("g", "n", F.when(
+                  F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                  F.least(F.floor((F.col("v") - F.col("lo"))
+                                  / (F.col("hi") - F.col("lo"))
+                                  * F.lit(n_bins)).cast("int"),
+                          F.lit(n_bins - 1))).alias("b")))
+    hist = binned.groupBy("g", "n", "b").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+
+    def pick(p, name):
+        # smallest bin whose cumulative count reaches ceil(p*n)
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= target, F.col("b"))).alias(name)
+
+    bins = cum.groupBy("g", "n").agg(
+        *[pick(p, f"b{int(p * 100)}") for p in ps])
+    out = bins.join(F.broadcast(rng.select("g", "lo", "hi")), "g")
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
+
+    def mid(bcol, name):
+        est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+            F.col("lo") + (F.col(bcol) + F.lit(0.5)) * width)
+        return F.floor(est * F.lit(1e6)).cast("long").alias(name)
+
+    return out.select(
+        F.col("g").alias(group_col), "n",
+        *[mid(f"b{int(p * 100)}", f"p{int(p * 100)}_est_e6") for p in ps])

@@ -922,3 +922,38 @@ class TestGopherAndTfidf:
         a = sorted(map(tuple, tfidf_keywords(df).collect()))
         b = sorted(map(tuple, tfidf_keywords(df.repartition(11)).collect()))
         assert a == b
+
+
+class TestHistQuantiles:
+    def test_midpoint_estimates_and_edge_cases(self, spark):
+        import math
+
+        from bella_domify_spark.ops.sketches import hist_quantiles
+
+        rows = ([("a", float(v)) for v in range(1001)]     # uniform 0..1000
+                + [("const", 7.5)] * 10                    # hi == lo group
+                + [("a", None)])                           # NULL: no position
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        got = {r["event_type"]: r for r in hist_quantiles(df).collect()}
+        assert got["a"]["n"] == 1001                       # NULL filtered
+        # uniform distribution: each estimate within one bin width of truth
+        width = 1000.0 / 256
+        for p, col in ((0.5, "p50_est_e6"), (0.95, "p95_est_e6"),
+                       (0.99, "p99_est_e6")):
+            est = got["a"][col] / 1e6
+            assert abs(est - p * 1000.0) <= width + 1e-6, (p, est)
+        # degenerate range: every quantile IS the constant
+        assert got["const"]["p50_est_e6"] == math.floor(7.5 * 1e6)
+        assert got["const"]["p99_est_e6"] == math.floor(7.5 * 1e6)
+
+    def test_partitioning_independent_and_mergeable_shape(self, spark):
+        from bella_domify_spark.ops.sketches import hist_quantiles
+
+        import numpy as np
+        rng = np.random.RandomState(4)
+        rows = [(["x", "y"][int(rng.randint(0, 2))],
+                 float(rng.randint(0, 10_000)) / 10) for _ in range(5000)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        a = sorted(map(tuple, hist_quantiles(df).collect()))
+        b = sorted(map(tuple, hist_quantiles(df.repartition(17)).collect()))
+        assert a == b
