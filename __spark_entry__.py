@@ -1011,7 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "layout_ocr_text": """
             SELECT d.doc_id, e.extracted_text, e.layout_text, e.n_images,
-                   e.status
+                   e.n_layout_images, e.status
             FROM read_parquet('/root/repo/fixtures/pdflike_ocr_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
@@ -1453,14 +1453,16 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                   x -> x <> '') AS ws,
-                       length(text)
-                       - (len(regexp_split_to_array(lower(text), '\s+')) - 1)
-                           AS chars_in_words
+                                   x -> x <> '') AS ws
                 FROM documents
             ), m AS (
+                -- mean = SUM of word lengths / n_words (multi-char
+                -- whitespace runs are not word characters); zero-word
+                -- docs carry NULL means and False flags on both engines
                 SELECT doc_id, len(ws) AS n_words,
-                       chars_in_words::DOUBLE / len(ws) AS mwl,
+                       CASE WHEN len(ws) > 0 THEN
+                           list_sum(list_transform(ws, x -> length(x)))
+                               ::DOUBLE / len(ws) END AS mwl,
                        len(list_filter(ws,
                            x -> regexp_matches(x, '^[a-z]+$'))) AS alpha,
                        len(list_intersect(list_distinct(ws),
@@ -1470,14 +1472,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_words::INT AS n_words,
                    floor(mwl * 1e4)::BIGINT AS mean_word_len_e4,
-                   floor(alpha::DOUBLE / n_words * 1e4)::BIGINT
-                       AS alpha_ratio_e4,
+                   floor(CASE WHEN n_words > 0
+                              THEN alpha::DOUBLE / n_words END
+                         * 1e4)::BIGINT AS alpha_ratio_e4,
                    stop_hits::INT AS stop_hits,
                    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
-                   (mwl >= 3.0 AND mwl <= 10.0) AS ok_word_len,
+                   CASE WHEN n_words > 0
+                        THEN (mwl >= 3.0 AND mwl <= 10.0)
+                        ELSE FALSE END AS ok_word_len,
                    stop_hits >= 2 AS ok_stopwords,
                    ((n_words >= 50 AND n_words <= 100000)
-                    AND (mwl >= 3.0 AND mwl <= 10.0)
+                    AND (CASE WHEN n_words > 0
+                              THEN (mwl >= 3.0 AND mwl <= 10.0)
+                              ELSE FALSE END)
                     AND stop_hits >= 2) AS keep
             FROM m
         """,

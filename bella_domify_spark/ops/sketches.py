@@ -189,7 +189,11 @@ def hist_quantiles(df: DataFrame, group_col: str = "event_type",
     rng = vals.groupBy("g").agg(F.min("v").alias("lo"),
                                 F.max("v").alias("hi"),
                                 F.count(F.lit(1)).alias("n"))
-    binned = (vals.join(F.broadcast(rng), "g")
+    # no forced broadcast: rng is one row PER GROUP — tiny for enum-like
+    # groups but potentially huge for high-cardinality group columns
+    # (user_id), where a forced broadcast would OOM the driver; AQE
+    # broadcasts it automatically when it is actually small
+    binned = (vals.join(rng, "g")
               .select("g", "n", F.when(
                   F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
                   F.least(F.floor((F.col("v") - F.col("lo"))
@@ -208,7 +212,7 @@ def hist_quantiles(df: DataFrame, group_col: str = "event_type",
 
     bins = cum.groupBy("g", "n").agg(
         *[pick(p, f"b{int(p * 100)}") for p in ps])
-    out = bins.join(F.broadcast(rng.select("g", "lo", "hi")), "g")
+    out = bins.join(rng.select("g", "lo", "hi"), "g")
     width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
 
     def mid(bcol, name):

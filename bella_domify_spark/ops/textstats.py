@@ -308,28 +308,35 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     ``mean_word_len_e4 = floor(x*1e4)`` BIGINT and the alpha ratio as
     ``alpha_ratio_e4`` — floor of an IEEE divide+multiply on identical
     integer inputs is bit-identical across engines (cf. bigram_surprisal).
+    The mean's numerator is the SUM of word lengths (integer), never
+    "chars minus separators" — multi-char whitespace runs must not count
+    as word characters. Zero-word documents (empty/whitespace-only text)
+    would divide by zero under ANSI mode: they emit NULL means/ratios and
+    False flags instead of failing the job.
 
     Scale: one projection, no shuffle at all — the filter composes with
     any downstream groupBy/join and Catalyst pushes it into the scan."""
     text = F.col(text_col)
-    words = F.split(F.lower(text), r"\s+")
-    n_words = F.size(F.filter(words, lambda w: w != ""))
-    n_chars_in_words = (F.length(text)
-                        - (F.size(words) - F.lit(1)))  # minus separators
-    mean_wl = n_chars_in_words / n_words
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    has_words = n_words > 0
+    word_chars = F.aggregate(words, F.lit(0),
+                             lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(has_words, word_chars / n_words)   # NULL on 0 words
     alpha = F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$")))
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(words),
         F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
     ok_words = (n_words >= min_words) & (n_words <= max_words)
-    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_wl = F.when(has_words, (mean_wl >= min_mean_word_len)
+                   & (mean_wl <= max_mean_word_len)).otherwise(F.lit(False))
     ok_stop = stop_hits >= min_stop_hits
     return df.select(
         F.col(id_col),
         n_words.cast("int").alias("n_words"),
         F.floor(mean_wl * F.lit(1e4)).cast("long").alias("mean_word_len_e4"),
-        F.floor(alpha / n_words * F.lit(1e4)).cast("long")
-        .alias("alpha_ratio_e4"),
+        F.floor(F.when(has_words, alpha / n_words) * F.lit(1e4))
+        .cast("long").alias("alpha_ratio_e4"),
         stop_hits.cast("int").alias("stop_hits"),
         ok_words.alias("ok_word_count"),
         ok_wl.alias("ok_word_len"),
@@ -355,11 +362,17 @@ def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")) \
         .filter(F.col("w") != "")
     tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.count(F.lit(1))).first()[0]
+    # N stays IN the plan (1-row aggregate cross-joined into the tiny
+    # dfreq side) — an eager .first() here would run a full extra scan at
+    # every plan construction and make the builder non-lazy
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
     dfreq = (tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+             .crossJoin(F.broadcast(n_docs))
              .withColumn("idf_e12",
-                         F.floor(F.log(F.lit(float(n_docs)) / F.col("df"))
-                                 * F.lit(1e12)).cast("long")))
+                         F.floor(F.log(F.col("_n").cast("double")
+                                       / F.col("df"))
+                                 * F.lit(1e12)).cast("long"))
+             .drop("_n"))
     scored = (tf.join(F.broadcast(dfreq), "w")
               .withColumn("score_e12", F.col("tf") * F.col("idf_e12")))
     win = Window.partitionBy("id").orderBy(F.col("score_e12").desc(),

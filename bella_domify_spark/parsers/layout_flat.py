@@ -124,10 +124,13 @@ def pdflike_layout(payload: str) -> List[SimpleBlock]:
                                                     text=text))
             elif block.get("type") == 1:
                 # pdf_parser.py:53-54: image blocks carry their bytes —
-                # here the byte-metadata stand-in (n_bytes/sha + bbox)
-                meta = {k: block[k]
-                        for k in ("n_bytes", "sha", "width", "height")
-                        if k in block}
+                # here the byte-metadata stand-in, extracted by the SAME
+                # helper the DOM path uses (glyphdoc._image_meta) so the
+                # two models can never desynchronize
+                from bella_domify_spark.parsers.pdflike.glyphdoc import (
+                    _image_meta,
+                )
+                meta = _image_meta(block)
                 if "bbox" in block:
                     meta.setdefault("bbox", list(block["bbox"]))
                 page_content.append(SimpleBlock(type=IMAGE, page_num=page_num,

@@ -877,12 +877,26 @@ class TestGopherAndTfidf:
         assert not got[2]["ok_word_count"] and not got[2]["keep"]
         assert not got[3]["ok_word_len"] and not got[3]["keep"]
         assert got[4]["ok_word_count"] and not got[4]["ok_stopwords"]
-        # quantization formula: floor(mean_word_len * 1e4)
-        n_words = got[1]["n_words"]
-        text = long_ok.strip()
-        mwl = (len(text) - (n_words - 1)) / n_words
+        # quantization formula: floor(sum(word lengths)/n_words * 1e4)
+        ws = long_ok.split()
+        mwl = sum(len(w) for w in ws) / len(ws)
         assert got[1]["mean_word_len_e4"] == math.floor(mwl * 1e4)
         assert got[1]["alpha_ratio_e4"] == 10_000   # all-alphabetic words
+
+    def test_gopher_degenerate_docs_never_fail(self, spark):
+        # empty/whitespace-only docs divide by zero under ANSI mode unless
+        # guarded; multi-char whitespace runs must not count as word chars
+        from bella_domify_spark.ops.textstats import gopher_quality
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "ab cd\n\nef")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+        for d in (1, 2):
+            assert got[d]["n_words"] == 0
+            assert got[d]["mean_word_len_e4"] is None
+            assert got[d]["alpha_ratio_e4"] is None
+            assert got[d]["ok_word_len"] is False and got[d]["keep"] is False
+        assert got[3]["mean_word_len_e4"] == 20_000   # 6 chars / 3 words
 
     def test_tfidf_scores_and_ranking(self, spark):
         import math
