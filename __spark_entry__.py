@@ -804,6 +804,14 @@ def _q_ann_recall(spark, sf):
         F.sum(F.coalesce(F.col("in_ivf"), F.lit(0))).alias("hits_ivf"))
 
 
+def _q_dup_span_stats(spark, sf):
+    """Substring-duplication measurement (Lee et al. span-level dedup
+    family): per doc, the 8-gram span instances shared with >=2 docs and
+    the duplicated fraction — integer-quantized, no all-pairs."""
+    from bella_domify_spark.ops.dedup import dup_span_stats
+    return dup_span_stats(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries. Window policy (see comments inline): never-confirmed and
@@ -856,13 +864,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "decontaminate": _q_decontaminate,
         "curate_corpus": _q_curate_corpus,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # new this round:
         "gopher_quality": _q_gopher_quality,
         "tfidf_keywords": _q_tfidf_keywords,
         "hist_event_quantiles": _q_hist_event_quantiles,
         "ann_recall": _q_ann_recall,
+        "dup_span_stats": _q_dup_span_stats,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "session_window_stats": _q_session_window_stats,
         "sessionize": _q_sessionize,
         "funnel_stages": _q_funnel_stages,
@@ -906,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_select as _cluster_select,
         jaccard_pair_ctes,
         lsh_bucket_ctes,
+        shingle_instance_ctes,
         minhash_cand_ctes,
         shingle_ctes,
         simhash_fp_ctes,
@@ -1448,6 +1458,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "dup_span_stats": f"""
+            WITH {shingle_instance_ctes(8)},
+            dfq AS (
+                SELECT shingle, count(DISTINCT id) AS docs
+                FROM si GROUP BY shingle
+            )
+            SELECT id AS doc_id, count(*) AS n_spans,
+                   sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_spans,
+                   floor(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*) * 1e6)::BIGINT AS dup_ratio_e6
+            FROM si JOIN dfq USING (shingle)
+            GROUP BY id
         """,
         "gopher_quality": r"""
             WITH w AS (

@@ -308,3 +308,36 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
     return (c.join(b, "shingle")
             .groupBy(F.col("id").alias(id_col), F.col("bid").alias(bench_id_col))
             .agg(F.count(F.lit(1)).alias("n_collisions")))
+
+
+def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 8,
+                   min_docs: int = 2) -> DataFrame:
+    """Substring-duplication measurement (the Lee et al. 2021 "deduplicate
+    training data" family, at word-``n``-gram granularity): for each
+    document, how many of its n-gram span INSTANCES also occur in at least
+    ``min_docs`` documents corpus-wide, and the duplicated fraction.
+    Feeds span-level filtering/trimming decisions the way exact/minhash
+    feed document-level ones. Documents under ``n`` words have no spans
+    and drop out (both engines agree).
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_ratio_e6) — the ratio
+    floor-quantized at 1e-6 (BIGINT), exact-hash-safe.
+
+    Scale: one instance stream (O(words) construction per row), one
+    vocabulary-sized doc-frequency aggregate, one shuffle join keyed by
+    shingle with partial-combining per-doc aggregation after — no
+    all-pairs anywhere; hot shingles spread by key like any skewed join
+    (AQE skew split applies)."""
+    inst = word_shingles(df, id_col, text_col, n, dedupe=False)
+    docfreq = (inst.distinct()
+               .groupBy("shingle").agg(F.count(F.lit(1)).alias("docs")))
+    per = (inst.join(docfreq, "shingle")
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.when(F.col("docs") >= min_docs, 1).otherwise(0))
+                .alias("n_dup_spans")))
+    return per.select(
+        F.col("id").alias(id_col), "n_spans", "n_dup_spans",
+        F.floor(F.col("n_dup_spans") / F.col("n_spans") * F.lit(1e6))
+        .cast("long").alias("dup_ratio_e6"))

@@ -971,3 +971,32 @@ class TestHistQuantiles:
         a = sorted(map(tuple, hist_quantiles(df).collect()))
         b = sorted(map(tuple, hist_quantiles(df.repartition(17)).collect()))
         assert a == b
+
+
+class TestDupSpans:
+    def test_span_counts_and_ratio(self, spark):
+        from bella_domify_spark.ops.dedup import dup_span_stats
+
+        shared = "one two three four"           # the 4-gram both docs carry
+        df = spark.createDataFrame([
+            (1, shared + " alpha beta"),         # 3 spans, 1 duplicated
+            (2, shared + " gamma delta"),        # 3 spans, 1 duplicated
+            (3, "totally different words here"), # 1 span, 0 duplicated
+            (4, "too short"),                    # <4 words: no spans
+        ], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in dup_span_stats(df, n=4).collect()}
+        assert got[1]["n_spans"] == 3 and got[1]["n_dup_spans"] == 1
+        assert got[2]["n_spans"] == 3 and got[2]["n_dup_spans"] == 1
+        assert got[1]["dup_ratio_e6"] == 333_333   # floor(1/3 * 1e6)
+        assert got[3]["n_dup_spans"] == 0
+        assert 4 not in got
+
+    def test_within_doc_repeats_need_other_docs(self, spark):
+        # a span repeated INSIDE one doc but nowhere else is not "shared
+        # with >= min_docs documents" (doc-frequency, not instance count)
+        from bella_domify_spark.ops.dedup import dup_span_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b c d a b c d"), (2, "x y z w")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in dup_span_stats(df, n=4).collect()}
+        assert got[1]["n_dup_spans"] == 0

@@ -73,6 +73,22 @@ def shingle_ctes(n: int = 3) -> str:
             )"""
 
 
+def shingle_instance_ctes(n: int = 8) -> str:
+    """words + ALL n-gram shingle INSTANCES (no DISTINCT) as CTE ``si`` —
+    mirrors dedup.word_shingles(dedupe=False); dup_span_stats builds on
+    it."""
+    k = n - 1
+    return f"""words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            si AS (
+                SELECT doc_id AS id,
+                       array_to_string(w[i:i+{k}], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - {k - 1})) AS t(i)
+            )"""
+
+
 def jaccard_pair_ctes(threshold: float = 0.2,
                       max_shingle_freq: int = 1000) -> str:
     """shingle_ctes(3) → thresholded jaccard ``pairs`` (dedup.jaccard_pairs
