@@ -54,6 +54,27 @@ def parse_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame.from_records(records, columns=PARSE_RESULT_TYPE.fieldNames())
 
 
+def parse_udf_with(ocr_provider: "Optional[str]" = None):
+    """``parse_udf`` variant with an image provider resolved BY NAME inside
+    each python worker (context.image_provider — the parser_context
+    analogue; the name string travels in the plan, the instance is
+    per-process). None returns the shared default UDF unchanged."""
+    if ocr_provider is None:
+        return parse_udf
+
+    @F.pandas_udf(PARSE_RESULT_TYPE)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        from bella_domify_spark.context import image_provider
+
+        prov = image_provider(ocr_provider)
+        records = [parse_payload(t if isinstance(t, str) else None,
+                                 image_provider=prov) for t in texts]
+        return pd.DataFrame.from_records(
+            records, columns=PARSE_RESULT_TYPE.fieldNames())
+
+    return udf
+
+
 def _safe(fn, default=None):
     def wrapped(t):
         if not isinstance(t, str):
@@ -209,10 +230,12 @@ def with_salt(df: DataFrame, salt_buckets: int = 8) -> DataFrame:
     )
 
 
-def apply_parse(df: DataFrame, keep: tuple = ()) -> DataFrame:
+def apply_parse(df: DataFrame, keep: tuple = (),
+                ocr_provider: Optional[str] = None) -> DataFrame:
     """Apply the Arrow-batched parse UDF and flatten the result struct.
-    ``keep``: extra passthrough columns (e.g. the bucket id for the sink)."""
-    parsed = df.withColumn("_p", parse_udf(F.col("text")))
+    ``keep``: extra passthrough columns (e.g. the bucket id for the sink);
+    ``ocr_provider``: registry name (context.py) for the image seam."""
+    parsed = df.withColumn("_p", parse_udf_with(ocr_provider)(F.col("text")))
     cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
     out = parsed.select(
         *cols,
@@ -230,7 +253,8 @@ def extract_transcripts(df: DataFrame,
                         partitions: Optional[int] = None,
                         salt_buckets: int = 8,
                         ordered: bool = False,
-                        repartition: bool = True) -> DataFrame:
+                        repartition: bool = True,
+                        ocr_provider: Optional[str] = None) -> DataFrame:
     """Run the extraction over a transcript DataFrame.
 
     Args:
@@ -251,7 +275,7 @@ def extract_transcripts(df: DataFrame,
             df = df.repartition("conv_id", "salt")
         df = df.drop("salt")
 
-    parsed = df.withColumn("_p", parse_udf(F.col("text")))
+    parsed = df.withColumn("_p", parse_udf_with(ocr_provider)(F.col("text")))
     out = parsed.select(
         "conv_id", "turn_idx", "role", "tool", "ts",
         F.col("_p.fmt").alias("fmt"),

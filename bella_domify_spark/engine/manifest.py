@@ -268,7 +268,8 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
                   partitions: Optional[int] = None, run_id: str = "run",
-                  fused: bool = True) -> dict:
+                  fused: bool = True,
+                  ocr_provider: Optional[str] = None) -> dict:
     """Full resumable extraction: bucket → resume-filter → shuffle → parse →
     per-bucket atomic sink. ``df`` is the raw transcript table; ``out_dir``
     is a local path or a pyarrow-compatible URI.
@@ -312,7 +313,8 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
 
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(min(p, n_buckets), "pid").sortWithinPartitions("pid")
-    parsed = df if fused else apply_parse(df, keep=("pid",))
+    parsed = df if fused else apply_parse(df, keep=("pid",),
+                                          ocr_provider=ocr_provider)
 
     def sink(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         import time
@@ -328,10 +330,13 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
             the two-stage plan produces)."""
             if "extracted_text" in batch.schema.names:
                 return batch  # already parsed upstream (fused=False)
+            from bella_domify_spark.context import image_provider
             from bella_domify_spark.parsers.dispatch import parse_payload
 
+            prov = image_provider(ocr_provider)
             texts = batch.column("text").to_pylist()
-            recs = [parse_payload(t if isinstance(t, str) else None)
+            recs = [parse_payload(t if isinstance(t, str) else None,
+                                  image_provider=prov)
                     for t in texts]
             cols, names = [], []
             for name in ("conv_id", "turn_idx", "role", "tool", "ts"):

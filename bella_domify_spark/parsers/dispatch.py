@@ -64,17 +64,20 @@ def detect_format(text: Optional[str]) -> str:
     return FMT_TXT
 
 
-def parse_payload(text: Optional[str]) -> dict:
+def parse_payload(text: Optional[str], image_provider=None) -> dict:
     """Parse one turn payload → extraction record. Never raises: errors are
     reported in the ``status`` column (per-page error isolation analogue,
-    reference pdf/converter.py:160-166)."""
+    reference pdf/converter.py:160-166). ``image_provider`` (a
+    providers.ImageStorageProvider) enables the Figure link/OCR path for
+    pdf-format payloads — None keeps placeholders, like the reference with
+    no parser_context provider bound."""
     fmt = detect_format(text)
     if fmt == FMT_EMPTY:
         return {"extracted_text": "", "domtree_json": None, "fmt": fmt,
                 "n_nodes": 0, "status": "skipped_empty"}
     try:
         if fmt == FMT_PDF:
-            tree = pdfpipe.parse(text)
+            tree = pdfpipe.parse(text, image_provider=image_provider)
             extracted = tree.to_markdown()
         elif fmt == FMT_XLSX:
             tree = xlsxlike.build_domtree(text)

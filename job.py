@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     ap.add_argument("--buckets", type=int, default=512)
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    ap.add_argument("--ocr-provider", default=None,
+                    help="image-provider registry name (context.py), e.g. "
+                         "'stub'; default: images stay bare placeholders")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,7 +67,8 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     summary = run_resumable(df, args.output, n_buckets=args.buckets,
                             partitions=args.partitions or None,
-                            run_id=args.run_id)
+                            run_id=args.run_id,
+                            ocr_provider=args.ocr_provider)
     wall = time.monotonic() - t0
     summary["wall_sec"] = round(wall, 2)
     summary["turns_per_sec"] = round(summary["rows"] / wall, 1) if wall > 0 else None

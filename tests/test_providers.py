@@ -172,3 +172,60 @@ class TestLayoutThreading:
         for b in blocks:
             assert set(b.get_result()) == {"text", "ocr_result", "type",
                                            "page_num"}
+
+
+class TestEngineThreading:
+    def test_extract_transcripts_with_provider_name(self, spark):
+        # the provider travels BY NAME (context.py registry) so it resolves
+        # inside python workers — the parser_context analogue
+        from bella_domify_spark.engine.extract import extract_transcripts
+
+        payload = _payload_with_images()
+        df = spark.createDataFrame(
+            [(1, 0, "user", payload, None, None)],
+            "conv_id long, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+        plain = extract_transcripts(df).collect()[0]["extracted_text"]
+        assert "stub://" not in plain
+        with_ocr = extract_transcripts(df, ocr_provider="stub") \
+            .collect()[0]["extracted_text"]
+        assert with_ocr.count("![Figure](stub://images/") == 3
+        assert "> [stub-ocr 200x100 60000B " in with_ocr
+
+    def test_fused_sink_threads_provider(self, spark, tmp_path):
+        from bella_domify_spark.engine.manifest import run_resumable
+
+        payload = _payload_with_images()
+        df = spark.createDataFrame(
+            [(i, 0, "user", payload, None, None) for i in range(4)],
+            "conv_id long, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+        out = str(tmp_path / "ocr_out")
+        run_resumable(df, out, n_buckets=4, partitions=2,
+                      ocr_provider="stub")
+        got = spark.read.parquet(f"{out}/bucket-*.parquet").collect()
+        assert len(got) == 4
+        assert all("![Figure](stub://images/" in r["extracted_text"]
+                   for r in got)
+
+    def test_unknown_provider_name_fails_loud(self):
+        import pytest
+
+        from bella_domify_spark.context import image_provider
+
+        assert image_provider(None) is None
+        with pytest.raises(ValueError, match="unknown image provider"):
+            image_provider("nope")
+
+    def test_register_custom_provider(self):
+        from bella_domify_spark import context
+
+        context.register_image_provider(
+            "stub2", "bella_domify_spark.providers", "StubImageProvider")
+        try:
+            p = context.image_provider("stub2")
+            assert p.download("k") == "stub://images/k"
+            assert context.image_provider("stub2") is p   # per-process cache
+        finally:
+            context.IMAGE_PROVIDERS.pop("stub2", None)
+            context._instances.pop("stub2", None)
