@@ -47,20 +47,12 @@ OUTPUT_COLUMNS = ["conv_id", "turn_idx", "role", "tool", "ts",
                   "fmt", "extracted_text", "domtree_json", "n_nodes", "status"]
 
 
-@F.pandas_udf(PARSE_RESULT_TYPE)
-def parse_udf(texts: pd.Series) -> pd.DataFrame:
-    """Arrow-batched dispatcher: one Python call per Arrow batch of turns."""
-    records = [parse_payload(t if isinstance(t, str) else None) for t in texts]
-    return pd.DataFrame.from_records(records, columns=PARSE_RESULT_TYPE.fieldNames())
-
-
-def parse_udf_with(ocr_provider: "Optional[str]" = None):
-    """``parse_udf`` variant with an image provider resolved BY NAME inside
-    each python worker (context.image_provider — the parser_context
-    analogue; the name string travels in the plan, the instance is
-    per-process). None returns the shared default UDF unchanged."""
-    if ocr_provider is None:
-        return parse_udf
+def _make_parse_udf(ocr_provider: "Optional[str]"):
+    """ONE batch-loop body for both the plain and provider-enabled parse
+    UDFs. The provider travels BY NAME (context.image_provider — the
+    parser_context analogue): the string serializes into the plan, each
+    python worker resolves a per-process instance; None resolves to no
+    provider."""
 
     @F.pandas_udf(PARSE_RESULT_TYPE)
     def udf(texts: pd.Series) -> pd.DataFrame:
@@ -73,6 +65,15 @@ def parse_udf_with(ocr_provider: "Optional[str]" = None):
             records, columns=PARSE_RESULT_TYPE.fieldNames())
 
     return udf
+
+
+#: Arrow-batched dispatcher: one Python call per Arrow batch of turns
+parse_udf = _make_parse_udf(None)
+
+
+def parse_udf_with(ocr_provider: "Optional[str]" = None):
+    """Provider-enabled parse UDF; None returns the shared default."""
+    return parse_udf if ocr_provider is None else _make_parse_udf(ocr_provider)
 
 
 def _safe(fn, default=None):

@@ -253,6 +253,41 @@ def completed_buckets(out_dir: str) -> set:
             if n.startswith("bucket-")}
 
 
+RUN_PARAMS_NAME = "_run_params.json"
+
+
+def _pin_run_params(store: BucketStore, done: set,
+                    ocr_provider: Optional[str], n_buckets: int) -> None:
+    """Parse-affecting parameters must be IDENTICAL across every run that
+    shares one out_dir: resuming with a different ``ocr_provider`` would
+    mix provider and provider-less buckets into one silently inconsistent
+    dataset, and a different ``n_buckets`` remaps rows into already-"done"
+    bucket ids (skipped = silent data loss). The first run pins them in
+    ``_manifests/_run_params.json``; resumes verify and fail loud."""
+    params = {"ocr_provider": ocr_provider, "n_buckets": int(n_buckets)}
+    try:
+        recorded = store.read_json("_manifests", RUN_PARAMS_NAME)
+    except Exception:  # noqa: BLE001 — missing/unreadable = not recorded
+        recorded = None
+    if recorded is not None:
+        mism = {k: {"recorded": recorded.get(k), "requested": v}
+                for k, v in params.items()
+                if k in recorded and recorded[k] != v}
+        if mism:
+            raise ValueError(
+                f"resume parameter mismatch for {store.out_dir}: {mism} — "
+                f"{len(done)} buckets are committed under the recorded "
+                "parameters; rerun with them or use a fresh output dir")
+        return
+    if done and ocr_provider is not None:
+        raise ValueError(
+            f"{store.out_dir} has {len(done)} committed buckets but no "
+            f"{RUN_PARAMS_NAME} (pre-params layout): cannot prove they "
+            f"were parsed with ocr_provider={ocr_provider!r} — use a "
+            "fresh output dir")
+    store.write_json(f"_manifests/{RUN_PARAMS_NAME}", params)
+
+
 def read_manifests(out_dir: str) -> List[dict]:
     store = BucketStore(out_dir)
     return [store.read_json("_manifests", n) for n in store.manifest_names()
@@ -297,6 +332,7 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
     _store.clean_tmp()  # orphans from crashed attempts; no attempt is live
 
     done = completed_buckets(out_dir)
+    _pin_run_params(_store, done, ocr_provider, n_buckets)
     df = with_bucket(df, n_buckets)
     if done and len(done) <= RESUME_ISIN_LIMIT:
         # literal NOT IN pushes into the scan stage (rows of completed

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 from bella_domify_spark.functions.textutils import remove_number
+from bella_domify_spark.parsers.pdflike.glyphdoc import _image_meta
 from bella_domify_spark.parsers import csvlike, docxlike
 from bella_domify_spark.parsers.dispatch import (
     FMT_DOCX,
@@ -127,9 +128,6 @@ def pdflike_layout(payload: str) -> List[SimpleBlock]:
                 # here the byte-metadata stand-in, extracted by the SAME
                 # helper the DOM path uses (glyphdoc._image_meta) so the
                 # two models can never desynchronize
-                from bella_domify_spark.parsers.pdflike.glyphdoc import (
-                    _image_meta,
-                )
                 meta = _image_meta(block)
                 if "bbox" in block:
                     meta.setdefault("bbox", list(block["bbox"]))

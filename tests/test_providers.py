@@ -229,3 +229,44 @@ class TestEngineThreading:
         finally:
             context.IMAGE_PROVIDERS.pop("stub2", None)
             context._instances.pop("stub2", None)
+
+    def test_resume_pins_parse_parameters(self, spark, tmp_path):
+        # resuming an out_dir with a different ocr_provider (or n_buckets)
+        # would commit inconsistently-parsed buckets next to the old ones
+        # — the params file pins the first run's choice and resumes fail
+        # loud on mismatch
+        import json
+        import os
+
+        import pytest
+
+        from bella_domify_spark.engine.manifest import run_resumable
+
+        df = spark.createDataFrame(
+            [(i, 0, "user", "plain text", None, None) for i in range(6)],
+            "conv_id long, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+        out = str(tmp_path / "pin_out")
+        run_resumable(df, out, n_buckets=4, partitions=2)
+        params = json.load(open(os.path.join(out, "_manifests",
+                                             "_run_params.json")))
+        assert params == {"ocr_provider": None, "n_buckets": 4}
+
+        with pytest.raises(ValueError, match="resume parameter mismatch"):
+            run_resumable(df, out, n_buckets=4, partitions=2,
+                          ocr_provider="stub")
+        with pytest.raises(ValueError, match="resume parameter mismatch"):
+            run_resumable(df, out, n_buckets=8, partitions=2)
+        # identical params: plain resume no-op
+        s = run_resumable(df, out, n_buckets=4, partitions=2)
+        assert s["buckets_written"] == 0
+
+        # legacy layout (no params file): a provider-less resume heals it,
+        # a provider resume cannot prove consistency and must refuse
+        os.remove(os.path.join(out, "_manifests", "_run_params.json"))
+        with pytest.raises(ValueError, match="pre-params layout"):
+            run_resumable(df, out, n_buckets=4, partitions=2,
+                          ocr_provider="stub")
+        run_resumable(df, out, n_buckets=4, partitions=2)
+        assert os.path.exists(os.path.join(out, "_manifests",
+                                           "_run_params.json"))

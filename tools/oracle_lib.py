@@ -57,36 +57,27 @@ def cluster_select(id_name: str) -> str:
             FROM lab"""
 
 
-def shingle_ctes(n: int = 3) -> str:
-    """words + DISTINCT word-``n``-gram shingles over the documents view
+def shingle_ctes(n: int = 3, dedupe: bool = True) -> str:
+    """words + word-``n``-gram shingles over the documents view
     (w[i:i+k] is a 1-based inclusive slice: k = n-1 spans n words) —
-    mirrors dedup.word_shingles."""
+    mirrors dedup.word_shingles incl. its ``dedupe`` flag: DISTINCT
+    shingles as CTE ``sh`` (default), or ALL instances as CTE ``si``."""
     k = n - 1
+    distinct, alias = ("DISTINCT ", "sh") if dedupe else ("", "si")
     return f"""words AS (
                 SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
                 FROM documents
             ),
-            sh AS (
-                SELECT DISTINCT doc_id AS id,
+            {alias} AS (
+                SELECT {distinct}doc_id AS id,
                        array_to_string(w[i:i+{k}], ' ') AS shingle
                 FROM words, UNNEST(range(1, len(w) - {k - 1})) AS t(i)
             )"""
 
 
 def shingle_instance_ctes(n: int = 8) -> str:
-    """words + ALL n-gram shingle INSTANCES (no DISTINCT) as CTE ``si`` —
-    mirrors dedup.word_shingles(dedupe=False); dup_span_stats builds on
-    it."""
-    k = n - 1
-    return f"""words AS (
-                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
-                FROM documents
-            ),
-            si AS (
-                SELECT doc_id AS id,
-                       array_to_string(w[i:i+{k}], ' ') AS shingle
-                FROM words, UNNEST(range(1, len(w) - {k - 1})) AS t(i)
-            )"""
+    """ALL n-gram shingle instances as CTE ``si`` (dup_span_stats)."""
+    return shingle_ctes(n, dedupe=False)
 
 
 def jaccard_pair_ctes(threshold: float = 0.2,
