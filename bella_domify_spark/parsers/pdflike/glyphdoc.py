@@ -274,6 +274,17 @@ def _load_pages(doc: dict) -> List[RawPage]:
         hidden_spans = [t for t in texttrace if t.get("type") == 3]
         pseudo_bold = _pseudo_bold_chars(texttrace) if texttrace else set()
         raw_blocks = p.get("blocks", [])
+        # P26 watermark removal stand-in (converter.py:229-244): the
+        # reference scans the page content stream and, IF a
+        # /Subtype/Watermark marked-content is present, strips EVERY
+        # /Artifact…EMC definition (not just watermark ones — the while
+        # loop is unconditional); with no watermark it returns early and
+        # artifacts (page decorations, stamps) survive. The glyph model
+        # carries the marked-content tag as a block-level "artifact":
+        # "<subtype>" field.
+        if any(str(b.get("artifact", "")).lower() == "watermark"
+               for b in raw_blocks):
+            raw_blocks = [b for b in raw_blocks if not b.get("artifact")]
         if hidden_spans:
             raw_blocks = [b for b in raw_blocks
                           if not _is_hidden_block(b, hidden_spans)]

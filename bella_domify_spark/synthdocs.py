@@ -240,6 +240,21 @@ class _Typesetter:
                 {"type": "image", "bbox": bbox, **self._img_meta(bbox)}]}],
         })
 
+    def artifact(self, text: str, subtype: str = "Watermark",
+                 x0: float = 150.0, y0: float = 300.0, size: float = 48.0):
+        """Marked-content artifact block (P26 stand-in): a page-decoration
+        text block tagged with its /Artifact subtype. A page containing a
+        Watermark-subtype artifact has ALL its artifacts stripped at load
+        (converter.py:229-244 quirk); without one they survive."""
+        w = len(text) * self._char_w(size)
+        bbox = [x0, y0, x0 + w, y0 + size + 1.0]
+        self.page["blocks"].append({
+            "type": 0, "bbox": bbox, "artifact": subtype,
+            "lines": [{"bbox": bbox, "dir": [1.0, 0.0], "spans": [
+                {"text": text, "bbox": bbox, "font": self.font,
+                 "size": size, "flags": 0}]}],
+        })
+
     def image_block(self, x0: float, y0: float, w: float, h: float):
         """Standalone type-1 image block (pymupdf rawdict shape) — the
         layout parser's IMAGE SimpleBlock source (pdf_parser.py:53-54) and
@@ -545,6 +560,11 @@ def gen_pdflike(r: _Rng) -> str:
         ts._ensure_room(40.0)
         ts.image_block(MARGIN, ts.y, 20.0, 20.0)
         ts.y += 30.0
+        # P26: a diagonal-stamp watermark plus a DRAFT stamp artifact —
+        # the watermark's presence strips BOTH at load (converter.py
+        # quirk: every /Artifact goes once /Subtype/Watermark is seen)
+        ts.artifact("CONFIDENTIAL", "Watermark")
+        ts.artifact("DRAFT", "Stamp", x0=400.0, y0=60.0, size=20.0)
         return ts.finalize()
 
     if scenario == 0:

@@ -270,3 +270,27 @@ class TestEngineThreading:
         run_resumable(df, out, n_buckets=4, partitions=2)
         assert os.path.exists(os.path.join(out, "_manifests",
                                            "_run_params.json"))
+
+
+class TestWatermarkRemoval:
+    # P26 stand-in (converter.py:229-244): a Watermark-subtype artifact
+    # triggers removal of EVERY artifact block on the page; without one
+    # the reference returns early and artifacts survive — quirk pinned.
+    def _doc(self, with_watermark: bool) -> str:
+        ts = _Typesetter()
+        ts.paragraph("Body text that must always survive the cleanup pass.")
+        if with_watermark:
+            ts.artifact("CONFIDENTIAL", "Watermark")
+        ts.artifact("DRAFT", "Stamp", x0=400.0, y0=60.0, size=20.0)
+        return ts.finalize()
+
+    def test_watermark_strips_all_artifacts(self):
+        md = pipeline.parse(self._doc(with_watermark=True)).to_markdown()
+        assert "CONFIDENTIAL" not in md
+        assert "DRAFT" not in md           # every artifact goes
+        assert "must always survive" in md
+
+    def test_artifacts_survive_without_watermark(self):
+        md = pipeline.parse(self._doc(with_watermark=False)).to_markdown()
+        assert "DRAFT" in md               # reference early-return quirk
+        assert "must always survive" in md
