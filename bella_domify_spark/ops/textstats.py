@@ -381,3 +381,48 @@ def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select(F.col("id").alias(id_col), F.col("w").alias("term"),
                     "tf", "df", "score_e12", "rank"))
+
+
+#: default target mixture for mix_weights (shares sum to 1; any stratum
+#: absent here gets target 0 and is dropped from sampling)
+DEFAULT_MIX = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+
+
+def mix_weights(df: DataFrame, strata_col: str = "lang",
+                text_col: str = "text",
+                targets: dict = None,
+                budget_tokens: int = 10_000) -> DataFrame:
+    """Static domain-mixture reweighting (the DoReMi-style data-mixing
+    step of a training pipeline, with FIXED target shares): given each
+    stratum's token supply and a target share of a ``budget_tokens``
+    training budget, emit the per-stratum sampling rate
+    ``min(1, want / have)`` and the expected token yield.
+
+    All-integer outputs: ``want_tokens`` is a driver-side exact integer
+    (share × budget, floored once per stratum from dict constants), the
+    rate and share quantize via floor×1e6 from integer inputs — bit-equal
+    across engines.
+
+    Scale: ONE partial-combining aggregate over the corpus (per-stratum
+    token sums — strata are enum-like); everything after is
+    strata-×-columns sized. The emitted rate pairs with the
+    content-addressed sampler (``sample_stratified``) so the actual
+    subsetting stays deterministic and shuffle-free."""
+    targets = DEFAULT_MIX if targets is None else targets
+    toks = df.select(F.col(strata_col).alias("stratum"),
+                     _ws_tokens(F.col(text_col)).alias("t"))
+    have = toks.groupBy("stratum").agg(F.sum("t").alias("have_tokens"))
+    want = F.create_map(*[x for k, share in sorted(targets.items())
+                          for x in (F.lit(k),
+                                    F.lit(int(share * budget_tokens)))])
+    out = have.withColumn(
+        "want_tokens",
+        F.coalesce(F.element_at(want, F.col("stratum")),
+                   F.lit(0)).cast("long"))
+    rate = F.least(F.lit(1.0),
+                   F.col("want_tokens") / F.col("have_tokens"))
+    return out.select(
+        F.col("stratum").alias(strata_col), "have_tokens", "want_tokens",
+        F.floor(rate * F.lit(1e6)).cast("long").alias("sample_rate_e6"),
+        F.least(F.col("want_tokens"), F.col("have_tokens"))
+        .alias("expected_tokens"))

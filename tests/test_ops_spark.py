@@ -1000,3 +1000,33 @@ class TestDupSpans:
             [(1, "a b c d a b c d"), (2, "x y z w")], ["doc_id", "text"])
         got = {r["doc_id"]: r for r in dup_span_stats(df, n=4).collect()}
         assert got[1]["n_dup_spans"] == 0
+
+
+class TestMixAndRecall:
+    def test_mix_weights_caps_and_zeroes(self, spark):
+        from bella_domify_spark.ops.textstats import mix_weights
+
+        df = spark.createDataFrame(
+            [(i, "w " * 99 + "w", "en") for i in range(100)]     # 10k tokens
+            + [(200 + i, "w " * 9 + "w", "de") for i in range(10)]  # 100
+            + [(300, "w w w", "xx")],                            # untargeted
+            ["doc_id", "text", "lang"])
+        got = {r["lang"]: r for r in mix_weights(
+            df, targets={"en": 0.5, "de": 0.5}, budget_tokens=1000).collect()}
+        # en: want 500 of 10000 -> rate 0.05
+        assert got["en"]["sample_rate_e6"] == 50_000
+        assert got["en"]["expected_tokens"] == 500
+        # de: want 500 of 100 -> rate capped at 1, yield = supply
+        assert got["de"]["sample_rate_e6"] == 1_000_000
+        assert got["de"]["expected_tokens"] == 100
+        # untargeted stratum: want 0, rate 0
+        assert got["xx"]["want_tokens"] == 0
+        assert got["xx"]["sample_rate_e6"] == 0
+
+    def test_dedup_recall_counts_consistent(self, spark):
+        # n_hit <= min(n_true, n_est); identical docs are always found
+        import __spark_entry__ as entry
+
+        row = entry._q_dedup_recall(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row["n_hit"] <= min(row["n_true"], row["n_est"])
+        assert row["n_true"] > 0 and row["n_hit"] > 0

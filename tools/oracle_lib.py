@@ -81,11 +81,15 @@ def shingle_instance_ctes(n: int = 8) -> str:
 
 
 def jaccard_pair_ctes(threshold: float = 0.2,
-                      max_shingle_freq: int = 1000) -> str:
+                      max_shingle_freq: int = 1000,
+                      include_shingles: bool = True) -> str:
     """shingle_ctes(3) → thresholded jaccard ``pairs`` (dedup.jaccard_pairs
-    defaults: n=3, stop-shingle cap 1000)."""
-    return f"""{shingle_ctes(3)},
-            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    defaults: n=3, stop-shingle cap 1000). ``include_shingles=False``
+    emits only the tail (caller already defined words/sh — the
+    dedup_recall composition)."""
+    head = f"""{shingle_ctes(3)},
+            """ if include_shingles else ""
+    return f"""{head}sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
             freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
             shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE f <= {max_shingle_freq}),
             common AS (
@@ -102,13 +106,16 @@ def jaccard_pair_ctes(threshold: float = 0.2,
             )"""
 
 
-def minhash_cand_ctes(minhash_params_sql: str) -> str:
+def minhash_cand_ctes(minhash_params_sql: str,
+                      include_shingles: bool = True) -> str:
     """shingles → md5-seeded minhash (64 hashes) → 16 bands × 4 rows LSH
     buckets → DISTINCT candidate pairs. Exposes ``mh`` (id, i, mh) for the
     estimated-jaccard verification and ``cand`` (id_a, id_b). Mirrors
-    dedup.minhash_signatures + minhash_lsh_pairs defaults."""
-    return f"""{shingle_ctes(3)},
-            xs AS (
+    dedup.minhash_signatures + minhash_lsh_pairs defaults.
+    ``include_shingles=False`` emits only the tail (shared words/sh)."""
+    head = f"""{shingle_ctes(3)},
+            """ if include_shingles else ""
+    return f"""{head}xs AS (
                 SELECT id,
                        {md5_int60('shingle')}
                            % 2147483647 AS x
