@@ -530,7 +530,7 @@ def gen_pdflike_stream(r: _Rng) -> str:
 # bump when payload generation OR parser semantics change: cached corpora
 # under /tmp carry expected outputs computed by the parser at generation
 # time, so stale expectations never leak across versions
-GEN_VERSION = 11
+GEN_VERSION = 12
 
 
 def gen_pdflike(r: _Rng) -> str:

@@ -123,7 +123,9 @@ def main() -> int:
                  "simhash", "doc_quality", "ann_cosine_topk", "ann_ivf_topk",
                  "token_counts", "pdflike_extract", "pdflike_extract_stream",
                  "asof_view_attribution", "bigram_surprisal", "cms_heavy_hitters",
-                 "approx_distinct_hll", "layout_ocr_text", "tfidf_keywords"]:
+                 "approx_distinct_hll", "layout_ocr_text", "tfidf_keywords",
+                 "gopher_quality", "hist_event_quantiles", "dup_span_stats",
+                 "mix_weights"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
