@@ -39,6 +39,17 @@ def _us(col: Column) -> Column:
     return F.unix_micros(col.cast("timestamp"))
 
 
+def _ibucket(col: Column, width_us: int) -> Column:
+    """Integer time bucket, exact at any width. ``floor(us / w)`` via
+    double division misbuckets once the quotient's half-ulp exceeds
+    ``1/w`` (a microsecond adjacent to a boundary rounds across it — at
+    day-wide buckets that is real); ``(us - us % w) / w`` divides an exact
+    multiple, which is error-free, and truncated ``%`` keeps the mapping
+    monotone for pre-epoch timestamps too."""
+    u = _us(col)
+    return ((u - u % F.lit(width_us)) / F.lit(width_us)).cast("long")
+
+
 def asof_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
               carry: List[str], suffix: str = "_ref",
               ref_order: Optional[str] = None) -> DataFrame:
@@ -90,6 +101,79 @@ def asof_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
         *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in carry])
 
 
+def asof_join_salted(probe: DataFrame, reference: DataFrame, key: str,
+                     ts: str, carry: List[str], suffix: str = "_ref",
+                     ref_order: Optional[str] = None,
+                     bucket_us: int = 86_400_000_000) -> DataFrame:
+    """Skew-resistant ``asof_join``: identical semantics, but each key's
+    timeline is range-split into fixed-width time buckets so a hot key's
+    window work spreads over (hot-key rows / bucket) tasks instead of one.
+    This is the "two-level carry-forward" documented in docs/PLANS.md §8 as
+    the required scale path once any single key approaches ~10^8 rows.
+
+    Level 1: the tagged union carries the latest reference struct forward
+    inside each ``(key, bucket)`` window — a probe whose bucket holds an
+    earlier-or-tied reference is already resolved.
+
+    Level 2: per-(key, bucket) reference *tails* (latest reference struct
+    of the bucket) are a partial-combining aggregate; Catalyst prunes that
+    branch down to a narrow (key, ts, carry) rescan — no window recompute,
+    no wide columns — and map-side combine shrinks its shuffle to
+    #(key, bucket) rows. A tiny window over the tails frame carries each
+    bucket's tail into all later buckets (strictly earlier:
+    ``rowsBetween(unboundedPreceding, -1)``), and the join back hits the
+    probe side on its existing (key, bucket) partitioning, so the big side
+    never reshuffles (verified via explain: only the tiny tails frame
+    exchanges).
+
+    Correctness contract matches ``asof_join`` exactly (ts-tie matches,
+    ``ref_order`` tie-break, non-null key/ts); equivalence is pinned by
+    ``test_asof_salted_matches_plain`` across hot-key and random corpora.
+    ``bucket_us`` trades straggler size (rows per bucket) against the size
+    of the level-2 tails frame; the default (1 day) keeps the tails frame
+    ~O(keys × days)."""
+    probe_cols = probe.columns
+    carried = F.struct(*[F.col(c).alias(c) for c in carry])
+    tb_type = (reference.schema[ref_order].dataType if ref_order else None)
+    r = reference.select(
+        F.col(key), F.col(ts).alias("_ts"),
+        F.lit(0).alias("_p"), carried.alias("_carry"),
+        *([F.col(ref_order).alias("_tb")] if ref_order else []),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_l_{c}")
+          for c in probe_cols])
+    l = probe.select(
+        F.col(key), F.col(ts).alias("_ts"),
+        F.lit(1).alias("_p"), F.lit(None).cast(r.schema["_carry"].dataType)
+        .alias("_carry"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if ref_order else []),
+        *[F.col(c).alias(f"_l_{c}") for c in probe_cols])
+    u = r.unionByName(l).withColumn("_b", _ibucket(F.col("_ts"), bucket_us))
+    order = ["_ts", "_p"] + (["_tb"] if ref_order else [])
+    w1 = (Window.partitionBy(key, "_b").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u1 = u.withColumn("_m1", F.last("_carry", ignorenulls=True).over(w1))
+    # level 2: bucket tails. max() of (ts[, tb], carry) structs picks the
+    # latest reference (ref_order breaks ts ties); probe-only buckets stay
+    # in the frame with a NULL tail so the carry window sees every bucket.
+    tail_fields = [F.col("_ts")] + \
+        ([F.col("_tb")] if ref_order else []) + [F.col("_carry")]
+    tails = (u1.groupBy(key, "_b")
+             .agg(F.max(F.when(F.col("_p") == 0, F.struct(*tail_fields)))
+                  .alias("_tail")))
+    w2 = (Window.partitionBy(key).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prev = tails.select(
+        key, "_b",
+        F.last("_tail", ignorenulls=True).over(w2)
+        .getField("_carry").alias("_pcarry"))
+    out = (u1.filter(F.col("_p") == 1)
+           .join(prev, [key, "_b"], "left")
+           .withColumn("_m", F.coalesce(F.col("_m1"), F.col("_pcarry"))))
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in probe_cols],
+        *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in carry])
+
+
 def range_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
                window_us: int, carry: List[str],
                suffix: str = "_ref") -> DataFrame:
@@ -102,7 +186,7 @@ def range_join(probe: DataFrame, reference: DataFrame, key: str, ts: str,
     probe_cols = probe.columns
 
     def bucket(c):
-        return F.floor(_us(c) / F.lit(window_us))
+        return _ibucket(c, window_us)
 
     p = probe.select(*probe_cols, _us(F.col(ts)).alias("_pus"),
                      bucket(F.col(ts)).alias("_b"))

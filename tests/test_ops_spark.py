@@ -654,6 +654,58 @@ class TestTemporalJoins:
             exp[i] = v[k][1] if k >= 0 else None
         assert got == exp
 
+    def test_asof_salted_matches_plain(self, spark):
+        # the two-level carry-forward scale path (docs/PLANS.md §8) must be
+        # row-identical to the plain keyed-window asof under every regime:
+        # a 50%-hot Zipf key with duplicate (user, ts) reference ties, and
+        # seeded uniform corpora. bucket_us is tiny (1000 s) so the 500k-s
+        # timeline spans ~500 buckets — probes resolve through the
+        # level-2 prev-bucket tail path, not just level 1.
+        import numpy as np
+
+        from bella_domify_spark.ops.temporal import asof_join, \
+            asof_join_salted
+
+        for seed, hot in ((11, 0.5), (12, 0.0)):
+            rng = np.random.RandomState(seed)
+            n = 4_000
+            users = np.where(rng.rand(n) < hot, 0, rng.randint(1, 50, n))
+            secs = rng.randint(0, 500_000, n)
+            kinds = np.where(rng.rand(n) < 0.5, "view", "click")
+            ev = self._events(
+                spark, [(int(s), int(u), str(t), 0.0)
+                        for s, u, t in zip(secs, users, kinds)])
+            clicks = ev.filter("event_type = 'click'")
+            views = ev.filter("event_type = 'view'")
+            kw = dict(key="user_id", ts="ts", carry=["event_id", "ts"],
+                      ref_order="event_id")
+            plain = sorted(map(tuple, asof_join(
+                clicks, views, **kw).collect()))
+            salted = sorted(map(tuple, asof_join_salted(
+                clicks, views, bucket_us=1_000_000_000, **kw).collect()))
+            assert salted == plain, f"salted != plain (seed={seed})"
+
+    def test_asof_salted_bucket_boundary(self, spark):
+        # a reference sitting EXACTLY on a bucket boundary must still reach
+        # a same-ts probe in the same bucket (tie matches, level 1) and a
+        # later probe in the next bucket (level 2 tail); a probe in a
+        # ref-empty bucket resolves through consecutive empty buckets.
+        from bella_domify_spark.ops.temporal import asof_join_salted
+
+        ev = self._events(spark, [
+            (1000, 1, "view", 0.0),    # id 0: exactly at bucket 1 start
+            (1000, 1, "click", 0.0),   # id 1: same ts, same bucket -> 0
+            (2500, 1, "click", 0.0),   # id 2: bucket 2 (empty) -> tail 0
+            (500, 1, "click", 0.0),    # id 3: bucket 0, no earlier ref
+            (9999, 2, "click", 0.0),   # id 4: other key, no refs at all
+        ])
+        got = {r["event_id"]: r["event_id_ref"] for r in asof_join_salted(
+            ev.filter("event_type = 'click'"),
+            ev.filter("event_type = 'view'"),
+            key="user_id", ts="ts", carry=["event_id"],
+            ref_order="event_id", bucket_us=1_000_000_000).collect()}
+        assert got == {1: 0, 2: 0, 3: None, 4: None}
+
     def test_asof_and_range_match_bruteforce(self, spark):
         # seeded random corpora vs a pure-Python brute force — an oracle
         # independent of both Spark and DuckDB
