@@ -382,6 +382,17 @@ def _q_asof_view_attribution(spark, sf):
     return asof_view_attribution(_t(spark, sf, "events"))
 
 
+def _q_asof_attribution_salted(spark, sf):
+    """The skew-resistant scale path (asof_join_salted, docs/PLANS.md §8):
+    same attribution through the two-level time-bucketed carry-forward —
+    day-wide buckets split the 30-day event span into ~30 sub-windows per
+    key, so a hot key's window work parallelizes. Must be row-identical
+    to asof_view_attribution; same DuckDB ASOF oracle."""
+    from bella_domify_spark.ops.temporal import asof_view_attribution
+    return asof_view_attribution(_t(spark, sf, "events"),
+                                 salted_bucket_us=86_400_000_000)
+
+
 def _q_range_error_context(spark, sf):
     """Bounded range join via bucket-equality (ops/temporal.py): events of
     the same user within ±1 h of each error, counted and value-summed
@@ -863,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "range_error_context": _q_range_error_context,
         "asof_view_attribution": _q_asof_view_attribution,
+        # new this session: the salted asof scale path, driver-proved
+        # against the same ASOF oracle
+        "asof_attribution_salted": _q_asof_attribution_salted,
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
@@ -874,7 +888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_normalize": _q_csv_normalize,
         "csv_markdown": _q_csv_markdown,
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
-        "format_detect_stats": _q_format_detect_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -893,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _q_mix_weights,
         "dedup_recall": _q_dedup_recall,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
+        # (format_detect_stats rotated out to make room for the salted
+        # asof query; green in r4 and locally this round)
+        "format_detect_stats": _q_format_detect_stats,
         "xlsx_markdown": _q_xlsx_markdown,
         "extract_pptxlike_flat": _q_extract_pptxlike_flat,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -1409,6 +1425,19 @@ def oracle_sql() -> dict[str, str]:
             -- (user_id, ts): DuckDB's ASOF JOIN leaves the winner among
             -- duplicate-ts rows unspecified, the Spark side's ref_order
             -- tiebreak (ops/temporal.py) pins largest-event_id-wins
+            ASOF LEFT JOIN (
+                SELECT * FROM events WHERE event_type = 'view'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) = 1) v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        # the salted scale path must produce the SAME rows as the plain
+        # operator — one oracle, two engine plans
+        "asof_attribution_salted": """
+            SELECT c.event_id, c.user_id,
+                   v.event_id AS view_event_id,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'view'
                 QUALIFY row_number() OVER (PARTITION BY user_id, ts

@@ -218,15 +218,23 @@ def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
         F.sum(new_sess).over(cum).cast("int").alias("session_idx"))
 
 
-def asof_view_attribution(events: DataFrame) -> DataFrame:
+def asof_view_attribution(events: DataFrame,
+                          salted_bucket_us: Optional[int] = None) \
+        -> DataFrame:
     """Attribute every click to the most recent preceding view by the same
     user (the canonical as-of use). Lag is emitted in exact integer
-    microseconds — value-hash-safe across engines."""
+    microseconds — value-hash-safe across engines. ``salted_bucket_us``
+    routes through the skew-resistant two-level ``asof_join_salted`` —
+    same rows, hot keys spread over (rows / bucket) tasks."""
     clicks = events.filter(F.col("event_type") == "click")
     views = events.filter(F.col("event_type") == "view")
-    j = asof_join(clicks, views, key="user_id", ts="ts",
-                  carry=["event_id", "ts"], suffix="_view",
-                  ref_order="event_id")
+    kw = dict(key="user_id", ts="ts", carry=["event_id", "ts"],
+              suffix="_view", ref_order="event_id")
+    if salted_bucket_us is not None:
+        j = asof_join_salted(clicks, views, bucket_us=salted_bucket_us,
+                             **kw)
+    else:
+        j = asof_join(clicks, views, **kw)
     return j.select(
         "event_id", "user_id",
         F.col("event_id_view").alias("view_event_id"),
