@@ -510,6 +510,19 @@ def _q_decontaminate(spark, sf):
     return contamination_flags(d, bench, n=8)
 
 
+def _q_decontaminate_bloom(spark, sf):
+    """The 100 TB shape of decontamination (ops/dedup.py
+    bloom_contamination_flags): benchmark shingles aggregate into a
+    broadcast Bloom bitmap, corpus shingles that miss it die map-side
+    BEFORE the shuffle, and the exact join removes false positives — so
+    the rows are identical to `decontaminate` and share its oracle."""
+    from bella_domify_spark.ops.dedup import bloom_contamination_flags
+    d = _t(spark, sf, "documents")
+    bench = (d.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return bloom_contamination_flags(d, bench, n=8)
+
+
 def _q_dedup_cluster_minhash(spark, sf):
     # fourth pair source through the generic connected_components: the
     # minhash-LSH banded candidate graph at est_jaccard >= 0.2
@@ -894,8 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_cluster_minhash": _q_dedup_cluster_minhash,
-        "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "curate_corpus": _q_curate_corpus,
         # new this round:
         "gopher_quality": _q_gopher_quality,
@@ -906,9 +919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _q_mix_weights,
         "dedup_recall": _q_dedup_recall,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
-        # (format_detect_stats rotated out to make room for the salted
-        # asof query; green in r4 and locally this round)
+        # (format_detect_stats / dedup_cluster_simhash rotated out to make
+        # room for the salted-asof and bloom-decontaminate scale paths;
+        # both r4-green and green in this session's local oracle run)
         "format_detect_stats": _q_format_detect_stats,
+        "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "xlsx_markdown": _q_xlsx_markdown,
         "extract_pptxlike_flat": _q_extract_pptxlike_flat,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -1715,6 +1730,16 @@ def oracle_sql() -> dict[str, str]:
         # 8-gram shingles (same construction as the jaccard CTEs at n=8)
         # joined against the benchmark subset's shingles
         "decontaminate": f"""
+            WITH {shingle_ctes(8)},
+            b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 97 = 0)
+            SELECT sh.id AS doc_id, b.bench_id, count(*) AS n_collisions
+            FROM sh JOIN b USING (shingle)
+            GROUP BY sh.id, b.bench_id
+        """,
+        # the Bloom prefilter is engine-side only (no false negatives;
+        # false positives removed by the exact join) — the rows must equal
+        # plain decontaminate's, so the oracle is the same SQL
+        "decontaminate_bloom": f"""
             WITH {shingle_ctes(8)},
             b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 97 = 0)
             SELECT sh.id AS doc_id, b.bench_id, count(*) AS n_collisions

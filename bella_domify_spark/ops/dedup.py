@@ -310,6 +310,73 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_collisions")))
 
 
+def bloom_contamination_flags(corpus: DataFrame, benchmark: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              bench_id_col: str = "bench_id", n: int = 8,
+                              bits_log2: int = 20,
+                              k_hashes: int = 5) -> DataFrame:
+    """``contamination_flags`` with a broadcast-Bloom prefilter — the
+    100 TB shape of the n-gram decontamination check. The plain operator
+    shuffles the corpus' FULL shingle stream (O(total words) rows) on the
+    shingle key; at web scale that shuffle dwarfs everything else even
+    though almost no shingle collides. Here the benchmark side's shingles
+    (small by definition) aggregate into a Bloom bitmap that ships to
+    every task as a single array<bigint> literal — the PySpark-reachable
+    equivalent of Spark's own runtime row-level filtering — and corpus
+    shingles that miss the filter die map-side, before the exchange. The
+    exact join then removes Bloom false positives, so the output is
+    row-identical to ``contamination_flags`` (Bloom filters have no false
+    negatives): one oracle, two engine plans.
+
+    ``bits_log2`` sizes the bitmap (2^20 bits = 16 Ki longs ≈ 128 KB of
+    plan by default); with k=5 hashes the false-positive rate stays under
+    ~1% while the benchmark holds up to ~10^5 distinct shingles — size up
+    for larger suites (fpr ≈ (1 - e^(-k·n/m))^k). The bitmap rides the
+    plan as ONE literal: the membership test is a ``forall`` lambda, so
+    the array appears once regardless of k.
+
+    Hashing is engine-side only (xxhash64 over (shingle, probe index)) —
+    the oracle never needs to model the Bloom because the final rows
+    don't depend on it."""
+    m_bits = 1 << bits_log2
+    b_sh = word_shingles(benchmark, bench_id_col, text_col, n=n)
+
+    def positions(shingle):
+        return F.array(*[
+            F.pmod(F.xxhash64(shingle, F.lit(j)), F.lit(m_bits))
+            for j in range(k_hashes)])
+
+    # benchmark bitmap: positions -> per-word bit_or of the set bits, then
+    # a dense driver-side array (the collect IS the broadcast — the
+    # benchmark side is the small side of this join by contract)
+    words = (b_sh.select(F.explode(positions(F.col("shingle")))
+                         .alias("pos"))
+             .select(F.shiftright("pos", 6).cast("int").alias("w"),
+                     F.col("pos").bitwiseAND(F.lit(63)).alias("bit"))
+             .groupBy("w")
+             .agg(F.bit_or(F.expr("shiftleft(1L, cast(bit AS int))"))
+                  .alias("mask"))
+             .collect())
+    bitmap = [0] * (m_bits >> 6)
+    for r in words:
+        bitmap[r["w"]] = r["mask"]
+    bitmap_lit = F.lit(bitmap)
+
+    def member(pos):
+        word = F.get(bitmap_lit, F.shiftright(pos, 6).cast("int"))
+        return F.call_function(
+            "getbit", word, pos.bitwiseAND(F.lit(63))) == 1
+
+    c = (word_shingles(corpus, id_col, text_col, n=n)
+         .filter(F.forall(positions(F.col("shingle")), member)))
+    b = b_sh.select(F.col("id").alias("bid"), "shingle")
+    return (c.join(b, "shingle")
+            .groupBy(F.col("id").alias(id_col),
+                     F.col("bid").alias(bench_id_col))
+            .agg(F.count(F.lit(1)).alias("n_collisions")))
+
+
 def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 8,
                    min_docs: int = 2) -> DataFrame:

@@ -240,6 +240,26 @@ class TestDecontamination:
         assert set(rows) == {(1, 100)}
         assert rows[(1, 100)] == 3  # 10-word bench text → 3 shared 8-grams
 
+    def test_bloom_prefilter_is_row_identical(self, spark):
+        # the broadcast-Bloom scale path must equal the plain operator —
+        # no false negatives by construction, false positives removed by
+        # the exact join. A deliberately saturated 2^10-bit bitmap (fpr
+        # near 1) exercises the false-positive path hard and must STILL
+        # produce identical rows.
+        from bella_domify_spark.ops.dedup import (
+            bloom_contamination_flags, contamination_flags)
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = (d.filter(F.col("doc_id") % 97 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "text"))
+        plain = sorted(map(tuple,
+                           contamination_flags(d, bench, n=8).collect()))
+        assert plain  # planted self-overlap guarantees hits
+        for bits in (20, 10):
+            got = sorted(map(tuple, bloom_contamination_flags(
+                d, bench, n=8, bits_log2=bits).collect()))
+            assert got == plain, f"bloom(bits_log2={bits}) != plain"
+
 
 class TestPackShards:
     def test_shards_are_balanced_and_deterministic(self, spark):
