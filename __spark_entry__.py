@@ -523,6 +523,25 @@ def _q_decontaminate_bloom(spark, sf):
     return bloom_contamination_flags(d, bench, n=8)
 
 
+def _q_json_props_stats(spark, sf):
+    """Semi-structured extraction (§2.6 scalar-function row): the events
+    `props` column is a JSON string; `get_json_object` pulls `$.k`
+    JVM-side (whole-stage codegen, no Python) and the per-type aggregate
+    partial-combines. Integer outputs only (sum/min/max/counts) — an avg
+    would round differently across engines. Oracle: DuckDB
+    json_extract_string."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n_k"),
+                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_missing"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def _q_dedup_cluster_minhash(spark, sf):
     # fourth pair source through the generic connected_components: the
     # minhash-LSH banded candidate graph at est_jaccard >= 0.2
@@ -906,7 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash": _q_simhash,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
-        "dedup_cluster_minhash": _q_dedup_cluster_minhash,
+        "json_props_stats": _q_json_props_stats,
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "curate_corpus": _q_curate_corpus,
@@ -924,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both r4-green and green in this session's local oracle run)
         "format_detect_stats": _q_format_detect_stats,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
+        "dedup_cluster_minhash": _q_dedup_cluster_minhash,
         "xlsx_markdown": _q_xlsx_markdown,
         "extract_pptxlike_flat": _q_extract_pptxlike_flat,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -1745,6 +1765,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh.id AS doc_id, b.bench_id, count(*) AS n_collisions
             FROM sh JOIN b USING (shingle)
             GROUP BY sh.id, b.bench_id
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   count(k) AS n_k,
+                   sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_missing,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT)
+                             AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         # minhash pair CTEs (identical to dedup_minhash_lsh) + the shared
         # recursive closure
