@@ -267,6 +267,56 @@ def _q_decode_roundtrip(spark, sf):
             .select("doc_id", "decoded"))
 
 
+def _agent_transcripts(spark, sf):
+    """Transcript shape with DETERMINISTIC role/tool columns (the
+    input_hint columns the payload queries ignore): role cycles
+    user/assistant/tool/assistant by event_id, tool turns carry one of 5
+    tool names. Column-pruned — no payload is built, so the scan reads
+    only (event_id, user_id, ts)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = F.pmod("event_id", F.lit(4))
+    role = (F.when(r == 0, "user").when(r == 1, "assistant")
+             .when(r == 2, "tool").otherwise("assistant"))
+    tool = F.when(r == 2, F.concat(F.lit("tool_"), F.pmod(
+        "event_id", F.lit(5)).cast("string"))).otherwise("")
+    return ev.select(
+        F.concat(F.lit("conv"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        role.alias("role"), tool.alias("tool"), F.col("ts"))
+
+
+#: DuckDB twin of _agent_transcripts — prepended to the transcript-
+#: analytics oracles (role/tool formulas mirror the Spark expressions).
+_AGENT_T_CTE = """t AS (
+                SELECT concat('conv', user_id::VARCHAR) AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       CASE event_id % 4 WHEN 0 THEN 'user'
+                            WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool'
+                            ELSE 'assistant' END AS role,
+                       CASE WHEN event_id % 4 = 2
+                            THEN concat('tool_', (event_id % 5)::VARCHAR)
+                            ELSE '' END AS tool,
+                       ts
+                FROM events)"""
+
+
+def _q_tool_run_stats(spark, sf):
+    from bella_domify_spark.ops.transcript import tool_run_stats
+    return tool_run_stats(_agent_transcripts(spark, sf))
+
+
+def _q_role_transitions(spark, sf):
+    from bella_domify_spark.ops.transcript import role_transitions
+    return role_transitions(_agent_transcripts(spark, sf))
+
+
+def _q_tool_latency(spark, sf):
+    from bella_domify_spark.ops.transcript import tool_latency
+    return tool_latency(_agent_transcripts(spark, sf))
+
+
 def _q_conv_stats(spark, sf):
     ev = _t(spark, sf, "events")
     return (ev.groupBy("user_id")
@@ -909,6 +959,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session: the salted asof scale path, driver-proved
         # against the same ASOF oracle
         "asof_attribution_salted": _q_asof_attribution_salted,
+        # new this session: transcript-native role/tool analytics
+        # (ops/transcript.py) — csv_normalize / csv_markdown /
+        # extract_xlsxlike_flat rotated to the tail to make room (all
+        # three r4-green, code untouched this round)
+        "tool_run_stats": _q_tool_run_stats,
+        "role_transitions": _q_role_transitions,
+        "tool_latency": _q_tool_latency,
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
@@ -917,9 +974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_htmllike": _q_extract_htmllike,
         "layout_flat_text": _q_layout_flat_text,
         "standard_tokens": _q_standard_tokens,
-        "csv_normalize": _q_csv_normalize,
-        "csv_markdown": _q_csv_markdown,
-        "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -941,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (format_detect_stats / dedup_cluster_simhash rotated out to make
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
+        "csv_normalize": _q_csv_normalize,
+        "csv_markdown": _q_csv_markdown,
+        "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
         "format_detect_stats": _q_format_detect_stats,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_cluster_minhash": _q_dedup_cluster_minhash,
@@ -1251,6 +1308,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, count(*) AS n_turns,
                    string_agg(x, '' ORDER BY turn_idx) AS conv_text
             FROM t GROUP BY conv_id
+        """,
+        "tool_run_stats": f"""
+            WITH {_AGENT_T_CTE},
+            marks AS (
+                -- windows over ALL turns (Spark computes grp before the
+                -- role filter; SQL windows after WHERE would collapse
+                -- every conversation to one island)
+                SELECT conv_id, role,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx)
+                       - row_number() OVER (PARTITION BY conv_id, role
+                                            ORDER BY turn_idx) AS grp
+                FROM t
+            ),
+            runs AS (
+                SELECT conv_id, grp, count(*) AS run_len
+                FROM marks WHERE role = 'tool'
+                GROUP BY conv_id, grp
+            )
+            SELECT conv_id, sum(run_len)::BIGINT AS n_tool_turns,
+                   count(*) AS n_runs, max(run_len) AS longest_run
+            FROM runs GROUP BY conv_id
+        """,
+        "role_transitions": f"""
+            WITH {_AGENT_T_CTE},
+            pairs AS (
+                SELECT role AS role_from,
+                       lead(role) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS role_to
+                FROM t
+            )
+            SELECT role_from, role_to, count(*) AS n
+            FROM pairs WHERE role_to IS NOT NULL
+            GROUP BY role_from, role_to
+        """,
+        "tool_latency": f"""
+            WITH {_AGENT_T_CTE},
+            gaps AS (
+                SELECT role, tool,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+                FROM t
+            )
+            SELECT tool, count(*) AS n_calls,
+                   sum(gap_us)::BIGINT AS sum_gap_us,
+                   max(gap_us) AS max_gap_us
+            FROM gaps WHERE role = 'tool' AND gap_us IS NOT NULL
+            GROUP BY tool
         """,
         "session_gap": """
             SELECT user_id, event_id,

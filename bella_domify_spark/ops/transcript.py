@@ -1,0 +1,94 @@
+"""Agent-transcript analytics over the (conv_id, turn_idx, role, tool, ts)
+shape — the input_hint's native columns that the extraction queries leave
+untouched.
+
+The reference has no analogue (it parses payloads one file at a time); these
+are the corpus-level questions a transcript warehouse answers BEFORE payload
+parsing: which tools run, in what bursts, with what latency, and how the
+conversation alternates between roles. All three operators are pure
+DataFrame window/agg compositions — no UDFs, whole-stage-codegen end to end.
+
+Scale notes (10^12 turns): every operator shuffles once by ``conv_id`` (the
+window partition key) and then reduces; the reduced side is tiny (per-conv
+rows, per-tool rows, or a ≤R² role matrix). Conversation length, not corpus
+size, bounds a window partition, and the same Zipf-skew bound measured for
+the extraction shuffle (FIXTURES.md) applies: the hottest conversation is
+the floor. ``tool_run_stats`` adds one extra *local* aggregation
+(conv_id, grp) that reuses the window's hash partitioning, so no second
+shuffle materializes.
+
+Latency outputs are exact integer microseconds (sum/max over BIGINT) — no
+double accumulation, so the driver's exact-hash gate holds at every scale
+factor (see ADVICE round-4 on rounded doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["tool_run_stats", "role_transitions", "tool_latency"]
+
+
+def _turn_window(conv_col: str, idx_col: str) -> Window:
+    return Window.partitionBy(conv_col).orderBy(idx_col)
+
+
+def tool_run_stats(t: DataFrame, conv_col: str = "conv_id",
+                   idx_col: str = "turn_idx",
+                   role_col: str = "role") -> DataFrame:
+    """Gaps-and-islands over tool turns: per conversation, how many turns
+    ran a tool, in how many consecutive runs (islands), and the longest
+    run. The island id is the classic two-row_number difference — constant
+    within a maximal run of tool turns, distinct across runs — computed
+    with two windows over the SAME (conv) partitioning, so one shuffle.
+
+    Conversations with zero tool turns emit no row (the filter precedes the
+    aggregation on both the Spark and oracle sides)."""
+    w_all = _turn_window(conv_col, idx_col)
+    w_tool = Window.partitionBy(conv_col, role_col).orderBy(idx_col)
+    grp = (F.row_number().over(w_all) - F.row_number().over(w_tool))
+    runs = (t.withColumn("_grp", grp)
+             .filter(F.col(role_col) == "tool")
+             .groupBy(conv_col, "_grp")
+             .agg(F.count(F.lit(1)).alias("_run_len")))
+    return (runs.groupBy(conv_col)
+            .agg(F.sum("_run_len").alias("n_tool_turns"),
+                 F.count(F.lit(1)).alias("n_runs"),
+                 F.max("_run_len").alias("longest_run")))
+
+
+def role_transitions(t: DataFrame, conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx",
+                     role_col: str = "role") -> DataFrame:
+    """Corpus-wide (role → next role) transition counts: ``lead`` within
+    each conversation's turn order, then a global count per ordered pair.
+    The result is at most R² rows for R distinct roles — the second
+    aggregation is map-side-combined down to almost nothing before its
+    shuffle."""
+    w = _turn_window(conv_col, idx_col)
+    return (t.select(F.col(role_col).alias("role_from"),
+                     F.lead(role_col).over(w).alias("role_to"))
+            .filter(F.col("role_to").isNotNull())
+            .groupBy("role_from", "role_to")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def tool_latency(t: DataFrame, conv_col: str = "conv_id",
+                 idx_col: str = "turn_idx", role_col: str = "role",
+                 tool_col: str = "tool", ts_col: str = "ts") -> DataFrame:
+    """Per-tool invocation latency: for every tool turn, the gap to the
+    conversation's previous turn (any role), aggregated per tool name as
+    exact integer microseconds (n / sum / max — no double math anywhere,
+    so cross-engine hashes match exactly; callers derive means). A tool
+    turn at turn 0 has no predecessor and is excluded (NULL lag)."""
+    w = _turn_window(conv_col, idx_col)
+    # ts may be TIMESTAMP_NTZ: route through timestamp under the session's
+    # UTC zone for epoch micros comparable with DuckDB's epoch_us()
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    return (t.withColumn("_gap_us", gap)
+            .filter((F.col(role_col) == "tool") & F.col("_gap_us").isNotNull())
+            .groupBy(F.col(tool_col).alias("tool"))
+            .agg(F.count(F.lit(1)).alias("n_calls"),
+                 F.sum("_gap_us").alias("sum_gap_us"),
+                 F.max("_gap_us").alias("max_gap_us")))

@@ -1102,3 +1102,53 @@ class TestMixAndRecall:
         row = entry._q_dedup_recall(spark, "/root/testdata/sf0.001").collect()[0]
         assert row["n_hit"] <= min(row["n_true"], row["n_est"])
         assert row["n_true"] > 0 and row["n_hit"] > 0
+
+
+class TestTranscriptAnalytics:
+    """ops/transcript.py: gaps-and-islands tool runs, role transitions,
+    exact-integer tool latency — hand-built conversations pin the edge
+    cases (run at turn 0, adjacent single-turn runs, tool-free conv)."""
+
+    def _t(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2026, 1, 1)
+        rows = [
+            # c1: tool run at the very start (len 2), then a lone tool turn
+            ("c1", 0, "tool", "t_a", base),
+            ("c1", 1, "tool", "t_a", base + dt.timedelta(seconds=5)),
+            ("c1", 2, "user", "", base + dt.timedelta(seconds=10)),
+            ("c1", 3, "tool", "t_b", base + dt.timedelta(seconds=30)),
+            # c2: no tool turns at all -> no row in tool_run_stats
+            ("c2", 0, "user", "", base),
+            ("c2", 1, "assistant", "", base + dt.timedelta(seconds=2)),
+        ]
+        return spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "tool", "ts"])
+
+    def test_tool_run_islands(self, spark):
+        from bella_domify_spark.ops.transcript import tool_run_stats
+
+        got = {r["conv_id"]: r for r in tool_run_stats(self._t(spark)).collect()}
+        assert set(got) == {"c1"}  # tool-free c2 emits nothing
+        assert got["c1"]["n_tool_turns"] == 3
+        assert got["c1"]["n_runs"] == 2       # [0,1] and [3]
+        assert got["c1"]["longest_run"] == 2
+
+    def test_role_transitions(self, spark):
+        from bella_domify_spark.ops.transcript import role_transitions
+
+        got = {(r["role_from"], r["role_to"]): r["n"]
+               for r in role_transitions(self._t(spark)).collect()}
+        assert got == {("tool", "tool"): 1, ("tool", "user"): 1,
+                       ("user", "tool"): 1, ("user", "assistant"): 1}
+
+    def test_tool_latency_exact_micros(self, spark):
+        from bella_domify_spark.ops.transcript import tool_latency
+
+        got = {r["tool"]: r for r in tool_latency(self._t(spark)).collect()}
+        # c1 turn 0 is a tool turn with no predecessor -> excluded, so
+        # t_a has exactly one measured call (gap 5s); t_b one (gap 20s)
+        assert got["t_a"]["n_calls"] == 1
+        assert got["t_a"]["sum_gap_us"] == 5_000_000
+        assert got["t_b"]["max_gap_us"] == 20_000_000
