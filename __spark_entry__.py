@@ -302,6 +302,14 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_bm25_topk(spark, sf):
+    """BM25 ranked retrieval (ops/retrieval.py): top-10 docs for the fixed
+    4-query set, integer-quantized scores (floor-e12 idf, floor-e9
+    contributions — the bigram_surprisal exact-hash contract)."""
+    from bella_domify_spark.ops.retrieval import bm25_topk
+    return bm25_topk(_t(spark, sf, "documents"))
+
+
 def _q_tool_run_stats(spark, sf):
     from bella_domify_spark.ops.transcript import tool_run_stats
     return tool_run_stats(_agent_transcripts(spark, sf))
@@ -966,6 +974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_run_stats": _q_tool_run_stats,
         "role_transitions": _q_role_transitions,
         "tool_latency": _q_tool_latency,
+        # new this session: BM25 lexical retrieval (standard_tokens rotated
+        # to the tail — r4-green, core/standard.py untouched this round)
+        "bm25_topk": _q_bm25_topk,
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
@@ -973,7 +984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docxlike_flat": _q_extract_docxlike_flat,
         "extract_htmllike": _q_extract_htmllike,
         "layout_flat_text": _q_layout_flat_text,
-        "standard_tokens": _q_standard_tokens,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -995,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (format_detect_stats / dedup_cluster_simhash rotated out to make
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
+        "standard_tokens": _q_standard_tokens,
         "csv_normalize": _q_csv_normalize,
         "csv_markdown": _q_csv_markdown,
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
@@ -1037,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.ann import planes_values_sql
     from bella_domify_spark.ops.hashfamily import params_values_sql
+    from bella_domify_spark.ops.retrieval import queries_values_sql
     # shared CTE builders — single source of truth for constructions used
     # by more than one oracle (closure/cluster label, shingles, minhash
     # candidates, simhash fingerprints, hyperplane LSH buckets)
@@ -1308,6 +1320,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, count(*) AS n_turns,
                    string_agg(x, '' ORDER BY turn_idx) AS conv_text
             FROM t GROUP BY conv_id
+        """,
+        "bm25_topk": f"""
+            WITH toks AS (
+                SELECT doc_id AS id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+            dl AS (SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY id),
+            corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl
+                       FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qterms AS (SELECT * FROM {queries_values_sql()}),
+            contrib AS (
+                -- constants are the Python-folded exact binary fractions:
+                -- 2.25 = 1.0+k1, 0.25 = 1.0-b (k1=1.25, b=0.75)
+                SELECT qterms.query_id, tf.id,
+                       floor(
+                           floor(ln((c.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5) + 1.0) * 1e12)::DOUBLE
+                           * ((tf.tf * 2.25)
+                              / (tf.tf + 1.25 * (0.25 + 0.75 *
+                                  (dl.dl / (c.sum_dl::DOUBLE / c.n_docs)))))
+                           / 1e3
+                       )::DECIMAL(20,0) AS c_e9
+                FROM tf
+                JOIN qterms USING (term)
+                JOIN dft USING (term)
+                JOIN dl ON dl.id = tf.id
+                CROSS JOIN corpus c
+            ),
+            scores AS (SELECT query_id, id, sum(c_e9) AS s
+                       FROM contrib GROUP BY query_id, id)
+            SELECT query_id, rank, doc_id, score_e9 FROM (
+                SELECT query_id, id AS doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, id ASC) AS rank,
+                       s::BIGINT AS score_e9
+                FROM scores)
+            WHERE rank <= 10
         """,
         "tool_run_stats": f"""
             WITH {_AGENT_T_CTE},

@@ -1,0 +1,107 @@
+"""BM25 ranked retrieval over a document corpus — the text-retrieval twin
+of the ANN family in ops/ann.py (sparse lexical ranking vs dense vectors).
+
+Robertson/Spärck-Jones BM25 with the standard (k1, b) parameterization and
+the Lucene-style non-negative idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``.
+No reference analogue (the reference parses files; it does not rank them) —
+this is part of the training-data curation surface: query-anchored corpus
+inspection, eval-set retrieval, and contamination triage all reduce to
+"BM25 top-k docs for a fixed query set".
+
+Exact-hash discipline (the repo convention from bigram_surprisal,
+textstats.py:246-254): the only libm call (ln) quantizes per TERM via
+``floor(idf * 1e12)``; every later step is integer or correctly-rounded
+IEEE arithmetic (multiply/divide of exact integers and the corpus-derived
+``dl/avgdl`` ratio), and per-term contributions floor to e9-scaled
+DECIMAL(20,0) before the per-(query, doc) sum — exact, partition-order
+free, identical across engines.
+
+Scale notes (100 TB corpus, handful of queries): the token stream
+aggregates ONCE into the (doc, term) tf table — the only corpus-sized
+shuffle. df and dl both derive from tf (aggregate-sized inputs; the raw
+token stream is never shuffled twice). The query-term table broadcasts,
+and tf is semi-filtered to query vocabulary BEFORE any join work, so
+everything downstream of the tf build is proportional to |query vocab|
+postings, not corpus size. avgdl rides along as a broadcast single-row
+aggregate. The final top-k window partitions by query_id — k rows per
+query survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["bm25_topk", "BM25_QUERIES"]
+
+#: fixed demo query set over the synthetic corpus vocabulary — the
+#: queries() entry and its DuckDB oracle share these literals
+BM25_QUERIES = [
+    ("q_hashjoin", "hash join"),
+    ("q_windowagg", "window agg spark"),
+    ("q_custorder", "customer order data"),
+    ("q_scanfilter", "scan filter column"),
+]
+
+
+def queries_values_sql() -> str:
+    """BM25_QUERIES as a DuckDB VALUES table (query_id, term), one row per
+    distinct term in query order — the oracle twin of the broadcast
+    qterms build inside bm25_topk."""
+    rows = ", ".join(f"('{qid}', '{t}')" for qid, qtext in BM25_QUERIES
+                     for t in dict.fromkeys(qtext.lower().split()))
+    return f"(VALUES {rows}) AS q(query_id, term)"
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
+              k: int = 10, k1: float = 1.25, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents per query by BM25. Returns
+    (query_id, rank, doc_id, score_e9) with deterministic tie-break
+    (higher score first, then smaller doc_id).
+
+    k1 defaults to 1.25 (not the textbook 1.2): 1.25 and 0.75 are exact
+    binary fractions, so every constant fold (1.0+k1, 1.0-b) is exact and
+    engine-order-independent — the oracle embeds the folded literals."""
+    spark = docs.sparkSession
+    queries = BM25_QUERIES if queries is None else queries
+
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          r"\s+")).alias("term"))
+            .filter(F.col("term") != ""))
+    # the one corpus-sized shuffle: token stream -> (doc, term) tf
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # dl and df both derive from tf (aggregate-sized), not from toks
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, qtext in queries
+         for t in dict.fromkeys(qtext.lower().split())],
+        ["query_id", "term"])
+
+    # prune tf to query vocabulary before any join fan-out
+    hits = tf.join(F.broadcast(qterms), "term")
+    idf = F.floor(F.log((F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0) * F.lit(1e12))
+    tfnorm = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl")
+                                           / (F.col("sum_dl").cast("double")
+                                              / F.col("n_docs")))))
+    contrib = (hits
+               .join(F.broadcast(dft), "term")
+               .join(dl, "id")
+               .crossJoin(F.broadcast(corpus))
+               .select("query_id", "id",
+                       F.floor(idf.cast("double") * tfnorm / F.lit(1e3))
+                       .cast("decimal(20,0)").alias("c_e9")))
+    scores = (contrib.groupBy("query_id", "id")
+              .agg(F.sum("c_e9").alias("s")))
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                               F.col("id").asc())
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("id").alias(id_col),
+                    F.col("s").cast("long").alias("score_e9")))

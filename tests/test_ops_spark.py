@@ -1152,3 +1152,37 @@ class TestTranscriptAnalytics:
         assert got["t_a"]["n_calls"] == 1
         assert got["t_a"]["sum_gap_us"] == 5_000_000
         assert got["t_b"]["max_gap_us"] == 20_000_000
+
+
+class TestBm25:
+    def test_ranking_and_ties(self, spark):
+        from bella_domify_spark.ops.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "hash join hash join speed"),   # both terms, tf-heavy
+             (2, "hash table scan"),             # one term
+             (3, "join order"),                  # one term
+             (4, "filter scan only"),            # no query term
+             (5, "hash join")],                  # both terms, short doc
+            ["doc_id", "text"])
+        got = bm25_topk(docs, queries=[("q", "hash join")], k=3).collect()
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        ranked = [r["doc_id"] for r in got]
+        # both-term docs beat single-term docs; doc 4 never appears
+        assert set(ranked[:2]) == {1, 5}
+        assert 4 not in ranked
+        # scores strictly ordered (ties broken by doc_id would still
+        # satisfy the non-increasing invariant)
+        scores = [r["score_e9"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_length_normalization_prefers_short_doc(self, spark):
+        from bella_domify_spark.ops.retrieval import bm25_topk
+
+        # same tf=1 for the query term; BM25's b-term must rank the
+        # shorter document first
+        docs = spark.createDataFrame(
+            [(1, "vector " + "pad " * 30), (2, "vector pad")],
+            ["doc_id", "text"])
+        got = bm25_topk(docs, queries=[("q", "vector")], k=2).collect()
+        assert [r["doc_id"] for r in got] == [2, 1]
