@@ -302,6 +302,20 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_sample_weighted(spark, sf):
+    """A-ES weighted sampling without replacement, content-addressed
+    (ops/textstats.py): top-50 docs by key = -ln(u_id)/token_weight."""
+    from bella_domify_spark.ops.textstats import sample_weighted
+    return sample_weighted(_t(spark, sf, "documents"), k=50)
+
+
+def _q_chunk_docs(spark, sf):
+    """Fixed-size training chunks (64 tokens, 16 overlap) — map-side
+    explode, no shuffle, no UDF (ops/textstats.py)."""
+    from bella_domify_spark.ops.textstats import chunk_docs
+    return chunk_docs(_t(spark, sf, "documents"))
+
+
 def _q_bm25_topk(spark, sf):
     """BM25 ranked retrieval (ops/retrieval.py): top-10 docs for the fixed
     4-query set, integer-quantized scores (floor-e12 idf, floor-e9
@@ -977,11 +991,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session: BM25 lexical retrieval (standard_tokens rotated
         # to the tail — r4-green, core/standard.py untouched this round)
         "bm25_topk": _q_bm25_topk,
+        # new this session: A-ES weighted sampling + training-chunking
+        # (extract_markdown_flatten / extract_docxlike_flat rotated to the
+        # tail — r4-green, markdown.py/docxlike.py untouched this round)
+        "sample_weighted": _q_sample_weighted,
+        "chunk_docs": _q_chunk_docs,
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
-        "extract_markdown_flatten": _q_extract_markdown_flatten,
-        "extract_docxlike_flat": _q_extract_docxlike_flat,
         "extract_htmllike": _q_extract_htmllike,
         "layout_flat_text": _q_layout_flat_text,
         "dedup_exact": _q_dedup_exact,
@@ -1006,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
         "standard_tokens": _q_standard_tokens,
+        "extract_markdown_flatten": _q_extract_markdown_flatten,
+        "extract_docxlike_flat": _q_extract_docxlike_flat,
         "csv_normalize": _q_csv_normalize,
         "csv_markdown": _q_csv_markdown,
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
@@ -1059,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         cluster_select as _cluster_select,
         jaccard_pair_ctes,
         lsh_bucket_ctes,
+        md5_int60,
         shingle_instance_ctes,
         minhash_cand_ctes,
         shingle_ctes,
@@ -1320,6 +1340,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, count(*) AS n_turns,
                    string_agg(x, '' ORDER BY turn_idx) AS conv_text
             FROM t GROUP BY conv_id
+        """,
+        "sample_weighted": f"""
+            WITH keyed AS (
+                SELECT doc_id,
+                       length(regexp_split_to_array(trim(text), '\\s+'))
+                           AS weight_tokens,
+                       floor(-ln(({md5_int60('doc_id::VARCHAR')}::DOUBLE + 0.5)
+                                 / 1152921504606846976.0)
+                             / length(regexp_split_to_array(trim(text), '\\s+'))
+                             * 1e12) AS key_e12
+                FROM documents
+            )
+            SELECT doc_id, weight_tokens, key_e12::BIGINT AS key_e12,
+                   rank FROM (
+                SELECT *, row_number() OVER (ORDER BY key_e12 ASC,
+                                             doc_id ASC) AS rank
+                FROM keyed)
+            WHERE rank <= 50
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS a
+                FROM documents
+            ),
+            counted AS (
+                SELECT doc_id, a,
+                       1 + floor((greatest(len(a) - 64, 0) + 47) / 48)
+                           ::BIGINT AS n_chunks
+                FROM toks
+            ),
+            exploded AS (
+                SELECT doc_id, a, t.i::INT AS chunk_idx
+                FROM counted, UNNEST(range(0, n_chunks)) AS t(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   len(a[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_tokens,
+                   array_to_string(a[chunk_idx*48 + 1 : chunk_idx*48 + 64],
+                                   ' ') AS chunk_text
+            FROM exploded
         """,
         "bm25_topk": f"""
             WITH toks AS (

@@ -426,3 +426,70 @@ def mix_weights(df: DataFrame, strata_col: str = "lang",
         F.floor(rate * F.lit(1e6)).cast("long").alias("sample_rate_e6"),
         F.least(F.col("want_tokens"), F.col("have_tokens"))
         .alias("expected_tokens"))
+
+
+def sample_weighted(df: DataFrame, k: int = 50, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each doc gets key = -ln(u)/w with weight w =
+    its whitespace token count; the k SMALLEST keys win, which samples
+    docs with probability proportional to weight, without replacement.
+
+    The "uniform" u is content-addressed — u = (md5_60(id)+0.5)/2^60 in
+    (0,1) — so the sample is a pure function of doc ids: stable across
+    runs, partitionings, and cluster sizes (the same property
+    sample_stratified gets from its hash bucket, extended to weighted
+    draws). Keys quantize floor×1e12 (the bigram_surprisal ln contract)
+    and ties break by id, so the selection is bit-stable cross-engine.
+
+    Scale: the key is a map-side projection; top-k is ONE global
+    row_number window over (key, id). At 10^12 rows a single-partition
+    global window is the wrong plan — the scale path is the standard
+    top-k two-step (per-partition k via sortWithinPartitions+limit, then
+    global k over partitions×k rows), which AQE-era Spark realizes via
+    ``ORDER BY key LIMIT k`` (TakeOrderedAndProject — no single-task
+    sort); this operator keeps the window form because the driver oracle
+    needs rank as a column. Selection is identical either way."""
+    from bella_domify_spark.ops.hashfamily import md5_int60_col
+
+    w_tok = _ws_tokens(F.col(text_col))
+    u = (md5_int60_col(F.col(id_col).cast("string")).cast("double") + 0.5) \
+        / F.lit(float(2 ** 60))
+    key_e12 = F.floor(-F.log(u) / w_tok * F.lit(1e12))
+    win = Window.orderBy(F.col("key_e12").asc(), F.col(id_col).asc())
+    return (df.select(F.col(id_col), w_tok.alias("weight_tokens"),
+                      key_e12.alias("key_e12"))
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
+def chunk_docs(df: DataFrame, chunk_tokens: int = 64, overlap: int = 16,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size training chunks of ``chunk_tokens``
+    whitespace tokens with ``overlap`` tokens of context carried between
+    consecutive chunks (stride = chunk_tokens - overlap). The last chunk
+    may be short; a doc at or under one chunk yields exactly one chunk.
+
+    n_chunks = 1 + ceil(max(n - chunk, 0) / stride) in pure integer math,
+    identical in both engines. The whole operator is a map-side projection
+    + explode — no shuffle, no UDF; at 100 TB the fan-out (~n/stride rows
+    per doc) streams through whole-stage codegen and lands directly in
+    the sink's partitioning."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = df.select(F.col(id_col),
+                     F.split(F.trim(F.col(text_col)), r"\s+").alias("a"))
+    n = F.size("a")
+    over = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = F.lit(1) + (over + (stride - 1)).cast("long") / F.lit(stride)
+    n_chunks = F.floor(n_chunks)  # integer ceil division
+    chunks = toks.select(
+        id_col, "a",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        .alias("chunk_idx"))
+    piece = F.slice("a", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col), "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))

@@ -1186,3 +1186,43 @@ class TestBm25:
             ["doc_id", "text"])
         got = bm25_topk(docs, queries=[("q", "vector")], k=2).collect()
         assert [r["doc_id"] for r in got] == [2, 1]
+
+
+class TestWeightedSampleAndChunks:
+    def test_weighted_sample_prefers_heavy_docs(self, spark):
+        from bella_domify_spark.ops.textstats import sample_weighted
+
+        # 50 heavy docs (1000 tokens) among 450 light ones (1 token):
+        # P(select light) per draw ~ 1/1000 of heavy, so the top-50 keys
+        # are overwhelmingly (deterministically, given the fixed hash)
+        # heavy docs
+        docs = spark.createDataFrame(
+            [(i, "w " * 999 + "w") for i in range(50)]
+            + [(1000 + i, "w") for i in range(450)],
+            ["doc_id", "text"])
+        got = sample_weighted(docs, k=50).collect()
+        heavy = sum(1 for r in got if r["doc_id"] < 1000)
+        assert heavy >= 45
+        # content-addressed: identical selection under any partitioning
+        again = sample_weighted(docs.repartition(13), k=50).collect()
+        assert sorted(r["doc_id"] for r in got) == \
+               sorted(r["doc_id"] for r in again)
+
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from bella_domify_spark.ops.textstats import chunk_docs
+
+        toks = [f"t{i}" for i in range(65)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(toks[:64])), (2, " ".join(toks)), (3, "solo")],
+            ["doc_id", "text"])
+        got = {}
+        for r in chunk_docs(docs).collect():
+            got.setdefault(r["doc_id"], []).append(r)
+        assert len(got[1]) == 1 and got[1][0]["n_tokens"] == 64
+        assert len(got[3]) == 1 and got[3][0]["chunk_text"] == "solo"
+        # 65 tokens -> chunk0 = t0..t63, chunk1 starts at stride 48
+        c = sorted(got[2], key=lambda r: r["chunk_idx"])
+        assert len(c) == 2
+        assert c[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+        assert c[1]["chunk_text"].split()[0] == "t48"   # 16-token overlap
+        assert c[1]["n_tokens"] == 17                   # t48..t64
