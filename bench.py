@@ -125,7 +125,8 @@ def main() -> int:
                  "asof_view_attribution", "bigram_surprisal", "cms_heavy_hitters",
                  "approx_distinct_hll", "layout_ocr_text", "tfidf_keywords",
                  "gopher_quality", "hist_event_quantiles", "dup_span_stats",
-                 "mix_weights", "tool_run_stats", "tool_latency"]:
+                 "mix_weights", "tool_run_stats", "tool_latency",
+                 "bm25_topk", "chunk_docs"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
