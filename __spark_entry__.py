@@ -302,6 +302,20 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_pack_sequences(spark, sf):
+    """Sharded cumulative training-sequence packing (ops/textstats.py):
+    per-shard token-offset cumsum, integer-exact seq ids/offsets."""
+    from bella_domify_spark.ops.textstats import pack_sequences
+    return pack_sequences(_t(spark, sf, "documents"))
+
+
+def _q_vocab_stats(spark, sf):
+    """Corpus Zipf rank-frequency table, top-200 terms, all-integer
+    (ops/textstats.py)."""
+    from bella_domify_spark.ops.textstats import vocab_stats
+    return vocab_stats(_t(spark, sf, "documents"))
+
+
 def _q_sample_weighted(spark, sf):
     """A-ES weighted sampling without replacement, content-addressed
     (ops/textstats.py): top-50 docs by key = -ln(u_id)/token_weight."""
@@ -996,12 +1010,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail — r4-green, markdown.py/docxlike.py untouched this round)
         "sample_weighted": _q_sample_weighted,
         "chunk_docs": _q_chunk_docs,
+        # new this session: sharded sequence packing + Zipf vocab table
+        # (extract_htmllike / dedup_exact rotated to the tail — r4-green,
+        # htmllike.py and exact_dedup untouched since the r4 close)
+        "pack_sequences": _q_pack_sequences,
+        "vocab_stats": _q_vocab_stats,
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
-        "extract_htmllike": _q_extract_htmllike,
         "layout_flat_text": _q_layout_flat_text,
-        "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash": _q_simhash,
@@ -1023,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
         "standard_tokens": _q_standard_tokens,
+        "extract_htmllike": _q_extract_htmllike,
+        "dedup_exact": _q_dedup_exact,
         "extract_markdown_flatten": _q_extract_markdown_flatten,
         "extract_docxlike_flat": _q_extract_docxlike_flat,
         "csv_normalize": _q_csv_normalize,
@@ -1340,6 +1359,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, count(*) AS n_turns,
                    string_agg(x, '' ORDER BY turn_idx) AS conv_text
             FROM t GROUP BY conv_id
+        """,
+        "pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       length(regexp_split_to_array(trim(text), '\\s+'))::INT
+                           AS tokens,
+                       ({md5_int60('doc_id::VARCHAR')} % 8)::INT AS shard_id
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, shard_id, tokens,
+                       sum(tokens) OVER (PARTITION BY shard_id
+                                         ORDER BY doc_id)::BIGINT
+                           - tokens AS strt
+                FROM toks
+            )
+            SELECT doc_id, shard_id, tokens,
+                   floor(strt / 512)::BIGINT AS seq_id,
+                   strt % 512 AS offset_in_seq
+            FROM c
+        """,
+        "vocab_stats": """
+            WITH terms AS (
+                SELECT t.term, count(*) AS freq
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+                WHERE t.term <> ''
+                GROUP BY t.term
+            ),
+            r AS (
+                SELECT term, freq,
+                       row_number() OVER (ORDER BY freq DESC, term ASC)
+                           AS rank,
+                       sum(freq) OVER (ORDER BY freq DESC, term ASC
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS cum_freq
+                FROM terms
+            )
+            SELECT term, freq, rank, cum_freq FROM r WHERE rank <= 200
         """,
         "sample_weighted": f"""
             WITH keyed AS (

@@ -493,3 +493,53 @@ def chunk_docs(df: DataFrame, chunk_tokens: int = 64, overlap: int = 16,
         F.col(id_col), "chunk_idx",
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"))
+
+
+def pack_sequences(df: DataFrame, seq_len: int = 512, n_shards: int = 8,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Training-sequence packing: concatenate documents (in stable id
+    order) into fixed ``seq_len``-token sequences, sharded first by the
+    content-addressed hash so the serial part of the cumulative sum is
+    per-shard, not corpus-wide. A doc's sequence is determined by its
+    START offset within the shard's token stream; docs spanning a
+    boundary belong to the sequence they start in (the consumer splits at
+    materialization). Complements pack_shards: shards balance by the law
+    of large numbers, and WITHIN a shard this realizes the exact
+    cumulative packing that is impossible corpus-wide (a total order =
+    one serial task at 100 TB, see pack_shards docstring) but cheap
+    per-shard — n_shards scales with the cluster, each shard's window is
+    an independent task.
+
+    Pure integer math throughout: offsets and sequence ids are exact and
+    engine-agreed."""
+    toks = df.select(F.col(id_col),
+                     _ws_tokens(F.col(text_col)).alias("tokens"))
+    shard = _md5_mod(F.col(id_col), n_shards).cast("int")
+    w = Window.partitionBy("shard_id").orderBy(id_col)
+    start = F.sum("tokens").over(w) - F.col("tokens")
+    return (toks.withColumn("shard_id", shard)
+            .select(F.col(id_col), "shard_id", "tokens",
+                    F.floor(start / F.lit(seq_len)).alias("seq_id"),
+                    F.pmod(start, F.lit(seq_len)).alias("offset_in_seq")))
+
+
+def vocab_stats(df: DataFrame, top_n: int = 200,
+                text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary rank-frequency table (the Zipf curve): term,
+    frequency, rank (freq desc, term asc — total order), and cumulative
+    frequency, for the top ``top_n`` terms. One corpus-sized aggregate
+    (token → term counts, partial-combined map-side); the rank/cumsum
+    window runs over the VOCABULARY-sized aggregate, and at web scale the
+    top-n cut realizes as TakeOrderedAndProject (per-partition n, no
+    global sort of the full vocabulary). All-integer outputs."""
+    terms = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"\s+")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return (terms
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("cum_freq", F.sum("freq").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .filter(F.col("rank") <= top_n))

@@ -1226,3 +1226,35 @@ class TestWeightedSampleAndChunks:
         assert c[0]["chunk_text"].split()[:2] == ["t0", "t1"]
         assert c[1]["chunk_text"].split()[0] == "t48"   # 16-token overlap
         assert c[1]["n_tokens"] == 17                   # t48..t64
+
+
+class TestPackSequencesAndVocab:
+    def test_pack_sequences_offsets(self, spark):
+        from bella_domify_spark.ops.textstats import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 99 + "w") for i in range(20)],   # 100 tokens each
+            ["doc_id", "text"])
+        got = pack_sequences(docs, seq_len=256, n_shards=2).collect()
+        by_shard = {}
+        for r in got:
+            by_shard.setdefault(r["shard_id"], []).append(r)
+        assert set(len(v) for v in by_shard.values()) and len(by_shard) == 2
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r["doc_id"])
+            start = 0
+            for r in rows:   # offsets are the exact running token offsets
+                assert r["seq_id"] == start // 256
+                assert r["offset_in_seq"] == start % 256
+                start += r["tokens"]
+
+    def test_vocab_stats_zipf_table(self, spark):
+        from bella_domify_spark.ops.textstats import vocab_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b z")], ["doc_id", "text"])
+        got = sorted(vocab_stats(docs, top_n=10).collect(),
+                     key=lambda r: r["rank"])
+        assert [(r["term"], r["freq"]) for r in got] == \
+               [("a", 4), ("b", 3), ("c", 1), ("z", 1)]  # ties: term asc
+        assert [r["cum_freq"] for r in got] == [4, 7, 8, 9]
