@@ -69,8 +69,13 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
                         F.explode(F.split(F.lower(F.col(text_col)),
                                           r"\s+")).alias("term"))
             .filter(F.col("term") != ""))
-    # the one corpus-sized shuffle: token stream -> (doc, term) tf
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the one corpus-sized shuffle: token stream -> (doc, term) tf.
+    # Persisted: FOUR consumers (hits, dl, dft, corpus-via-dl) would each
+    # rescan + re-aggregate the raw token stream otherwise; tf is the
+    # compact postings table (O(docs × distinct terms)), the canonical
+    # thing to pin. Released before return (dedup.py cache discipline).
+    tf = (toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
     # dl and df both derive from tf (aggregate-sized), not from toks
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
@@ -101,7 +106,11 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
               .agg(F.sum("c_e9").alias("s")))
     w = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
                                                F.col("id").asc())
-    return (scores.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", F.col("id").alias(id_col),
-                    F.col("s").cast("long").alias("score_e9")))
+    from bella_domify_spark.ops.dedup import _eager_release
+
+    out = (scores.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "rank", F.col("id").alias(id_col),
+                   F.col("s").cast("long").alias("score_e9")))
+    # queries×k rows — small enough for the eager checkpoint
+    return _eager_release(out, tf)

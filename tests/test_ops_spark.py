@@ -1165,7 +1165,12 @@ class TestBm25:
              (4, "filter scan only"),            # no query term
              (5, "hash join")],                  # both terms, short doc
             ["doc_id", "text"])
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
         got = bm25_topk(docs, queries=[("q", "hash join")], k=3).collect()
+        # the tf persist must be released before the operator returns
+        # (dedup.py cache discipline)
+        assert cache_mgr.isEmpty()
         assert [r["rank"] for r in got] == [1, 2, 3]
         ranked = [r["doc_id"] for r in got]
         # both-term docs beat single-term docs; doc 4 never appears
