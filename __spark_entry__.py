@@ -302,6 +302,13 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_split_by_cluster(spark, sf):
+    """Leakage-aware train/val/test split: near-dup clusters share one
+    split via their canonical id (ops/curate.py)."""
+    from bella_domify_spark.ops.curate import split_by_cluster
+    return split_by_cluster(_t(spark, sf, "documents"))
+
+
 def _q_pack_sequences(spark, sf):
     """Sharded cumulative training-sequence packing (ops/textstats.py):
     per-shard token-offset cumsum, integer-exact seq ids/offsets."""
@@ -1036,6 +1043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _q_mix_weights,
         "dedup_recall": _q_dedup_recall,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
+        # split_by_cluster is new but tail-listed: the window is full of
+        # never-confirmed + this-round-changed entries; it rotates in
+        # next round (full oracle verified locally at sf0.01/sf0.1)
+        "split_by_cluster": _q_split_by_cluster,
         # (format_detect_stats / dedup_cluster_simhash rotated out to make
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
@@ -1970,6 +1981,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": f"""
             WITH RECURSIVE {jaccard_cluster_ctes}
             {_cluster_select("doc_id")}
+        """,
+        # leakage-aware split: hash the near-dup cluster's canonical id
+        # (own id for singletons) — mirrors ops/curate.split_by_cluster
+        "split_by_cluster": f"""
+            WITH RECURSIVE {jaccard_cluster_ctes}
+            SELECT d.doc_id,
+                   coalesce(lab.canonical_id, d.doc_id) AS split_key,
+                   ({md5_int60("coalesce(lab.canonical_id, d.doc_id)::VARCHAR")}
+                    % 100)::INT AS bucket,
+                   CASE WHEN ({md5_int60(
+                       "coalesce(lab.canonical_id, d.doc_id)::VARCHAR")}
+                        % 100) < 5 THEN 'test'
+                        WHEN ({md5_int60(
+                       "coalesce(lab.canonical_id, d.doc_id)::VARCHAR")}
+                        % 100) < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
         """,
         # composition of the quality, cluster, and split oracles — must
         # mirror ops/curate.py predicate-for-predicate

@@ -52,3 +52,39 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     return (passing.join(dupes, id_col, "left_anti")
             .join(split, id_col)
             .select(id_col, "n_words", "quality_score", "split"))
+
+
+def split_by_cluster(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     jaccard_threshold: float = 0.2,
+                     val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Leakage-aware train/val/test split: near-duplicate documents must
+    land in the SAME split, or evaluation silently trains on its own test
+    set (the classic contamination-through-duplication failure).
+    Assignment hashes the near-dup cluster's canonical id instead of the
+    document id — singleton docs (no near-dup) hash their own id, which
+    keeps the plain ``train_split`` proportions for the non-duplicated
+    bulk of the corpus.
+
+    Returns ``(id, split_key, bucket, split)`` where split_key is the id
+    whose hash decided the split (canonical_id for cluster members).
+
+    Plan shape: the cluster side is pair-list-sized (see ops/graph.py) and
+    LEFT-joins onto the corpus by id; the hash/bucket/label tail is a
+    map-side projection. Like curate_corpus's anti-join, the join stays a
+    shuffled SMJ by design — the duplicated fraction of a web corpus can
+    be large, and AQE demotes it to broadcast when it measures small."""
+    from bella_domify_spark.ops.dedup import duplicate_clusters
+    from bella_domify_spark.ops.textstats import _md5_mod
+
+    clusters = duplicate_clusters(docs, id_col, text_col,
+                                  threshold=jaccard_threshold)
+    key = F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("split_key")
+    bucket = _md5_mod(key, 100)
+    split = (F.when(bucket < test_pct, F.lit("test"))
+             .when(bucket < test_pct + val_pct, F.lit("val"))
+             .otherwise(F.lit("train")))
+    return (docs.select(id_col)
+            .join(clusters.select(id_col, "canonical_id"), id_col, "left")
+            .select(F.col(id_col), key,
+                    bucket.cast("int").alias("bucket"), split.alias("split")))

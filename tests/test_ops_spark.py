@@ -1263,3 +1263,24 @@ class TestPackSequencesAndVocab:
         assert [(r["term"], r["freq"]) for r in got] == \
                [("a", 4), ("b", 3), ("c", 1), ("z", 1)]  # ties: term asc
         assert [r["cum_freq"] for r in got] == [4, 7, 8, 9]
+
+
+class TestSplitByCluster:
+    def test_near_dups_share_a_split(self, spark):
+        from bella_domify_spark.ops.curate import split_by_cluster
+        from bella_domify_spark.ops.textstats import train_split
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " mu"),            # near-dup pair
+             (3, "totally different words here that share nothing at all")],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in split_by_cluster(docs).collect()}
+        # cluster members: same split_key (the canonical min id 1), same split
+        assert got[1]["split_key"] == 1 and got[2]["split_key"] == 1
+        assert got[1]["split"] == got[2]["split"]
+        # singleton: identical assignment to the plain content-addressed split
+        plain = {r["doc_id"]: r for r in train_split(
+            docs.select("doc_id")).collect()}
+        assert got[3]["split"] == plain[3]["split"]
+        assert got[3]["bucket"] == plain[3]["bucket"]
