@@ -1232,6 +1232,26 @@ class TestWeightedSampleAndChunks:
         assert c[1]["chunk_text"].split()[0] == "t48"   # 16-token overlap
         assert c[1]["n_tokens"] == 17                   # t48..t64
 
+    def test_chunk_reconstruction_invariant(self, spark):
+        # dropping each non-first chunk's leading `overlap` tokens must
+        # reconstruct the document exactly, for lengths straddling every
+        # boundary (stride 48, chunk 64)
+        from bella_domify_spark.ops.textstats import chunk_docs
+
+        lens = [1, 2, 47, 48, 49, 63, 64, 65, 96, 111, 112, 113, 200]
+        docs = spark.createDataFrame(
+            [(n, " ".join(f"t{i}" for i in range(n))) for n in lens],
+            ["doc_id", "text"])
+        rows = {}
+        for r in chunk_docs(docs).collect():
+            rows.setdefault(r["doc_id"], []).append(r)
+        for n in lens:
+            cs = sorted(rows[n], key=lambda r: r["chunk_idx"])
+            rebuilt = cs[0]["chunk_text"].split()
+            for c in cs[1:]:
+                rebuilt += c["chunk_text"].split()[16:]
+            assert rebuilt == [f"t{i}" for i in range(n)], n
+
 
 class TestPackSequencesAndVocab:
     def test_pack_sequences_offsets(self, spark):
