@@ -302,6 +302,15 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_incremental_dedup(spark, sf):
+    """Batch-vs-corpus MinHash bucket screen (ops/dedup.py): odd doc_ids
+    are 'today's batch', even doc_ids the standing corpus."""
+    from bella_domify_spark.ops.dedup import incremental_dedup
+    d = _t(spark, sf, "documents")
+    return incremental_dedup(d.filter(F.pmod("doc_id", F.lit(2)) == 1),
+                             d.filter(F.pmod("doc_id", F.lit(2)) == 0))
+
+
 def _q_split_by_cluster(spark, sf):
     """Leakage-aware train/val/test split: near-dup clusters share one
     split via their canonical id (ops/curate.py)."""
@@ -1047,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
+        "incremental_dedup": _q_incremental_dedup,
         # (format_detect_stats / dedup_cluster_simhash rotated out to make
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
@@ -1981,6 +1991,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": f"""
             WITH RECURSIVE {jaccard_cluster_ctes}
             {_cluster_select("doc_id")}
+        """,
+        # batch-vs-corpus screen: odd ids flagged iff any band bucket
+        # collides with an even id's bucket — mirrors ops/dedup.py
+        # incremental_dedup over the same banded CTE as the LSH pairs
+        "incremental_dedup": f"""
+            WITH {minhash_cand_ctes(minhash_params_sql)},
+            hits AS (
+                SELECT DISTINCT a.id
+                FROM banded a JOIN banded b USING (band, bucket)
+                WHERE a.id % 2 = 1 AND b.id % 2 = 0
+            )
+            SELECT d.doc_id AS id, (h.id IS NOT NULL) AS is_dup
+            FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+            WHERE d.doc_id % 2 = 1
         """,
         # leakage-aware split: hash the near-dup cluster's canonical id
         # (own id for singletons) — mirrors ops/curate.split_by_cluster

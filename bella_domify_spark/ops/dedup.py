@@ -161,6 +161,53 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_buckets(sig: DataFrame, bands: int = 16,
+                         rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bucket) LSH band buckets from a signature table — the
+    shared banding of minhash_lsh_pairs, exposed so an incremental
+    pipeline can MATERIALIZE the corpus's bucket index once and join each
+    day's new batch against it (incremental_dedup)."""
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sig.select("id", "sig", band_idx).select(
+        "id", "band",
+        F.md5(F.concat_ws(",", F.transform(
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))).alias("bucket"))
+
+
+def incremental_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, num_hashes: int = 64,
+                      bands: int = 16) -> DataFrame:
+    """Screen an incoming batch against an EXISTING corpus: a new doc is
+    flagged when any of its MinHash LSH bands collides with a corpus
+    bucket. Returns every new doc as ``(id, is_dup)``.
+
+    This is the incremental form of minhash_lsh_pairs: instead of an
+    all-pairs band self-join over old∪new, the corpus side is a bucket
+    index — (id, band, bucket), O(corpus × bands) rows — that a
+    production pipeline materializes ONCE and appends to as batches
+    commit, so each day's screen joins batch-sized bands against the
+    index (shuffle ∝ batch + matched buckets, never corpus rescans; the
+    same asymmetry decontaminate_bloom exploits with its broadcast
+    bitmap). Band collisions admit LSH false positives by design — the
+    batch-level screen errs toward flagging; the exact est-jaccard
+    verification runs downstream on the flagged subset only."""
+    rows_per_band = num_hashes // bands
+    b_new = minhash_band_buckets(
+        minhash_signatures(new_docs, id_col, text_col, n, num_hashes),
+        bands, rows_per_band)
+    b_old = minhash_band_buckets(
+        minhash_signatures(corpus_docs, id_col, text_col, n, num_hashes),
+        bands, rows_per_band)
+    hits = (b_new.join(b_old.select("band", "bucket").distinct(),
+                       ["band", "bucket"], "left_semi")
+            .select("id").distinct())
+    return (new_docs.select(F.col(id_col).alias("id"))
+            .join(hits.withColumn("_hit", F.lit(1)), "id", "left")
+            .select("id", F.col("_hit").isNotNull().alias("is_dup")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.7) -> DataFrame:
@@ -177,12 +224,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # persist for the single materializing pass, release before returning
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
 
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select("id", "sig", band_idx).select(
-        "id", "band",
-        F.md5(F.concat_ws(",", F.transform(
-            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
-            lambda x: x.cast("string")))).alias("bucket"))
+    banded = minhash_band_buckets(sig, bands, rows_per_band)
 
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")

@@ -121,6 +121,26 @@ class TestDedup:
             assert op(docs).count() > 0
             assert cache_mgr.isEmpty(), op
 
+    def test_incremental_dedup_screens_new_batch(self, spark):
+        from bella_domify_spark.ops.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog near the "
+                 "river bank at dawn while birds sing loudly overhead"),
+             (2, "spark shuffle partition broadcast join skew salt stage "
+                 "codegen arrow batch pandas vector column pruning scan")],
+            ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog near the "
+                 "river bank at dawn while birds sing loudly overhead"),
+             (3, "completely novel content about alpine meadows glaciers "
+                 "and long mountain hiking trails in early summer light"),
+             (5, "xy")],  # < 3 words: no shingles, must still appear
+            ["doc_id", "text"])
+        got = {r["id"]: r["is_dup"]
+               for r in incremental_dedup(new, corpus).collect()}
+        assert got == {1: True, 3: False, 5: False}
+
     def test_duplicate_clusters(self, spark):
         from bella_domify_spark.ops.dedup import duplicate_clusters
 
