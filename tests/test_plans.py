@@ -74,3 +74,34 @@ class TestPlanDiscipline:
         # the wide columns must NOT reach the scan
         for absent in ("source", "lang", "label"):
             assert absent not in read_schema, read_schema
+
+
+class TestSession3PlanShapes:
+    def test_chunk_docs_is_shuffle_free(self, spark):
+        from bella_domify_spark.ops.textstats import chunk_docs
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(chunk_docs(d))
+        assert "Exchange" not in plan        # map-side projection + explode
+        assert "Python" not in plan          # no UDF of any kind
+
+    def test_pack_sequences_single_shard_shuffle(self, spark):
+        from bella_domify_spark.ops.textstats import pack_sequences
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(pack_sequences(d))
+        assert plan.count("Exchange") == 1   # the shard window partition
+        assert "Python" not in plan
+
+    def test_transcript_ops_prune_events_scan(self, spark):
+        import __spark_entry__ as entry
+
+        for name in ("tool_run_stats", "role_transitions", "tool_latency"):
+            qe = entry.queries()[name](spark, SF)._jdf.queryExecution()
+            read = [l for l in qe.toString().splitlines()
+                    if "ReadSchema" in l]
+            # the events scan must carry only the 3 derivation columns —
+            # no payload, no event_type/props/value
+            assert read and all(
+                "props" not in l and "value" not in l and "event_type" not in l
+                for l in read), name
