@@ -302,6 +302,20 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_truncate_conversations(spark, sf):
+    """Head+tail context-window truncation per conversation
+    (ops/transcript.py): first 4 + last 2 turns, head wins overlaps."""
+    from bella_domify_spark.ops.transcript import truncate_conversations
+    return truncate_conversations(_agent_transcripts(spark, sf))
+
+
+def _q_adaptive_quality(spark, sf):
+    """Per-language adaptive quality cutoff (ops/curate.py): keep iff the
+    doc clears its own stratum's exact p25 score."""
+    from bella_domify_spark.ops.curate import adaptive_quality_filter
+    return adaptive_quality_filter(_t(spark, sf, "documents"))
+
+
 def _q_incremental_dedup(spark, sf):
     """Batch-vs-corpus MinHash bucket screen (ops/dedup.py): odd doc_ids
     are 'today's batch', even doc_ids the standing corpus."""
@@ -1057,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
         "incremental_dedup": _q_incremental_dedup,
+        "truncate_conversations": _q_truncate_conversations,
+        "adaptive_quality": _q_adaptive_quality,
         # (format_detect_stats / dedup_cluster_simhash rotated out to make
         # room for the salted-asof and bloom-decontaminate scale paths;
         # both r4-green and green in this session's local oracle run)
@@ -1991,6 +2007,57 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": f"""
             WITH RECURSIVE {jaccard_cluster_ctes}
             {_cluster_select("doc_id")}
+        """,
+        "truncate_conversations": f"""
+            WITH {_AGENT_T_CTE},
+            m AS (
+                SELECT conv_id, turn_idx, role,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx ASC) AS ra,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx DESC) AS rd
+                FROM t
+            )
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN ra <= 4 THEN 'head'
+                        WHEN rd <= 2 THEN 'tail' END AS segment
+            FROM m WHERE ra <= 4 OR rd <= 2
+        """,
+        # per-stratum exact-p25 cutoff — score formula mirrors doc_quality;
+        # the threshold is the event_value_quantiles order-statistic rule
+        "adaptive_quality": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       round(
+                         (CASE WHEN length(text) < 20 THEN 0.0 ELSE 1.0 END)
+                         * (CASE WHEN (length(text)
+                                  - (length(regexp_split_to_array(text, '\\s+')) - 1))
+                                  / length(regexp_split_to_array(text, '\\s+'))::DOUBLE > 12
+                                 THEN 0.5 ELSE 1.0 END)
+                         * (1.0 - (length(text)
+                                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                  / (length(text) + 1)), 4) AS quality_score
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, doc_id, quality_score,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY quality_score ASC NULLS LAST, doc_id)
+                           AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM q
+            ),
+            thr AS (
+                SELECT lang,
+                       max(CASE WHEN rn = floor((n - 1) * 0.25) + 1
+                                THEN quality_score END) AS q_thr
+                FROM r GROUP BY lang
+            )
+            SELECT q.doc_id, q.lang,
+                   floor(quality_score * 1e4)::BIGINT AS score_e4,
+                   floor(q_thr * 1e4)::BIGINT AS thr_e4,
+                   (quality_score >= q_thr) AS kept
+            FROM q JOIN thr USING (lang)
         """,
         # batch-vs-corpus screen: odd ids flagged iff any band bucket
         # collides with an even id's bucket — mirrors ops/dedup.py

@@ -26,7 +26,7 @@ whenever the measured dup set is small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
@@ -88,3 +88,45 @@ def split_by_cluster(docs: DataFrame, id_col: str = "doc_id",
             .join(clusters.select(id_col, "canonical_id"), id_col, "left")
             .select(F.col(id_col), key,
                     bucket.cast("int").alias("bucket"), split.alias("split")))
+
+
+def adaptive_quality_filter(docs: DataFrame, p: float = 0.25,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            strata_col: str = "lang") -> DataFrame:
+    """Per-stratum adaptive quality cutoff: keep a document iff its
+    quality score clears its OWN language's p-quantile, instead of one
+    global threshold that over-prunes low-resource strata (the fixed
+    cutoff in curate_corpus is tuned for the majority language; a p25
+    cutoff per stratum drops just under each stratum's worst quartile —
+    the rows strictly below the floor((n-1)p)+1 order statistic, so tiny
+    strata with n ≤ 1/p keep everything rather than over-pruning).
+
+    The threshold is an exact order statistic picked by the
+    event_value_quantiles rule (row floor((n-1)p)+1 of the
+    (score, id)-ordered stratum — engine-agnostic, no interpolation), so
+    keep/drop decisions are bit-stable. Returns every doc with its
+    stratum, e4-quantized score and threshold, and the keep flag.
+
+    Plan: ONE shuffle by stratum feeds both window row_numbers and the
+    threshold aggregate; the threshold table is strata-sized and
+    broadcast-joins back."""
+    from bella_domify_spark.ops.textstats import quality_features
+
+    q = (quality_features(docs, id_col, text_col)
+         .select(id_col, "quality_score")
+         .join(docs.select(id_col, strata_col), id_col))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality_score").asc_nulls_last(), F.col(id_col))
+    n = Window.partitionBy(strata_col)
+    r = q.select(strata_col, id_col, "quality_score",
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(n).alias("n"))
+    thr = (r.groupBy(strata_col)
+           .agg(F.max(F.when(
+               F.col("rn") == F.floor((F.col("n") - 1) * F.lit(p)) + 1,
+               F.col("quality_score"))).alias("q_thr")))
+    return (q.join(F.broadcast(thr), strata_col)
+            .select(F.col(id_col), F.col(strata_col),
+                    F.floor(F.col("quality_score") * 1e4).alias("score_e4"),
+                    F.floor(F.col("q_thr") * 1e4).alias("thr_e4"),
+                    (F.col("quality_score") >= F.col("q_thr")).alias("kept")))

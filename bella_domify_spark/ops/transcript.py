@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["tool_run_stats", "role_transitions", "tool_latency"]
+__all__ = ["tool_run_stats", "role_transitions", "tool_latency",
+           "truncate_conversations"]
 
 
 def _turn_window(conv_col: str, idx_col: str) -> Window:
@@ -92,3 +93,24 @@ def tool_latency(t: DataFrame, conv_col: str = "conv_id",
             .agg(F.count(F.lit(1)).alias("n_calls"),
                  F.sum("_gap_us").alias("sum_gap_us"),
                  F.max("_gap_us").alias("max_gap_us")))
+
+
+def truncate_conversations(t: DataFrame, head: int = 4, tail: int = 2,
+                           conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           role_col: str = "role") -> DataFrame:
+    """Context-window fitting for long conversations: keep the first
+    ``head`` and last ``tail`` turns of each conversation and label which
+    segment kept each turn ('head' wins when a short conversation's
+    segments overlap). The standard long-transcript truncation before
+    packing into fixed training windows.
+
+    Two row_numbers over the same conversation-keyed shuffle (asc and
+    desc by turn); everything else is a map-side filter — dropped middle
+    turns never leave the stage."""
+    w_a = Window.partitionBy(conv_col).orderBy(F.col(idx_col).asc())
+    w_d = Window.partitionBy(conv_col).orderBy(F.col(idx_col).desc())
+    seg = (F.when(F.row_number().over(w_a) <= head, "head")
+            .when(F.row_number().over(w_d) <= tail, "tail"))
+    return (t.select(conv_col, idx_col, role_col, seg.alias("segment"))
+            .filter(F.col("segment").isNotNull()))

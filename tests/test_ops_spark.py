@@ -1324,3 +1324,41 @@ class TestSplitByCluster:
             docs.select("doc_id")).collect()}
         assert got[3]["split"] == plain[3]["split"]
         assert got[3]["bucket"] == plain[3]["bucket"]
+
+
+class TestTruncateAndAdaptiveQuality:
+    def test_truncate_head_tail_and_overlap(self, spark):
+        import datetime as dt
+
+        from bella_domify_spark.ops.transcript import truncate_conversations
+
+        base = dt.datetime(2026, 1, 1)
+        rows = ([("long", i, "user", "", base) for i in range(10)]
+                + [("short", i, "user", "", base) for i in range(3)])
+        t = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "tool", "ts"])
+        got = {}
+        for r in truncate_conversations(t, head=4, tail=2).collect():
+            got.setdefault(r["conv_id"], {})[r["turn_idx"]] = r["segment"]
+        assert got["long"] == {0: "head", 1: "head", 2: "head", 3: "head",
+                               8: "tail", 9: "tail"}
+        # 3-turn conv: head covers everything, no duplicate tail rows
+        assert got["short"] == {0: "head", 1: "head", 2: "head"}
+
+    def test_adaptive_cutoff_is_per_stratum(self, spark):
+        from bella_domify_spark.ops.curate import adaptive_quality_filter
+
+        # stratum A: clean docs; stratum B: punctuation-heavy docs whose
+        # scores would all fail a fixed cutoff tuned on A — the
+        # per-stratum p25 (order statistic floor((n-1)p)+1 = row 3 of 9)
+        # drops exactly B's two worst and keeps the rest
+        mk = lambda punct: "word " * 10 + ("!?;:" * punct)
+        docs = spark.createDataFrame(
+            [(i, mk(0), "aa") for i in range(4)]
+            + [(10 + i, mk(2 + 2 * i), "bb") for i in range(9)],
+            ["doc_id", "text", "lang"])
+        got = {r["doc_id"]: r for r in adaptive_quality_filter(docs).collect()}
+        bb_kept = {d for d, r in got.items() if r["lang"] == "bb" and r["kept"]}
+        # scores decrease with punctuation, so ids 17/18 are the two worst
+        assert bb_kept == {10, 11, 12, 13, 14, 15, 16}
+        assert all(r["kept"] for r in got.values() if r["lang"] == "aa")
