@@ -302,6 +302,15 @@ _AGENT_T_CTE = """t AS (
                 FROM events)"""
 
 
+def _q_cross_surprisal(spark, sf):
+    """Batch-vs-corpus bigram LM scoring (ops/textstats.py): odd doc_ids
+    scored under the even-id corpus's smoothed bigram statistics."""
+    from bella_domify_spark.ops.textstats import cross_surprisal
+    d = _t(spark, sf, "documents")
+    return cross_surprisal(d.filter(F.pmod("doc_id", F.lit(2)) == 1),
+                           d.filter(F.pmod("doc_id", F.lit(2)) == 0))
+
+
 def _q_truncate_conversations(spark, sf):
     """Head+tail context-window truncation per conversation
     (ops/transcript.py): first 4 + last 2 turns, head wins overlaps."""
@@ -1070,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
+        "cross_surprisal": _q_cross_surprisal,
         "incremental_dedup": _q_incremental_dedup,
         "truncate_conversations": _q_truncate_conversations,
         "adaptive_quality": _q_adaptive_quality,
@@ -1712,6 +1722,47 @@ def oracle_sql() -> dict[str, str]:
             )
             -- integer-exact mean at 1e-6 (HUGEINT floor division) — no
             -- double round-trip, mirrors the Spark div
+            SELECT id AS doc_id, count(*) AS n_bigrams,
+                   (sum(s)::HUGEINT
+                    // (count(*)::HUGEINT * 1000000))::BIGINT
+                       AS mean_surprisal_e6
+            FROM s GROUP BY id
+        """,
+        # cross_surprisal: odd doc_ids scored under the even-id corpus's
+        # add-one-smoothed bigram LM (ops/textstats.py cross_surprisal) —
+        # same floor-e12 / HUGEINT-mean discipline as bigram_surprisal
+        "cross_surprisal": r"""
+            WITH w AS (
+                SELECT doc_id AS id, doc_id % 2 = 0 AS is_corpus,
+                       regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ), b AS (
+                SELECT id, is_corpus, a[i] AS w1, a[i + 1] AS w2
+                FROM w, UNNEST(range(1, len(a))) AS t(i)
+                WHERE a[i] <> '' AND a[i + 1] <> ''
+            ), c12 AS (
+                SELECT w1, w2, count(*) AS c12
+                FROM b WHERE is_corpus GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1
+            ), vocab AS (
+                SELECT count(DISTINCT w)::BIGINT AS v FROM (
+                    SELECT w1 AS w FROM b WHERE is_corpus
+                    UNION ALL
+                    SELECT w2 AS w FROM b WHERE is_corpus)
+            ), s AS (
+                -- Laplace: unseen transitions get -ln(1/(c1+V)), a join
+                -- miss on c1 degrades to -ln(1/V)
+                SELECT nb.id,
+                       floor(-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                                 / (COALESCE(c1.c1, 0) + vocab.v))
+                             * 1e12)::DECIMAL(20,0) AS s
+                FROM b nb
+                LEFT JOIN c12 USING (w1, w2)
+                LEFT JOIN c1 USING (w1)
+                CROSS JOIN vocab
+                WHERE NOT nb.is_corpus
+            )
             SELECT id AS doc_id, count(*) AS n_bigrams,
                    (sum(s)::HUGEINT
                     // (count(*)::HUGEINT * 1000000))::BIGINT

@@ -543,3 +543,56 @@ def vocab_stats(df: DataFrame, top_n: int = 200,
             .withColumn("cum_freq", F.sum("freq").over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .filter(F.col("rank") <= top_n))
+
+
+def cross_surprisal(new_docs: DataFrame, corpus_docs: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Score an incoming batch under the STANDING corpus's bigram LM —
+    the cross-corpus form of bigram_surprisal: the reference statistics
+    (c12, c1, vocabulary V) come from ``corpus_docs``, the scored bigrams
+    from ``new_docs``, with add-one (Laplace) smoothing so unseen
+    transitions get finite surprisal -ln((c12+1)/(c1+V)) instead of a
+    join miss. High mean = the batch's transitions are alien to the
+    corpus (spam/noise/another register); the incremental-curation
+    companion of incremental_dedup.
+
+    Same exact-hash discipline as bigram_surprisal (floor-e12 per-bigram
+    quantization, DECIMAL sums, integer mean); same one-aggregation
+    plan — corpus bigrams shuffle ONCE into c12, c1 and V derive from
+    aggregate-sized inputs, and the batch-side join is batch-sized (a
+    production pipeline materializes the corpus LM once and reuses it
+    every batch)."""
+    def bigrams(df):
+        words = df.select(F.col(id_col).alias("id"),
+                          F.split(F.lower(F.col(text_col)), r"\s+").alias("a"))
+        n = F.size("a")
+        return (words.select(
+            "id", F.explode(F.arrays_zip(
+                F.slice("a", 1, n - 1).alias("w1"),
+                F.slice("a", 2, n - 1).alias("w2"))).alias("z"))
+            .select("id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+            .filter((F.col("w1") != "") & (F.col("w2") != "")))
+
+    ref = bigrams(corpus_docs)
+    c12 = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (ref.select(F.col("w1").alias("w"))
+             .unionAll(ref.select(F.col("w2").alias("w")))
+             .agg(F.countDistinct("w").alias("v")))
+
+    nb = bigrams(new_docs)
+    scored = (nb.join(c12, ["w1", "w2"], "left")
+              .join(c1, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .select("id", F.floor(-F.log(
+                  (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                  / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
+                  * F.lit(1e12)).cast("decimal(20,0)").alias("s")))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("s").alias("ssum"))
+            .select(F.col("id").alias(id_col), "n_bigrams",
+                    F.expr("ssum div (CAST(n_bigrams AS DECIMAL(20,0))"
+                           " * 1000000)").cast("long")
+                    .alias("mean_surprisal_e6")))

@@ -896,6 +896,27 @@ class TestFunnelAndSurprisal:
         assert got[2]["mean_surprisal_e6"] == s_ac // 10**6
         assert 3 not in got                      # <2 words: no bigrams
 
+    def test_cross_surprisal_laplace(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import cross_surprisal
+
+        # corpus "a b a b": c12(ab)=2 ba=1, c1(a)=2 b=1, V={a,b}=2
+        corpus = spark.createDataFrame([(2, "a b a b")], ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [(1, "a b a"), (3, "z z"), (5, "solo")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in
+               cross_surprisal(new, corpus).collect()}
+        s_ab = math.floor(-math.log((2 + 1) / (2 + 2)) * 1e12)  # seen
+        s_ba = math.floor(-math.log((1 + 1) / (1 + 2)) * 1e12)  # seen
+        s_zz = math.floor(-math.log(1 / 2) * 1e12)        # unseen w1: 1/V
+        assert got[1]["n_bigrams"] == 2
+        assert got[1]["mean_surprisal_e6"] == (s_ab + s_ba) // (2 * 10**6)
+        assert got[3]["mean_surprisal_e6"] == s_zz // 10**6
+        assert 5 not in got                      # <2 words: no bigrams
+        # alien batch scores strictly above an in-distribution one
+        assert got[3]["mean_surprisal_e6"] > got[1]["mean_surprisal_e6"]
+
     def test_cms_overestimates_never_undercount(self, spark):
         from bella_domify_spark.ops.sketches import cms_heavy_hitters
 
