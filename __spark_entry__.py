@@ -980,6 +980,14 @@ def _q_dup_span_stats(spark, sf):
     return dup_span_stats(_t(spark, sf, "documents"))
 
 
+def _q_remove_dup_spans(spark, sf):
+    """Exact-substring dedup as a transform (ops/dedup.py
+    remove_dup_spans): words covered by non-first duplicated 8-gram span
+    instances are excised and the text reassembled."""
+    from bella_domify_spark.ops.dedup import remove_dup_spans
+    return remove_dup_spans(_t(spark, sf, "documents"))
+
+
 def _q_mix_weights(spark, sf):
     """Static domain-mixture reweighting (per-stratum sampling rates for a
     fixed target share of a token budget) — one aggregate, all-integer."""
@@ -1080,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
         "cross_surprisal": _q_cross_surprisal,
+        "remove_dup_spans": _q_remove_dup_spans,
         "incremental_dedup": _q_incremental_dedup,
         "truncate_conversations": _q_truncate_conversations,
         "adaptive_quality": _q_adaptive_quality,
@@ -1146,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         lsh_bucket_ctes,
         md5_int60,
         shingle_instance_ctes,
+        span_removal_ctes,
         minhash_cand_ctes,
         shingle_ctes,
         simhash_fp_ctes,
@@ -1964,6 +1974,16 @@ def oracle_sql() -> dict[str, str]:
                          / count(*) * 1e6)::BIGINT AS dup_ratio_e6
             FROM si JOIN dfq USING (shingle)
             GROUP BY id
+        """,
+        "remove_dup_spans": f"""
+            WITH {span_removal_ctes(8)}
+            SELECT id AS doc_id,
+                   COALESCE(string_agg(CASE WHEN c <= 0 THEN word END,
+                                       ' ' ORDER BY p), '') AS text,
+                   count(*) AS n_words,
+                   sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_words_dropped
+            FROM cov GROUP BY id
         """,
         "gopher_quality": r"""
             WITH w AS (

@@ -450,3 +450,75 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
         F.col("id").alias(id_col), "n_spans", "n_dup_spans",
         F.floor(F.col("n_dup_spans") / F.col("n_spans") * F.lit(1e6))
         .cast("long").alias("dup_ratio_e6"))
+
+
+def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 8) -> DataFrame:
+    """Exact-substring deduplication as a TRANSFORM (the rewrite companion
+    of dup_span_stats, after Lee et al. 2021 at word-``n``-gram
+    granularity): every word covered by a corpus-duplicated span instance
+    that is NOT the span's global first occurrence (smallest (doc, pos))
+    is dropped, and the surviving words are reassembled in order. The
+    first occurrence of boilerplate survives once corpus-wide; every
+    repeat is excised in place rather than the whole document dying.
+
+    Tokenization matches word_shingles (lower + ``\\s+`` split); output
+    text is the normalized words joined by single spaces. Output:
+    (doc_id, text, n_words, n_words_dropped) — one row per input doc,
+    empty text when everything was covered.
+
+    Scale: the winner/occurrence table is ONE map-side-combined
+    aggregation keyed by shingle (min(struct(id,pos)) — no window over
+    hot shingles, so a billion-occurrence boilerplate span costs a
+    combiner cell, not a partition); the instance↔winner join shuffles
+    by shingle (AQE skew split applies); span coverage is an interval
+    diff (+1/-1 deltas, per-doc prefix sum) so a removable instance
+    costs 2 rows, not ``n``; the prefix-sum window and the reassembly
+    aggregate are both per-doc (bounded by document length) and share
+    one hash partitioning on id."""
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"))
+    m = F.size("w") - n + 1
+    zipped = F.arrays_zip(*[F.slice("w", i + 1, m) for i in range(n)])
+    shingle = F.when(
+        F.size("w") >= n,
+        F.transform(zipped,
+                    lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    inst = (words.select("id", F.posexplode(shingle).alias("pos0", "shingle"))
+            .select("id", (F.col("pos0") + 1).alias("pos"), "shingle"))
+
+    agg = inst.groupBy("shingle").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("occ"))
+    removable = (inst.join(agg, "shingle")
+                 .filter((F.col("occ") >= 2)
+                         & ~((F.col("id") == F.col("first.id"))
+                             & (F.col("pos") == F.col("first.pos"))))
+                 .select("id", "pos"))
+
+    deltas = (removable.select("id", F.col("pos").alias("p"),
+                               F.lit(1).alias("d"))
+              .unionAll(removable.select("id", (F.col("pos") + n).alias("p"),
+                                         F.lit(-1).alias("d")))
+              .groupBy("id", "p").agg(F.sum("d").alias("d")))
+
+    wpos = (words.select("id", F.posexplode("w").alias("p0", "word"))
+            .select("id", (F.col("p0") + 1).alias("p"), "word"))
+    cov_w = Window.partitionBy("id").orderBy("p")
+    covered = (wpos.join(deltas, ["id", "p"], "left")
+               .withColumn("cov",
+                           F.sum(F.coalesce("d", F.lit(0))).over(cov_w)))
+    return (covered.groupBy("id")
+            .agg(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("cov") <= 0, F.struct("p", "word")))),
+                     lambda s: s["word"])).alias("text"),
+                 F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.when(F.col("cov") > 0, 1).otherwise(0))
+                 .alias("n_words_dropped"))
+            .select(F.col("id").alias(id_col), "text", "n_words",
+                    "n_words_dropped"))

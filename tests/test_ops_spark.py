@@ -1115,6 +1115,49 @@ class TestDupSpans:
         assert got[1]["n_dup_spans"] == 0
 
 
+class TestRemoveDupSpans:
+    def test_first_occurrence_survives_repeats_excised(self, spark):
+        from bella_domify_spark.ops.dedup import remove_dup_spans
+
+        df = spark.createDataFrame([
+            (1, "one two three four alpha beta"),   # global first: intact
+            (2, "one two three four gamma delta"),  # repeat: span excised
+            (4, "too short"),                       # <n words: untouched
+        ], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in remove_dup_spans(df, n=4).collect()}
+        assert got[1]["text"] == "one two three four alpha beta"
+        assert got[1]["n_words_dropped"] == 0
+        assert got[2]["text"] == "gamma delta"
+        assert got[2]["n_words"] == 6 and got[2]["n_words_dropped"] == 4
+        assert got[4]["text"] == "too short"
+        assert got[4]["n_words_dropped"] == 0
+
+    def test_within_doc_repeats_are_removable(self, spark):
+        # unlike dup_span_stats (doc-frequency), removal counts INSTANCES
+        # (Lee et al.: any substring occurring twice, even in one doc)
+        from bella_domify_spark.ops.dedup import remove_dup_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d a b c d")], ["doc_id", "text"])
+        got = remove_dup_spans(df, n=4).collect()[0]
+        assert got["text"] == "a b c d"
+        assert got["n_words"] == 8 and got["n_words_dropped"] == 4
+
+    def test_overlapping_spans_union_coverage(self, spark):
+        # two overlapping removable instances cover the UNION of their
+        # word ranges exactly once (interval-diff, not per-span explode)
+        from bella_domify_spark.ops.dedup import remove_dup_spans
+
+        df = spark.createDataFrame([
+            (5, "p q r s t end1"),
+            (6, "p q r s t end2"),
+        ], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in remove_dup_spans(df, n=4).collect()}
+        assert got[5]["n_words_dropped"] == 0
+        assert got[6]["text"] == "end2"
+        assert got[6]["n_words_dropped"] == 5
+
+
 class TestMixAndRecall:
     def test_mix_weights_caps_and_zeroes(self, spark):
         from bella_domify_spark.ops.textstats import mix_weights

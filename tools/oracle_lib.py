@@ -201,3 +201,49 @@ LSH_PAIR_CAND = """cand AS (
                 FROM vbuck a JOIN vbuck b ON a.t = b.t AND a.bucket = b.bucket
                 WHERE a.vec_id < b.vec_id
             )"""
+
+
+def span_removal_ctes(n: int = 8) -> str:
+    """words + positional shingle instances + duplicated-span coverage
+    (dedup.remove_dup_spans): terminal CTE ``cov`` = (id, p, word, c)
+    where c > 0 means word position p is covered by a removable span
+    instance (a duplicated n-gram occurrence that is not the global
+    first). Interval-diff (+1/-1) coverage, mirroring the Spark side."""
+    k = n - 1
+    return f"""words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents
+            ),
+            sip AS (
+                SELECT doc_id AS id, i AS pos,
+                       array_to_string(w[i:i+{k}], ' ') AS shingle
+                FROM words, UNNEST(range(1, len(w) - {k - 1})) AS t(i)
+            ),
+            marked AS (
+                SELECT id, pos,
+                       row_number() OVER (PARTITION BY shingle
+                                          ORDER BY id, pos) AS rn,
+                       count(*) OVER (PARTITION BY shingle) AS occ
+                FROM sip
+            ),
+            removable AS (
+                SELECT id, pos FROM marked WHERE occ >= 2 AND rn > 1
+            ),
+            deltas AS (
+                SELECT id, p, sum(d)::BIGINT AS d FROM (
+                    SELECT id, pos AS p, 1 AS d FROM removable
+                    UNION ALL
+                    SELECT id, pos + {n} AS p, -1 AS d FROM removable)
+                GROUP BY id, p
+            ),
+            wp AS (
+                SELECT doc_id AS id, i AS p, w[i] AS word
+                FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ),
+            cov AS (
+                SELECT wp.id, wp.p, wp.word,
+                       sum(COALESCE(d.d, 0)) OVER (
+                           PARTITION BY wp.id ORDER BY wp.p) AS c
+                FROM wp LEFT JOIN deltas d
+                    ON d.id = wp.id AND d.p = wp.p
+            )"""
