@@ -988,6 +988,14 @@ def _q_remove_dup_spans(spark, sf):
     return remove_dup_spans(_t(spark, sf, "documents"))
 
 
+def _q_kmeans_assign(spark, sf):
+    """Integer-exact distributed Lloyd's k-means (ops/ann.py
+    kmeans_assign): 2 broadcast-assign/update iterations over quantized
+    embeddings, final (cluster_id, dist2) per vector."""
+    from bella_domify_spark.ops.ann import kmeans_assign
+    return kmeans_assign(_t(spark, sf, "embeddings"))
+
+
 def _q_mix_weights(spark, sf):
     """Static domain-mixture reweighting (per-stratum sampling rates for a
     fixed target share of a token budget) — one aggregate, all-integer."""
@@ -1089,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_cluster": _q_split_by_cluster,
         "cross_surprisal": _q_cross_surprisal,
         "remove_dup_spans": _q_remove_dup_spans,
+        "kmeans_assign": _q_kmeans_assign,
         "incremental_dedup": _q_incremental_dedup,
         "truncate_conversations": _q_truncate_conversations,
         "adaptive_quality": _q_adaptive_quality,
@@ -1156,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         md5_int60,
         shingle_instance_ctes,
         span_removal_ctes,
+        kmeans_ctes,
         minhash_cand_ctes,
         shingle_ctes,
         simhash_fp_ctes,
@@ -1974,6 +1984,13 @@ def oracle_sql() -> dict[str, str]:
                          / count(*) * 1e6)::BIGINT AS dup_ratio_e6
             FROM si JOIN dfq USING (shingle)
             GROUP BY id
+        """,
+        "kmeans_assign": f"""
+            WITH {kmeans_ctes(8, 2)}
+            SELECT id AS vec_id, c_id AS cluster_id, dist2
+            FROM dF
+            QUALIFY row_number() OVER (PARTITION BY id
+                                       ORDER BY dist2, c_id) = 1
         """,
         "remove_dup_spans": f"""
             WITH {span_removal_ctes(8)}

@@ -107,6 +107,67 @@ def train_centroids(vectors: DataFrame, n_centroids: int = 8, iters: int = 4,
         "c_id int, c_vec array<double>")
 
 
+def kmeans_assign(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Distributed Lloyd's k-means with INTEGER-EXACT arithmetic — the
+    oracle-twinnable sibling of ``train_centroids`` (which stays in float
+    space and is documented as unoracled): embeddings quantize to
+    floor(x·scale) BIGINT once, distances are integer squared-euclidean,
+    and centroid updates are elementwise truncating integer means
+    (``div`` ≡ DuckDB ``//``, both toward zero), so every iteration is
+    bit-reproducible across engines, partitionings and scale factors —
+    an iterative algorithm under the same exact-hash gate as the
+    relational queries. Seeds = the ``n_clusters`` lowest-id vectors
+    (c_id in id order); ties to the smallest c_id; empty clusters keep
+    their previous centroid. Output: (vec_id, cluster_id, dist2) under
+    the final centroids.
+
+    Scale: the centroid table is aggregate-sized and BROADCAST every
+    iteration — assignment is a map-side zip_with/aggregate over the
+    big side (no shuffle, no Python); the update is one narrow
+    (c_id, pos) aggregation with map-side combine (rows fan ×dim but
+    carry 3 ints). The whole loop never collects vectors to the driver;
+    plan depth grows linearly in ``iters`` (fixed and small — a
+    production run at higher iters would localCheckpoint between
+    rounds, the connected_components discipline)."""
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(scale))).cast("long"))
+        .alias("v"))
+    seeds = (q.orderBy("id").limit(n_clusters)
+             .withColumn("c_id", F.row_number().over(Window.orderBy("id")) - 1)
+             .select("c_id", F.col("v").alias("c")))
+
+    def assign(cdf):
+        d2 = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("c_id"))
+        return (q.crossJoin(F.broadcast(cdf))
+                .select("id", "v", "c_id", d2.alias("dist2"))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1).drop("r"))
+
+    cents = seeds
+    for _ in range(iters):
+        won = assign(cents)
+        means = (won.select("c_id", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("c_id", "pos")
+                 .agg(F.expr("sum(x) div count(1)").alias("m"))
+                 .groupBy("c_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("c_id",
+                         F.transform("pm", lambda s: s["m"]).alias("cnew")))
+        cents = (cents.join(means, "c_id", "left")
+                 .select("c_id", F.coalesce("cnew", "c").alias("c")))
+    return (assign(cents)
+            .select(F.col("id").alias(id_col),
+                    F.col("c_id").cast("long").alias("cluster_id"), "dist2"))
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",

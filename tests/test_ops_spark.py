@@ -475,6 +475,56 @@ class TestAnn:
         assert recall >= 0.9, recall
 
 
+class TestKmeansAssign:
+    def test_two_cluster_convergence_exact_dist(self, spark):
+        from bella_domify_spark.ops.ann import kmeans_assign
+
+        df = spark.createDataFrame([
+            (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+            (3, [10.0, 10.0]), (4, [10.1, 10.0]), (5, [10.0, 10.1]),
+        ], ["vec_id", "embedding"])
+        got = {r["vec_id"]: r for r in
+               kmeans_assign(df, n_clusters=2, iters=2).collect()}
+        # both seeds start inside group A; two Lloyd rounds separate the
+        # groups: {0,1,2} together, {3,4,5} together, different clusters
+        assert got[0]["cluster_id"] == got[1]["cluster_id"] \
+            == got[2]["cluster_id"]
+        assert got[3]["cluster_id"] == got[4]["cluster_id"] \
+            == got[5]["cluster_id"]
+        assert got[0]["cluster_id"] != got[3]["cluster_id"]
+        # integer-exact final distance: centroid A = (100000+0+0) div 3
+        # = 33333 per axis, so dist2(vec 0) = 2 * 33333^2
+        assert got[0]["dist2"] == 2 * 33333 ** 2
+
+    def test_duplicate_seeds_tie_to_lowest_and_keep_empty(self, spark):
+        from bella_domify_spark.ops.ann import kmeans_assign
+
+        df = spark.createDataFrame(
+            [(0, [1.0]), (1, [1.0]), (2, [1.5])], ["vec_id", "embedding"])
+        got = {r["vec_id"]: r for r in
+               kmeans_assign(df, n_clusters=2, iters=2).collect()}
+        # identical seed centroids: round 0 ties every point to c_id 0
+        # and cluster 1 goes EMPTY — it must keep its previous centroid
+        # (no divide-by-zero), which still sits on the seed point and so
+        # recaptures vectors 0,1 at distance 0 in round 1 while the
+        # moved c0 takes vector 2: duplicate seeds self-repair instead
+        # of crashing or collapsing to one cluster
+        assert got[0]["cluster_id"] == got[1]["cluster_id"] == 1
+        assert got[0]["dist2"] == got[1]["dist2"] == 0
+        assert got[2]["cluster_id"] == 0 and got[2]["dist2"] == 0
+
+    def test_partition_invariance(self, spark):
+        from bella_domify_spark.ops.ann import kmeans_assign
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet").limit(100)
+        a = {(r["vec_id"], r["cluster_id"], r["dist2"])
+             for r in kmeans_assign(df, iters=2).collect()}
+        b = {(r["vec_id"], r["cluster_id"], r["dist2"])
+             for r in kmeans_assign(df.repartition(13), iters=2).collect()}
+        assert a == b
+
+
 class TestMultimodal:
     def test_stub_decode_features(self, spark):
         from bella_domify_spark.ops.multimodal import attach_media, decode_features

@@ -247,3 +247,55 @@ def span_removal_ctes(n: int = 8) -> str:
                 FROM wp LEFT JOIN deltas d
                     ON d.id = wp.id AND d.p = wp.p
             )"""
+
+
+def kmeans_ctes(n_clusters: int = 8, iters: int = 2,
+                scale: int = 1_000_000) -> str:
+    """Integer-exact Lloyd's k-means over the embeddings view
+    (ann.kmeans_assign): quantized exploded coordinates ``qe``, seed
+    centroids ``se0``, then per-iteration assign/update CTE chains.
+    Terminal CTE ``dF`` holds (id, c_id, dist2) under the final
+    centroids; the caller QUALIFYs the winner. ``//`` truncates toward
+    zero, matching Spark's ``div``."""
+    parts = [f"""qe AS (
+                SELECT vec_id AS id, i AS pos,
+                       floor(embedding[i]::DOUBLE * {scale}.0)::BIGINT AS x
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            seed_ids AS (
+                SELECT id, row_number() OVER (ORDER BY id) - 1 AS c_id
+                FROM (SELECT DISTINCT id FROM qe ORDER BY id
+                      LIMIT {n_clusters})
+            ),
+            se0 AS (
+                SELECT c_id, pos, x AS cx FROM qe JOIN seed_ids USING (id)
+            )"""]
+    for r in range(iters):
+        parts.append(f"""d{r} AS (
+                SELECT qe.id, s.c_id,
+                       sum((qe.x - s.cx) * (qe.x - s.cx))::BIGINT AS dist2
+                FROM qe JOIN se{r} s USING (pos) GROUP BY qe.id, s.c_id
+            ),
+            w{r} AS (
+                SELECT id, c_id FROM d{r}
+                QUALIFY row_number() OVER (PARTITION BY id
+                                           ORDER BY dist2, c_id) = 1
+            ),
+            m{r} AS (
+                SELECT w.c_id, qe.pos,
+                       sum(qe.x)::BIGINT // count(*)::BIGINT AS cx
+                FROM w{r} w JOIN qe USING (id) GROUP BY w.c_id, qe.pos
+            ),
+            se{r + 1} AS (
+                SELECT c_id, pos, cx FROM m{r}
+                UNION ALL
+                SELECT s.c_id, s.pos, s.cx FROM se{r} s
+                WHERE s.c_id NOT IN (SELECT DISTINCT c_id FROM m{r})
+            )""")
+    parts.append(f"""dF AS (
+                SELECT qe.id, s.c_id,
+                       sum((qe.x - s.cx) * (qe.x - s.cx))::BIGINT AS dist2
+                FROM qe JOIN se{iters} s USING (pos)
+                GROUP BY qe.id, s.c_id
+            )""")
+    return ",\n            ".join(parts)
