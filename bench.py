@@ -126,7 +126,8 @@ def main() -> int:
                  "approx_distinct_hll", "layout_ocr_text", "tfidf_keywords",
                  "gopher_quality", "hist_event_quantiles", "dup_span_stats",
                  "mix_weights", "tool_run_stats", "tool_latency",
-                 "bm25_topk", "chunk_docs"]:
+                 "bm25_topk", "chunk_docs",
+                 "cross_surprisal", "remove_dup_spans", "kmeans_assign"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
