@@ -1208,6 +1208,95 @@ class TestRemoveDupSpans:
         assert got[6]["n_words_dropped"] == 5
 
 
+class TestSession4Bruteforce:
+    def test_remove_dup_spans_matches_bruteforce(self, spark):
+        # seeded random corpora over a tiny vocabulary (dense duplicate
+        # n-grams) vs a pure-Python brute force — an oracle independent
+        # of both Spark and DuckDB
+        import numpy as np
+
+        from bella_domify_spark.ops.dedup import remove_dup_spans
+
+        n = 3
+        for seed in (1, 7, 42):
+            rng = np.random.RandomState(seed)
+            vocab = ["aa", "bb", "cc", "dd"]
+            docs = [(i, " ".join(vocab[j] for j in
+                                 rng.randint(0, len(vocab),
+                                             rng.randint(1, 15))))
+                    for i in range(30)]
+
+            toks = {i: t.split(" ") for i, t in docs}
+            occ: dict = {}
+            for i in sorted(toks):
+                w = toks[i]
+                for p in range(len(w) - n + 1):
+                    occ.setdefault(tuple(w[p:p + n]), []).append((i, p))
+            covered = {i: set() for i in toks}
+            for lst in occ.values():
+                if len(lst) >= 2:
+                    for i, p in lst[1:]:       # all but the global first
+                        covered[i].update(range(p, p + n))
+            exp = {}
+            for i, w in toks.items():
+                kept = [x for p, x in enumerate(w) if p not in covered[i]]
+                exp[i] = (" ".join(kept), len(w), len(covered[i]))
+
+            df = spark.createDataFrame(docs, ["doc_id", "text"])
+            got = {r["doc_id"]: (r["text"], r["n_words"],
+                                 r["n_words_dropped"])
+                   for r in remove_dup_spans(df, n=n).collect()}
+            assert got == exp, seed
+
+    def test_kmeans_assign_matches_bruteforce(self, spark):
+        import math
+
+        import numpy as np
+
+        from bella_domify_spark.ops.ann import kmeans_assign
+
+        k, iters, scale = 3, 2, 10 ** 6
+
+        def trunc_div(s, m):
+            return s // m if s >= 0 else -((-s) // m)
+
+        for seed in (1, 7, 42):
+            rng = np.random.RandomState(seed)
+            vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 4)])
+                    for i in range(25)]
+            q = {i: [math.floor(x * scale) for x in v] for i, v in vecs}
+            ids = sorted(q)
+            cents = {c: list(q[ids[c]]) for c in range(k)}
+
+            def assign():
+                out = {}
+                for i in ids:
+                    best = None
+                    for c in sorted(cents):
+                        d = sum((a - b) ** 2
+                                for a, b in zip(q[i], cents[c]))
+                        if best is None or d < best[0]:
+                            best = (d, c)
+                    out[i] = best
+                return out
+
+            for _ in range(iters):
+                a = assign()
+                groups: dict = {}
+                for i, (_, c) in a.items():
+                    groups.setdefault(c, []).append(i)
+                for c, members in groups.items():
+                    cents[c] = [trunc_div(sum(q[i][t] for i in members),
+                                          len(members))
+                                for t in range(len(cents[c]))]
+            exp = {i: (c, d) for i, (d, c) in assign().items()}
+
+            df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+            got = {r["vec_id"]: (r["cluster_id"], r["dist2"]) for r in
+                   kmeans_assign(df, n_clusters=k, iters=iters).collect()}
+            assert got == exp, seed
+
+
 class TestMixAndRecall:
     def test_mix_weights_caps_and_zeroes(self, spark):
         from bella_domify_spark.ops.textstats import mix_weights
