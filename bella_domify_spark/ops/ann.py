@@ -131,7 +131,10 @@ def kmeans_assign(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
     plan depth grows linearly in ``iters`` (fixed and small — a
     production run at higher iters would localCheckpoint between
     rounds, the connected_components discipline)."""
-    q = vectors.select(
+    # NULL vectors are dropped (the SQL twin's positional explode drops
+    # them implicitly; without this filter Spark would emit a NULL-dist2
+    # row and diverge)
+    q = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.floor(x * F.lit(float(scale))).cast("long"))

@@ -1248,6 +1248,40 @@ class TestSession4Bruteforce:
                    for r in remove_dup_spans(df, n=n).collect()}
             assert got == exp, seed
 
+    def test_null_inputs_drop_identically_to_oracle(self, spark):
+        # NULL text / NULL embedding rows must DROP (the DuckDB twins'
+        # positional explodes drop them implicitly) — not crash, not
+        # emit NULL-valued rows, not poison corpus statistics
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from bella_domify_spark.ops.ann import kmeans_assign
+        from bella_domify_spark.ops.dedup import remove_dup_spans
+        from bella_domify_spark.ops.textstats import cross_surprisal
+
+        sch = StructType([StructField("doc_id", LongType()),
+                          StructField("text", StringType())])
+        df = spark.createDataFrame([(1, "a b c d a b c d"), (2, None)], sch)
+        assert [r["doc_id"] for r in remove_dup_spans(df, n=4).collect()] \
+            == [1]
+        assert [r["doc_id"] for r in cross_surprisal(df, df).collect()] \
+            == [1]
+
+        esch = StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType()))])
+        e = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, None)], esch)
+        got = kmeans_assign(e, n_clusters=2, iters=1).collect()
+        assert sorted(r["vec_id"] for r in got) == [0, 1]
+        assert all(r["dist2"] is not None for r in got)
+
     def test_kmeans_assign_matches_bruteforce(self, spark):
         import math
 
