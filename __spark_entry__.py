@@ -1003,6 +1003,41 @@ def _q_mix_weights(spark, sf):
     return mix_weights(_t(spark, sf, "documents"))
 
 
+def _q_merge_upsert(spark, sf):
+    """Lakehouse CDC MERGE (ops/lakehouse.py merge_upsert): documents are
+    the snapshot, a changelog derived from events (event_id = version,
+    every 10th a delete tombstone, keys spanning 2x the snapshot keyspace
+    so half the changes insert) is applied last-writer-wins."""
+    from bella_domify_spark.ops.lakehouse import merge_upsert
+    docs = _t(spark, sf, "documents")
+    ks = docs.agg(((F.max("doc_id") + 1) * 2).alias("ks"))
+    changes = (_t(spark, sf, "events")
+               .crossJoin(F.broadcast(ks))
+               .select(F.expr("event_id % ks").alias("doc_id"),
+                       F.col("event_id").alias("version"),
+                       F.when(F.expr("event_id % 10") == 0, F.lit("D"))
+                        .otherwise(F.lit("U")).alias("op"),
+                       F.concat("event_type", F.lit(" "), "props")
+                        .alias("text")))
+    return merge_upsert(docs.select("doc_id", "text"), changes)
+
+
+def _q_quality_classifier(spark, sf):
+    """Hashed linear (fastText-style) quality scorer (ops/classifier.py):
+    unigram+bigram features, md5-seeded deterministic weight table,
+    keep/drop by margin sign — zero-shuffle, all codegen."""
+    from bella_domify_spark.ops.classifier import quality_classifier
+    return quality_classifier(_t(spark, sf, "documents"))
+
+
+def _q_zorder_layout(spark, sf):
+    """OPTIMIZE ZORDER BY(ts, value) kernel (ops/lakehouse.py): integer
+    quantization, 32-bit Morton interleave, per-file-bucket min/max footer
+    stats + pruning evidence for a fixed centre-quarter box query."""
+    from bella_domify_spark.ops.lakehouse import zorder_layout
+    return zorder_layout(_t(spark, sf, "events"))
+
+
 def _q_dedup_recall(spark, sf):
     """Corpus-level recall/precision counts of MinHash-LSH near-dup pairs
     against the true n-gram-jaccard pairs at the same threshold —
@@ -1073,13 +1108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
-        "layout_flat_text": _q_layout_flat_text,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash": _q_simhash,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "json_props_stats": _q_json_props_stats,
-        "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "curate_corpus": _q_curate_corpus,
         # new this round:
@@ -1090,11 +1122,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": _q_dup_span_stats,
         "mix_weights": _q_mix_weights,
         "dedup_recall": _q_dedup_recall,
+        # new this session: lakehouse maintenance (CDC merge, z-order
+        # layout) + the fastText-style quality classifier
+        # (layout_flat_text / decontaminate / dedup_ngram_jaccard rotated
+        # to the tail — all r4-green; jaccard's only r5 change is the
+        # behavior-neutral unpersist, locally re-verified)
+        "merge_upsert": _q_merge_upsert,
+        "quality_classifier": _q_quality_classifier,
+        "zorder_layout": _q_zorder_layout,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
+        # rotated out this session for the lakehouse/classifier trio:
+        "layout_flat_text": _q_layout_flat_text,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "decontaminate": _q_decontaminate,
         "cross_surprisal": _q_cross_surprisal,
         "remove_dup_spans": _q_remove_dup_spans,
         "kmeans_assign": _q_kmeans_assign,
@@ -1150,7 +1194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.ann import planes_values_sql
+    from bella_domify_spark.ops.classifier import (classifier_feats_sql,
+                                                   classifier_weight_expr)
     from bella_domify_spark.ops.hashfamily import params_values_sql
+    from bella_domify_spark.ops.lakehouse import zorder_oracle_ctes
     from bella_domify_spark.ops.retrieval import queries_values_sql
     # shared CTE builders — single source of truth for constructions used
     # by more than one oracle (closure/cluster label, shingles, minhash
@@ -2001,6 +2048,53 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT
                        AS n_words_dropped
             FROM cov GROUP BY id
+        """,
+        # MERGE semantics via arg_max — deliberately a different physical
+        # strategy from the Spark side's map-side-combined max_by
+        "merge_upsert": """
+            WITH ks AS (
+                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
+            ), ch AS (
+                SELECT event_id % ks AS doc_id,
+                       event_id AS version,
+                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       event_type || ' ' || props AS text
+                FROM events CROSS JOIN ks
+            ), u AS (
+                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id, version, op, text FROM ch
+            ), m AS (
+                SELECT doc_id,
+                       max(version) AS final_version,
+                       count(*) AS n_ops,
+                       arg_max(op, version) AS op,
+                       arg_max(text, version) AS text
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, final_version, n_ops, text
+            FROM m WHERE op = 'U'
+        """,
+        "quality_classifier": f"""
+            WITH {classifier_feats_sql()}
+            SELECT doc_id, len(fs)::BIGINT AS n_feats,
+                   COALESCE(list_aggregate(
+                       list_transform(fs,
+                           t -> ({classifier_weight_expr('t', 'duckdb')})),
+                       'sum'), 0)::BIGINT AS margin,
+                   CASE WHEN COALESCE(list_aggregate(
+                            list_transform(fs,
+                                t -> ({classifier_weight_expr('t', 'duckdb')})),
+                            'sum'), 0) > 0
+                        THEN 'keep' ELSE 'drop' END AS label
+            FROM feats
+        """,
+        "zorder_layout": f"""
+            WITH {zorder_oracle_ctes()}
+            SELECT bucket_id, n_rows, min_q1, max_q1, min_q2, max_q2,
+                   pruned FROM zb
         """,
         "gopher_quality": r"""
             WITH w AS (

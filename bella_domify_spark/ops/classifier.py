@@ -1,0 +1,115 @@
+"""Hashed linear quality classifier (fastText-style) — the model-based
+document filter every LLM curation pipeline runs after the heuristic
+gates (Gopher rules, language ID) and before tokenization.
+
+Architecture is the real fastText inference path: unigram + bigram
+features, each hashed into a weight table, margin = sum of feature
+weights, keep/drop by sign. The WEIGHTS are a deterministic stand-in for
+a trained artifact (an affine hash of the feature, seeded like
+ops/hashfamily.py), because this sandbox trains nothing — the Spark-side
+plumbing (feature extraction, hashing, weight lookup, margin reduction)
+is the production code path and is what the oracle gate pins. Swapping in
+real weights = replacing ``_W_A/_W_B`` with a broadcast map-side join
+against a weights table; the plan shape is unchanged.
+
+Scale notes (100 TB): zero shuffle — tokenize, hash, and reduce all happen
+inside one whole-stage-codegen projection per row (no explode: a
+billion-token document never materializes a row per token, and the margin
+reduction is a per-row ``aggregate`` fold). One md5 per feature, same cost
+model as the MinHash shingle path. The token array is produced behind its
+own projection so the fold's lambda does not re-evaluate split() per
+element (Spark re-inlines captured producers into transform/aggregate
+lambdas — see CLAUDE.md).
+
+Determinism: md5 -> 60-bit int -> affine mod 2^31-1 -> weight in
+[-1000, 1000], all BIGINT; margins sum exactly in int64 (|w| <= 1000, so
+overflow needs ~9e15 features in one document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bella_domify_spark.ops.hashfamily import MERSENNE_P, _md5_int
+
+__all__ = ["quality_classifier", "classifier_weight_expr",
+           "classifier_feats_sql"]
+
+# Affine weight-table constants, md5-seeded like minhash_params so both
+# engines regenerate them bit-for-bit.
+_W_A = _md5_int("clf_a") % (MERSENNE_P - 1) + 1
+_W_B = _md5_int("clf_b") % MERSENNE_P
+_W_RANGE = 2001  # weights in [-1000, 1000]
+
+
+def classifier_weight_expr(tok: str, engine: str) -> str:
+    """Weight of one feature string ``tok``: md5 -> 60-bit x, then
+    ((a*(x mod p) + b) mod p) mod 2001 - 1000. All operands nonnegative,
+    so plain % agrees between Spark and DuckDB; a*(x mod p) < 2^62 keeps
+    ANSI mode happy."""
+    if engine == "spark":
+        x = f"cast(conv(substring(md5({tok}), 1, 15), 16, 10) as bigint)"
+    else:
+        x = f"('0x' || substr(md5({tok}), 1, 15))::BIGINT"
+    return (f"(({_W_A} * ({x} % {MERSENNE_P}) + {_W_B})"
+            f" % {MERSENNE_P}) % {_W_RANGE} - 1000")
+
+
+def classifier_feats_sql() -> str:
+    """DuckDB CTE producing (doc_id, feats) with the same unigram+bigram
+    feature list as the Spark side; caller composes it with the weight
+    expression. Bigrams are joined with '_' so they cannot collide with
+    unigrams containing spaces (split removes all whitespace)."""
+    return r"""
+        toks AS (
+            -- COALESCE: a NULL text must score like an empty one on BOTH
+            -- engines (NULL propagation differs: DuckDB's COALESCE-to-0
+            -- after list_aggregate(NULL) vs Spark's NULL margin)
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                                   lower(COALESCE(text, '')), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   list_concat(
+                       ws,
+                       list_transform(range(1, greatest(len(ws), 1)),
+                                      i -> ws[i] || '_' || ws[i + 1])
+                   ) AS fs
+            FROM toks
+        )
+    """
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Score each document with the hashed linear model; label 'keep' when
+    the margin is positive. Returns (doc_id, n_feats, margin, label)."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(coalesce(text, '')), '\\s+'),"
+               r" x -> x != '')")
+         .alias("ws"),
+    )
+    feats = toks.select(
+        "doc_id",
+        F.expr("""
+            concat(ws,
+                   CASE WHEN size(ws) >= 2
+                        THEN zip_with(slice(ws, 1, size(ws) - 1),
+                                      slice(ws, 2, size(ws) - 1),
+                                      (a, b) -> concat(a, '_', b))
+                        ELSE array() END)
+        """).alias("fs"),
+    )
+    w = classifier_weight_expr("t", "spark")
+    scored = feats.select(
+        "doc_id",
+        F.expr("size(fs)").cast("long").alias("n_feats"),
+        F.expr(f"aggregate(fs, 0L, (acc, t) -> acc + ({w}))").alias("margin"),
+    )
+    return scored.select(
+        "doc_id", "n_feats", "margin",
+        F.when(F.col("margin") > 0, F.lit("keep")).otherwise(F.lit("drop"))
+         .alias("label"),
+    )

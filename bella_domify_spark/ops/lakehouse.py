@@ -1,0 +1,182 @@
+"""Lakehouse table-maintenance operators: CDC MERGE (last-writer-wins
+upsert with delete tombstones) and Z-order data layout with min/max
+pruning evidence.
+
+The reference engine is a per-file parser with no table-maintenance story;
+these are the operations the surrounding 100 TB lakehouse needs to keep the
+transcript corpus queryable: apply a CDC changelog to the current snapshot
+(Iceberg/Delta MERGE INTO semantics) and cluster the files so range
+predicates prune. Both are pure DataFrame algebra — no UDFs, whole-stage
+codegen end to end, one data-sized shuffle each.
+
+Scale notes (100 TB):
+
+* ``merge_upsert`` resolves last-writer-wins with ``max_by`` AGGREGATION,
+  not a row_number window: the partial aggregate combines map-side, so a
+  hot key (one doc updated a billion times) costs one combiner cell per
+  task instead of one sorted window partition. One shuffle on the merge
+  key; AQE skew-join splitting applies to the exchange. This is the
+  copy-on-write MERGE plan Delta/Iceberg execute after their touched-file
+  join — here the snapshot IS the touched set, which is the worst case.
+* ``zorder_layout`` is the kernel of OPTIMIZE ZORDER BY(ts, value): a
+  4-scalar min/max aggregate (broadcast back as a single-row cross join),
+  a map-side bit-interleave into a 32-bit Morton code, and one
+  map-side-combined aggregate per target file bucket. Production would
+  follow with ``repartitionByRange(z).sortWithinPartitions(z)`` and a
+  parquet write; the emitted per-bucket min/max table is exactly the
+  footer-stats index a scan planner prunes with, and the ``pruned`` column
+  evidences the win for a fixed centre-quarter box query.
+
+Determinism: all arithmetic is integer (epoch microseconds; value via the
+floor-e6 idiom; integer division with nonnegative operands), so the
+exact-hash oracle gate holds at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["merge_upsert", "zorder_layout", "Z_BITS", "Z_BUCKET_SHIFT"]
+
+# 16 bits per dimension -> 32-bit Morton code -> 2^10 buckets of 2^22 codes.
+Z_BITS = 16
+Z_BUCKET_SHIFT = 22
+
+# Fixed evidence query box: the centre quarter of each quantized dimension.
+_BOX_LO = 1 << (Z_BITS - 2)          # 16384
+_BOX_HI = (3 << (Z_BITS - 2)) - 1    # 49151
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame,
+                 key: str = "doc_id") -> DataFrame:
+    """Apply a CDC changelog to a snapshot: MERGE INTO with
+    last-writer-wins per key and 'D' tombstones dropping the key.
+
+    ``base``:    (key, text) — the current snapshot (version -1).
+    ``changes``: (key, version BIGINT >= 0 unique per key, op 'U'|'D',
+                 text) — the changelog; the largest version wins.
+
+    Returns the merged snapshot: (key, final_version, n_ops, text) where
+    n_ops counts every row that contended for the key (snapshot + changes)
+    and deleted keys are absent. Fresh inserts (change keys missing from
+    the snapshot) survive with their winning change text.
+
+    Plan: union -> ONE hash aggregate on the key. ``max_by`` keeps the
+    winner without sorting and partial-combines map-side — a deliberately
+    different physical strategy from the DuckDB oracle's arg_max (same
+    semantics, independent implementations).
+    """
+    b = base.select(
+        F.col(key),
+        F.lit(-1).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+        F.col("text"),
+    )
+    u = b.unionByName(changes.select(key, "version", "op", "text"))
+    merged = u.groupBy(key).agg(
+        F.max("version").alias("final_version"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.max_by("op", "version").alias("_op"),
+        F.max_by("text", "version").alias("text"),
+    )
+    return (merged.filter(F.col("_op") == "U")
+                  .select(key, "final_version", "n_ops", "text"))
+
+
+def _interleave_expr(q1: str, q2: str, engine: str) -> str:
+    """Morton-interleave two Z_BITS-bit nonnegative ints: bit i of q1 goes
+    to position 2i+1, bit i of q2 to 2i. Generated as a flat OR-chain so
+    Spark keeps it inside whole-stage codegen; the DuckDB twin uses the
+    same formula with native shift operators."""
+    terms = []
+    for i in range(Z_BITS):
+        if engine == "spark":
+            terms.append(
+                f"shiftleft(shiftright({q1}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({q2}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({q1} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({q2} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_layout(events: DataFrame) -> DataFrame:
+    """Z-order layout stats for events clustered by (ts, value): per
+    target-file bucket of the 32-bit Morton code, the row count and the
+    min/max footer stats of both quantized dimensions, plus ``pruned`` —
+    1 if a scan for the fixed centre-quarter box on BOTH dimensions skips
+    the bucket entirely on those stats.
+
+    Quantization is integer-exact: ts -> epoch microseconds, value ->
+    floor(value*1e6), each scaled to [0, 2^16) against the corpus min/max
+    with 64-bit integer multiply-then-divide (max span ~3e13 us * 65535
+    ~ 2e18 < 2^63).
+    """
+    e = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    dims = e.select(
+        # cast: the parquet column is TIMESTAMP_NTZ; the session-tz
+        # default is UTC so the epoch agrees with DuckDB's epoch_us
+        # (same idiom as ops/temporal.py:_us)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("v_e6"),
+    )
+    mm = dims.agg(
+        F.min("e_us").alias("emin"), F.max("e_us").alias("emax"),
+        F.min("v_e6").alias("vmin"), F.max("v_e6").alias("vmax"),
+    )
+    top = (1 << Z_BITS) - 1
+    q = dims.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"(e_us - emin) * {top} div greatest(1L, emax - emin)")
+         .alias("q1"),
+        F.expr(f"(v_e6 - vmin) * {top} div greatest(1L, vmax - vmin)")
+         .alias("q2"),
+    )
+    z = q.select(
+        F.expr(_interleave_expr("q1", "q2", "spark")).alias("z"),
+        "q1", "q2",
+    )
+    buckets = (z.groupBy(F.expr(f"z div {1 << Z_BUCKET_SHIFT}")
+                          .alias("bucket_id"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.min("q1").alias("min_q1"), F.max("q1").alias("max_q1"),
+                     F.min("q2").alias("min_q2"), F.max("q2").alias("max_q2")))
+    overlaps = ((F.col("max_q1") >= _BOX_LO) & (F.col("min_q1") <= _BOX_HI)
+                & (F.col("max_q2") >= _BOX_LO) & (F.col("min_q2") <= _BOX_HI))
+    return buckets.select(
+        "bucket_id", "n_rows", "min_q1", "max_q1", "min_q2", "max_q2",
+        F.when(overlaps, F.lit(0)).otherwise(F.lit(1)).alias("pruned"),
+    )
+
+
+def zorder_oracle_ctes() -> str:
+    """DuckDB CTEs computing the same bucket table from the events view;
+    the caller SELECTs from ``zb``. Kept beside the Spark code so the two
+    bit-interleave formulas cannot drift."""
+    top = (1 << Z_BITS) - 1
+    inter = _interleave_expr("q1", "q2", "duckdb")
+    return f"""
+        dims AS (
+            SELECT epoch_us(ts) AS e_us,
+                   floor(value * 1e6)::BIGINT AS v_e6
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), mm AS (
+            SELECT min(e_us) AS emin, max(e_us) AS emax,
+                   min(v_e6) AS vmin, max(v_e6) AS vmax
+            FROM dims
+        ), q AS (
+            SELECT (e_us - emin) * {top} // greatest(1, emax - emin) AS q1,
+                   (v_e6 - vmin) * {top} // greatest(1, vmax - vmin) AS q2
+            FROM dims CROSS JOIN mm
+        ), zz AS (
+            SELECT ({inter}) AS z, q1, q2 FROM q
+        ), zb AS (
+            SELECT z // {1 << Z_BUCKET_SHIFT} AS bucket_id,
+                   count(*) AS n_rows,
+                   min(q1) AS min_q1, max(q1) AS max_q1,
+                   min(q2) AS min_q2, max(q2) AS max_q2,
+                   CASE WHEN max(q1) >= {_BOX_LO} AND min(q1) <= {_BOX_HI}
+                         AND max(q2) >= {_BOX_LO} AND min(q2) <= {_BOX_HI}
+                        THEN 0 ELSE 1 END AS pruned
+            FROM zz GROUP BY 1
+        )
+    """

@@ -127,7 +127,8 @@ def main() -> int:
                  "gopher_quality", "hist_event_quantiles", "dup_span_stats",
                  "mix_weights", "tool_run_stats", "tool_latency",
                  "bm25_topk", "chunk_docs",
-                 "cross_surprisal", "remove_dup_spans", "kmeans_assign"]:
+                 "cross_surprisal", "remove_dup_spans", "kmeans_assign",
+                 "merge_upsert", "quality_classifier", "zorder_layout"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -1,0 +1,178 @@
+"""Unit tests for ops/lakehouse.py (CDC merge, Z-order layout) and
+ops/classifier.py (hashed linear quality classifier).
+
+Oracle equality at sf0.01/sf0.1 lives in tools/check_oracle.py; these pin
+the semantics on hand-built rows plus pure-Python recomputations of the
+Morton code and the classifier margin, so a regression points at the
+operator rather than at the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestMergeUpsert:
+    def test_last_writer_wins_tombstones_and_inserts(self, spark):
+        from bella_domify_spark.ops.lakehouse import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string")
+        changes = spark.createDataFrame(
+            [
+                (1, 10, "U", "one-v10"),
+                (1, 20, "U", "one-v20"),   # later version wins
+                (2, 5, "D", None),          # tombstone drops key 2
+                (4, 7, "U", "four-new"),   # fresh insert
+                (5, 3, "U", "five-v3"),
+                (5, 9, "D", None),          # insert then delete -> absent
+            ],
+            "doc_id long, version long, op string, text string")
+        got = _rows(merge_upsert(base, changes),
+                    "doc_id", "final_version", "n_ops", "text")
+        assert got == [
+            (1, 20, 3, "one-v20"),
+            (3, -1, 1, "three"),
+            (4, 7, 1, "four-new"),
+        ]
+
+    def test_delete_then_update_resurrects(self, spark):
+        from bella_domify_spark.ops.lakehouse import merge_upsert
+
+        base = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+        changes = spark.createDataFrame(
+            [(1, 10, "D", None), (1, 11, "U", "back")],
+            "doc_id long, version long, op string, text string")
+        got = _rows(merge_upsert(base, changes),
+                    "doc_id", "final_version", "n_ops", "text")
+        assert got == [(1, 11, 3, "back")]
+
+
+def _morton(q1: int, q2: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((q1 >> i) & 1) << (2 * i + 1)
+        z |= ((q2 >> i) & 1) << (2 * i)
+    return z
+
+
+class TestZorder:
+    def test_interleave_matches_python_both_engines(self, spark):
+        from bella_domify_spark.ops.lakehouse import _interleave_expr
+
+        cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+                 (65535, 0), (0, 65535), (32768, 1)]
+        df = spark.createDataFrame(cases, "q1 long, q2 long")
+        got = {(r["q1"], r["q2"]): r["z"] for r in df.select(
+            "q1", "q2",
+            F.expr(_interleave_expr("q1", "q2", "spark")).alias("z"),
+        ).collect()}
+        import duckdb
+        sql = _interleave_expr("q1", "q2", "duckdb")
+        for q1, q2 in cases:
+            want = _morton(q1, q2)
+            assert got[(q1, q2)] == want, (q1, q2)
+            (dk,) = duckdb.sql(
+                f"SELECT {sql} FROM (SELECT {q1}::BIGINT AS q1,"
+                f" {q2}::BIGINT AS q2)"
+            ).fetchone()
+            assert dk == want, (q1, q2)
+
+    def test_layout_stats_and_pruning(self, spark):
+        from bella_domify_spark.ops.lakehouse import zorder_layout
+
+        # Two clusters at opposite corners of the (ts, value) plane: the
+        # min/max quantiles put them in far-apart Morton buckets, and the
+        # low-corner cluster must be prunable for the centre-quarter box.
+        rows = []
+        for i in range(50):
+            rows.append((i, f"2024-01-01 00:00:{i % 60:02d}.{i:06d}",
+                         0.001 * i))
+        for i in range(50):
+            rows.append((100 + i, f"2024-06-01 00:00:{i % 60:02d}.{i:06d}",
+                         900.0 + 0.001 * i))
+        ev = spark.createDataFrame(rows, "event_id long, ts string, value double") \
+                  .select("event_id",
+                          F.col("ts").cast("timestamp_ntz").alias("ts"),
+                          "value")
+        out = zorder_layout(ev).collect()
+        assert sum(r["n_rows"] for r in out) == 100
+        # extreme corners land in the extreme buckets
+        bucket_ids = {r["bucket_id"] for r in out}
+        assert 0 in bucket_ids and 1023 in bucket_ids
+        for r in out:
+            assert 0 <= r["min_q1"] <= r["max_q1"] <= 65535
+            assert 0 <= r["min_q2"] <= r["max_q2"] <= 65535
+            # both clusters hug the corners -> every bucket misses the
+            # centre-quarter box and is prunable
+            assert r["pruned"] == 1
+
+    def test_null_dims_dropped(self, spark):
+        from bella_domify_spark.ops.lakehouse import zorder_layout
+
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", None),
+             (2, None, 1.0),
+             (3, "2024-01-02 00:00:00", 2.0),
+             (4, "2024-01-03 00:00:00", 3.0)],
+            "event_id long, ts string, value double") \
+            .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                    "value")
+        out = zorder_layout(ev).collect()
+        assert sum(r["n_rows"] for r in out) == 2
+
+
+def _py_margin(text: str) -> tuple[int, int]:
+    """Pure-Python recomputation of the classifier margin."""
+    from bella_domify_spark.ops.classifier import _W_A, _W_B, _W_RANGE
+    from bella_domify_spark.ops.hashfamily import MERSENNE_P
+
+    ws = [w for w in text.lower().split() if w]
+    feats = ws + [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+    margin = 0
+    for t in feats:
+        x = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        margin += ((_W_A * (x % MERSENNE_P) + _W_B)
+                   % MERSENNE_P) % _W_RANGE - 1000
+    return len(feats), margin
+
+
+class TestQualityClassifier:
+    def test_margin_matches_python(self, spark):
+        from bella_domify_spark.ops.classifier import quality_classifier
+
+        texts = [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "spark spark spark"),
+            (3, "a"),
+            (4, ""),
+            (5, None),
+            (6, "Mixed CASE   and\tmultiple   spaces here"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+        for doc_id, text in texts:
+            n, margin = _py_margin(text or "")
+            assert got[doc_id]["n_feats"] == n, doc_id
+            assert got[doc_id]["margin"] == margin, doc_id
+            assert got[doc_id]["label"] == ("keep" if margin > 0 else "drop")
+
+    def test_zero_shuffle_plan(self, spark):
+        import io, contextlib
+        from bella_domify_spark.ops.classifier import quality_classifier
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            quality_classifier(docs).explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
