@@ -1003,12 +1003,11 @@ def _q_mix_weights(spark, sf):
     return mix_weights(_t(spark, sf, "documents"))
 
 
-def _q_merge_upsert(spark, sf):
-    """Lakehouse CDC MERGE (ops/lakehouse.py merge_upsert): documents are
-    the snapshot, a changelog derived from events (event_id = version,
-    every 10th a delete tombstone, keys spanning 2x the snapshot keyspace
-    so half the changes insert) is applied last-writer-wins."""
-    from bella_domify_spark.ops.lakehouse import merge_upsert
+def _cdc_changelog(spark, sf):
+    """Deterministic CDC changelog derived from events: event_id = version,
+    every 10th row a delete tombstone, keys spanning 2x the documents
+    keyspace so half the changes insert. Shared by merge_upsert and
+    incremental_view_update (the oracle SQL embeds the same derivation)."""
     docs = _t(spark, sf, "documents")
     ks = docs.agg(((F.max("doc_id") + 1) * 2).alias("ks"))
     changes = (_t(spark, sf, "events")
@@ -1019,7 +1018,32 @@ def _q_merge_upsert(spark, sf):
                         .otherwise(F.lit("U")).alias("op"),
                        F.concat("event_type", F.lit(" "), "props")
                         .alias("text")))
+    return docs, changes
+
+
+def _q_merge_upsert(spark, sf):
+    """Lakehouse CDC MERGE (ops/lakehouse.py merge_upsert): documents are
+    the snapshot, the _cdc_changelog is applied last-writer-wins."""
+    from bella_domify_spark.ops.lakehouse import merge_upsert
+    docs, changes = _cdc_changelog(spark, sf)
     return merge_upsert(docs.select("doc_id", "text"), changes)
+
+
+def _q_incremental_view_update(spark, sf):
+    """Incremental maintenance of a grouped count/sum view under the CDC
+    changelog (ops/lakehouse.py) — the oracle recomputes the view from the
+    merged table, so equality proves the delta algebra."""
+    from bella_domify_spark.ops.lakehouse import incremental_view_update
+    docs, changes = _cdc_changelog(spark, sf)
+    return incremental_view_update(docs.select("doc_id", "text"), changes)
+
+
+def _q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (ops/dsir.py): hashed unigram+bigram
+    bag, lang='en' target slice, floor-e9 per-bucket lambda, exact BIGINT
+    per-doc sums."""
+    from bella_domify_spark.ops.dsir import dsir_weights
+    return dsir_weights(_t(spark, sf, "documents"))
 
 
 def _q_quality_classifier(spark, sf):
@@ -1110,10 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_plaintext": _q_extract_plaintext,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash": _q_simhash,
-        "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "json_props_stats": _q_json_props_stats,
         "decontaminate_bloom": _q_decontaminate_bloom,
-        "curate_corpus": _q_curate_corpus,
         # new this round:
         "gopher_quality": _q_gopher_quality,
         "tfidf_keywords": _q_tfidf_keywords,
@@ -1130,15 +1152,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         "quality_classifier": _q_quality_classifier,
         "zorder_layout": _q_zorder_layout,
+        # new this session: IVM delta maintenance (oracle = full recompute
+        # from the merged table) + DSIR importance weights
+        # (curate_corpus / dedup_cluster_canonical rotated to the tail —
+        # both r4-driver-green and green in this session's local runs)
+        "incremental_view_update": _q_incremental_view_update,
+        "dsir_weights": _q_dsir_weights,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
-        # rotated out this session for the lakehouse/classifier trio:
+        # rotated out this session for the lakehouse/classifier/DSIR ops:
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "decontaminate": _q_decontaminate,
+        "curate_corpus": _q_curate_corpus,
+        "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "cross_surprisal": _q_cross_surprisal,
         "remove_dup_spans": _q_remove_dup_spans,
         "kmeans_assign": _q_kmeans_assign,
@@ -1197,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.classifier import (classifier_feats_sql,
                                                    classifier_weight_expr)
     from bella_domify_spark.ops.hashfamily import params_values_sql
+    from bella_domify_spark.ops.dsir import dsir_lambda_sql
     from bella_domify_spark.ops.lakehouse import zorder_oracle_ctes
     from bella_domify_spark.ops.retrieval import queries_values_sql
     # shared CTE builders — single source of truth for constructions used
@@ -2095,6 +2126,43 @@ def oracle_sql() -> dict[str, str]:
             WITH {zorder_oracle_ctes()}
             SELECT bucket_id, n_rows, min_q1, max_q1, min_q2, max_q2,
                    pruned FROM zb
+        """,
+        # IVM proof: the oracle RECOMPUTES the view from the merged table
+        # (the strategy the incremental path exists to avoid)
+        "incremental_view_update": """
+            WITH ks AS (
+                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
+            ), ch AS (
+                SELECT event_id % ks AS doc_id,
+                       event_id AS version,
+                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       event_type || ' ' || props AS text
+                FROM events CROSS JOIN ks
+            ), u AS (
+                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id, version, op, text FROM ch
+            ), m AS (
+                SELECT doc_id,
+                       arg_max(op, version) AS op,
+                       arg_max(text, version) AS text
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id % 16 AS g, count(*) AS n_docs,
+                   sum(COALESCE(length(text), 0))::BIGINT AS n_chars
+            FROM m WHERE op = 'U'
+            GROUP BY 1
+        """,
+        "dsir_weights": f"""
+            WITH {classifier_feats_sql()}, {dsir_lambda_sql()}
+            SELECT i.doc_id, i.is_target,
+                   sum(CASE WHEN i.b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_feats,
+                   COALESCE(sum(l.lam_e9), 0)::BIGINT AS logw_e9
+            FROM inst i LEFT JOIN lam l USING (b)
+            GROUP BY i.doc_id, i.is_target
         """,
         "gopher_quality": r"""
             WITH w AS (

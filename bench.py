@@ -128,7 +128,8 @@ def main() -> int:
                  "mix_weights", "tool_run_stats", "tool_latency",
                  "bm25_topk", "chunk_docs",
                  "cross_surprisal", "remove_dup_spans", "kmeans_assign",
-                 "merge_upsert", "quality_classifier", "zorder_layout"]:
+                 "merge_upsert", "quality_classifier", "zorder_layout",
+                 "incremental_view_update", "dsir_weights"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

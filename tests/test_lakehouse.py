@@ -176,3 +176,73 @@ class TestQualityClassifier:
         plan = buf.getvalue()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestIncrementalViewUpdate:
+    def _direct(self, spark, base_rows, change_rows):
+        """Recompute the view from the merged table via merge_upsert —
+        the independent strategy the incremental path must match."""
+        from bella_domify_spark.ops.lakehouse import merge_upsert
+
+        base = spark.createDataFrame(base_rows, "doc_id long, text string")
+        ch = spark.createDataFrame(
+            change_rows, "doc_id long, version long, op string, text string")
+        merged = merge_upsert(base, ch)
+        want = _rows(
+            merged.groupBy(F.expr("doc_id % 16").alias("g"))
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                        .alias("n_chars")),
+            "g", "n_docs", "n_chars")
+        from bella_domify_spark.ops.lakehouse import incremental_view_update
+        got = _rows(incremental_view_update(base, ch),
+                    "g", "n_docs", "n_chars")
+        assert got == want, (got, want)
+
+    def test_matches_full_recompute(self, spark):
+        base = [(i, "x" * (i + 1)) for i in range(40)]
+        changes = [
+            (1, 10, "U", "longer-text-now"),
+            (1, 11, "U", "final"),         # LWW within a key
+            (2, 5, "D", None),              # delete existing
+            (77, 7, "U", "insert-new"),    # fresh insert
+            (78, 8, "D", None),             # delete missing key: no-op
+            (3, 9, "U", None),              # update to NULL text: len 0
+            (99, 1, "U", "in"), (99, 2, "D", None),  # insert then delete
+        ]
+        self._direct(spark, base, changes)
+
+    def test_group_emptied_drops_out(self, spark):
+        # group 5 holds only doc 5; deleting it must remove the g=5 row
+        base = [(5, "five"), (6, "six")]
+        changes = [(5, 1, "D", None)]
+        self._direct(spark, base, changes)
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher(self, spark):
+        from bella_domify_spark.ops.dsir import dsir_weights
+
+        # two sharply different vocabularies: en docs repeat 'alpha beta',
+        # others repeat 'gamma delta' -> en docs must carry higher logw
+        rows = []
+        for i in range(20):
+            rows.append((i, "alpha beta " * 5, "en"))
+        for i in range(20, 40):
+            rows.append((i, "gamma delta " * 5, "de"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = dsir_weights(docs).collect()
+        t = [r["logw_e9"] for r in out if r["is_target"]]
+        r = [r["logw_e9"] for r in out if not r["is_target"]]
+        assert min(t) > max(r)
+
+    def test_featureless_doc_scores_zero(self, spark):
+        from bella_domify_spark.ops.dsir import dsir_weights
+
+        docs = spark.createDataFrame(
+            [(1, "some words here", "en"), (2, "", "de"), (3, None, "en")],
+            "doc_id long, text string, lang string")
+        got = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
+        assert len(got) == 3
+        for d in (2, 3):
+            assert got[d]["n_feats"] == 0 and got[d]["logw_e9"] == 0
