@@ -1062,6 +1062,25 @@ def _q_zorder_layout(spark, sf):
     return zorder_layout(_t(spark, sf, "events"))
 
 
+def _q_pagerank_dedup(spark, sf):
+    """Integer-exact PageRank over the word-3-gram near-dup graph
+    (ops/graph.py pagerank): 3 damped power iterations on a 1e12 grid,
+    bit-identical to the DuckDB recursive-CTE-free iteration chain.
+    Rank orders duplicate-cluster members for canonical-copy choice."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import pagerank
+    docs = _t(spark, sf, "documents")
+    return pagerank(jaccard_pairs(docs, threshold=0.2), docs)
+
+
+def _q_analyze_table_stats(spark, sf):
+    """ANALYZE TABLE stats for the CBO (ops/analyze.py): one scan, all
+    per-column aggregates in a single Aggregate node (exact NDVs via the
+    Expand plan), stacked into a 6-row typed stats table."""
+    from bella_domify_spark.ops.analyze import analyze_table_stats
+    return analyze_table_stats(_t(spark, sf, "events"))
+
+
 def _q_dedup_recall(spark, sf):
     """Corpus-level recall/precision counts of MinHash-LSH near-dup pairs
     against the true n-gram-jaccard pairs at the same threshold —
@@ -1132,8 +1151,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdflike_extract": _q_pdflike_extract,
         "pdflike_extract_stream": _q_pdflike_extract_stream,
         "extract_plaintext": _q_extract_plaintext,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "simhash": _q_simhash,
         "json_props_stats": _q_json_props_stats,
         "decontaminate_bloom": _q_decontaminate_bloom,
         # new this round:
@@ -1158,6 +1175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both r4-driver-green and green in this session's local runs)
         "incremental_view_update": _q_incremental_view_update,
         "dsir_weights": _q_dsir_weights,
+        # new this session: iterative graph ranking + CBO column stats
+        # (dedup_minhash_lsh / simhash rotated to the tail — r4-green;
+        # their r5 change is the behavior-neutral unpersist, and the
+        # in-window dedup_recall exercises both pair generators)
+        "pagerank_dedup": _q_pagerank_dedup,
+        "analyze_table_stats": _q_analyze_table_stats,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
@@ -1169,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "curate_corpus": _q_curate_corpus,
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "simhash": _q_simhash,
         "cross_surprisal": _q_cross_surprisal,
         "remove_dup_spans": _q_remove_dup_spans,
         "kmeans_assign": _q_kmeans_assign,
@@ -1227,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.classifier import (classifier_feats_sql,
                                                    classifier_weight_expr)
     from bella_domify_spark.ops.hashfamily import params_values_sql
+    from bella_domify_spark.ops.analyze import analyze_oracle_sql
     from bella_domify_spark.ops.dsir import dsir_lambda_sql
     from bella_domify_spark.ops.lakehouse import zorder_oracle_ctes
     from bella_domify_spark.ops.retrieval import queries_values_sql
@@ -1245,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         span_removal_ctes,
         kmeans_ctes,
         minhash_cand_ctes,
+        pagerank_ctes,
         shingle_ctes,
         simhash_fp_ctes,
     )
@@ -2164,6 +2191,15 @@ def oracle_sql() -> dict[str, str]:
             FROM inst i LEFT JOIN lam l USING (b)
             GROUP BY i.doc_id, i.is_target
         """,
+        "pagerank_dedup": f"""
+            WITH {jaccard_pair_ctes()},
+            {pagerank_ctes(3)}
+            SELECT p.node AS doc_id,
+                   COALESCE(d.deg, 0)::BIGINT AS deg,
+                   p.rank AS rank_e12
+            FROM pr3 p LEFT JOIN degt d ON d.src = p.node
+        """,
+        "analyze_table_stats": analyze_oracle_sql(),
         "gopher_quality": r"""
             WITH w AS (
                 SELECT doc_id,

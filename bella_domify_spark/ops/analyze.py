@@ -1,0 +1,107 @@
+"""ANALYZE TABLE — per-column optimizer statistics in one scan.
+
+The stats a cost-based optimizer keys on (Spark's
+``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS``, DuckDB/duckdb's
+``ANALYZE``): row count, null count, exact NDV, min/max, and total string
+length, for every column of the events table. Numeric and timestamp
+extrema land on an integer grid (value via floor-e6, ts via epoch
+microseconds) and string extrema stay lexicographic, so the output is a
+narrow typed table the driver can exact-hash.
+
+Scale notes (100 TB): ONE scan — all per-column aggregates sit in a
+single Aggregate node; the multiple exact count-distincts plan through
+Spark's Expand (one row per distinct-column per input row, combined
+map-side), which is the textbook exact-NDV plan. At petabyte scale you'd
+swap NDV to HLL (ops/sketches.py approx_distinct_hll is the drop-in); the
+exact form is kept here because the oracle gate demands bit-equality and
+the Expand cost is linear. The final 6-row reshape is a stack() over the
+single aggregated row — no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["analyze_table_stats"]
+
+
+def analyze_table_stats(events: DataFrame) -> DataFrame:
+    """Per-column stats for the events table: (col, n_rows, n_nulls, ndv,
+    min_i, max_i, min_s, max_s, sum_len). Integer columns fill min_i/max_i
+    (value on the e6 grid, ts in epoch µs); string columns fill
+    min_s/max_s/sum_len; the other slots are NULL."""
+    e = events.select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type", "props",
+    )
+    num_cols = ["event_id", "user_id", "value_e6", "ts_us"]
+    str_cols = ["event_type", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+             .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+        ]
+    for c in num_cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max"),
+                 F.sum(F.length(c)).cast("long").alias(f"{c}__len")]
+    a = e.agg(*aggs)
+    stack_args = []
+    for c in num_cols:
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max, "
+            f"CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            f"CAST(NULL AS BIGINT)")
+    for c in str_cols:
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__ndv, CAST(NULL AS BIGINT), "
+            f"CAST(NULL AS BIGINT), {c}__min, {c}__max, {c}__len")
+    n = len(stack_args)
+    return a.selectExpr(
+        "n_rows",
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        f"(col, n_nulls, ndv, min_i, max_i, min_s, max_s, sum_len)",
+    ).select("col", "n_rows", "n_nulls", "ndv",
+             "min_i", "max_i", "min_s", "max_s", "sum_len")
+
+
+def analyze_oracle_sql() -> str:
+    """DuckDB twin: one aggregated CTE + a 6-row UNION ALL reshape."""
+    num = {
+        "event_id": "event_id",
+        "user_id": "user_id",
+        "value_e6": "floor(value * 1e6)::BIGINT",
+        "ts_us": "epoch_us(ts)",
+    }
+    strc = {"event_type": "event_type", "props": "props"}
+    parts = ["count(*) AS n_rows"]
+    for name, expr in {**num, **strc}.items():
+        parts.append(f"sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END)"
+                     f"::BIGINT AS {name}__nulls")
+        parts.append(f"count(DISTINCT {expr}) AS {name}__ndv")
+    for name, expr in num.items():
+        parts.append(f"min({expr}) AS {name}__min")
+        parts.append(f"max({expr}) AS {name}__max")
+    for name, expr in strc.items():
+        parts.append(f"min({expr}) AS {name}__min")
+        parts.append(f"max({expr}) AS {name}__max")
+        parts.append(f"sum(length({expr}))::BIGINT AS {name}__len")
+    rows = []
+    for name in num:
+        rows.append(
+            f"SELECT '{name}' AS col, n_rows, {name}__nulls AS n_nulls, "
+            f"{name}__ndv AS ndv, {name}__min AS min_i, "
+            f"{name}__max AS max_i, NULL::VARCHAR AS min_s, "
+            f"NULL::VARCHAR AS max_s, NULL::BIGINT AS sum_len FROM a")
+    for name in strc:
+        rows.append(
+            f"SELECT '{name}', n_rows, {name}__nulls, {name}__ndv, "
+            f"NULL::BIGINT, NULL::BIGINT, {name}__min, {name}__max, "
+            f"{name}__len FROM a")
+    return (f"WITH a AS (SELECT {', '.join(parts)} FROM events)\n"
+            + "\nUNION ALL\n".join(rows))

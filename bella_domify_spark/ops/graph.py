@@ -175,3 +175,58 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         return _finish(labels, node_out, checkpoint)
     finally:
         sym.unpersist()
+
+
+def pagerank(pairs: DataFrame, nodes: DataFrame,
+             node_col: str = "doc_id", iters: int = 3,
+             scale: int = 10 ** 12) -> DataFrame:
+    """Integer-exact PageRank over the undirected near-duplicate graph —
+    the canonical-copy chooser: within a duplicate cluster, the highest
+    rank is the most central copy, a better keep-policy than min-id when
+    duplicates differ in quality.
+
+    Fixed ``iters`` power iterations with damping 17/20 (= 0.85 as an
+    exact rational), all arithmetic BIGINT on a ``scale`` grid:
+    r0 = scale div N; r' = (3*scale div 20) div N
+    + 17 * sum_in(r_u div deg_u) div 20. Truncating integer division is
+    identical in Spark (``div``) and DuckDB (``//``) for nonnegative
+    operands, so the result is bit-identical to the oracle at any SF.
+    Singleton documents (no near-dup edges) keep the base rank; dangling
+    mass is NOT redistributed (deliberate, documented — the graph is
+    symmetric so every edge endpoint has deg >= 1, and singletons'
+    leaked mass only shifts all ranks by a shared constant).
+
+    Scale notes (100 TB): the edge list is candidate-generator output
+    (corpus-sized at worst, usually much smaller). Each iteration is one
+    shuffle of edges+ranks keyed by node (sort/hash join) and one
+    map-side-combined sum keyed by dst; ranks are node-sized and never
+    broadcast or collected. Plan depth is linear in the fixed iteration
+    count (localCheckpoint is the deep-iteration escape hatch, as in
+    connected_components).
+    """
+    sym = _symmetrize(pairs, "id_a", "id_b")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "src")
+    nn = nodes.select(F.col(node_col).alias("node"))
+    nt = nn.agg(F.count(F.lit(1)).alias("n"))
+    base = nn.crossJoin(F.broadcast(nt)).select(
+        "node",
+        F.expr(f"({scale} div n) ").alias("r0"),
+        F.expr(f"((3 * {scale}) div 20) div n").alias("base"),
+    )
+    r = base.select("node", F.col("r0").alias("rank"))
+    for _ in range(iters):
+        contrib = (edges.join(r, edges["src"] == r["node"])
+                        .select(F.col("dst"),
+                                F.expr("rank div deg").alias("m"))
+                        .groupBy("dst").agg(F.sum("m").alias("c")))
+        r = (base.join(contrib, base["node"] == contrib["dst"], "left")
+                 .select(base["node"],
+                         (F.col("base")
+                          + F.expr("(17 * coalesce(c, 0L)) div 20"))
+                         .alias("rank")))
+    out = (r.join(deg, r["node"] == deg["src"], "left")
+            .select(F.col("node").alias(node_col),
+                    F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+                    F.col("rank").alias("rank_e12")))
+    return out

@@ -129,7 +129,8 @@ def main() -> int:
                  "bm25_topk", "chunk_docs",
                  "cross_surprisal", "remove_dup_spans", "kmeans_assign",
                  "merge_upsert", "quality_classifier", "zorder_layout",
-                 "incremental_view_update", "dsir_weights"]:
+                 "incremental_view_update", "dsir_weights",
+                 "pagerank_dedup", "analyze_table_stats"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -299,3 +299,38 @@ def kmeans_ctes(n_clusters: int = 8, iters: int = 2,
                 GROUP BY qe.id, s.c_id
             )""")
     return ",\n            ".join(parts)
+
+
+def pagerank_ctes(iters: int = 3, scale: int = 10 ** 12) -> str:
+    """Integer-exact PageRank over the ``pairs`` CTE (graph.pagerank twin):
+    symmetrized edges ``sym2``, degrees ``degt``, scalar base table
+    ``bb``, then per-iteration contribution/rank CTE chains. Terminal CTE
+    ``pr{iters}``; ``//`` truncates like Spark's ``div`` (all operands
+    nonnegative). Every sum casts back to BIGINT (DuckDB sums to HUGEINT,
+    Spark stays int64)."""
+    parts = [f"""sym2 AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            degt AS (SELECT src, count(*) AS deg FROM sym2 GROUP BY src),
+            bb AS (SELECT {scale} // count(*) AS r0,
+                          ((3 * {scale}) // 20) // count(*) AS base
+                   FROM documents),
+            pr0 AS (SELECT doc_id AS node, bb.r0 AS rank
+                    FROM documents CROSS JOIN bb)"""]
+    for k in range(1, iters + 1):
+        parts.append(f"""c{k} AS (
+                SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS c
+                FROM sym2 e JOIN degt d ON d.src = e.src
+                JOIN pr{k - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            ),
+            pr{k} AS (
+                SELECT p.node,
+                       (bb.base + (17 * COALESCE(c.c, 0)) // 20)::BIGINT
+                           AS rank
+                FROM pr0 p CROSS JOIN bb
+                LEFT JOIN c{k} c USING (node)
+            )""")
+    return ",\n            ".join(parts)
