@@ -1081,6 +1081,15 @@ def _q_analyze_table_stats(spark, sf):
     return analyze_table_stats(_t(spark, sf, "events"))
 
 
+def _q_retention_cohorts(spark, sf):
+    """Cohort retention matrix over events (ops/temporal.py
+    retention_cohorts): first-activity-week cohorts × week offsets,
+    integer epoch-week buckets, count(*) not count-distinct (one
+    (user, week) row per user after the shared-key dedup)."""
+    from bella_domify_spark.ops.temporal import retention_cohorts
+    return retention_cohorts(_t(spark, sf, "events"))
+
+
 def _q_dedup_recall(spark, sf):
     """Corpus-level recall/precision counts of MinHash-LSH near-dup pairs
     against the true n-gram-jaccard pairs at the same threshold —
@@ -1182,6 +1191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dedup": _q_pagerank_dedup,
         "analyze_table_stats": _q_analyze_table_stats,
         # --- exiled tail (51+): driver-green r4, untouched this round ---
+        # retention_cohorts is new but tail-listed (window policy: the 50
+        # slots are full of never-confirmed + this-round-changed entries);
+        # full oracle verified locally at sf0.01/sf0.1, rotates in next
+        # round
+        "retention_cohorts": _q_retention_cohorts,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2200,6 +2214,20 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "retention_cohorts": """
+            WITH act AS (
+                SELECT DISTINCT user_id AS u,
+                       epoch_us(ts) // 604800000000 AS w
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), first AS (
+                SELECT u, min(w) AS cw FROM act GROUP BY u
+            )
+            SELECT cw AS cohort_week, w - cw AS week_offset,
+                   count(*) AS n_active
+            FROM act JOIN first USING (u)
+            GROUP BY 1, 2
+        """,
         "gopher_quality": r"""
             WITH w AS (
                 SELECT doc_id,

@@ -442,3 +442,45 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
         "bytes": sum(r["bytes"] for r in summaries),
         "wall_ms": max((r["wall_ms"] for r in summaries), default=0.0),
     }
+
+
+def lookup_turn(spark, out_dir: str, conv_id, turn_idx) -> DataFrame:
+    """Point lookup of one extracted turn WITHOUT scanning the dataset —
+    the serving-side payoff of deterministic bucket routing (the Hive/
+    Iceberg bucket-pruning read): recompute the row's bucket from the
+    pinned ``n_buckets`` (``_run_params.json``), read ONLY that one
+    parquet file, and filter inside it.
+
+    At 100 TB with 10^5 buckets this touches one file (+ one footer for
+    schema inference) instead of the full corpus — the difference between
+    a sub-second point read and a cluster-wide scan. Key-column dtypes are
+    inferred from a committed bucket's parquet schema because xxhash64 is
+    type-sensitive: hashing turn_idx as INT when the writer hashed BIGINT
+    routes to the wrong bucket (silently empty results), so the contract
+    is pinned to the written files, not to caller guesses.
+
+    Returns a DataFrame (possibly empty) with the bucket-file schema; a
+    key routing to a never-committed bucket yields an empty frame.
+    """
+    from pyspark.sql import functions as F
+
+    store = BucketStore(out_dir)
+    params = store.read_json("_manifests", RUN_PARAMS_NAME)
+    n_buckets = int(params["n_buckets"])
+    manifests = read_manifests(out_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed buckets under {out_dir}")
+    sample = store.path(manifests[0]["file"])
+    schema = spark.read.parquet(sample).schema
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    one = spark.range(1).select(
+        F.lit(conv_id).cast(types["conv_id"]).alias("conv_id"),
+        F.lit(turn_idx).cast(types["turn_idx"]).alias("turn_idx"))
+    pid = int(with_bucket(one, n_buckets).collect()[0]["pid"])
+    fname = f"bucket-{pid:05d}.parquet"
+    if not any(m["file"] == fname for m in manifests):
+        return spark.createDataFrame([], schema)
+    return (spark.read.parquet(store.path(fname))
+            .filter((F.col("conv_id") == F.lit(conv_id).cast(types["conv_id"]))
+                    & (F.col("turn_idx")
+                       == F.lit(turn_idx).cast(types["turn_idx"]))))

@@ -291,3 +291,32 @@ def range_error_context(events: DataFrame,
             .agg(F.count("*").alias("n_ctx"),
                  F.sum((F.col("value_ref").cast("decimal(18,2)") * 100)
                        .cast("long")).alias("sum_value_cents")))
+
+
+def retention_cohorts(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts",
+                      week_us: int = 7 * 86_400 * 10 ** 6) -> DataFrame:
+    """Cohort retention matrix — the warehouse staple: users cohorted by
+    first-activity week, counted in each later week they return.
+    Returns (cohort_week, week_offset, n_active); offset 0 is the cohort
+    size. Weeks are integer epoch-µs buckets (`div week_us`), so the
+    result is exact-hash-stable across engines (no date/tz functions).
+
+    Scale notes: one shuffle keyed by user (the min-week aggregate and
+    the (user, week) distinct both combine map-side and share the key),
+    then a user-keyed join and a map-side-combined count into the tiny
+    (cohorts × offsets) matrix. Since each user carries exactly one
+    cohort week, the final count is a plain count(*), not a
+    count-distinct — no Expand, no second dedup shuffle. NULL users /
+    timestamps carry no identity and are dropped on both engines.
+    """
+    e = (events.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+               .select(F.col(key).alias("u"),
+                       F.expr(f"unix_micros(cast({ts} as timestamp))"
+                              f" div {week_us}").alias("w")))
+    act = e.distinct()
+    first = act.groupBy("u").agg(F.min("w").alias("cw"))
+    return (act.join(first, "u")
+               .groupBy(F.col("cw").alias("cohort_week"),
+                        (F.col("w") - F.col("cw")).alias("week_offset"))
+               .agg(F.count(F.lit(1)).alias("n_active")))

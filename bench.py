@@ -130,7 +130,8 @@ def main() -> int:
                  "cross_surprisal", "remove_dup_spans", "kmeans_assign",
                  "merge_upsert", "quality_classifier", "zorder_layout",
                  "incremental_view_update", "dsir_weights",
-                 "pagerank_dedup", "analyze_table_stats"]:
+                 "pagerank_dedup", "analyze_table_stats",
+                 "retention_cohorts"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
