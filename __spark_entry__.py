@@ -1081,6 +1081,22 @@ def _q_analyze_table_stats(spark, sf):
     return analyze_table_stats(_t(spark, sf, "events"))
 
 
+def _q_embedding_outliers(spark, sf):
+    """Per-label centroid-distance outliers (ops/ann.py): the 5 vectors
+    farthest from their own label's integer-mean centroid — the
+    re-annotation queue of an embedding-curation pass."""
+    from bella_domify_spark.ops.ann import embedding_outliers
+    return embedding_outliers(_t(spark, sf, "embeddings"))
+
+
+def _q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (ops/ann.py): nearest
+    different-label vector for each of the 8 lowest-id queries, exact
+    integer distances over the broadcast query set."""
+    from bella_domify_spark.ops.ann import hard_negatives
+    return hard_negatives(_t(spark, sf, "embeddings"))
+
+
 def _q_retention_cohorts(spark, sf):
     """Cohort retention matrix over events (ops/temporal.py
     retention_cohorts): first-activity-week cohorts × week offsets,
@@ -1196,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full oracle verified locally at sf0.01/sf0.1, rotates in next
         # round
         "retention_cohorts": _q_retention_cohorts,
+        "embedding_outliers": _q_embedding_outliers,
+        "hard_negatives": _q_hard_negatives,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2214,6 +2232,54 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "embedding_outliers": """
+            WITH qe AS (
+                SELECT vec_id AS id, label::BIGINT AS lbl, i AS pos,
+                       floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS x
+                FROM embeddings,
+                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                WHERE label IS NOT NULL
+            ), cent AS (
+                SELECT lbl, pos, (sum(x) // count(*))::BIGINT AS m
+                FROM qe GROUP BY lbl, pos
+            ), d AS (
+                SELECT q.id, q.lbl,
+                       sum((q.x - c.m) * (q.x - c.m))::BIGINT AS dist2
+                FROM qe q JOIN cent c ON c.lbl = q.lbl AND c.pos = q.pos
+                GROUP BY q.id, q.lbl
+            )
+            SELECT id AS vec_id, lbl AS label, dist2,
+                   row_number() OVER (PARTITION BY lbl
+                                      ORDER BY dist2 DESC, id)::INT AS rnk
+            FROM d
+            QUALIFY rnk <= 5
+        """,
+        "hard_negatives": """
+            WITH qe AS (
+                SELECT vec_id AS id, label::BIGINT AS lbl, i AS pos,
+                       floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS x
+                FROM embeddings,
+                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                WHERE label IS NOT NULL
+            ), qs AS (
+                SELECT id AS q_id, lbl AS q_lbl
+                FROM (SELECT DISTINCT id, lbl FROM qe)
+                ORDER BY q_id LIMIT 8
+            ), qp AS (
+                SELECT qs.q_id, qs.q_lbl, qe.pos, qe.x AS qx
+                FROM qs JOIN qe ON qe.id = qs.q_id
+            ), d AS (
+                SELECT qp.q_id, c.id,
+                       sum((c.x - qp.qx) * (c.x - qp.qx))::BIGINT AS dist2
+                FROM qe c
+                JOIN qp ON qp.pos = c.pos AND c.lbl <> qp.q_lbl
+                GROUP BY qp.q_id, c.id
+            )
+            SELECT q_id, id AS neg_id, dist2
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY q_id
+                                       ORDER BY dist2, id) = 1
+        """,
         "retention_cohorts": """
             WITH act AS (
                 SELECT DISTINCT user_id AS u,

@@ -341,3 +341,81 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank"))
+
+
+def embedding_outliers(vectors: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label",
+                       scale: int = 1_000_000) -> DataFrame:
+    """Mislabel/drift screening for an embedding table: the ``k`` vectors
+    FARTHEST from their own label's centroid, per label — the vectors a
+    curation pass sends for re-annotation. Integer-exact like
+    kmeans_assign: floor-e6 quantization, truncating integer centroid
+    means, BIGINT squared distances; ties broken by smallest id.
+
+    Scale notes: the per-label centroid table is aggregate-sized
+    (labels × dim from ONE map-side-combined (label, pos) aggregation)
+    and broadcasts onto the corpus; distance is a zip_with/aggregate fold
+    inside codegen (no shuffle of the vectors); the final top-k ranks
+    inside label partitions bounded by label cardinality's skew — at
+    100 TB a hot label's window sort is the floor, and the rank-k filter
+    pushes as TakeOrdered-per-label work, never a global sort.
+    """
+    q = (vectors.filter(F.col(vec_col).isNotNull()
+                        & F.col(label_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.col(label_col).cast("long").alias("lbl"),
+                 F.transform(F.col(vec_col).cast("array<double>"),
+                             lambda x: F.floor(x * F.lit(float(scale)))
+                             .cast("long")).alias("v")))
+    cents = (q.select("lbl", F.posexplode("v").alias("pos", "x"))
+             .groupBy("lbl", "pos")
+             .agg(F.expr("sum(x) div count(1)").alias("m"))
+             .groupBy("lbl")
+             .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                  .alias("pm"))
+             .select("lbl", F.transform("pm", lambda s: s["m"]).alias("c")))
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.partitionBy("lbl").orderBy(F.desc("dist2"), F.asc("id"))
+    return (q.join(F.broadcast(cents), "lbl")
+            .select("id", "lbl", d2.alias("dist2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("id").alias(id_col), F.col("lbl").alias("label"),
+                    "dist2", "rnk"))
+
+
+def hard_negatives(vectors: DataFrame, n_queries: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   scale: int = 1_000_000) -> DataFrame:
+    """Contrastive hard-negative mining: for each of the ``n_queries``
+    lowest-id vectors, the nearest vector with a DIFFERENT label — the
+    negatives that actually move an embedding model. Exact brute force
+    over a broadcast query set (the documented baseline; the LSH/IVF
+    bucketed paths in this module are the 100 TB candidate generators,
+    after which this same exact scoring verifies candidates). Integer
+    floor-e6 distances; ties broken by smallest candidate id.
+    """
+    q = (vectors.filter(F.col(vec_col).isNotNull()
+                        & F.col(label_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.col(label_col).cast("long").alias("lbl"),
+                 F.transform(F.col(vec_col).cast("array<double>"),
+                             lambda x: F.floor(x * F.lit(float(scale)))
+                             .cast("long")).alias("v")))
+    qs = (q.orderBy("id").limit(n_queries)
+          .select(F.col("id").alias("q_id"), F.col("lbl").alias("q_lbl"),
+                  F.col("v").alias("qv")))
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("id"))
+    return (q.crossJoin(F.broadcast(qs))
+            .filter(F.col("lbl") != F.col("q_lbl"))
+            .select("q_id", "id", d2.alias("dist2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("q_id", F.col("id").alias("neg_id"), "dist2"))

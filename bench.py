@@ -131,7 +131,8 @@ def main() -> int:
                  "merge_upsert", "quality_classifier", "zorder_layout",
                  "incremental_view_update", "dsir_weights",
                  "pagerank_dedup", "analyze_table_stats",
-                 "retention_cohorts"]:
+                 "retention_cohorts", "embedding_outliers",
+                 "hard_negatives"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -107,3 +107,68 @@ class TestAnalyzeTableStats:
         # one scan of the parquet, expand-based distinct, no Python
         assert plan.count("FileScan parquet") == 1
         assert "BatchEvalPython" not in plan
+
+
+class TestEmbeddingCuration:
+    def _mk(self, spark, rng, n=40, dim=6, labels=3):
+        rows = [(i, [float(rng.uniform(-1, 1)) for _ in range(dim)],
+                 int(rng.randrange(labels))) for i in range(n)]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_outliers_match_bruteforce(self, spark):
+        import math
+        import random
+
+        from bella_domify_spark.ops.ann import embedding_outliers
+
+        rng = random.Random(7)
+        rows, df = self._mk(spark, rng)
+        # python model: float32 storage -> double -> floor-e6 quantize
+        import numpy as np
+        q = {i: [math.floor(float(np.float32(x)) * 1e6) for x in v]
+             for i, v, _ in rows}
+        lbl = {i: l for i, _, l in rows}
+        def tdiv(a, b):
+            # Spark `div` / DuckDB `//` truncate toward zero; Python //
+            # floors — they differ on negative sums
+            return -(-a // b) if a < 0 else a // b
+
+        cents = {}
+        for l in set(lbl.values()):
+            ids = [i for i in lbl if lbl[i] == l]
+            dim = len(q[ids[0]])
+            cents[l] = [tdiv(sum(q[i][p] for i in ids), len(ids))
+                        for p in range(dim)]
+        d2 = {i: sum((a - b) ** 2 for a, b in zip(q[i], cents[lbl[i]]))
+              for i in lbl}
+        want = set()
+        for l in cents:
+            ids = sorted((i for i in lbl if lbl[i] == l),
+                         key=lambda i: (-d2[i], i))[:5]
+            want |= {(i, l, d2[i], r + 1) for r, i in enumerate(ids)}
+        got = {(r["vec_id"], r["label"], r["dist2"], r["rnk"])
+               for r in embedding_outliers(df).collect()}
+        assert got == want
+
+    def test_hard_negatives_are_nearest_other_label(self, spark):
+        import math
+        import random
+
+        import numpy as np
+
+        from bella_domify_spark.ops.ann import hard_negatives
+
+        rng = random.Random(13)
+        rows, df = self._mk(spark, rng, n=30)
+        q = {i: [math.floor(float(np.float32(x)) * 1e6) for x in v]
+             for i, v, _ in rows}
+        lbl = {i: l for i, _, l in rows}
+        got = {r["q_id"]: (r["neg_id"], r["dist2"])
+               for r in hard_negatives(df).collect()}
+        assert set(got) == set(range(8))
+        for qi in range(8):
+            cands = [(sum((a - b) ** 2 for a, b in zip(q[qi], q[c])), c)
+                     for c in lbl if lbl[c] != lbl[qi]]
+            best = min(cands)
+            assert got[qi] == (best[1], best[0]), qi

@@ -246,3 +246,59 @@ class TestDsirWeights:
         assert len(got) == 3
         for d in (2, 3):
             assert got[d]["n_feats"] == 0 and got[d]["logw_e9"] == 0
+
+
+class TestMergeFuzz:
+    def test_merge_and_ivm_match_python_lww(self, spark):
+        """Seeded random base+changelog (NULL texts, inserts, deletes,
+        multi-update keys) vs a pure-Python LWW model: merge_upsert must
+        equal dict-replay, incremental_view_update must equal the grouped
+        recompute of that replay."""
+        import random
+
+        from bella_domify_spark.ops.lakehouse import (
+            incremental_view_update, merge_upsert)
+
+        for seed in (3, 11):
+            rng = random.Random(seed)
+            base_rows = [(k, "b" * rng.randint(1, 30))
+                         for k in range(60) if rng.random() < 0.8]
+            versions = list(range(200))
+            rng.shuffle(versions)
+            ch_rows = []
+            for v in versions:
+                k = rng.randrange(120)
+                op = "D" if rng.random() < 0.25 else "U"
+                text = (None if op == "D" or rng.random() < 0.1
+                        else "u" * rng.randint(0, 25))
+                ch_rows.append((k, v, op, text))
+
+            # python LWW replay
+            state = {k: (-1, t) for k, t in base_rows}
+            n_ops = {k: 1 for k, _ in base_rows}
+            win = dict(state)
+            for k, v, op, text in ch_rows:
+                n_ops[k] = n_ops.get(k, 0) + 1
+                cur = win.get(k)
+                if cur is None or v > cur[0]:
+                    win[k] = (v, text if op == "U" else ("D",))
+            alive = {k: (v, t) for k, (v, t) in win.items() if t != ("D",)}
+            want_merge = sorted((k, v, n_ops[k], t)
+                                for k, (v, t) in alive.items())
+            view = {}
+            for k, (v, t) in alive.items():
+                g = k % 16
+                n, ch = view.get(g, (0, 0))
+                view[g] = (n + 1, ch + len(t or ""))
+            want_view = sorted((g, n, ch) for g, (n, ch) in view.items())
+
+            base = spark.createDataFrame(base_rows,
+                                         "doc_id long, text string")
+            ch = spark.createDataFrame(
+                ch_rows, "doc_id long, version long, op string, text string")
+            got_merge = _rows(merge_upsert(base, ch),
+                              "doc_id", "final_version", "n_ops", "text")
+            assert got_merge == want_merge, f"merge seed {seed}"
+            got_view = _rows(incremental_view_update(base, ch),
+                             "g", "n_docs", "n_chars")
+            assert got_view == want_view, f"ivm seed {seed}"
