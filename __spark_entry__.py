@@ -1097,6 +1097,23 @@ def _q_hard_negatives(spark, sf):
     return hard_negatives(_t(spark, sf, "embeddings"))
 
 
+def _q_scd2_history(spark, sf):
+    """SCD Type-2 validity intervals from the CDC changelog
+    (ops/lakehouse.py scd2_history): one lead() window per key, deletes
+    close intervals, open interval = current state."""
+    from bella_domify_spark.ops.lakehouse import scd2_history
+    docs, changes = _cdc_changelog(spark, sf)
+    return scd2_history(docs.select("doc_id", "text"), changes)
+
+
+def _q_psi_drift(spark, sf):
+    """PSI drift monitor (ops/analyze.py psi_drift): event_type
+    distribution of the first time-half vs the second, add-one smoothed,
+    per-type PSI terms floor-e9 quantized."""
+    from bella_domify_spark.ops.analyze import psi_drift
+    return psi_drift(_t(spark, sf, "events"))
+
+
 def _q_retention_cohorts(spark, sf):
     """Cohort retention matrix over events (ops/temporal.py
     retention_cohorts): first-activity-week cohorts × week offsets,
@@ -1214,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "embedding_outliers": _q_embedding_outliers,
         "hard_negatives": _q_hard_negatives,
+        "scd2_history": _q_scd2_history,
+        "psi_drift": _q_psi_drift,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2232,6 +2251,63 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "scd2_history": """
+            WITH ks AS (
+                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
+            ), ch AS (
+                SELECT event_id % ks AS doc_id,
+                       event_id AS version,
+                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       event_type || ' ' || props AS text
+                FROM events CROSS JOIN ks
+            ), u AS (
+                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id, version, op, text FROM ch
+            ), h AS (
+                SELECT doc_id, version AS valid_from,
+                       lead(version) OVER (PARTITION BY doc_id
+                                           ORDER BY version) AS valid_to,
+                       op, text
+                FROM u
+            )
+            SELECT doc_id, valid_from, valid_to, text,
+                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM h WHERE op = 'U'
+        """,
+        "psi_drift": """
+            WITH t AS (
+                SELECT epoch_us(ts) AS u, event_type
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ), mm AS (
+                SELECT min(u) AS lo, max(u) AS hi FROM t
+            ), h AS (
+                SELECT event_type, u <= (lo + hi) // 2 AS is_ref
+                FROM t CROSS JOIN mm
+            ), c AS (
+                SELECT event_type,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT
+                           AS c_ref,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT
+                           AS c_live
+                FROM h GROUP BY event_type
+            ), tt AS (
+                SELECT sum(c_ref)::BIGINT AS n_ref,
+                       sum(c_live)::BIGINT AS n_live,
+                       count(*) AS v
+                FROM c
+            )
+            SELECT event_type, c_ref, c_live,
+                   floor(((c_ref + 1)::DOUBLE / (n_ref + v)
+                          - (c_live + 1)::DOUBLE / (n_live + v))
+                         * ln(((c_ref + 1)::DOUBLE * (n_live + v))
+                              / ((c_live + 1)::DOUBLE * (n_ref + v)))
+                         * 1e9)::BIGINT AS psi_e9
+            FROM c CROSS JOIN tt
+        """,
         "embedding_outliers": """
             WITH qe AS (
                 SELECT vec_id AS id, label::BIGINT AS lbl, i AS pos,

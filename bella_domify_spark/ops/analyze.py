@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["analyze_table_stats"]
+__all__ = ["analyze_table_stats", "psi_drift"]
 
 
 def analyze_table_stats(events: DataFrame) -> DataFrame:
@@ -105,3 +105,53 @@ def analyze_oracle_sql() -> str:
             f"{name}__len FROM a")
     return (f"WITH a AS (SELECT {', '.join(parts)} FROM events)\n"
             + "\nUNION ALL\n".join(rows))
+
+
+def psi_drift(events: DataFrame) -> DataFrame:
+    """Population-Stability-Index drift monitor: the event_type
+    distribution of the first time-half of the corpus against the second
+    half — the standard production check that a feature's distribution
+    has not shifted between a reference window and a live window.
+
+    Midpoint = integer mean of min/max epoch-µs (broadcast scalars); both
+    halves' counts add-one smooth over the union vocabulary, and each
+    type's PSI term (p - q) * ln(p / q) quantizes floor-e9 to BIGINT —
+    the established cross-engine-stable ln idiom (bigram_surprisal).
+    Output: (event_type, c_ref, c_live, psi_e9); sum(psi_e9) > 0.2e9 is
+    the conventional "significant drift" line.
+
+    Scale notes: one scan, one map-side-combined (half, type) aggregate
+    (≤ 2×|vocab| rows), the rest is aggregate-sized arithmetic — no
+    per-row work after the count table.
+    """
+    e = events.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    t = e.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+        "event_type",
+    )
+    mm = t.agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+    halves = (t.crossJoin(F.broadcast(mm))
+               .select("event_type",
+                       (F.col("u") <= F.expr("(lo + hi) div 2"))
+                       .alias("is_ref")))
+    counts = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_live"),
+    )
+    totals = counts.agg(F.sum("c_ref").alias("n_ref"),
+                        F.sum("c_live").alias("n_live"),
+                        F.count(F.lit(1)).alias("v"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("event_type",
+                    F.col("c_ref").cast("long").alias("c_ref"),
+                    F.col("c_live").cast("long").alias("c_live"),
+                    F.floor(
+                        ((F.col("c_ref") + 1).cast("double")
+                         / (F.col("n_ref") + F.col("v"))
+                         - (F.col("c_live") + 1).cast("double")
+                         / (F.col("n_live") + F.col("v")))
+                        * F.log(((F.col("c_ref") + 1).cast("double")
+                                 * (F.col("n_live") + F.col("v")))
+                                / ((F.col("c_live") + 1).cast("double")
+                                   * (F.col("n_ref") + F.col("v"))))
+                        * 1e9).cast("long").alias("psi_e9")))

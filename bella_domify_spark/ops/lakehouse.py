@@ -36,8 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["merge_upsert", "incremental_view_update", "zorder_layout",
-           "Z_BITS", "Z_BUCKET_SHIFT"]
+__all__ = ["merge_upsert", "incremental_view_update", "scd2_history",
+           "zorder_layout", "Z_BITS", "Z_BUCKET_SHIFT"]
 
 # 16 bits per dimension -> 32-bit Morton code -> 2^10 buckets of 2^22 codes.
 Z_BITS = 16
@@ -237,3 +237,39 @@ def zorder_oracle_ctes() -> str:
             FROM zz GROUP BY 1
         )
     """
+
+
+def scd2_history(base: DataFrame, changes: DataFrame,
+                 key: str = "doc_id") -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history from the same CDC
+    changelog merge_upsert consumes: every 'U' version of a key becomes a
+    validity interval [valid_from, valid_to), closed by the NEXT change
+    of that key (update or delete); the open interval (valid_to NULL) is
+    the current state — absent when the key's last change is a delete.
+
+    One window over (key, version) — a single hash-partitioned shuffle;
+    interval closing is a ``lead``, never a self-join. At 100 TB the
+    window partition is bounded by a key's change count (the same skew
+    profile as asof_join, salted the same way if a key runs hot).
+    Output: (key, valid_from, valid_to, text, is_current).
+    """
+    from pyspark.sql import Window
+
+    b = base.select(
+        F.col(key),
+        F.lit(-1).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+        F.col("text"),
+    )
+    u = b.unionByName(changes.select(key, "version", "op", "text"))
+    w = Window.partitionBy(key).orderBy("version")
+    hist = u.select(
+        F.col(key),
+        F.col("version").alias("valid_from"),
+        F.lead("version").over(w).alias("valid_to"),
+        "op", "text",
+    )
+    return (hist.filter(F.col("op") == "U")
+                .select(key, "valid_from", "valid_to", "text",
+                        F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+                         .alias("is_current")))

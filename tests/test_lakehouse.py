@@ -302,3 +302,55 @@ class TestMergeFuzz:
             got_view = _rows(incremental_view_update(base, ch),
                              "g", "n_docs", "n_chars")
             assert got_view == want_view, f"ivm seed {seed}"
+
+
+class TestScd2History:
+    def test_intervals_chain_and_close(self, spark):
+        from bella_domify_spark.ops.lakehouse import scd2_history
+
+        base = spark.createDataFrame([(1, "one"), (2, "two")],
+                                     "doc_id long, text string")
+        changes = spark.createDataFrame(
+            [
+                (1, 10, "U", "one-b"),
+                (1, 20, "U", "one-c"),
+                (2, 5, "D", None),            # delete closes, no current
+                (3, 7, "U", "three"),         # insert: open interval
+                (4, 1, "U", "four"),
+                (4, 2, "D", None),
+                (4, 3, "U", "four-back"),     # resurrect after delete
+            ],
+            "doc_id long, version long, op string, text string")
+        got = _rows(scd2_history(base, changes),
+                    "doc_id", "valid_from", "valid_to", "text", "is_current")
+        assert got == [
+            (1, -1, 10, "one", 0),
+            (1, 10, 20, "one-b", 0),
+            (1, 20, None, "one-c", 1),
+            (2, -1, 5, "two", 0),
+            (3, 7, None, "three", 1),
+            (4, 1, 2, "four", 0),
+            (4, 3, None, "four-back", 1),
+        ]
+
+    def test_current_rows_equal_merge_result(self, spark):
+        """Cross-operator invariant: SCD2's open intervals ARE the merged
+        snapshot (same keys, same winning text)."""
+        import random
+
+        from bella_domify_spark.ops.lakehouse import merge_upsert, scd2_history
+
+        rng = random.Random(5)
+        base_rows = [(k, f"b{k}") for k in range(30)]
+        versions = list(range(80))
+        rng.shuffle(versions)
+        ch_rows = [(rng.randrange(60), v,
+                    "D" if rng.random() < 0.3 else "U", f"u{v}")
+                   for v in versions]
+        base = spark.createDataFrame(base_rows, "doc_id long, text string")
+        ch = spark.createDataFrame(
+            ch_rows, "doc_id long, version long, op string, text string")
+        cur = _rows(scd2_history(base, ch).filter("is_current = 1"),
+                    "doc_id", "text")
+        merged = _rows(merge_upsert(base, ch), "doc_id", "text")
+        assert cur == merged
