@@ -1097,6 +1097,22 @@ def _q_hard_negatives(spark, sf):
     return hard_negatives(_t(spark, sf, "embeddings"))
 
 
+def _q_classifier_auc(spark, sf):
+    """Exact Mann-Whitney AUC of the classifier margin vs the lang='en'
+    label (ops/classifier.py classifier_auc): distinct-margin aggregate →
+    prefix-sum of negatives → doubled-U integer algebra."""
+    from bella_domify_spark.ops.classifier import classifier_auc
+    return classifier_auc(_t(spark, sf, "documents"))
+
+
+def _q_hll_sliding_distinct(spark, sf):
+    """Sliding 7-day distinct users per day by max-merging daily HLL
+    register tables (ops/sketches.py hll_sliding_distinct) — sketch
+    mergeability as a first-class operator."""
+    from bella_domify_spark.ops.sketches import hll_sliding_distinct
+    return hll_sliding_distinct(_t(spark, sf, "events"))
+
+
 def _q_scd2_history(spark, sf):
     """SCD Type-2 validity intervals from the CDC changelog
     (ops/lakehouse.py scd2_history): one lead() window per key, deletes
@@ -1233,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "scd2_history": _q_scd2_history,
         "psi_drift": _q_psi_drift,
+        "classifier_auc": _q_classifier_auc,
+        "hll_sliding_distinct": _q_hll_sliding_distinct,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2251,6 +2269,98 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "classifier_auc": f"""
+            WITH {classifier_feats_sql()}, s AS (
+                SELECT f.doc_id,
+                       COALESCE(list_aggregate(
+                           list_transform(fs,
+                               t -> ({classifier_weight_expr('t', 'duckdb')})),
+                           'sum'), 0)::BIGINT AS margin
+                FROM feats f
+            ), lab AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+            ), g AS (
+                SELECT margin, sum(y)::BIGINT AS pos,
+                       sum(1 - y)::BIGINT AS neg
+                FROM s JOIN lab USING (doc_id) GROUP BY margin
+            ), p AS (
+                SELECT pos, neg,
+                       COALESCE(sum(neg) OVER (
+                           ORDER BY margin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT
+                           AS neg_below
+                FROM g
+            ), tot AS (
+                SELECT sum(pos)::BIGINT AS n_pos,
+                       sum(neg)::BIGINT AS n_neg,
+                       sum(2 * pos * neg_below + pos * neg)::BIGINT AS u2
+                FROM p
+            )
+            SELECT n_pos, n_neg, u2,
+                   floor(u2::DOUBLE / (2 * n_pos * n_neg)::DOUBLE
+                         * 1e9)::BIGINT AS auc_e9
+            FROM tot
+        """,
+        "hll_sliding_distinct": f"""
+            WITH df AS (
+                SELECT epoch_us(ts) // 86400000000 AS day, user_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), hh AS (
+                SELECT day,
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                           AS h
+                FROM df
+            ), r AS (
+                SELECT day, h & 63 AS j,
+                       CASE WHEN (h >> 6) > 0
+                            THEN 55 - length(bin(h >> 6))
+                            ELSE 55 END AS rho
+                FROM hh
+            ), daily AS (
+                SELECT day, j, max(rho) AS mj FROM r GROUP BY day, j
+            ), days AS (
+                SELECT DISTINCT day FROM daily
+            ), expanded AS (
+                SELECT daily.day + k AS t_day, j, mj
+                FROM daily, UNNEST(range(0, 7)) AS t(k)
+            ), merged AS (
+                SELECT t_day, j, max(mj) AS mj
+                FROM expanded JOIN days ON days.day = expanded.t_day
+                GROUP BY t_day, j
+            ), g AS (
+                SELECT t_day,
+                       sum(1::BIGINT << (55 - mj))::BIGINT AS s_present,
+                       count(*) AS n_buckets
+                FROM merged GROUP BY t_day
+            ), e AS (
+                SELECT t_day,
+                       {hll_num} / CAST(s_present
+                           + (64 - n_buckets) * (1::BIGINT << 55)
+                           AS DOUBLE) AS raw,
+                       CAST(64 - n_buckets AS DOUBLE) AS v
+                FROM g
+            ), e2 AS (
+                SELECT t_day,
+                       CASE WHEN raw <= 160.0 AND v > 0
+                            THEN 64.0 * ln(64.0 / v)
+                            ELSE raw END AS est
+                FROM e
+            ), exq AS (
+                SELECT df.day + k AS t_day, user_id
+                FROM df, UNNEST(range(0, 7)) AS t(k)
+            ), ex AS (
+                SELECT t_day, count(DISTINCT user_id) AS n_exact
+                FROM exq JOIN days ON days.day = exq.t_day
+                GROUP BY t_day
+            )
+            SELECT ex.t_day AS day, ex.n_exact,
+                   floor(e2.est * 1e4)::BIGINT AS est_hll_e4
+            FROM ex JOIN e2 USING (t_day)
+        """,
         "scd2_history": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents

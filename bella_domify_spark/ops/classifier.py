@@ -32,8 +32,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from bella_domify_spark.ops.hashfamily import MERSENNE_P, _md5_int
 
-__all__ = ["quality_classifier", "classifier_weight_expr",
-           "classifier_feats_sql"]
+__all__ = ["quality_classifier", "classifier_auc",
+           "classifier_weight_expr", "classifier_feats_sql"]
 
 # Affine weight-table constants, md5-seeded like minhash_params so both
 # engines regenerate them bit-for-bit.
@@ -113,3 +113,46 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         F.when(F.col("margin") > 0, F.lit("keep")).otherwise(F.lit("drop"))
          .alias("label"),
     )
+
+
+def classifier_auc(docs: DataFrame) -> DataFrame:
+    """Exact Mann-Whitney AUC of the classifier margin against a
+    deterministic binary label (lang='en') — the evaluation every
+    model-based filter needs before it gates a corpus. Tie handling is
+    the standard average-rank convention, kept integer-exact by doubling:
+    U2 = Σ_margins (2·pos_m·neg_below_m + pos_m·neg_m), AUC = U2 /
+    (2·n_pos·n_neg). Output: one row (n_pos, n_neg, u2, auc_e9).
+
+    Plan: the margin table reduces to a DISTINCT-margin aggregate
+    (map-side combined) before any window; the prefix sum of negatives
+    runs over that aggregate in a single unpartitioned window — fine
+    while distinct margins ≪ corpus (hash-sum margins are near-unique,
+    so at 100 TB swap in the binned AUC: quantize margins to a fixed
+    grid first, the hist_event_quantiles discipline; the formula is
+    unchanged). u2·1e9 stays far inside int64 up to ~10^6 docs per
+    evaluation slice; beyond that the final ratio moves to DECIMAL.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_classifier(docs).select("doc_id", "margin")
+    lab = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y"))
+    g = (scored.join(lab, "doc_id")
+         .groupBy("margin")
+         .agg(F.sum("y").cast("long").alias("pos"),
+              F.sum(1 - F.col("y")).cast("long").alias("neg")))
+    w = (Window.orderBy("margin")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    per = g.select(
+        "pos", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"))
+    tot = per.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(2 * F.col("pos") * F.col("neg_below")
+              + F.col("pos") * F.col("neg")).alias("u2"))
+    return tot.select(
+        "n_pos", "n_neg", "u2",
+        F.floor(F.col("u2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+                * 1e9).cast("long").alias("auc_e9"))

@@ -223,3 +223,65 @@ def hist_quantiles(df: DataFrame, group_col: str = "event_type",
     return out.select(
         F.col("g").alias(group_col), "n",
         *[mid(f"b{int(p * 100)}", f"p{int(p * 100)}_est_e6") for p in ps])
+
+
+def hll_sliding_distinct(events: DataFrame, window_days: int = 7,
+                         day_us: int = 86_400 * 10 ** 6) -> DataFrame:
+    """Sliding ``window_days``-day distinct users per day via MERGEABLE
+    daily HLL sketches — the production pattern the plain per-group HLL
+    only implies: materialize one register table per day, then answer ANY
+    window by register max-merge, never rescanning the raw corpus. A year
+    of daily sketches is 365×64 rows; every window query is
+    aggregate-sized arithmetic.
+
+    Plan: one scan → map-side-combined (day, j) register table → a
+    window_days-way explode of the REGISTER table (sketch-sized, not
+    data-sized) → max-merge per (target_day, j) → the same integer-exact
+    harmonic sum + linear-counting correction as hll_distinct. The exact
+    count (for accuracy pinning) expands raw (day, user) pairs instead —
+    the cost the sketch path avoids, kept only because the oracle gate
+    wants both columns. Output: (day, n_exact, est_hll_e4); only days
+    present in the data are emitted (a window ending on day d merges the
+    registers of days d-6..d that exist).
+    """
+    df = (events.filter(F.col("user_id").isNotNull()
+                        & F.col("ts").isNotNull())
+          .select(F.expr(f"unix_micros(cast(ts as timestamp)) div {day_us}")
+                  .alias("day"), "user_id"))
+    h = _h60(F.col("user_id"))
+    j = h.bitwiseAND(F.lit(M - 1)).alias("j")
+    w = F.shiftright(h, 6)
+    rho = (F.when(w > 0, F.lit(RHO_MAX) - F.length(F.bin(w)))
+           .otherwise(F.lit(RHO_MAX)).cast("int"))
+    daily = (df.select("day", j, rho.alias("rho"))
+             .groupBy("day", "j").agg(F.max("rho").alias("mj")))
+    days = daily.select("day").distinct()
+    offs = F.explode(F.array(*[F.lit(k) for k in range(window_days)]))
+    expanded = (daily.select("day", "j", "mj", offs.alias("k"))
+                .select((F.col("day") + F.col("k")).alias("t_day"),
+                        "j", "mj"))
+    merged = (expanded.join(days.select(F.col("day").alias("t_day")),
+                            "t_day")
+              .groupBy("t_day", "j").agg(F.max("mj").alias("mj")))
+    per_day = (merged.groupBy("t_day").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_MAX} - mj)"))
+        .alias("s_present"),
+        F.count("*").alias("n_buckets")))
+    s_total = (F.col("s_present")
+               + (F.lit(M) - F.col("n_buckets"))
+               * F.lit(1 << RHO_MAX).cast("long"))
+    v = (F.lit(M) - F.col("n_buckets")).cast("double")
+    raw = F.lit(HLL_NUMERATOR) / s_total.cast("double")
+    est = F.when((raw <= 2.5 * M) & (v > 0),
+                 F.lit(float(M)) * F.log(F.lit(float(M)) / v)).otherwise(raw)
+    ex_expanded = (df.select("day", "user_id", offs.alias("k"))
+                   .select((F.col("day") + F.col("k")).alias("t_day"),
+                           "user_id"))
+    exact = (ex_expanded.join(days.select(F.col("day").alias("t_day")),
+                              "t_day")
+             .groupBy("t_day")
+             .agg(F.count_distinct("user_id").alias("n_exact")))
+    return (exact.join(per_day, "t_day")
+            .select(F.col("t_day").alias("day"), "n_exact",
+                    F.floor(est * F.lit(1e4)).cast("long")
+                    .alias("est_hll_e4")))

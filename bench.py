@@ -132,7 +132,8 @@ def main() -> int:
                  "incremental_view_update", "dsir_weights",
                  "pagerank_dedup", "analyze_table_stats",
                  "retention_cohorts", "embedding_outliers",
-                 "hard_negatives", "scd2_history", "psi_drift"]:
+                 "hard_negatives", "scd2_history", "psi_drift",
+                 "classifier_auc", "hll_sliding_distinct"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

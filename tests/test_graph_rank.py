@@ -172,3 +172,34 @@ class TestEmbeddingCuration:
                      for c in lbl if lbl[c] != lbl[qi]]
             best = min(cands)
             assert got[qi] == (best[1], best[0]), qi
+
+
+class TestClassifierAuc:
+    def test_auc_matches_sklearnless_bruteforce(self, spark):
+        """AUC pinned against the O(n^2) pair-counting definition
+        (ties = 0.5) on a small labeled corpus."""
+        import random
+
+        from bella_domify_spark.ops.classifier import classifier_auc
+
+        rng = random.Random(9)
+        words = ["alpha", "beta", "gamma", "delta", "spark", "join"]
+        rows = [(i, " ".join(rng.choice(words)
+                             for _ in range(rng.randint(0, 8))),
+                 rng.choice(["en", "de", "zh"]))
+                for i in range(60)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        from bella_domify_spark.ops.classifier import quality_classifier
+        margins = {r["doc_id"]: r["margin"]
+                   for r in quality_classifier(docs).collect()}
+        y = {i: 1 if lang == "en" else 0 for i, _, lang in rows}
+        pos = [margins[i] for i in y if y[i] == 1]
+        neg = [margins[i] for i in y if y[i] == 0]
+        u2 = sum(2 if p > n else (1 if p == n else 0)
+                 for p in pos for n in neg)
+        row = classifier_auc(docs).collect()[0]
+        assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+        assert row["u2"] == u2
+        import math
+        assert row["auc_e9"] == math.floor(
+            u2 / (2 * len(pos) * len(neg)) * 1e9)
