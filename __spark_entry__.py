@@ -1097,6 +1097,22 @@ def _q_hard_negatives(spark, sf):
     return hard_negatives(_t(spark, sf, "embeddings"))
 
 
+def _q_ab_conversion_chi2(spark, sf):
+    """Two-variant A/B conversion readout (ops/analyze.py): hash-assigned
+    variants, 'purchase' conversion, integer chi-square numerator and
+    denominator with a floor-e6 double ratio."""
+    from bella_domify_spark.ops.analyze import ab_conversion_chi2
+    return ab_conversion_chi2(_t(spark, sf, "events"))
+
+
+def _q_event_trigrams(spark, sf):
+    """Top-20 consecutive 3-event sequences across user streams
+    (ops/transcript.py event_trigrams) — funnel discovery with a full
+    lexicographic tie-break."""
+    from bella_domify_spark.ops.transcript import event_trigrams
+    return event_trigrams(_t(spark, sf, "events"))
+
+
 def _q_classifier_auc(spark, sf):
     """Exact Mann-Whitney AUC of the classifier margin vs the lang='en'
     label (ops/classifier.py classifier_auc): distinct-margin aggregate →
@@ -1251,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "classifier_auc": _q_classifier_auc,
         "hll_sliding_distinct": _q_hll_sliding_distinct,
+        "ab_conversion_chi2": _q_ab_conversion_chi2,
+        "event_trigrams": _q_event_trigrams,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2269,6 +2287,59 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "ab_conversion_chi2": """
+            WITH pu AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ), c AS (
+                SELECT sum(CASE WHEN user_id % 2 = 0 AND conv = 1
+                                THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+                       sum(CASE WHEN user_id % 2 = 0 AND conv = 0
+                                THEN 1 ELSE 0 END)::BIGINT AS nonconv_a,
+                       sum(CASE WHEN user_id % 2 = 1 AND conv = 1
+                                THEN 1 ELSE 0 END)::BIGINT AS conv_b,
+                       sum(CASE WHEN user_id % 2 = 1 AND conv = 0
+                                THEN 1 ELSE 0 END)::BIGINT AS nonconv_b
+                FROM pu
+            )
+            SELECT conv_a, nonconv_a, conv_b, nonconv_b,
+                   CASE WHEN (conv_a + nonconv_a) * (conv_b + nonconv_b)
+                             * (conv_a + conv_b)
+                             * (nonconv_a + nonconv_b) > 0
+                        THEN floor(
+                            ((conv_a + nonconv_a + conv_b + nonconv_b)
+                             * (conv_a * nonconv_b - nonconv_a * conv_b)
+                             * (conv_a * nonconv_b - nonconv_a * conv_b)
+                            )::DOUBLE
+                            / ((conv_a + nonconv_a) * (conv_b + nonconv_b)
+                               * (conv_a + conv_b)
+                               * (nonconv_a + nonconv_b))::DOUBLE
+                            * 1e6)::BIGINT
+                        ELSE 0 END AS chi2_e6
+            FROM c
+        """,
+        "event_trigrams": """
+            WITH s AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                FROM events
+                WHERE user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), c AS (
+                SELECT e1, e2, e3, count(*) AS cnt
+                FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+                GROUP BY e1, e2, e3
+            )
+            SELECT e1, e2, e3, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, e1, e2, e3)::INT
+                       AS rnk
+            FROM c
+            QUALIFY rnk <= 20
+        """,
         "classifier_auc": f"""
             WITH {classifier_feats_sql()}, s AS (
                 SELECT f.doc_id,

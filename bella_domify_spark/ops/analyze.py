@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["analyze_table_stats", "psi_drift"]
+__all__ = ["analyze_table_stats", "psi_drift", "ab_conversion_chi2"]
 
 
 def analyze_table_stats(events: DataFrame) -> DataFrame:
@@ -155,3 +155,47 @@ def psi_drift(events: DataFrame) -> DataFrame:
                                 / ((F.col("c_live") + 1).cast("double")
                                    * (F.col("n_ref") + F.col("v"))))
                         * 1e9).cast("long").alias("psi_e9")))
+
+
+def ab_conversion_chi2(events: DataFrame) -> DataFrame:
+    """Experiment readout: a hash-assigned two-variant A/B split of users
+    (variant = user_id % 2 — the deterministic stand-in for a production
+    bucketing hash) with 'purchase' as the conversion event, scored by the
+    2×2 chi-square statistic computed entirely in integers until the final
+    ratio: chi2 = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    Output: one row (conv_a, nonconv_a, conv_b, nonconv_b, chi2_e6).
+    Integer headroom: n·(ad−bc)² stays inside int64 up to ~10^4 users per
+    slice; larger experiment populations move the numerator to
+    DECIMAL(38,0) (the range_error_context discipline) with the same
+    formula. The final division is double (IEEE-identical cross-engine),
+    floor-e6 quantized.
+
+    Scale notes: one scan → per-user conversion flag (map-side-combined
+    max aggregate keyed by user) → four counters in one tiny aggregate.
+    Nothing user-count-sized leaves the first aggregation.
+    """
+    per_user = (events.filter(F.col("user_id").isNotNull())
+                .groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("conv")))
+    cells = per_user.agg(
+        F.sum(F.when((F.expr("user_id % 2") == 0) & (F.col("conv") == 1), 1)
+              .otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when((F.expr("user_id % 2") == 0) & (F.col("conv") == 0), 1)
+              .otherwise(0)).cast("long").alias("nonconv_a"),
+        F.sum(F.when((F.expr("user_id % 2") == 1) & (F.col("conv") == 1), 1)
+              .otherwise(0)).cast("long").alias("conv_b"),
+        F.sum(F.when((F.expr("user_id % 2") == 1) & (F.col("conv") == 0), 1)
+              .otherwise(0)).cast("long").alias("nonconv_b"),
+    )
+    a, b = F.col("conv_a"), F.col("nonconv_a")
+    c, d = F.col("conv_b"), F.col("nonconv_b")
+    n = a + b + c + d
+    num = n * (a * d - b * c) * (a * d - b * c)
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    return cells.select(
+        "conv_a", "nonconv_a", "conv_b", "nonconv_b",
+        F.when(den > 0,
+               F.floor(num.cast("double") / den.cast("double") * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("chi2_e6"))

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["tool_run_stats", "role_transitions", "tool_latency",
-           "truncate_conversations"]
+           "truncate_conversations", "event_trigrams"]
 
 
 def _turn_window(conv_col: str, idx_col: str) -> Window:
@@ -114,3 +114,28 @@ def truncate_conversations(t: DataFrame, head: int = 4, tail: int = 2,
             .when(F.row_number().over(w_d) <= tail, "tail"))
     return (t.select(conv_col, idx_col, role_col, seg.alias("segment"))
             .filter(F.col("segment").isNotNull()))
+
+
+def event_trigrams(events, k: int = 20):
+    """Frequent 3-event sequences per user stream (PrefixSpan-lite at
+    n=3) — funnel discovery: the top-``k`` (e1, e2, e3) consecutive
+    event-type sequences across all users, ranked by count with a full
+    lexicographic tie-break so the cut is deterministic.
+
+    One shuffle keyed by user for the two leads (consecutive within a
+    user's time-ordered stream), one map-side-combined count into the
+    ≤|vocab|³ sequence table, then a TakeOrdered top-k — no global sort
+    materializes. NULL users carry no stream; ties at the k boundary are
+    resolved by sequence order, never by partitioning.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (events.filter(F.col("user_id").isNotNull())
+         .select(F.col("event_type").alias("e1"),
+                 F.lead("event_type", 1).over(w).alias("e2"),
+                 F.lead("event_type", 2).over(w).alias("e3"))
+         .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull()))
+    counts = s.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("cnt"))
+    rw = Window.orderBy(F.desc("cnt"), "e1", "e2", "e3")
+    return (counts.withColumn("rnk", F.row_number().over(rw))
+            .filter(F.col("rnk") <= k)
+            .select("e1", "e2", "e3", "cnt", "rnk"))

@@ -133,7 +133,8 @@ def main() -> int:
                  "pagerank_dedup", "analyze_table_stats",
                  "retention_cohorts", "embedding_outliers",
                  "hard_negatives", "scd2_history", "psi_drift",
-                 "classifier_auc", "hll_sliding_distinct"]:
+                 "classifier_auc", "hll_sliding_distinct",
+                 "ab_conversion_chi2", "event_trigrams"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -203,3 +203,45 @@ class TestClassifierAuc:
         import math
         assert row["auc_e9"] == math.floor(
             u2 / (2 * len(pos) * len(neg)) * 1e9)
+
+
+class TestEventAnalytics:
+    def test_chi2_matches_python(self, spark):
+        import math
+
+        from bella_domify_spark.ops.analyze import ab_conversion_chi2
+
+        # hand-built: variant A 3/5 convert, variant B 1/5
+        rows, eid = [], 0
+        for u in range(10):
+            conv = (u % 2 == 0 and u < 6) or (u % 2 == 1 and u == 1)
+            for k in range(2):
+                rows.append((eid, f"2024-01-0{1 + k} 00:00:00", u,
+                             "purchase" if conv and k == 0 else "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string") \
+            .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                    "user_id", "event_type")
+        r = ab_conversion_chi2(ev).collect()[0]
+        a, b, c, d = (r["conv_a"], r["nonconv_a"], r["conv_b"], r["nonconv_b"])
+        assert (a, b, c, d) == (3, 2, 1, 4)
+        n = a + b + c + d
+        want = math.floor(n * (a * d - b * c) ** 2
+                          / ((a + b) * (c + d) * (a + c) * (b + d)) * 1e6)
+        assert r["chi2_e6"] == want
+
+    def test_trigrams_count_consecutive_sequences(self, spark):
+        from bella_domify_spark.ops.transcript import event_trigrams
+
+        seq = ["view", "click", "purchase", "view", "click", "purchase"]
+        rows = [(i, f"2024-01-01 00:00:{i:02d}", 1, seq[i])
+                for i in range(len(seq))]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string") \
+            .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                    "user_id", "event_type")
+        got = {(r["e1"], r["e2"], r["e3"]): (r["cnt"], r["rnk"])
+               for r in event_trigrams(ev).collect()}
+        assert got[("view", "click", "purchase")] == (2, 1)
+        assert sum(c for c, _ in got.values()) == 4  # n-2 windows
