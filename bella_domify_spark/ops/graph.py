@@ -206,27 +206,43 @@ def pagerank(pairs: DataFrame, nodes: DataFrame,
     """
     sym = _symmetrize(pairs, "id_a", "id_b")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges = sym.join(deg, "src")
-    nn = nodes.select(F.col(node_col).alias("node"))
-    nt = nn.agg(F.count(F.lit(1)).alias("n"))
-    base = nn.crossJoin(F.broadcast(nt)).select(
-        "node",
-        F.expr(f"({scale} div n) ").alias("r0"),
-        F.expr(f"((3 * {scale}) div 20) div n").alias("base"),
-    )
-    r = base.select("node", F.col("r0").alias("rank"))
-    for _ in range(iters):
-        contrib = (edges.join(r, edges["src"] == r["node"])
-                        .select(F.col("dst"),
-                                F.expr("rank div deg").alias("m"))
-                        .groupBy("dst").agg(F.sum("m").alias("c")))
-        r = (base.join(contrib, base["node"] == contrib["dst"], "left")
-                 .select(base["node"],
-                         (F.col("base")
-                          + F.expr("(17 * coalesce(c, 0L)) div 20"))
-                         .alias("rank")))
-    out = (r.join(deg, r["node"] == deg["src"], "left")
-            .select(F.col("node").alias(node_col),
-                    F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
-                    F.col("rank").alias("rank_e12")))
+    # persist: the edge list's lineage is the whole candidate-generator
+    # DAG (shingle explode + self-join for the jaccard edges); without
+    # pinning it, every iteration's join AND the degree table re-run that
+    # DAG (~iters+2 recomputes). try/finally per ops/graph.py discipline.
+    edges = sym.join(deg, "src").persist()
+    try:
+        nn = nodes.select(F.col(node_col).alias("node"))
+        nt = nn.agg(F.count(F.lit(1)).alias("n"))
+        base = nn.crossJoin(F.broadcast(nt)).select(
+            "node",
+            F.expr(f"({scale} div n) ").alias("r0"),
+            F.expr(f"((3 * {scale}) div 20) div n").alias("base"),
+        ).persist()
+        try:
+            r = base.select("node", F.col("r0").alias("rank"))
+            for _ in range(iters):
+                contrib = (edges.join(r, edges["src"] == r["node"])
+                                .select(F.col("dst"),
+                                        F.expr("rank div deg").alias("m"))
+                                .groupBy("dst").agg(F.sum("m").alias("c")))
+                r = (base.join(contrib, base["node"] == contrib["dst"],
+                               "left")
+                         .select(base["node"],
+                                 (F.col("base")
+                                  + F.expr("(17 * coalesce(c, 0L)) div 20"))
+                                 .alias("rank")))
+            deg_only = edges.select("src", "deg").groupBy("src").agg(
+                F.first("deg").alias("deg"))
+            out = (r.join(deg_only, r["node"] == deg_only["src"], "left")
+                    .select(F.col("node").alias(node_col),
+                            F.coalesce("deg", F.lit(0)).cast("long")
+                             .alias("deg"),
+                            F.col("rank").alias("rank_e12")))
+            # materialize before releasing the caches the plan feeds on
+            out = out.localCheckpoint(eager=True)
+        finally:
+            base.unpersist()
+    finally:
+        edges.unpersist()
     return out
