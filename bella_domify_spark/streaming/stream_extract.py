@@ -149,3 +149,35 @@ def dedup_stream(stream_df: DataFrame, watermark: str = "30 minutes") -> DataFra
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["text_md5"])
             .drop("text_md5"))
+
+
+def enrich_join_stream(turns: DataFrame, annotations: DataFrame,
+                       watermark: str = "30 minutes",
+                       join_horizon: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: a live turn stream enriched
+    with a second live annotation stream (same conv_id/turn_idx keys, e.g.
+    a moderation or OCR service emitting results asynchronously). Both
+    sides carry event-time watermarks and the join predicate bounds the
+    annotation's timestamp to [turn.ts, turn.ts + join_horizon], so Spark
+    can evict join state — the unbounded-state trap of a naive
+    stream-stream join is the whole reason this operator exists.
+
+    At 10^12-turn scale the state store holds only the horizon's worth of
+    each side per key range; the horizon is the product decision (how
+    late may an annotation arrive), exactly like dedup_stream's
+    watermark-bounded distinct."""
+    t = (turns.withWatermark("ts", watermark)
+         .select("conv_id", "turn_idx", "text", F.col("ts").alias("t_ts")))
+    a = (annotations.withWatermark("ts", watermark)
+         .select(F.col("conv_id").alias("a_conv_id"),
+                 F.col("turn_idx").alias("a_turn_idx"),
+                 F.col("annotation"),
+                 F.col("ts").alias("a_ts")))
+    cond = ((F.col("conv_id") == F.col("a_conv_id"))
+            & (F.col("turn_idx") == F.col("a_turn_idx"))
+            & (F.col("a_ts") >= F.col("t_ts"))
+            & (F.col("a_ts") <= F.col("t_ts") + F.expr(
+                f"INTERVAL {join_horizon}")))
+    return (t.join(a, cond, "inner")
+            .select("conv_id", "turn_idx", "text", "annotation",
+                    F.col("t_ts").alias("ts")))

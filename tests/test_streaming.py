@@ -169,3 +169,63 @@ class TestStreamingDedup:
             {"payload 0", "payload 1", "payload 2"}
         # survivor = first occurrence by event time
         assert {r["turn_idx"] for r in got.collect()} == {0, 1, 2}
+
+
+class TestStreamStreamJoin:
+    def test_enrich_join_bounded_horizon(self, spark, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+
+        from bella_domify_spark.streaming.stream_extract import (
+            enrich_join_stream,
+            read_transcript_stream,
+        )
+
+        base = dt.datetime(2026, 1, 1)
+        turns = pd.DataFrame([
+            {"conv_id": "c0", "turn_idx": i, "role": "user",
+             "text": f"turn {i}", "tool": "",
+             "ts": base + dt.timedelta(minutes=10 * i)}
+            for i in range(4)
+        ])
+        turns["turn_idx"] = turns["turn_idx"].astype("int32")
+        turns["ts"] = turns["ts"].astype("datetime64[us]")
+        tdir = str(tmp_path / "turns")
+        os.makedirs(tdir, exist_ok=True)
+        turns.to_parquet(f"{tdir}/part-0.parquet", index=False)
+
+        ann = pd.DataFrame([
+            # arrives 5 min after its turn: inside the 1h horizon -> joins
+            {"conv_id": "c0", "turn_idx": 0, "annotation": "ok",
+             "ts": base + dt.timedelta(minutes=5)},
+            # arrives 2h after its turn: outside the horizon -> dropped
+            {"conv_id": "c0", "turn_idx": 1, "annotation": "late",
+             "ts": base + dt.timedelta(minutes=130)},
+            # arrives BEFORE its turn: outside [t_ts, +1h) -> dropped
+            {"conv_id": "c0", "turn_idx": 2, "annotation": "early",
+             "ts": base + dt.timedelta(minutes=15)},
+            # no annotation for turn 3 -> inner join drops the turn
+        ])
+        ann["turn_idx"] = ann["turn_idx"].astype("int32")
+        ann["ts"] = ann["ts"].astype("datetime64[us]")
+        adir = str(tmp_path / "ann")
+        os.makedirs(adir, exist_ok=True)
+        ann.to_parquet(f"{adir}/part-0.parquet", index=False)
+
+        ann_schema = ("conv_id string, turn_idx int, annotation string, "
+                      "ts timestamp")
+        a_stream = (spark.readStream.schema(ann_schema).parquet(adir))
+        out = str(tmp_path / "out")
+        q = (enrich_join_stream(read_transcript_stream(spark, tdir), a_stream)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1
+        assert (got[0]["turn_idx"], got[0]["annotation"]) == (0, "ok")
+        assert got[0]["text"] == "turn 0"
