@@ -76,27 +76,43 @@ def dsir_weights(docs: DataFrame,
                F.pmod(md5_int60_col(F.col("f")), F.lit(n_buckets)))
          .alias("b"),
     )
-    counts = inst.filter(F.col("b").isNotNull()).groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_cnt"),
-        F.count(F.lit(1)).alias("r_cnt"),
-    )
-    totals = counts.agg(F.sum("t_cnt").alias("n_t"),
-                        F.sum("r_cnt").alias("n_r"))
-    lam = counts.crossJoin(F.broadcast(totals)).select(
-        "b",
-        F.floor((F.log((F.col("t_cnt") + 1).cast("double")
-                       / (F.col("n_t") + n_buckets))
-                 - F.log((F.col("r_cnt") + 1).cast("double")
-                         / (F.col("n_r") + n_buckets))) * 1e9)
-         .cast("long").alias("lam_e9"),
-    )
-    per_doc = (inst.join(F.broadcast(lam), "b", "left")
-                   .groupBy("doc_id", "is_target")
-                   .agg(F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0))
-                         .cast("long").alias("n_feats"),
-                        F.coalesce(F.sum("lam_e9"), F.lit(0)).cast("long")
-                         .alias("logw_e9")))
-    return per_doc.select("doc_id", "is_target", "n_feats", "logw_e9")
+    # reduce to per-(doc, bucket) counts FIRST and persist: both the
+    # corpus bucket table and the per-doc reduction consume this frame,
+    # and without pinning it each would re-run the feature explode + one
+    # md5 per instance (the expensive part). Unlike the shingle streams
+    # (deliberately uncached — dedup.py:106), this aggregate is bounded
+    # by docs × min(feats, n_buckets) short rows, the scale-right cache.
+    db = (inst.groupBy("doc_id", "is_target", "b")
+              .agg(F.count(F.lit(1)).alias("cnt")).persist())
+    try:
+        counts = db.filter(F.col("b").isNotNull()).groupBy("b").agg(
+            F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
+             .alias("t_cnt"),
+            F.sum("cnt").alias("r_cnt"),
+        )
+        totals = counts.agg(F.sum("t_cnt").alias("n_t"),
+                            F.sum("r_cnt").alias("n_r"))
+        lam = counts.crossJoin(F.broadcast(totals)).select(
+            "b",
+            F.floor((F.log((F.col("t_cnt") + 1).cast("double")
+                           / (F.col("n_t") + n_buckets))
+                     - F.log((F.col("r_cnt") + 1).cast("double")
+                             / (F.col("n_r") + n_buckets))) * 1e9)
+             .cast("long").alias("lam_e9"),
+        )
+        per_doc = (db.join(F.broadcast(lam), "b", "left")
+                     .groupBy("doc_id", "is_target")
+                     .agg(F.sum(F.when(F.col("b").isNotNull(), F.col("cnt"))
+                                .otherwise(0))
+                           .cast("long").alias("n_feats"),
+                          F.coalesce(F.sum(F.col("cnt") * F.col("lam_e9")),
+                                     F.lit(0)).cast("long")
+                           .alias("logw_e9")))
+        out = per_doc.select("doc_id", "is_target", "n_feats", "logw_e9") \
+                     .localCheckpoint(eager=True)
+    finally:
+        db.unpersist()
+    return out
 
 
 def dsir_lambda_sql(n_buckets: int = DSIR_BUCKETS) -> str:
