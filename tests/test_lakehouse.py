@@ -354,3 +354,48 @@ class TestScd2History:
                     "doc_id", "text")
         merged = _rows(merge_upsert(base, ch), "doc_id", "text")
         assert cur == merged
+
+
+class TestEdgeCases:
+    def test_merge_and_ivm_empty_changelog(self, spark):
+        from bella_domify_spark.ops.lakehouse import (
+            incremental_view_update, merge_upsert)
+
+        base = spark.createDataFrame([(1, "one"), (17, "seventeen")],
+                                     "doc_id long, text string")
+        empty = spark.createDataFrame(
+            [], "doc_id long, version long, op string, text string")
+        got = _rows(merge_upsert(base, empty),
+                    "doc_id", "final_version", "n_ops", "text")
+        assert got == [(1, -1, 1, "one"), (17, -1, 1, "seventeen")]
+        view = _rows(incremental_view_update(base, empty),
+                     "g", "n_docs", "n_chars")
+        assert view == [(1, 2, 3 + 9)]  # 1 and 17 share g=1
+
+    def test_zorder_degenerate_constant_dims(self, spark):
+        from bella_domify_spark.ops.lakehouse import zorder_layout
+
+        ev = spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", 5.0) for i in range(10)],
+            "event_id long, ts string, value double") \
+            .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                    "value")
+        out = zorder_layout(ev).collect()
+        # zero span on both dims: greatest(1, ...) guards the division,
+        # everything quantizes to (0, 0) -> one bucket, prunable
+        assert len(out) == 1
+        r = out[0]
+        assert (r["bucket_id"], r["n_rows"]) == (0, 10)
+        assert (r["min_q1"], r["max_q1"], r["min_q2"], r["max_q2"]) == \
+            (0, 0, 0, 0)
+        assert r["pruned"] == 1
+
+    def test_scd2_empty_changelog_all_current(self, spark):
+        from bella_domify_spark.ops.lakehouse import scd2_history
+
+        base = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+        empty = spark.createDataFrame(
+            [], "doc_id long, version long, op string, text string")
+        got = _rows(scd2_history(base, empty),
+                    "doc_id", "valid_from", "valid_to", "text", "is_current")
+        assert got == [(1, -1, None, "one", 1)]
