@@ -1097,6 +1097,14 @@ def _q_hard_negatives(spark, sf):
     return hard_negatives(_t(spark, sf, "embeddings"))
 
 
+def _q_cuped_adjusted(spark, sf):
+    """CUPED variance-reduced A/B means (ops/analyze.py cuped_adjusted):
+    pre-period cents covariate, pooled theta, exact integer sums under a
+    fixed-shape IEEE double block, floor-e6 outputs."""
+    from bella_domify_spark.ops.analyze import cuped_adjusted
+    return cuped_adjusted(_t(spark, sf, "events"))
+
+
 def _q_ab_conversion_chi2(spark, sf):
     """Two-variant A/B conversion readout (ops/analyze.py): hash-assigned
     variants, 'purchase' conversion, integer chi-square numerator and
@@ -1269,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding_distinct": _q_hll_sliding_distinct,
         "ab_conversion_chi2": _q_ab_conversion_chi2,
         "event_trigrams": _q_event_trigrams,
+        "cuped_adjusted": _q_cuped_adjusted,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2287,6 +2296,48 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "cuped_adjusted": """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS u,
+                       floor(value * 100)::BIGINT AS cents
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL
+            ), mm AS (
+                SELECT min(u) AS lo, max(u) AS hi FROM t
+            ), pu AS (
+                SELECT user_id,
+                       sum(CASE WHEN u <= (lo + hi) // 2
+                                THEN cents ELSE 0 END)::BIGINT AS x,
+                       sum(CASE WHEN u > (lo + hi) // 2
+                                THEN cents ELSE 0 END)::BIGINT AS y
+                FROM t CROSS JOIN mm GROUP BY user_id
+            ), pooled AS (
+                SELECT count(*) AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx
+                FROM pu
+            ), v AS (
+                SELECT user_id % 2 AS variant, count(*) AS n_v,
+                       sum(x)::BIGINT AS sx_v, sum(y)::BIGINT AS sy_v
+                FROM pu GROUP BY 1
+            )
+            SELECT variant, n_v AS n_users, sx_v AS sum_x_cents,
+                   sy_v AS sum_y_cents,
+                   floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                         * 1e6)::BIGINT AS theta_e6,
+                   floor(sy_v::DOUBLE / n_v::DOUBLE * 1e6)::BIGINT
+                       AS mean_y_e6,
+                   floor((sy_v::DOUBLE / n_v::DOUBLE
+                          - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                            * (sx_v::DOUBLE / n_v::DOUBLE
+                               - sx::DOUBLE / n::DOUBLE))
+                         * 1e6)::BIGINT AS mean_adj_e6
+            FROM v CROSS JOIN pooled
+        """,
         "ab_conversion_chi2": """
             WITH pu AS (
                 SELECT user_id,

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["analyze_table_stats", "psi_drift", "ab_conversion_chi2"]
+__all__ = ["analyze_table_stats", "psi_drift", "ab_conversion_chi2",
+           "cuped_adjusted"]
 
 
 def analyze_table_stats(events: DataFrame) -> DataFrame:
@@ -199,3 +200,68 @@ def ab_conversion_chi2(events: DataFrame) -> DataFrame:
         F.when(den > 0,
                F.floor(num.cast("double") / den.cast("double") * 1e6))
          .otherwise(F.lit(0)).cast("long").alias("chi2_e6"))
+
+
+def cuped_adjusted(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    per-user pre-period spend (first time-half, cents) is the covariate
+    X for the live-period metric Y (second half); θ = cov(X,Y)/var(X)
+    pooled over users, and each variant reports its raw and
+    CUPED-adjusted mean: ȳ_v − θ·(x̄_v − x̄).
+
+    Determinism: X, Y and all pooled sums (Σx, Σy, Σxy, Σx²) are exact
+    BIGINTs (cents keep Σxy < 2^53, so the doubles they become are
+    exactly representable); the θ/mean block is then a fixed-shape IEEE
+    double expression — identical operand order on both engines means
+    identical bits, and floor-e6 quantization pins the outputs. int64
+    headroom: Σxy safe to ~10^6 users × 10^3 events at cents scale;
+    beyond that the sums move to DECIMAL(38,0).
+
+    Plan: one scan → per-user (x, y) via one map-side-combined aggregate
+    keyed by user → two aggregate-sized reductions (pooled scalars,
+    per-variant sums) joined by a broadcast cross join. Nothing
+    user-count-sized leaves the first aggregation.
+    """
+    e = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                      & F.col("value").isNotNull())
+    t = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mm = t.agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+    per_user = (t.crossJoin(F.broadcast(mm))
+                .groupBy("user_id")
+                .agg(F.sum(F.when(F.expr("u <= (lo + hi) div 2"),
+                                  F.col("cents")).otherwise(0))
+                      .alias("x"),
+                     F.sum(F.when(F.expr("u > (lo + hi) div 2"),
+                                  F.col("cents")).otherwise(0))
+                      .alias("y")))
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    variants = (per_user.groupBy(F.expr("user_id % 2").alias("variant"))
+                .agg(F.count(F.lit(1)).alias("n_v"),
+                     F.sum("x").alias("sx_v"), F.sum("y").alias("sy_v")))
+    j = variants.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    var = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    theta = cov / var
+    mean_y = F.col("sy_v").cast("double") / F.col("n_v").cast("double")
+    mean_x = F.col("sx_v").cast("double") / F.col("n_v").cast("double")
+    gmean_x = F.col("sx").cast("double") / nd
+    return j.select(
+        "variant",
+        F.col("n_v").alias("n_users"),
+        F.col("sx_v").alias("sum_x_cents"),
+        F.col("sy_v").alias("sum_y_cents"),
+        F.floor(theta * 1e6).cast("long").alias("theta_e6"),
+        F.floor(mean_y * 1e6).cast("long").alias("mean_y_e6"),
+        F.floor((mean_y - theta * (mean_x - gmean_x)) * 1e6).cast("long")
+         .alias("mean_adj_e6"))

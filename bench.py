@@ -134,7 +134,8 @@ def main() -> int:
                  "retention_cohorts", "embedding_outliers",
                  "hard_negatives", "scd2_history", "psi_drift",
                  "classifier_auc", "hll_sliding_distinct",
-                 "ab_conversion_chi2", "event_trigrams"]:
+                 "ab_conversion_chi2", "event_trigrams",
+                 "cuped_adjusted"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -245,3 +245,60 @@ class TestEventAnalytics:
                for r in event_trigrams(ev).collect()}
         assert got[("view", "click", "purchase")] == (2, 1)
         assert sum(c for c, _ in got.values()) == 4  # n-2 windows
+
+
+class TestCuped:
+    def test_matches_python_recompute(self, spark):
+        import math
+        import random
+
+        from bella_domify_spark.ops.analyze import cuped_adjusted
+
+        rng = random.Random(21)
+        base_min = 0
+        rows, eid = [], 0
+        # 12 users, correlated pre/live spend so theta is meaningful
+        for u in range(12):
+            level = rng.uniform(1, 50)
+            for k in range(6):
+                half = 0 if k < 3 else 1
+                rows.append((eid, u, level + rng.uniform(0, 5),
+                             base_min + (10 * half + k)))
+                eid += 1
+        ev = spark.createDataFrame(
+            [(e, u, v, f"2024-01-01 00:{m:02d}:00") for e, u, v, m in rows],
+            "event_id long, user_id long, value double, ts string") \
+            .select("event_id", "user_id", "value",
+                    F.col("ts").cast("timestamp_ntz").alias("ts"))
+        got = {r["variant"]: r for r in cuped_adjusted(ev).collect()}
+
+        # python model (same integer sums, same double shape)
+        us = {}
+        lo = min(m for _, _, _, m in rows)
+        hi = max(m for _, _, _, m in rows)
+        mid = (lo + hi) // 2
+        for _, u, v, m in rows:
+            cents = math.floor(v * 100)
+            x, y = us.get(u, (0, 0))
+            if m <= mid:
+                x += cents
+            else:
+                y += cents
+            us[u] = (x, y)
+        n = len(us)
+        sx = sum(x for x, _ in us.values())
+        sy = sum(y for _, y in us.values())
+        sxy = sum(x * y for x, y in us.values())
+        sxx = sum(x * x for x, _ in us.values())
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        for variant in (0, 1):
+            ids = [u for u in us if u % 2 == variant]
+            nv = len(ids)
+            sxv = sum(us[u][0] for u in ids)
+            syv = sum(us[u][1] for u in ids)
+            r = got[variant]
+            assert r["n_users"] == nv
+            assert (r["sum_x_cents"], r["sum_y_cents"]) == (sxv, syv)
+            assert r["theta_e6"] == math.floor(theta * 1e6)
+            adj = syv / nv - theta * (sxv / nv - sx / n)
+            assert r["mean_adj_e6"] == math.floor(adj * 1e6)
