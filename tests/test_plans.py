@@ -105,3 +105,38 @@ class TestSession3PlanShapes:
             assert read and all(
                 "props" not in l and "value" not in l and "event_type" not in l
                 for l in read), name
+
+
+class TestSession5PlanShapes:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        e = spark.read.parquet(f"{SF}/events.parquet")
+        q = (e.filter((F.col("event_type") == "purchase")
+                      & F.col("user_id").isNotNull())
+             .select("event_id"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert pushed, plan
+        assert "EqualTo(event_type,purchase)" in pushed[0]
+        assert "IsNotNull(user_id)" in pushed[0]
+
+    def test_merge_upsert_map_side_combined_single_key_shuffle(self, spark):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["merge_upsert"](spark, SF))
+        # LWW resolves in ONE key aggregate with a map-side partial —
+        # a hot key costs a combiner cell, not a window partition
+        assert "partial_max_by" in plan
+        assert plan.count("hashpartitioning(doc_id") == 1
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_zorder_all_jvm_one_data_shuffle(self, spark):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["zorder_layout"](spark, SF))
+        assert "Python" not in plan
+        # min/max scalar agg + bucket agg + one broadcast = <= 3 exchanges
+        assert plan.count("Exchange") <= 3
