@@ -1097,6 +1097,17 @@ def _q_hard_negatives(spark, sf):
     return hard_negatives(_t(spark, sf, "embeddings"))
 
 
+def _q_triangle_stats(spark, sf):
+    """Triangle count + clustering coefficient of the near-dup graph
+    (ops/graph.py triangle_stats): degree-ordered orientation, one wedge
+    self-join bounded by sqrt(m) out-degrees."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import triangle_stats
+    docs = _t(spark, sf, "documents")
+    return triangle_stats(jaccard_pairs(docs, threshold=0.2)
+                          .select("id_a", "id_b"))
+
+
 def _q_cuped_adjusted(spark, sf):
     """CUPED variance-reduced A/B means (ops/analyze.py cuped_adjusted):
     pre-period cents covariate, pooled theta, exact integer sums under a
@@ -1278,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_conversion_chi2": _q_ab_conversion_chi2,
         "event_trigrams": _q_event_trigrams,
         "cuped_adjusted": _q_cuped_adjusted,
+        "triangle_stats": _q_triangle_stats,
         # split_by_cluster is new but tail-listed: the window is full of
         # never-confirmed + this-round-changed entries; it rotates in
         # next round (full oracle verified locally at sf0.01/sf0.1)
@@ -2296,6 +2308,45 @@ def oracle_sql() -> dict[str, str]:
             FROM pr3 p LEFT JOIN degt d ON d.src = p.node
         """,
         "analyze_table_stats": analyze_oracle_sql(),
+        "triangle_stats": f"""
+            WITH {jaccard_pair_ctes()},
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+            sym3 AS (
+                SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b, a FROM e
+            ),
+            degt3 AS (SELECT src, count(*) AS deg FROM sym3 GROUP BY src),
+            kk AS (
+                SELECT src AS v, deg * 4294967296 + src AS k FROM degt3
+            ),
+            ek AS (
+                SELECT e.a, e.b, ka.k AS ka, kb.k AS kb
+                FROM e JOIN kk ka ON ka.v = e.a JOIN kk kb ON kb.v = e.b
+            ),
+            oe AS (
+                SELECT CASE WHEN ka < kb THEN a ELSE b END AS s,
+                       CASE WHEN ka < kb THEN b ELSE a END AS d,
+                       CASE WHEN ka < kb THEN kb ELSE ka END AS kd
+                FROM ek
+            ),
+            wed AS (
+                SELECT w1.d AS d1, w2.d AS d2
+                FROM oe w1 JOIN oe w2 ON w1.s = w2.s AND w1.kd < w2.kd
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM wed JOIN oe ON oe.s = wed.d1 AND oe.d = wed.d2
+            ),
+            ne AS (SELECT count(*) AS n_edges FROM e),
+            nw AS (SELECT sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+                   FROM degt3)
+            SELECT n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN floor(3 * n_triangles::DOUBLE
+                                   / n_wedges::DOUBLE * 1e6)::BIGINT
+                        ELSE 0 END AS global_cc_e6
+            FROM ne CROSS JOIN nw CROSS JOIN tri
+        """,
         "cuped_adjusted": """
             WITH t AS (
                 SELECT user_id, epoch_us(ts) AS u,

@@ -246,3 +246,55 @@ def pagerank(pairs: DataFrame, nodes: DataFrame,
     finally:
         edges.unpersist()
     return out
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    graph — cluster-cohesion evidence (chains of borderline pairs vs
+    dense duplicate cliques score very differently).
+
+    The degree-ordered orientation algorithm (Schank/Wagner "forward"):
+    each undirected edge orients from the (degree, id)-smaller endpoint
+    to the larger, so every wedge is generated exactly once at its
+    lowest-ordered apex and each triangle is counted exactly once. The
+    self-join that lists wedges is bounded by Σ out_deg² where
+    out-degree is O(√m) under this orientation — the standard bound that
+    makes distributed triangle counting feasible on skewed graphs (a
+    celebrity node never becomes a wedge apex).
+
+    Output (one row): n_edges, n_wedges (undirected length-2 paths,
+    Σ C(deg,2)), n_triangles, global_cc_e6 = floor(3T / n_wedges · 1e6).
+    All integer except the final floor-quantized ratio.
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = _symmetrize(pairs, "id_a", "id_b")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # total-order orientation key: (deg, id) packed into one BIGINT
+    k = deg.select(F.col("src").alias("v"),
+                   (F.col("deg") * F.lit(1 << 32) + F.col("src"))
+                   .alias("k"))
+    ek = (e.join(k.select(F.col("v").alias("a"), F.col("k").alias("ka")),
+                 "a")
+           .join(k.select(F.col("v").alias("b"), F.col("k").alias("kb")),
+                 "b"))
+    oe = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b"))
+         .alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a"))
+         .alias("d"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka"))
+         .alias("kd"))
+    w1 = oe.select(F.col("s"), F.col("d").alias("d1"), F.col("kd").alias("k1"))
+    w2 = oe.select(F.col("s"), F.col("d").alias("d2"), F.col("kd").alias("k2"))
+    wedges = w1.join(w2, "s").filter(F.col("k1") < F.col("k2"))
+    closing = oe.select(F.col("s").alias("d1"), F.col("d").alias("d2"))
+    tri = wedges.join(closing, ["d1", "d2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+    return (ne.crossJoin(nw).crossJoin(tri).select(
+        "n_edges", "n_wedges", "n_triangles",
+        F.when(F.col("n_wedges") > 0,
+               F.floor(3 * F.col("n_triangles").cast("double")
+                       / F.col("n_wedges").cast("double") * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("global_cc_e6")))

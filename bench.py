@@ -135,7 +135,7 @@ def main() -> int:
                  "hard_negatives", "scd2_history", "psi_drift",
                  "classifier_auc", "hll_sliding_distinct",
                  "ab_conversion_chi2", "event_trigrams",
-                 "cuped_adjusted"]:
+                 "cuped_adjusted", "triangle_stats"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -302,3 +302,45 @@ class TestCuped:
             assert r["theta_e6"] == math.floor(theta * 1e6)
             adj = syv / nv - theta * (sxv / nv - sx / n)
             assert r["mean_adj_e6"] == math.floor(adj * 1e6)
+
+
+class TestTriangles:
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        from bella_domify_spark.ops.graph import triangle_stats
+
+        rng = random.Random(17)
+        n = 16
+        edges = sorted({(a, b) for a in range(n) for b in range(a + 1, n)
+                        if rng.random() < 0.3})
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+                  if b in adj[a] and c in adj[a] and c in adj[b])
+        wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in adj)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        r = triangle_stats(pairs).collect()[0]
+        assert r["n_edges"] == len(edges)
+        assert r["n_wedges"] == wedges
+        assert r["n_triangles"] == tri
+        import math
+        assert r["global_cc_e6"] == math.floor(3 * tri / wedges * 1e6)
+
+    def test_known_shapes(self, spark):
+        from bella_domify_spark.ops.graph import triangle_stats
+
+        # K4: 4 triangles, 12 wedges, cc = 1
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        r = triangle_stats(
+            spark.createDataFrame(k4, "id_a long, id_b long")).collect()[0]
+        assert (r["n_triangles"], r["n_wedges"]) == (4, 12)
+        assert r["global_cc_e6"] == 1_000_000
+        # star: no triangles, cc = 0
+        star = [(0, i) for i in range(1, 5)]
+        r = triangle_stats(
+            spark.createDataFrame(star, "id_a long, id_b long")).collect()[0]
+        assert (r["n_triangles"], r["global_cc_e6"]) == (0, 0)
