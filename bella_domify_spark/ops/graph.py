@@ -266,8 +266,17 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     Σ C(deg,2)), n_triangles, global_cc_e6 = floor(3T / n_wedges · 1e6).
     All integer except the final floor-quantized ratio.
     """
+    # deliberately NOT persisted: caching the pair list here LOSES —
+    # reads from an InMemoryRelation carry no runtime exchange stats, so
+    # AQE stops broadcast-converting the tiny oriented-edge joins and
+    # they fall back to static 64-partition sort-merge (measured
+    # back-to-back at sf0.1: cached 9.09 s vs recomputed 6.75 s).
+    # Opposite call from pagerank, where the per-iteration loop amplifies
+    # the recompute and the joins are node-table-sized anyway.
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    sym = _symmetrize(pairs, "id_a", "id_b")
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+           .unionAll(e.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # total-order orientation key: (deg, id) packed into one BIGINT
     k = deg.select(F.col("src").alias("v"),
