@@ -1274,11 +1274,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window dedup_recall exercises both pair generators)
         "pagerank_dedup": _q_pagerank_dedup,
         "analyze_table_stats": _q_analyze_table_stats,
-        # --- exiled tail (51+): driver-green r4, untouched this round ---
-        # retention_cohorts is new but tail-listed (window policy: the 50
-        # slots are full of never-confirmed + this-round-changed entries);
-        # full oracle verified locally at sf0.01/sf0.1, rotates in next
-        # round
+        # --- exiled tail (51+): no driver row this round ---
+        # ROUND-6 ROTATION PLAN: the first twelve tail entries below are
+        # r5-NEW and have never had a driver row (all green in the local
+        # exact-hash oracle at sf0.01 AND sf0.1) — rotate them into the
+        # window first, then the r5-rotated-out stalwarts
+        # (layout_flat_text, dedup_ngram_jaccard, decontaminate,
+        # curate_corpus, dedup_cluster_canonical, dedup_minhash_lsh,
+        # simhash — all r4-driver-green).
         "retention_cohorts": _q_retention_cohorts,
         "embedding_outliers": _q_embedding_outliers,
         "hard_negatives": _q_hard_negatives,
