@@ -1062,6 +1062,23 @@ def _q_zorder_layout(spark, sf):
     return zorder_layout(_t(spark, sf, "events"))
 
 
+def _q_compact_files(spark, sf):
+    """OPTIMIZE bin-packing kernel (ops/lakehouse.py compact_files):
+    next-fit-decreasing small-file compaction per table partition,
+    expressed as one cumulative-sum window — the manifest is synthesized
+    from documents (one 'file' per doc: partition = lang, size =
+    n_chars + 512 bytes of format overhead), target bucket 8 KiB."""
+    from bella_domify_spark.ops.lakehouse import compact_files
+    mf = (_t(spark, sf, "documents")
+          .filter(F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+                  & F.col("n_chars").isNotNull())
+          .select(F.col("lang").alias("part"),
+                  F.col("doc_id").alias("file_id"),
+                  (F.col("n_chars") + 512).cast("long")
+                  .alias("size_bytes")))
+    return compact_files(mf, target_bytes=8192)
+
+
 def _q_pagerank_dedup(spark, sf):
     """Integer-exact PageRank over the word-3-gram near-dup graph
     (ops/graph.py pagerank): 3 damped power iterations on a 1e12 grid,
@@ -1196,92 +1213,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the exiled tail and back in as the window frees up.
     return {
         # --- driver window (1-50) ---
-        "repetition_stats": _q_repetition_stats,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
-        "resumable_roundtrip": _q_resumable_roundtrip,
-        "extraction_eval": _q_extraction_eval,
-        "extraction_eval_degraded": _q_extraction_eval_degraded,
-        "extraction_eval_summary": _q_extraction_eval_summary,
-        "redact_pii": _q_redact_pii,
-        "sample_stratified": _q_sample_stratified,
-        "lang_id": _q_lang_id,
-        "token_counts": _q_token_counts,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "multimodal_features": _q_multimodal_features,
-        "layout_ocr_text": _q_layout_ocr_text,
-        "event_value_quantiles": _q_event_value_quantiles,
-        "approx_distinct_hll": _q_approx_distinct_hll,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "range_error_context": _q_range_error_context,
-        "asof_view_attribution": _q_asof_view_attribution,
-        # new this session: the salted asof scale path, driver-proved
-        # against the same ASOF oracle
-        "asof_attribution_salted": _q_asof_attribution_salted,
-        # new this session: transcript-native role/tool analytics
-        # (ops/transcript.py) — csv_normalize / csv_markdown /
-        # extract_xlsxlike_flat rotated to the tail to make room (all
-        # three r4-green, code untouched this round)
-        "tool_run_stats": _q_tool_run_stats,
-        "role_transitions": _q_role_transitions,
-        "tool_latency": _q_tool_latency,
-        # new this session: BM25 lexical retrieval (standard_tokens rotated
-        # to the tail — r4-green, core/standard.py untouched this round)
-        "bm25_topk": _q_bm25_topk,
-        # new this session: A-ES weighted sampling + training-chunking
-        # (extract_markdown_flatten / extract_docxlike_flat rotated to the
-        # tail — r4-green, markdown.py/docxlike.py untouched this round)
-        "sample_weighted": _q_sample_weighted,
-        "chunk_docs": _q_chunk_docs,
-        # new this session: sharded sequence packing + Zipf vocab table
-        # (extract_htmllike / dedup_exact rotated to the tail — r4-green,
-        # htmllike.py and exact_dedup untouched since the r4 close)
-        "pack_sequences": _q_pack_sequences,
-        "vocab_stats": _q_vocab_stats,
-        "pdflike_extract": _q_pdflike_extract,
-        "pdflike_extract_stream": _q_pdflike_extract_stream,
-        "extract_plaintext": _q_extract_plaintext,
-        "json_props_stats": _q_json_props_stats,
-        "decontaminate_bloom": _q_decontaminate_bloom,
-        # new this round:
-        "gopher_quality": _q_gopher_quality,
-        "tfidf_keywords": _q_tfidf_keywords,
-        "hist_event_quantiles": _q_hist_event_quantiles,
-        "ann_recall": _q_ann_recall,
-        "dup_span_stats": _q_dup_span_stats,
-        "mix_weights": _q_mix_weights,
-        "dedup_recall": _q_dedup_recall,
-        # new this session: lakehouse maintenance (CDC merge, z-order
-        # layout) + the fastText-style quality classifier
-        # (layout_flat_text / decontaminate / dedup_ngram_jaccard rotated
-        # to the tail — all r4-green; jaccard's only r5 change is the
-        # behavior-neutral unpersist, locally re-verified)
-        "merge_upsert": _q_merge_upsert,
-        "quality_classifier": _q_quality_classifier,
-        "zorder_layout": _q_zorder_layout,
-        # new this session: IVM delta maintenance (oracle = full recompute
-        # from the merged table) + DSIR importance weights
-        # (curate_corpus / dedup_cluster_canonical rotated to the tail —
-        # both r4-driver-green and green in this session's local runs)
-        "incremental_view_update": _q_incremental_view_update,
-        "dsir_weights": _q_dsir_weights,
-        # new this session: iterative graph ranking + CBO column stats
-        # (dedup_minhash_lsh / simhash rotated to the tail — r4-green;
-        # their r5 change is the behavior-neutral unpersist, and the
-        # in-window dedup_recall exercises both pair generators)
-        "pagerank_dedup": _q_pagerank_dedup,
-        "analyze_table_stats": _q_analyze_table_stats,
-        # --- exiled tail (51+): no driver row this round ---
-        # ROUND-6 ROTATION PLAN: the first twelve tail entries below are
-        # r5-NEW and have never had a driver row (all green in the local
-        # exact-hash oracle at sf0.01 AND sf0.1) — rotate them into the
-        # window first, then the r5-rotated-out stalwarts
-        # (layout_flat_text, dedup_ngram_jaccard, decontaminate,
-        # curate_corpus, dedup_cluster_canonical, dedup_minhash_lsh,
-        # simhash — all r4-driver-green).
+        # ROUND-6 ROTATION (executes the plan written at the r5 close and
+        # restated in VERDICT r5 task #1): positions 1-12 are the twelve
+        # r5-new queries that never had a driver row (all green in the
+        # local exact-hash oracle at sf0.01 AND sf0.1 last round);
+        # positions 13-19 backfill the seven r5-rotated-out stalwarts
+        # (last driver-green in r4); the rest of the window pulls the
+        # longest-unconfirmed tail entries back in. The 50 r5-driver-green
+        # queries (CORRECTNESS_r05: 50/50 rows+schema+hash) rotate to the
+        # tail — freshest proof, first to exile.
         "retention_cohorts": _q_retention_cohorts,
         "embedding_outliers": _q_embedding_outliers,
         "hard_negatives": _q_hard_negatives,
@@ -1293,11 +1233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": _q_event_trigrams,
         "cuped_adjusted": _q_cuped_adjusted,
         "triangle_stats": _q_triangle_stats,
-        # split_by_cluster is new but tail-listed: the window is full of
-        # never-confirmed + this-round-changed entries; it rotates in
-        # next round (full oracle verified locally at sf0.01/sf0.1)
         "split_by_cluster": _q_split_by_cluster,
-        # rotated out this session for the lakehouse/classifier/DSIR ops:
+        # new this round (r6): OPTIMIZE's bin-packing half
+        "compact_files": _q_compact_files,
+        # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "decontaminate": _q_decontaminate,
@@ -1305,15 +1244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash": _q_simhash,
+        # longest-unconfirmed tail entries, rotating back in:
         "cross_surprisal": _q_cross_surprisal,
         "remove_dup_spans": _q_remove_dup_spans,
         "kmeans_assign": _q_kmeans_assign,
         "incremental_dedup": _q_incremental_dedup,
         "truncate_conversations": _q_truncate_conversations,
         "adaptive_quality": _q_adaptive_quality,
-        # (format_detect_stats / dedup_cluster_simhash rotated out to make
-        # room for the salted-asof and bloom-decontaminate scale paths;
-        # both r4-green and green in this session's local oracle run)
         "standard_tokens": _q_standard_tokens,
         "extract_htmllike": _q_extract_htmllike,
         "dedup_exact": _q_dedup_exact,
@@ -1339,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
+        # --- exiled tail (51+): no driver row this round ---
+        # next-oldest proof first (these rotate in next round):
         "decode_roundtrip": _q_decode_roundtrip,
         "session_gap": _q_session_gap,
         "salt_distribution": _q_salt_distribution,
@@ -1349,6 +1288,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brands_in_lineitem": _q_brands_in_lineitem,
         "window_topk_orders": _q_window_topk_orders,
         "rollup_revenue": _q_rollup_revenue,
+        # the 50 r5-driver-green queries (CORRECTNESS_r05 50/50), exiled
+        # with the freshest proof:
+        "repetition_stats": _q_repetition_stats,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
+        "resumable_roundtrip": _q_resumable_roundtrip,
+        "extraction_eval": _q_extraction_eval,
+        "extraction_eval_degraded": _q_extraction_eval_degraded,
+        "extraction_eval_summary": _q_extraction_eval_summary,
+        "redact_pii": _q_redact_pii,
+        "sample_stratified": _q_sample_stratified,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "multimodal_features": _q_multimodal_features,
+        "layout_ocr_text": _q_layout_ocr_text,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "approx_distinct_hll": _q_approx_distinct_hll,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "range_error_context": _q_range_error_context,
+        "asof_view_attribution": _q_asof_view_attribution,
+        "asof_attribution_salted": _q_asof_attribution_salted,
+        "tool_run_stats": _q_tool_run_stats,
+        "role_transitions": _q_role_transitions,
+        "tool_latency": _q_tool_latency,
+        "bm25_topk": _q_bm25_topk,
+        "sample_weighted": _q_sample_weighted,
+        "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
+        "vocab_stats": _q_vocab_stats,
+        "pdflike_extract": _q_pdflike_extract,
+        "pdflike_extract_stream": _q_pdflike_extract_stream,
+        "extract_plaintext": _q_extract_plaintext,
+        "json_props_stats": _q_json_props_stats,
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "gopher_quality": _q_gopher_quality,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "hist_event_quantiles": _q_hist_event_quantiles,
+        "ann_recall": _q_ann_recall,
+        "dup_span_stats": _q_dup_span_stats,
+        "mix_weights": _q_mix_weights,
+        "dedup_recall": _q_dedup_recall,
+        "merge_upsert": _q_merge_upsert,
+        "quality_classifier": _q_quality_classifier,
+        "zorder_layout": _q_zorder_layout,
+        "incremental_view_update": _q_incremental_view_update,
+        "dsir_weights": _q_dsir_weights,
+        "pagerank_dedup": _q_pagerank_dedup,
+        "analyze_table_stats": _q_analyze_table_stats,
     }
 
 # --------------------------------------------------------------------------
@@ -1365,7 +1356,8 @@ def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.hashfamily import params_values_sql
     from bella_domify_spark.ops.analyze import analyze_oracle_sql
     from bella_domify_spark.ops.dsir import dsir_lambda_sql
-    from bella_domify_spark.ops.lakehouse import zorder_oracle_ctes
+    from bella_domify_spark.ops.lakehouse import (compact_oracle_ctes,
+                                                  zorder_oracle_ctes)
     from bella_domify_spark.ops.retrieval import queries_values_sql
     # shared CTE builders — single source of truth for constructions used
     # by more than one oracle (closure/cluster label, shingles, minhash
@@ -2265,6 +2257,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket_id, n_rows, min_q1, max_q1, min_q2, max_q2,
                    pruned FROM zb
         """,
+        "compact_files": f"""
+            WITH mf AS (
+                SELECT lang AS part, doc_id AS file_id,
+                       (n_chars + 512)::BIGINT AS size_bytes
+                FROM documents
+                WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                  AND n_chars IS NOT NULL
+            ), {compact_oracle_ctes(8192)}
+            SELECT part, file_id, size_bytes, out_bucket FROM assigned
+        """,
         # IVM proof: the oracle RECOMPUTES the view from the merged table
         # (the strategy the incremental path exists to avoid)
         "incremental_view_update": """
@@ -2410,21 +2412,26 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END)::BIGINT AS nonconv_b
                 FROM pu
             )
+            , h AS (
+                -- HUGEINT (int128) arithmetic: same ~1e38 headroom as the
+                -- Spark side's DECIMAL(38,0), exact to ~1e7 users/cell
+                SELECT conv_a, nonconv_a, conv_b, nonconv_b,
+                       conv_a::HUGEINT AS ha, nonconv_a::HUGEINT AS hb,
+                       conv_b::HUGEINT AS hc, nonconv_b::HUGEINT AS hd
+                FROM c
+            )
             SELECT conv_a, nonconv_a, conv_b, nonconv_b,
-                   CASE WHEN (conv_a + nonconv_a) * (conv_b + nonconv_b)
-                             * (conv_a + conv_b)
-                             * (nonconv_a + nonconv_b) > 0
+                   CASE WHEN (ha + hb) * (hc + hd) * (ha + hc)
+                             * (hb + hd) > 0
                         THEN floor(
-                            ((conv_a + nonconv_a + conv_b + nonconv_b)
-                             * (conv_a * nonconv_b - nonconv_a * conv_b)
-                             * (conv_a * nonconv_b - nonconv_a * conv_b)
-                            )::DOUBLE
-                            / ((conv_a + nonconv_a) * (conv_b + nonconv_b)
-                               * (conv_a + conv_b)
-                               * (nonconv_a + nonconv_b))::DOUBLE
+                            ((ha + hb + hc + hd)
+                             * (ha * hd - hb * hc)
+                             * (ha * hd - hb * hc))::DOUBLE
+                            / ((ha + hb) * (hc + hd) * (ha + hc)
+                               * (hb + hd))::DOUBLE
                             * 1e6)::BIGINT
                         ELSE 0 END AS chi2_e6
-            FROM c
+            FROM h
         """,
         "event_trigrams": """
             WITH s AS (
@@ -2432,7 +2439,7 @@ def oracle_sql() -> dict[str, str]:
                        lead(event_type, 1) OVER w AS e2,
                        lead(event_type, 2) OVER w AS e3
                 FROM events
-                WHERE user_id IS NOT NULL
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), c AS (
                 SELECT e1, e2, e3, count(*) AS cnt

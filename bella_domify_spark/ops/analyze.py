@@ -166,11 +166,11 @@ def ab_conversion_chi2(events: DataFrame) -> DataFrame:
     ratio: chi2 = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
 
     Output: one row (conv_a, nonconv_a, conv_b, nonconv_b, chi2_e6).
-    Integer headroom: n·(ad−bc)² stays inside int64 up to ~10^4 users per
-    slice; larger experiment populations move the numerator to
-    DECIMAL(38,0) (the range_error_context discipline) with the same
-    formula. The final division is double (IEEE-identical cross-engine),
-    floor-e6 quantized.
+    Integer headroom: the numerator n·(ad−bc)² and the denominator run in
+    DECIMAL(38,0) (HUGEINT on the DuckDB side — same 1e38 range), exact
+    up to ~10^7 users per cell; int64 would have thrown (ANSI mode) past
+    ~10^4. The final division is double (both engines convert the same
+    exact integer, correctly rounded), floor-e6 quantized.
 
     Scale notes: one scan → per-user conversion flag (map-side-combined
     max aggregate keyed by user) → four counters in one tiny aggregate.
@@ -190,8 +190,10 @@ def ab_conversion_chi2(events: DataFrame) -> DataFrame:
         F.sum(F.when((F.expr("user_id % 2") == 1) & (F.col("conv") == 0), 1)
               .otherwise(0)).cast("long").alias("nonconv_b"),
     )
-    a, b = F.col("conv_a"), F.col("nonconv_a")
-    c, d = F.col("conv_b"), F.col("nonconv_b")
+    # DECIMAL(19,0) operands so products land in DECIMAL(38,0) (Spark
+    # caps p1+p2+1 at 38 with scale preserved) — exact to ~1e7 users/cell
+    a, b, c, d = (F.col(x).cast("decimal(19,0)") for x in
+                  ("conv_a", "nonconv_a", "conv_b", "nonconv_b"))
     n = a + b + c + d
     num = n * (a * d - b * c) * (a * d - b * c)
     den = (a + b) * (c + d) * (a + c) * (b + d)

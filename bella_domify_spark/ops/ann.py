@@ -360,8 +360,14 @@ def embedding_outliers(vectors: DataFrame, k: int = 5,
     inside label partitions bounded by label cardinality's skew — at
     100 TB a hot label's window sort is the floor, and the rank-k filter
     pushes as TakeOrdered-per-label work, never a global sort.
+
+    Ragged guard: zip_with pads length-mismatched arrays with NULL (a
+    zero-length embedding would yield NULL dist2) while the UNNEST-join
+    oracle simply drops such vectors — size(v) > 0 keeps both engines on
+    the same vector set.
     """
     q = (vectors.filter(F.col(vec_col).isNotNull()
+                        & (F.size(F.col(vec_col)) > 0)
                         & F.col(label_col).isNotNull())
          .select(F.col(id_col).alias("id"),
                  F.col(label_col).cast("long").alias("lbl"),
@@ -397,9 +403,12 @@ def hard_negatives(vectors: DataFrame, n_queries: int = 8,
     over a broadcast query set (the documented baseline; the LSH/IVF
     bucketed paths in this module are the 100 TB candidate generators,
     after which this same exact scoring verifies candidates). Integer
-    floor-e6 distances; ties broken by smallest candidate id.
+    floor-e6 distances; ties broken by smallest candidate id. Zero-length
+    embeddings are dropped (zip_with NULL-padding guard, see
+    embedding_outliers).
     """
     q = (vectors.filter(F.col(vec_col).isNotNull()
+                        & (F.size(F.col(vec_col)) > 0)
                         & F.col(label_col).isNotNull())
          .select(F.col(id_col).alias("id"),
                  F.col(label_col).cast("long").alias("lbl"),

@@ -265,6 +265,15 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     Output (one row): n_edges, n_wedges (undirected length-2 paths,
     Σ C(deg,2)), n_triangles, global_cc_e6 = floor(3T / n_wedges · 1e6).
     All integer except the final floor-quantized ratio.
+
+    PRECONDITION: node ids < 2^32. The (deg, id) orientation key is
+    bit-packed as deg·2^32 + id for a single-BIGINT comparison; an id
+    ≥ 2^32 would alias into the degree field, making the key
+    non-injective and silently breaking the strict k1 < k2 wedge dedup
+    (both engines would agree, so the oracle can't catch it). doc_ids in
+    this pipeline are content-hash-mod-bounded well below that; for an
+    open-world id space swap the pack for a two-column (deg, id)
+    struct comparison at ~15% extra shuffle width.
     """
     # deliberately NOT persisted: caching the pair list here LOSES —
     # reads from an InMemoryRelation carry no runtime exchange stats, so

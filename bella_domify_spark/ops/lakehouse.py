@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["merge_upsert", "incremental_view_update", "scd2_history",
-           "zorder_layout", "Z_BITS", "Z_BUCKET_SHIFT"]
+           "zorder_layout", "compact_files", "Z_BITS", "Z_BUCKET_SHIFT"]
 
 # 16 bits per dimension -> 32-bit Morton code -> 2^10 buckets of 2^22 codes.
 Z_BITS = 16
@@ -235,6 +235,73 @@ def zorder_oracle_ctes() -> str:
                          AND max(q2) >= {_BOX_LO} AND min(q2) <= {_BOX_HI}
                         THEN 0 ELSE 1 END AS pruned
             FROM zz GROUP BY 1
+        )
+    """
+
+
+def compact_files(manifest: DataFrame, target_bytes: int,
+                  part_col: str = "part", file_col: str = "file_id",
+                  size_col: str = "size_bytes") -> DataFrame:
+    """OPTIMIZE's other half (zorder_layout is the clustering half):
+    small-file bin-packing — assign every file in a table manifest to an
+    output bucket of roughly ``target_bytes``, per table partition, so a
+    rewrite job turns thousands of small files into target-size ones.
+
+    Packing rule: within each partition, files sort by (size DESC,
+    file_id ASC) and pack by cumulative sum — ``out_bucket =
+    sum(size of strictly earlier files) div target_bytes``. This is
+    next-fit-decreasing expressed as ONE window: deterministic, a single
+    hash shuffle on the partition key, and every bucket's total lands in
+    [target, target + max_file) except the last per partition.
+    First-fit-decreasing packs marginally tighter but needs residual
+    bin-capacity state (Delta's OPTIMIZE runs it sequentially on the
+    driver over the file list); the cumulative form keeps the whole
+    manifest distributed and the two engines bit-identical.
+
+    Scale notes: a manifest is metadata-sized (one row per FILE — ~10^6
+    rows for 100 TB of 128 MB files), so the window partition is bounded
+    by files-per-table-partition; no data rows move. Oversized files
+    (> target) occupy their bucket alone and push the next file over the
+    boundary — exactly Delta/Iceberg behavior (never split a file).
+
+    Output: (part, file_id, size_bytes, out_bucket). The assignment is
+    fully deterministic — (part, out_bucket, size DESC, file_id) is the
+    rewrite order a compaction job would replay.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.desc(size_col), F.asc(file_col)))
+    cum_before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"))
+    return (manifest.select(
+                F.col(part_col).alias("part"),
+                F.col(file_col).alias("file_id"),
+                F.col(size_col).cast("long").alias("size_bytes"),
+                cum_before.alias("_cum_before"))
+            .select("part", "file_id", "size_bytes",
+                    F.expr(f"_cum_before div {int(target_bytes)}")
+                     .cast("long").alias("out_bucket")))
+
+
+def compact_oracle_ctes(target_bytes: int) -> str:
+    """DuckDB twin of compact_files over a caller-supplied manifest CTE
+    ``mf(part, file_id, size_bytes)``; the caller SELECTs from
+    ``assigned``. Kept beside the Spark code so the packing rule cannot
+    drift."""
+    return f"""
+        assigned AS (
+            SELECT part, file_id, size_bytes,
+                   -- ::BIGINT: DuckDB's windowed sum(BIGINT) is HUGEINT
+                   (COALESCE(sum(size_bytes) OVER (
+                       PARTITION BY part
+                       ORDER BY size_bytes DESC, file_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING),
+                     0) // {int(target_bytes)})::BIGINT AS out_bucket
+            FROM mf
         )
     """
 

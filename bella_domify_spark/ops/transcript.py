@@ -125,11 +125,15 @@ def event_trigrams(events, k: int = 20):
     One shuffle keyed by user for the two leads (consecutive within a
     user's time-ordered stream), one map-side-combined count into the
     ≤|vocab|³ sequence table, then a TakeOrdered top-k — no global sort
-    materializes. NULL users carry no stream; ties at the k boundary are
-    resolved by sequence order, never by partitioning.
+    materializes. NULL users carry no stream; NULL timestamps are
+    filtered (Spark sorts NULLs first ascending, DuckDB last — untimed
+    events have no place in a *consecutive-sequence* mine, so both
+    engines drop them, matching the sibling event-time queries); ties at
+    the k boundary are resolved by sequence order, never by partitioning.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = (events.filter(F.col("user_id").isNotNull())
+    s = (events.filter(F.col("user_id").isNotNull()
+                       & F.col("ts").isNotNull())
          .select(F.col("event_type").alias("e1"),
                  F.lead("event_type", 1).over(w).alias("e2"),
                  F.lead("event_type", 2).over(w).alias("e3"))

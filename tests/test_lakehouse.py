@@ -399,3 +399,64 @@ class TestEdgeCases:
         got = _rows(scd2_history(base, empty),
                     "doc_id", "valid_from", "valid_to", "text", "is_current")
         assert got == [(1, -1, None, "one", 1)]
+
+
+class TestCompactFiles:
+    def _pack_python(self, files, target):
+        """Reference next-fit-decreasing by cumulative sum, per part."""
+        out = {}
+        by_part = {}
+        for part, fid, size in files:
+            by_part.setdefault(part, []).append((fid, size))
+        for part, fs in by_part.items():
+            cum = 0
+            for fid, size in sorted(fs, key=lambda t: (-t[1], t[0])):
+                out[(part, fid)] = cum // target
+                cum += size
+        return out
+
+    def test_matches_python_packing(self, spark):
+        from bella_domify_spark.ops.lakehouse import compact_files
+
+        files = [("a", i, 100 + (i * 37) % 300) for i in range(40)] + \
+                [("b", i, 50 + (i * 91) % 500) for i in range(25)]
+        mf = spark.createDataFrame(
+            files, "part string, file_id long, size_bytes long")
+        got = {(r["part"], r["file_id"]): r["out_bucket"]
+               for r in compact_files(mf, target_bytes=512).collect()}
+        assert got == self._pack_python(files, 512)
+        # cumulative-packing fill invariant: if any file landed past
+        # bucket b, then buckets 0..b together hold >= (b+1)*target —
+        # i.e. no under-filled prefix (individual buckets may dip below
+        # target only by inheriting a predecessor's overshoot)
+        totals = {}
+        sizes = {(p, f): s for p, f, s in files}
+        for (p, f), b in got.items():
+            totals[(p, b)] = totals.get((p, b), 0) + sizes[(p, f)]
+        parts = {p for p, _, _ in files}
+        for p in parts:
+            bs = sorted(b for (q, b) in totals if q == p)
+            for b in bs[:-1]:
+                prefix = sum(t for (q, bb), t in totals.items()
+                             if q == p and bb <= b)
+                assert prefix >= (b + 1) * 512, (p, b, prefix)
+
+    def test_oversized_file_owns_bucket_and_pushes_next(self, spark):
+        from bella_domify_spark.ops.lakehouse import compact_files
+
+        mf = spark.createDataFrame(
+            [("p", 1, 10_000), ("p", 2, 30), ("p", 3, 20)],
+            "part string, file_id long, size_bytes long")
+        got = _rows(compact_files(mf, target_bytes=100),
+                    "file_id", "out_bucket")
+        # file 1 (10k) packs first at cum 0 -> bucket 0; file 2 starts at
+        # cum 10000 -> bucket 100; file 3 at 10030 -> bucket 100 (never
+        # split, never co-located with the oversized file)
+        assert got == [(1, 0), (2, 100), (3, 100)]
+
+    def test_empty_manifest(self, spark):
+        from bella_domify_spark.ops.lakehouse import compact_files
+
+        mf = spark.createDataFrame(
+            [], "part string, file_id long, size_bytes long")
+        assert compact_files(mf, target_bytes=100).count() == 0

@@ -140,3 +140,12 @@ class TestSession5PlanShapes:
         assert "Python" not in plan
         # min/max scalar agg + bucket agg + one broadcast = <= 3 exchanges
         assert plan.count("Exchange") <= 3
+
+    def test_compact_files_single_shuffle_all_jvm(self, spark):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["compact_files"](spark, SF))
+        # one hash shuffle on the partition key feeds the packing window;
+        # the manifest is metadata-sized so nothing else moves
+        assert plan.count("Exchange") == 1
+        assert "Python" not in plan
