@@ -130,6 +130,18 @@ def _q_layout_ocr_text(spark, sf):
     return gate_extract_ocr(_t(spark, sf, "documents"))
 
 
+def _q_standard_images(spark, sf):
+    # P25/S5 payload round-trip under the driver oracle: the SAME gate
+    # payloads parsed with providers.StubImageProvider, converted to the
+    # StandardDomTree protocol, every Figure flattened to
+    # (path, merged name, tokens, image{type,url,file_id}) — the
+    # StandardImageElement subtype (standard_domtree.py:35-39,69-72)
+    # oracle-pinned end to end, stub URL + content-hash file_id in the
+    # value hash; oracle = pinned parquet (tools/gen_pdflike_expected.py).
+    from bella_domify_spark.parsers.pdflike.gate import gate_extract_standard
+    return gate_extract_standard(_t(spark, sf, "documents"))
+
+
 def _q_layout_flat_text(spark, sf):
     from bella_domify_spark.engine.extract import layout_udf
     d = _t(spark, sf, "documents")
@@ -1234,8 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted": _q_cuped_adjusted,
         "triangle_stats": _q_triangle_stats,
         "split_by_cluster": _q_split_by_cluster,
-        # new this round (r6): OPTIMIZE's bin-packing half
+        # new this round (r6): OPTIMIZE's bin-packing half + the
+        # StandardImageElement payload round-trip
         "compact_files": _q_compact_files,
+        "standard_images": _q_standard_images,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1481,6 +1495,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, e.extracted_text, e.layout_text, e.n_images,
                    e.n_layout_images, e.status
             FROM read_parquet('/root/repo/fixtures/pdflike_ocr_expected.parquet') e
+            JOIN documents d ON d.doc_id = e.doc_id
+        """,
+        "standard_images": """
+            SELECT d.doc_id, e.tokens, e.n_figures, e.images_json, e.status
+            FROM read_parquet(
+                '/root/repo/fixtures/pdflike_standard_expected.parquet') e
             JOIN documents d ON d.doc_id = e.doc_id
         """,
         "standard_tokens": r"""

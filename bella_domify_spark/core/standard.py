@@ -81,10 +81,22 @@ def _node_to_standard(node: Node) -> Optional[dict]:
         element = {"type": mapped, "positions": _positions(el), "name": "",
                    "description": "", "rows": rows}
     elif el.is_image_block:
+        # StandardImage {type, url, base64, file_id}
+        # (standard_domtree.py:35-39,280-299): the reference emits
+        # image_url + url when a provider ran. Engine extension (r6):
+        # also surface the provider's content-addressed upload key as
+        # file_id — it equals the image payload's byte fingerprint
+        # (span.image_meta['sha']), so the image element round-trips
+        # identity without the bytes.
         image = None
         link = getattr(el, "image_link", None)
         if link:
             image = {"type": "image_url", "url": link}
+            span = next((s for ln in getattr(el, "lines", [])
+                         for s in ln.spans if s.is_image), None)
+            meta = (span.image_meta or {}) if span is not None else {}
+            if meta.get("sha"):
+                image["file_id"] = str(meta["sha"])
         text = getattr(el, "image_ocr_result", "") or ""
         element = {"type": mapped, "positions": _positions(el), "name": "",
                    "description": "", "text": text, "image": image}

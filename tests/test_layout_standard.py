@@ -111,3 +111,67 @@ class TestStandardDomTree:
         tree.root.add_child(Node(tb))
         std = to_standard(tree)
         assert std["root"]["children"][0]["element"]["type"] == "text"
+
+    def test_image_element_payload_roundtrip(self):
+        # StandardImage {type, url, file_id} (standard_domtree.py:35-39):
+        # provider URL + content-addressed file_id (= the payload's byte
+        # fingerprint) ride the Figure element; without a provider the
+        # image field stays None (reference emits image only when a link
+        # exists, :280-299)
+        from bella_domify_spark.core.blocks import Line, Span, TextBlock
+        from bella_domify_spark.core.tree import DomTree, Node
+
+        def img_block(link):
+            sp = Span(is_image=True, bbox=(0, 0, 64, 48),
+                      image_meta={"sha": "cafe1234deadbeef", "n_bytes": 321,
+                                  "width": 64, "height": 48})
+            b = TextBlock(lines=[Line(spans=[sp], bbox=(0, 0, 64, 48))],
+                          page_num=[0])
+            if link:
+                b.image_link = link
+                b.image_ocr_result = "ocr text here"
+            return b
+
+        tree = DomTree()
+        tree.root.add_child(Node(img_block("stub://images/cafe1234deadbeef")))
+        std = to_standard(tree)
+        el = std["root"]["children"][0]["element"]
+        assert el["type"] == "Figure"
+        assert el["image"] == {"type": "image_url",
+                               "url": "stub://images/cafe1234deadbeef",
+                               "file_id": "cafe1234deadbeef"}
+        assert std["root"]["children"][0]["tokens"] == 3  # ocr text here
+
+        tree2 = DomTree()
+        tree2.root.add_child(Node(img_block(None)))
+        el2 = to_standard(tree2)["root"]["children"][0]["element"]
+        assert el2["image"] is None
+
+    def test_figure_name_merges_into_sibling_figure(self):
+        # FigureName SIBLING of a Figure → merged name + summed tokens
+        # (the gate payloads exercise the nested/unmerged degrade path;
+        # this pins the merge path itself)
+        from bella_domify_spark.core.blocks import Line, Span, TextBlock
+        from bella_domify_spark.core.tree import DomTree, Node
+
+        sp = Span(is_image=True, bbox=(0, 0, 64, 48),
+                  image_meta={"sha": "beef", "n_bytes": 9})
+        fig = TextBlock(lines=[Line(spans=[sp], bbox=(0, 0, 64, 48))],
+                        page_num=[0])
+        fig.image_link = "stub://images/beef"
+        fig.image_ocr_result = "two tokens"
+        cap = TextBlock(lines=[Line(spans=[Span(text="Figure 7 caption",
+                                                bbox=(0, 50, 64, 60))],
+                                    bbox=(0, 50, 64, 60))],
+                        page_num=[0], is_figure_name=True)
+        tree = DomTree()
+        tree.root.add_child(Node(fig))
+        tree.root.add_child(Node(cap))
+        std = to_standard(tree)
+        kids = std["root"]["children"]
+        assert len(kids) == 1
+        el = kids[0]["element"]
+        assert el["type"] == "Figure"
+        assert el["name"] == "Figure 7 caption"
+        assert el["image"]["file_id"] == "beef"
+        assert kids[0]["tokens"] == 2 + 3  # ocr + merged caption tokens

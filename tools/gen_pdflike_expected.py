@@ -26,6 +26,7 @@ def main(max_doc_id: int = 5000) -> None:
     from bella_domify_spark.parsers.pdflike.gate import (
         expected_frame,
         expected_frame_ocr,
+        expected_frame_standard,
         expected_frame_stream,
     )
 
@@ -35,7 +36,10 @@ def main(max_doc_id: int = 5000) -> None:
                                        "pdflike_stream_expected")),
                           (expected_frame_ocr,
                            OUT.replace("pdflike_expected",
-                                       "pdflike_ocr_expected"))):
+                                       "pdflike_ocr_expected")),
+                          (expected_frame_standard,
+                           OUT.replace("pdflike_expected",
+                                       "pdflike_standard_expected"))):
         df = frame_fn(max_doc_id)
         bad = df[df["status"] != "ok"]
         if len(bad):
