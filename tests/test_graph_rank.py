@@ -344,3 +344,92 @@ class TestTriangles:
         r = triangle_stats(
             spark.createDataFrame(star, "id_a long, id_b long")).collect()[0]
         assert (r["n_triangles"], r["global_cc_e6"]) == (0, 0)
+
+
+class TestZipfSkewGraph:
+    """Celebrity-node safety of the iterative layer (VERDICT r5 task 6):
+    a Zipf-degree graph where one hub carries ~50% of all edges — the
+    shape that breaks naive wedge enumeration (hub wedges = C(deg, 2))
+    and the shape the degree-ordered orientation exists for."""
+
+    def _skew_graph(self):
+        import random
+
+        rng = random.Random(4242)
+        edges = set()
+        hub_n = 150
+        for i in range(1, hub_n + 1):
+            edges.add((0, i))                       # hub spokes
+        for i in range(1, hub_n):
+            if rng.random() < 0.5:
+                edges.add((i, i + 1))               # closes hub triangles
+        for _ in range(60):                         # background sparse edges
+            a = rng.randrange(1, 201)
+            b = rng.randrange(1, 201)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        return sorted(edges), 201
+
+    def _py_triangles(self, edges, n):
+        adj = [set() for _ in range(n)]
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = 0
+        for a, b in edges:
+            tri += sum(1 for c in (adj[a] & adj[b]) if c > max(a, b))
+        wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in range(n))
+        return tri, wedges
+
+    def test_triangle_stats_on_hub_graph(self, spark):
+        from bella_domify_spark.ops.graph import triangle_stats
+
+        edges, n = self._skew_graph()
+        tri, wedges = self._py_triangles(edges, n)
+        assert tri > 40  # the hub actually closes many triangles
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        row = triangle_stats(pairs).collect()[0]
+        assert row["n_edges"] == len(edges)
+        assert row["n_wedges"] == wedges
+        assert row["n_triangles"] == tri
+        assert row["global_cc_e6"] == 3 * tri * 10**6 // wedges
+
+    def test_orientation_bounds_the_wedge_join(self, spark):
+        # the scale claim at graph.py:256-263, measured: under (deg, id)
+        # orientation the hub is never a wedge apex, so the join input
+        # Sum(out_deg^2) collapses vs the naive Sum(deg^2)
+        edges, n = self._skew_graph()
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        key = {v: (d, v) for v, d in deg.items()}
+        out = {}
+        for a, b in edges:
+            s = a if key[a] < key[b] else b
+            out[s] = out.get(s, 0) + 1
+        m = len(edges)
+        naive = sum(d * d for d in deg.values())
+        oriented = sum(o * o for o in out.values())
+        max_out = max(out.values())
+        # hub (deg ~150, 50% of edges) contributes 150^2=22500 naively;
+        # oriented it is the LARGEST key so its out-degree is 0. Measured
+        # on this graph: naive ~24k, oriented ~1k, max out-degree ~sqrt(2m)
+        assert out.get(0, 0) == 0
+        assert oriented * 10 < naive, (oriented, naive)
+        assert max_out <= int((2 * m) ** 0.5) + 3, (max_out, m)
+
+    def test_pagerank_on_hub_graph(self, spark):
+        from bella_domify_spark.ops.graph import pagerank
+
+        edges, n = self._skew_graph()
+        exp_r, exp_deg = _py_pagerank(n, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                      "doc_id long")
+        got = {r["doc_id"]: (r["deg"], r["rank_e12"])
+               for r in pagerank(pairs, nodes).collect()}
+        assert got == {v: (exp_deg.get(v, 0), exp_r[v]) for v in range(n)}
+        # the hub outranks every spoke
+        hub_rank = got[0][1]
+        assert all(hub_rank > rk for v, (_, rk) in got.items() if v != 0)
