@@ -1365,14 +1365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from bella_domify_spark.ops.ann import planes_values_sql
-    from bella_domify_spark.ops.classifier import (classifier_feats_sql,
-                                                   classifier_weight_expr)
     from bella_domify_spark.ops.hashfamily import params_values_sql
-    from bella_domify_spark.ops.analyze import analyze_oracle_sql
-    from bella_domify_spark.ops.dsir import dsir_lambda_sql
-    from bella_domify_spark.ops.lakehouse import (compact_oracle_ctes,
-                                                  zorder_oracle_ctes)
-    from bella_domify_spark.ops.retrieval import queries_values_sql
+    # analytics-layer oracle entries (lakehouse/experiment/curation/graph/
+    # sketch/multimodal) were extracted verbatim to tools/oracle_analytics
+    # (round-6 entry-file diet); their ops-side helpers import there
+    from tools.oracle_analytics import entries as _analytics_entries
     # shared CTE builders — single source of truth for constructions used
     # by more than one oracle (closure/cluster label, shingles, minhash
     # candidates, simhash fingerprints, hyperplane LSH buckets)
@@ -1388,7 +1385,6 @@ def oracle_sql() -> dict[str, str]:
         span_removal_ctes,
         kmeans_ctes,
         minhash_cand_ctes,
-        pagerank_ctes,
         shingle_ctes,
         simhash_fp_ctes,
     )
@@ -1401,10 +1397,6 @@ def oracle_sql() -> dict[str, str]:
     docx_flat = ("'；' || text")
     minhash_params_sql = params_values_sql(64)
     lsh_planes_sql = planes_values_sql(dim=64, n_planes=12, n_tables=4)
-    from bella_domify_spark.ops.sketches import HLL_NUMERATOR
-    hll_num = repr(HLL_NUMERATOR)  # repr round-trips float64 exactly
-    from bella_domify_spark.ops.sketches import CMS_D, CMS_W
-    cms_params = params_values_sql(CMS_D)  # the shared hash family
     sqls = {
         "extract_plaintext": """
             SELECT doc_id, text || chr(10) || chr(10) AS extracted_text
@@ -1734,47 +1726,6 @@ def oracle_sql() -> dict[str, str]:
                                    ' ') AS chunk_text
             FROM exploded
         """,
-        "bm25_topk": f"""
-            WITH toks AS (
-                SELECT doc_id AS id, t.term
-                FROM documents,
-                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
-                WHERE t.term <> ''
-            ),
-            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
-            dl AS (SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY id),
-            corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl
-                       FROM dl),
-            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            qterms AS (SELECT * FROM {queries_values_sql()}),
-            contrib AS (
-                -- constants are the Python-folded exact binary fractions:
-                -- 2.25 = 1.0+k1, 0.25 = 1.0-b (k1=1.25, b=0.75)
-                SELECT qterms.query_id, tf.id,
-                       floor(
-                           floor(ln((c.n_docs - dft.df + 0.5)
-                                    / (dft.df + 0.5) + 1.0) * 1e12)::DOUBLE
-                           * ((tf.tf * 2.25)
-                              / (tf.tf + 1.25 * (0.25 + 0.75 *
-                                  (dl.dl / (c.sum_dl::DOUBLE / c.n_docs)))))
-                           / 1e3
-                       )::DECIMAL(20,0) AS c_e9
-                FROM tf
-                JOIN qterms USING (term)
-                JOIN dft USING (term)
-                JOIN dl ON dl.id = tf.id
-                CROSS JOIN corpus c
-            ),
-            scores AS (SELECT query_id, id, sum(c_e9) AS s
-                       FROM contrib GROUP BY query_id, id)
-            SELECT query_id, rank, doc_id, score_e9 FROM (
-                SELECT query_id, id AS doc_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY s DESC, id ASC) AS rank,
-                       s::BIGINT AS score_e9
-                FROM scores)
-            WHERE rank <= 10
-        """,
         "tool_run_stats": f"""
             WITH {_AGENT_T_CTE},
             marks AS (
@@ -1885,40 +1836,6 @@ def oracle_sql() -> dict[str, str]:
                             THEN value END) AS p95
             FROM r GROUP BY event_type
         """,
-        "cms_heavy_hitters": rf"""
-            WITH t AS (
-                SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
-                    AS word
-                FROM documents
-            ), w AS (
-                SELECT word FROM t WHERE word <> ''
-            ), x AS (
-                SELECT word,
-                       ('0x' || substr(md5(word), 1, 15))::BIGINT
-                           % 2147483647 AS x
-                FROM w
-            ), h AS (
-                SELECT x.word, params.i,
-                       ((params.a * x.x + params.b) % 2147483647) % {CMS_W}
-                           AS bucket
-                FROM x, {cms_params}
-            ), cms AS (
-                SELECT i, bucket, count(*) AS c FROM h GROUP BY i, bucket
-            ), top AS (
-                SELECT word, count(*) AS n_exact
-                FROM w GROUP BY word
-                ORDER BY n_exact DESC, word LIMIT 20
-            ), th AS (
-                SELECT top.word, top.n_exact, h.i, h.bucket
-                FROM top JOIN h USING (word)
-                GROUP BY top.word, top.n_exact, h.i, h.bucket
-            )
-            SELECT th.word, th.n_exact,
-                   min(cms.c)::BIGINT AS est_cms,
-                   (min(cms.c) - th.n_exact)::BIGINT AS overestimate
-            FROM th JOIN cms USING (i, bucket)
-            GROUP BY th.word, th.n_exact
-        """,
         "funnel_stages": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             s1 AS (
@@ -1944,124 +1861,6 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 USING (user_id)
                    LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
-        """,
-        "bigram_surprisal": r"""
-            WITH w AS (
-                SELECT doc_id AS id,
-                       regexp_split_to_array(lower(text), '\s+') AS a
-                FROM documents
-            ), b AS (
-                SELECT id, a[i] AS w1, a[i + 1] AS w2
-                FROM w, UNNEST(range(1, len(a))) AS t(i)
-                WHERE a[i] <> '' AND a[i + 1] <> ''
-            ), c12 AS (
-                SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
-            ), c1 AS (
-                SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1
-            ), st AS (
-                -- floor(x*1e12): bit-identical across engines, unlike
-                -- round() (implementations differ; see textstats)
-                SELECT w1, w2,
-                       floor(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)
-                             * 1e12)::DECIMAL(20,0) AS s
-                FROM c12 JOIN c1 USING (w1)
-            ), s AS (
-                SELECT b.id, st.s FROM b JOIN st USING (w1, w2)
-            )
-            -- integer-exact mean at 1e-6 (HUGEINT floor division) — no
-            -- double round-trip, mirrors the Spark div
-            SELECT id AS doc_id, count(*) AS n_bigrams,
-                   (sum(s)::HUGEINT
-                    // (count(*)::HUGEINT * 1000000))::BIGINT
-                       AS mean_surprisal_e6
-            FROM s GROUP BY id
-        """,
-        # cross_surprisal: odd doc_ids scored under the even-id corpus's
-        # add-one-smoothed bigram LM (ops/textstats.py cross_surprisal) —
-        # same floor-e12 / HUGEINT-mean discipline as bigram_surprisal
-        "cross_surprisal": r"""
-            WITH w AS (
-                SELECT doc_id AS id, doc_id % 2 = 0 AS is_corpus,
-                       regexp_split_to_array(lower(text), '\s+') AS a
-                FROM documents
-            ), b AS (
-                SELECT id, is_corpus, a[i] AS w1, a[i + 1] AS w2
-                FROM w, UNNEST(range(1, len(a))) AS t(i)
-                WHERE a[i] <> '' AND a[i + 1] <> ''
-            ), c12 AS (
-                SELECT w1, w2, count(*) AS c12
-                FROM b WHERE is_corpus GROUP BY w1, w2
-            ), c1 AS (
-                SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1
-            ), vocab AS (
-                SELECT count(DISTINCT w)::BIGINT AS v FROM (
-                    SELECT w1 AS w FROM b WHERE is_corpus
-                    UNION ALL
-                    SELECT w2 AS w FROM b WHERE is_corpus)
-            ), s AS (
-                -- Laplace: unseen transitions get -ln(1/(c1+V)), a join
-                -- miss on c1 degrades to -ln(1/V)
-                SELECT nb.id,
-                       floor(-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
-                                 / (COALESCE(c1.c1, 0) + vocab.v))
-                             * 1e12)::DECIMAL(20,0) AS s
-                FROM b nb
-                LEFT JOIN c12 USING (w1, w2)
-                LEFT JOIN c1 USING (w1)
-                CROSS JOIN vocab
-                WHERE NOT nb.is_corpus
-            )
-            SELECT id AS doc_id, count(*) AS n_bigrams,
-                   (sum(s)::HUGEINT
-                    // (count(*)::HUGEINT * 1000000))::BIGINT
-                       AS mean_surprisal_e6
-            FROM s GROUP BY id
-        """,
-        "approx_distinct_hll": f"""
-            WITH h AS (
-                -- NULL users carry no identity (count_distinct ignores
-                -- them; the Spark side filters them the same way)
-                SELECT event_type,
-                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
-                           AS h
-                FROM events WHERE user_id IS NOT NULL
-            ), r AS (
-                SELECT event_type, h & 63 AS j,
-                       CASE WHEN (h >> 6) > 0
-                            THEN 55 - length(bin(h >> 6))
-                            ELSE 55 END AS rho
-                FROM h
-            ), regs AS (
-                SELECT event_type, j, max(rho) AS mj
-                FROM r GROUP BY event_type, j
-            ), g AS (
-                SELECT event_type,
-                       sum(1::BIGINT << (55 - mj))::BIGINT AS s_present,
-                       count(*) AS n_buckets
-                FROM regs GROUP BY event_type
-            ), e AS (
-                SELECT event_type,
-                       {hll_num} / CAST(s_present
-                           + (64 - n_buckets) * (1::BIGINT << 55)
-                           AS DOUBLE) AS raw,
-                       CAST(64 - n_buckets AS DOUBLE) AS v
-                FROM g
-            ), e2 AS (
-                SELECT event_type,
-                       CASE WHEN raw <= 160.0 AND v > 0
-                            THEN 64.0 * ln(64.0 / v)
-                            ELSE raw END AS est
-                FROM e
-            )
-            -- floor(x*1e4) -> BIGINT, not round(): round() diverges
-            -- across engines (see bigram_surprisal)
-            SELECT x.event_type, x.n_exact,
-                   floor(e2.est * 1e4)::BIGINT AS est_hll_e4,
-                   floor((e2.est - x.n_exact) / x.n_exact * 1e4)::BIGINT
-                       AS rel_err_e4
-            FROM (SELECT event_type, count(DISTINCT user_id) AS n_exact
-                  FROM events GROUP BY event_type) x
-            JOIN e2 USING (event_type)
         """,
         "asof_view_attribution": """
             SELECT c.event_id, c.user_id,
@@ -2232,498 +2031,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # MERGE semantics via arg_max — deliberately a different physical
         # strategy from the Spark side's map-side-combined max_by
-        "merge_upsert": """
-            WITH ks AS (
-                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
-            ), ch AS (
-                SELECT event_id % ks AS doc_id,
-                       event_id AS version,
-                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
-                           AS op,
-                       event_type || ' ' || props AS text
-                FROM events CROSS JOIN ks
-            ), u AS (
-                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
-                FROM documents
-                UNION ALL
-                SELECT doc_id, version, op, text FROM ch
-            ), m AS (
-                SELECT doc_id,
-                       max(version) AS final_version,
-                       count(*) AS n_ops,
-                       arg_max(op, version) AS op,
-                       arg_max(text, version) AS text
-                FROM u GROUP BY doc_id
-            )
-            SELECT doc_id, final_version, n_ops, text
-            FROM m WHERE op = 'U'
-        """,
-        "quality_classifier": f"""
-            WITH {classifier_feats_sql()}
-            SELECT doc_id, len(fs)::BIGINT AS n_feats,
-                   COALESCE(list_aggregate(
-                       list_transform(fs,
-                           t -> ({classifier_weight_expr('t', 'duckdb')})),
-                       'sum'), 0)::BIGINT AS margin,
-                   CASE WHEN COALESCE(list_aggregate(
-                            list_transform(fs,
-                                t -> ({classifier_weight_expr('t', 'duckdb')})),
-                            'sum'), 0) > 0
-                        THEN 'keep' ELSE 'drop' END AS label
-            FROM feats
-        """,
-        "zorder_layout": f"""
-            WITH {zorder_oracle_ctes()}
-            SELECT bucket_id, n_rows, min_q1, max_q1, min_q2, max_q2,
-                   pruned FROM zb
-        """,
-        "compact_files": f"""
-            WITH mf AS (
-                SELECT lang AS part, doc_id AS file_id,
-                       (n_chars + 512)::BIGINT AS size_bytes
-                FROM documents
-                WHERE doc_id IS NOT NULL AND lang IS NOT NULL
-                  AND n_chars IS NOT NULL
-            ), {compact_oracle_ctes(8192)}
-            SELECT part, file_id, size_bytes, out_bucket FROM assigned
-        """,
-        # IVM proof: the oracle RECOMPUTES the view from the merged table
-        # (the strategy the incremental path exists to avoid)
-        "incremental_view_update": """
-            WITH ks AS (
-                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
-            ), ch AS (
-                SELECT event_id % ks AS doc_id,
-                       event_id AS version,
-                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
-                           AS op,
-                       event_type || ' ' || props AS text
-                FROM events CROSS JOIN ks
-            ), u AS (
-                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
-                FROM documents
-                UNION ALL
-                SELECT doc_id, version, op, text FROM ch
-            ), m AS (
-                SELECT doc_id,
-                       arg_max(op, version) AS op,
-                       arg_max(text, version) AS text
-                FROM u GROUP BY doc_id
-            )
-            SELECT doc_id % 16 AS g, count(*) AS n_docs,
-                   sum(COALESCE(length(text), 0))::BIGINT AS n_chars
-            FROM m WHERE op = 'U'
-            GROUP BY 1
-        """,
-        "dsir_weights": f"""
-            WITH {classifier_feats_sql()}, {dsir_lambda_sql()}
-            SELECT i.doc_id, i.is_target,
-                   sum(CASE WHEN i.b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-                       AS n_feats,
-                   COALESCE(sum(l.lam_e9), 0)::BIGINT AS logw_e9
-            FROM inst i LEFT JOIN lam l USING (b)
-            GROUP BY i.doc_id, i.is_target
-        """,
-        "pagerank_dedup": f"""
-            WITH {jaccard_pair_ctes()},
-            {pagerank_ctes(3)}
-            SELECT p.node AS doc_id,
-                   COALESCE(d.deg, 0)::BIGINT AS deg,
-                   p.rank AS rank_e12
-            FROM pr3 p LEFT JOIN degt d ON d.src = p.node
-        """,
-        "analyze_table_stats": analyze_oracle_sql(),
-        "triangle_stats": f"""
-            WITH {jaccard_pair_ctes()},
-            e AS (SELECT id_a AS a, id_b AS b FROM pairs),
-            sym3 AS (
-                SELECT a AS src, b AS dst FROM e
-                UNION ALL SELECT b, a FROM e
-            ),
-            degt3 AS (SELECT src, count(*) AS deg FROM sym3 GROUP BY src),
-            kk AS (
-                SELECT src AS v, deg * 4294967296 + src AS k FROM degt3
-            ),
-            ek AS (
-                SELECT e.a, e.b, ka.k AS ka, kb.k AS kb
-                FROM e JOIN kk ka ON ka.v = e.a JOIN kk kb ON kb.v = e.b
-            ),
-            oe AS (
-                SELECT CASE WHEN ka < kb THEN a ELSE b END AS s,
-                       CASE WHEN ka < kb THEN b ELSE a END AS d,
-                       CASE WHEN ka < kb THEN kb ELSE ka END AS kd
-                FROM ek
-            ),
-            wed AS (
-                SELECT w1.d AS d1, w2.d AS d2
-                FROM oe w1 JOIN oe w2 ON w1.s = w2.s AND w1.kd < w2.kd
-            ),
-            tri AS (
-                SELECT count(*) AS n_triangles
-                FROM wed JOIN oe ON oe.s = wed.d1 AND oe.d = wed.d2
-            ),
-            ne AS (SELECT count(*) AS n_edges FROM e),
-            nw AS (SELECT sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
-                   FROM degt3)
-            SELECT n_edges, n_wedges, n_triangles,
-                   CASE WHEN n_wedges > 0
-                        THEN floor(3 * n_triangles::DOUBLE
-                                   / n_wedges::DOUBLE * 1e6)::BIGINT
-                        ELSE 0 END AS global_cc_e6
-            FROM ne CROSS JOIN nw CROSS JOIN tri
-        """,
-        "cuped_adjusted": """
-            WITH t AS (
-                SELECT user_id, epoch_us(ts) AS u,
-                       floor(value * 100)::BIGINT AS cents
-                FROM events
-                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                      AND value IS NOT NULL
-            ), mm AS (
-                SELECT min(u) AS lo, max(u) AS hi FROM t
-            ), pu AS (
-                SELECT user_id,
-                       sum(CASE WHEN u <= (lo + hi) // 2
-                                THEN cents ELSE 0 END)::BIGINT AS x,
-                       sum(CASE WHEN u > (lo + hi) // 2
-                                THEN cents ELSE 0 END)::BIGINT AS y
-                FROM t CROSS JOIN mm GROUP BY user_id
-            ), pooled AS (
-                SELECT count(*) AS n, sum(x)::BIGINT AS sx,
-                       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
-                       sum(x * x)::BIGINT AS sxx
-                FROM pu
-            ), v AS (
-                SELECT user_id % 2 AS variant, count(*) AS n_v,
-                       sum(x)::BIGINT AS sx_v, sum(y)::BIGINT AS sy_v
-                FROM pu GROUP BY 1
-            )
-            SELECT variant, n_v AS n_users, sx_v AS sum_x_cents,
-                   sy_v AS sum_y_cents,
-                   floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                         * 1e6)::BIGINT AS theta_e6,
-                   floor(sy_v::DOUBLE / n_v::DOUBLE * 1e6)::BIGINT
-                       AS mean_y_e6,
-                   floor((sy_v::DOUBLE / n_v::DOUBLE
-                          - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                            / (n::DOUBLE * sxx::DOUBLE
-                               - sx::DOUBLE * sx::DOUBLE)
-                            * (sx_v::DOUBLE / n_v::DOUBLE
-                               - sx::DOUBLE / n::DOUBLE))
-                         * 1e6)::BIGINT AS mean_adj_e6
-            FROM v CROSS JOIN pooled
-        """,
-        "ab_conversion_chi2": """
-            WITH pu AS (
-                SELECT user_id,
-                       max(CASE WHEN event_type = 'purchase'
-                                THEN 1 ELSE 0 END) AS conv
-                FROM events WHERE user_id IS NOT NULL
-                GROUP BY user_id
-            ), c AS (
-                SELECT sum(CASE WHEN user_id % 2 = 0 AND conv = 1
-                                THEN 1 ELSE 0 END)::BIGINT AS conv_a,
-                       sum(CASE WHEN user_id % 2 = 0 AND conv = 0
-                                THEN 1 ELSE 0 END)::BIGINT AS nonconv_a,
-                       sum(CASE WHEN user_id % 2 = 1 AND conv = 1
-                                THEN 1 ELSE 0 END)::BIGINT AS conv_b,
-                       sum(CASE WHEN user_id % 2 = 1 AND conv = 0
-                                THEN 1 ELSE 0 END)::BIGINT AS nonconv_b
-                FROM pu
-            )
-            , h AS (
-                -- HUGEINT (int128) arithmetic: same ~1e38 headroom as the
-                -- Spark side's DECIMAL(38,0), exact to ~1e7 users/cell
-                SELECT conv_a, nonconv_a, conv_b, nonconv_b,
-                       conv_a::HUGEINT AS ha, nonconv_a::HUGEINT AS hb,
-                       conv_b::HUGEINT AS hc, nonconv_b::HUGEINT AS hd
-                FROM c
-            )
-            SELECT conv_a, nonconv_a, conv_b, nonconv_b,
-                   CASE WHEN (ha + hb) * (hc + hd) * (ha + hc)
-                             * (hb + hd) > 0
-                        THEN floor(
-                            ((ha + hb + hc + hd)
-                             * (ha * hd - hb * hc)
-                             * (ha * hd - hb * hc))::DOUBLE
-                            / ((ha + hb) * (hc + hd) * (ha + hc)
-                               * (hb + hd))::DOUBLE
-                            * 1e6)::BIGINT
-                        ELSE 0 END AS chi2_e6
-            FROM h
-        """,
-        "event_trigrams": """
-            WITH s AS (
-                SELECT event_type AS e1,
-                       lead(event_type, 1) OVER w AS e2,
-                       lead(event_type, 2) OVER w AS e3
-                FROM events
-                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ), c AS (
-                SELECT e1, e2, e3, count(*) AS cnt
-                FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-                GROUP BY e1, e2, e3
-            )
-            SELECT e1, e2, e3, cnt,
-                   row_number() OVER (ORDER BY cnt DESC, e1, e2, e3)::INT
-                       AS rnk
-            FROM c
-            QUALIFY rnk <= 20
-        """,
-        "classifier_auc": f"""
-            WITH {classifier_feats_sql()}, s AS (
-                SELECT f.doc_id,
-                       COALESCE(list_aggregate(
-                           list_transform(fs,
-                               t -> ({classifier_weight_expr('t', 'duckdb')})),
-                           'sum'), 0)::BIGINT AS margin
-                FROM feats f
-            ), lab AS (
-                SELECT doc_id,
-                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-                FROM documents
-            ), g AS (
-                SELECT margin, sum(y)::BIGINT AS pos,
-                       sum(1 - y)::BIGINT AS neg
-                FROM s JOIN lab USING (doc_id) GROUP BY margin
-            ), p AS (
-                SELECT pos, neg,
-                       COALESCE(sum(neg) OVER (
-                           ORDER BY margin
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING), 0)::BIGINT
-                           AS neg_below
-                FROM g
-            ), tot AS (
-                SELECT sum(pos)::BIGINT AS n_pos,
-                       sum(neg)::BIGINT AS n_neg,
-                       sum(2 * pos * neg_below + pos * neg)::BIGINT AS u2
-                FROM p
-            )
-            SELECT n_pos, n_neg, u2,
-                   floor(u2::DOUBLE / (2 * n_pos * n_neg)::DOUBLE
-                         * 1e9)::BIGINT AS auc_e9
-            FROM tot
-        """,
-        "hll_sliding_distinct": f"""
-            WITH df AS (
-                SELECT epoch_us(ts) // 86400000000 AS day, user_id
-                FROM events
-                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-            ), hh AS (
-                SELECT day,
-                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
-                           AS h
-                FROM df
-            ), r AS (
-                SELECT day, h & 63 AS j,
-                       CASE WHEN (h >> 6) > 0
-                            THEN 55 - length(bin(h >> 6))
-                            ELSE 55 END AS rho
-                FROM hh
-            ), daily AS (
-                SELECT day, j, max(rho) AS mj FROM r GROUP BY day, j
-            ), days AS (
-                SELECT DISTINCT day FROM daily
-            ), expanded AS (
-                SELECT daily.day + k AS t_day, j, mj
-                FROM daily, UNNEST(range(0, 7)) AS t(k)
-            ), merged AS (
-                SELECT t_day, j, max(mj) AS mj
-                FROM expanded JOIN days ON days.day = expanded.t_day
-                GROUP BY t_day, j
-            ), g AS (
-                SELECT t_day,
-                       sum(1::BIGINT << (55 - mj))::BIGINT AS s_present,
-                       count(*) AS n_buckets
-                FROM merged GROUP BY t_day
-            ), e AS (
-                SELECT t_day,
-                       {hll_num} / CAST(s_present
-                           + (64 - n_buckets) * (1::BIGINT << 55)
-                           AS DOUBLE) AS raw,
-                       CAST(64 - n_buckets AS DOUBLE) AS v
-                FROM g
-            ), e2 AS (
-                SELECT t_day,
-                       CASE WHEN raw <= 160.0 AND v > 0
-                            THEN 64.0 * ln(64.0 / v)
-                            ELSE raw END AS est
-                FROM e
-            ), exq AS (
-                SELECT df.day + k AS t_day, user_id
-                FROM df, UNNEST(range(0, 7)) AS t(k)
-            ), ex AS (
-                SELECT t_day, count(DISTINCT user_id) AS n_exact
-                FROM exq JOIN days ON days.day = exq.t_day
-                GROUP BY t_day
-            )
-            SELECT ex.t_day AS day, ex.n_exact,
-                   floor(e2.est * 1e4)::BIGINT AS est_hll_e4
-            FROM ex JOIN e2 USING (t_day)
-        """,
-        "scd2_history": """
-            WITH ks AS (
-                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
-            ), ch AS (
-                SELECT event_id % ks AS doc_id,
-                       event_id AS version,
-                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
-                           AS op,
-                       event_type || ' ' || props AS text
-                FROM events CROSS JOIN ks
-            ), u AS (
-                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
-                FROM documents
-                UNION ALL
-                SELECT doc_id, version, op, text FROM ch
-            ), h AS (
-                SELECT doc_id, version AS valid_from,
-                       lead(version) OVER (PARTITION BY doc_id
-                                           ORDER BY version) AS valid_to,
-                       op, text
-                FROM u
-            )
-            SELECT doc_id, valid_from, valid_to, text,
-                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-            FROM h WHERE op = 'U'
-        """,
-        "psi_drift": """
-            WITH t AS (
-                SELECT epoch_us(ts) AS u, event_type
-                FROM events
-                WHERE ts IS NOT NULL AND event_type IS NOT NULL
-            ), mm AS (
-                SELECT min(u) AS lo, max(u) AS hi FROM t
-            ), h AS (
-                SELECT event_type, u <= (lo + hi) // 2 AS is_ref
-                FROM t CROSS JOIN mm
-            ), c AS (
-                SELECT event_type,
-                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT
-                           AS c_ref,
-                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT
-                           AS c_live
-                FROM h GROUP BY event_type
-            ), tt AS (
-                SELECT sum(c_ref)::BIGINT AS n_ref,
-                       sum(c_live)::BIGINT AS n_live,
-                       count(*) AS v
-                FROM c
-            )
-            SELECT event_type, c_ref, c_live,
-                   floor(((c_ref + 1)::DOUBLE / (n_ref + v)
-                          - (c_live + 1)::DOUBLE / (n_live + v))
-                         * ln(((c_ref + 1)::DOUBLE * (n_live + v))
-                              / ((c_live + 1)::DOUBLE * (n_ref + v)))
-                         * 1e9)::BIGINT AS psi_e9
-            FROM c CROSS JOIN tt
-        """,
-        "embedding_outliers": """
-            WITH qe AS (
-                SELECT vec_id AS id, label::BIGINT AS lbl, i AS pos,
-                       floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS x
-                FROM embeddings,
-                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
-                WHERE label IS NOT NULL
-            ), cent AS (
-                SELECT lbl, pos, (sum(x) // count(*))::BIGINT AS m
-                FROM qe GROUP BY lbl, pos
-            ), d AS (
-                SELECT q.id, q.lbl,
-                       sum((q.x - c.m) * (q.x - c.m))::BIGINT AS dist2
-                FROM qe q JOIN cent c ON c.lbl = q.lbl AND c.pos = q.pos
-                GROUP BY q.id, q.lbl
-            )
-            SELECT id AS vec_id, lbl AS label, dist2,
-                   row_number() OVER (PARTITION BY lbl
-                                      ORDER BY dist2 DESC, id)::INT AS rnk
-            FROM d
-            QUALIFY rnk <= 5
-        """,
-        "hard_negatives": """
-            WITH qe AS (
-                SELECT vec_id AS id, label::BIGINT AS lbl, i AS pos,
-                       floor(embedding[i]::DOUBLE * 1000000)::BIGINT AS x
-                FROM embeddings,
-                     UNNEST(range(1, len(embedding) + 1)) AS t(i)
-                WHERE label IS NOT NULL
-            ), qs AS (
-                SELECT id AS q_id, lbl AS q_lbl
-                FROM (SELECT DISTINCT id, lbl FROM qe)
-                ORDER BY q_id LIMIT 8
-            ), qp AS (
-                SELECT qs.q_id, qs.q_lbl, qe.pos, qe.x AS qx
-                FROM qs JOIN qe ON qe.id = qs.q_id
-            ), d AS (
-                SELECT qp.q_id, c.id,
-                       sum((c.x - qp.qx) * (c.x - qp.qx))::BIGINT AS dist2
-                FROM qe c
-                JOIN qp ON qp.pos = c.pos AND c.lbl <> qp.q_lbl
-                GROUP BY qp.q_id, c.id
-            )
-            SELECT q_id, id AS neg_id, dist2
-            FROM d
-            QUALIFY row_number() OVER (PARTITION BY q_id
-                                       ORDER BY dist2, id) = 1
-        """,
-        "retention_cohorts": """
-            WITH act AS (
-                SELECT DISTINCT user_id AS u,
-                       epoch_us(ts) // 604800000000 AS w
-                FROM events
-                WHERE user_id IS NOT NULL AND ts IS NOT NULL
-            ), first AS (
-                SELECT u, min(w) AS cw FROM act GROUP BY u
-            )
-            SELECT cw AS cohort_week, w - cw AS week_offset,
-                   count(*) AS n_active
-            FROM act JOIN first USING (u)
-            GROUP BY 1, 2
-        """,
-        "gopher_quality": r"""
-            WITH w AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                   x -> x <> '') AS ws
-                FROM documents
-            ), m AS (
-                -- mean = SUM of word lengths / n_words (multi-char
-                -- whitespace runs are not word characters); zero-word
-                -- docs carry NULL means and False flags on both engines
-                SELECT doc_id, len(ws) AS n_words,
-                       CASE WHEN len(ws) > 0 THEN
-                           list_sum(list_transform(ws, x -> length(x)))
-                               ::DOUBLE / len(ws) END AS mwl,
-                       len(list_filter(ws,
-                           x -> regexp_matches(x, '^[a-z]+$'))) AS alpha,
-                       len(list_intersect(list_distinct(ws),
-                           ['the','be','to','of','and','that','have',
-                            'with','a'])) AS stop_hits
-                FROM w
-            )
-            SELECT doc_id, n_words::INT AS n_words,
-                   floor(mwl * 1e4)::BIGINT AS mean_word_len_e4,
-                   floor(CASE WHEN n_words > 0
-                              THEN alpha::DOUBLE / n_words END
-                         * 1e4)::BIGINT AS alpha_ratio_e4,
-                   stop_hits::INT AS stop_hits,
-                   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
-                   CASE WHEN n_words > 0
-                        THEN (mwl >= 3.0 AND mwl <= 10.0)
-                        ELSE FALSE END AS ok_word_len,
-                   stop_hits >= 2 AS ok_stopwords,
-                   ((n_words >= 50 AND n_words <= 100000)
-                    AND (CASE WHEN n_words > 0
-                              THEN (mwl >= 3.0 AND mwl <= 10.0)
-                              ELSE FALSE END)
-                    AND stop_hits >= 2) AS keep
-            FROM m
-        """,
-        # idf floors to BIGINT at 1e12 BEFORE the tf multiply, so the
-        # score is a pure integer product (see textstats.tfidf_keywords)
         "tfidf_keywords": r"""
             WITH toks AS (
                 SELECT doc_id AS id, t.w
@@ -2794,43 +2101,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-stratum exact-p25 cutoff — score formula mirrors doc_quality;
         # the threshold is the event_value_quantiles order-statistic rule
-        "adaptive_quality": """
-            WITH q AS (
-                SELECT doc_id, lang,
-                       round(
-                         (CASE WHEN length(text) < 20 THEN 0.0 ELSE 1.0 END)
-                         * (CASE WHEN (length(text)
-                                  - (length(regexp_split_to_array(text, '\\s+')) - 1))
-                                  / length(regexp_split_to_array(text, '\\s+'))::DOUBLE > 12
-                                 THEN 0.5 ELSE 1.0 END)
-                         * (1.0 - (length(text)
-                                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                                  / (length(text) + 1)), 4) AS quality_score
-                FROM documents
-            ),
-            r AS (
-                SELECT lang, doc_id, quality_score,
-                       row_number() OVER (PARTITION BY lang
-                           ORDER BY quality_score ASC NULLS LAST, doc_id)
-                           AS rn,
-                       count(*) OVER (PARTITION BY lang) AS n
-                FROM q
-            ),
-            thr AS (
-                SELECT lang,
-                       max(CASE WHEN rn = floor((n - 1) * 0.25) + 1
-                                THEN quality_score END) AS q_thr
-                FROM r GROUP BY lang
-            )
-            SELECT q.doc_id, q.lang,
-                   floor(quality_score * 1e4)::BIGINT AS score_e4,
-                   floor(q_thr * 1e4)::BIGINT AS thr_e4,
-                   (quality_score >= q_thr) AS kept
-            FROM q JOIN thr USING (lang)
-        """,
-        # batch-vs-corpus screen: odd ids flagged iff any band bucket
-        # collides with an even id's bucket — mirrors ops/dedup.py
-        # incremental_dedup over the same banded CTE as the LSH pairs
         "incremental_dedup": f"""
             WITH {minhash_cand_ctes(minhash_params_sql)},
             hits AS (
@@ -2844,63 +2114,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # leakage-aware split: hash the near-dup cluster's canonical id
         # (own id for singletons) — mirrors ops/curate.split_by_cluster
-        "split_by_cluster": f"""
-            WITH RECURSIVE {jaccard_cluster_ctes}
-            SELECT d.doc_id,
-                   coalesce(lab.canonical_id, d.doc_id) AS split_key,
-                   ({md5_int60("coalesce(lab.canonical_id, d.doc_id)::VARCHAR")}
-                    % 100)::INT AS bucket,
-                   CASE WHEN ({md5_int60(
-                       "coalesce(lab.canonical_id, d.doc_id)::VARCHAR")}
-                        % 100) < 5 THEN 'test'
-                        WHEN ({md5_int60(
-                       "coalesce(lab.canonical_id, d.doc_id)::VARCHAR")}
-                        % 100) < 10 THEN 'val'
-                        ELSE 'train' END AS split
-            FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
-        """,
-        # composition of the quality, cluster, and split oracles — must
-        # mirror ops/curate.py predicate-for-predicate
-        "curate_corpus": f"""
-            WITH RECURSIVE {jaccard_cluster_ctes},
-            dupes AS (
-                SELECT node AS doc_id FROM lab WHERE node <> canonical_id
-            ),
-            qual AS (
-                SELECT doc_id,
-                       length(regexp_split_to_array(text, '\\s+'))::INT
-                           AS n_words,
-                       round(
-                         (CASE WHEN length(text) < 20 THEN 0.0 ELSE 1.0 END)
-                         * (CASE WHEN (length(text)
-                                  - (length(regexp_split_to_array(text, '\\s+')) - 1))
-                                  / length(regexp_split_to_array(text, '\\s+'))::DOUBLE > 12
-                                 THEN 0.5 ELSE 1.0 END)
-                         * (1.0 - (length(text)
-                                  - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                                  / (length(text) + 1)), 4) AS quality_score
-                FROM documents
-            ),
-            spl AS (
-                SELECT doc_id,
-                       CASE
-                           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 5
-                               THEN 'test'
-                           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
-                               THEN 'val'
-                           ELSE 'train'
-                       END AS split
-                FROM documents
-            )
-            SELECT q.doc_id, q.n_words, q.quality_score, s.split
-            FROM qual q JOIN spl s USING (doc_id)
-            WHERE q.quality_score >= 0.5 AND q.n_words >= 25
-              AND q.doc_id NOT IN (SELECT doc_id FROM dupes)
-        """,
-        # simhash fingerprints (same md5-vote construction as "simhash"),
-        # all-pairs hamming <= 3 (exact superset of the pigeonhole blocking,
-        # which loses no pairs at this distance), recursive closure as in
-        # dedup_cluster_canonical
         "dedup_cluster_simhash": f"""
             WITH RECURSIVE {simhash_fp_ctes("sh")},
             pairs AS (
@@ -3005,44 +2218,6 @@ def oracle_sql() -> dict[str, str]:
                               / (length(text) + 1)), 4) AS quality_score
             FROM documents
         """,
-        "lang_id": """
-            WITH s AS (
-                SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
-            ),
-            sc AS (
-                SELECT doc_id,
-                  ((length(p)-length(replace(p,' the ','')))/5.0
-                 + (length(p)-length(replace(p,' and ','')))/5.0
-                 + (length(p)-length(replace(p,' of ','')))/4.0
-                 + (length(p)-length(replace(p,' to ','')))/4.0
-                 + (length(p)-length(replace(p,' is ','')))/4.0) AS score_en,
-                  ((length(p)-length(replace(p,' der ','')))/5.0
-                 + (length(p)-length(replace(p,' die ','')))/5.0
-                 + (length(p)-length(replace(p,' und ','')))/5.0
-                 + (length(p)-length(replace(p,' ist ','')))/5.0
-                 + (length(p)-length(replace(p,' das ','')))/5.0) AS score_de,
-                  ((length(p)-length(replace(p,' le ','')))/4.0
-                 + (length(p)-length(replace(p,' la ','')))/4.0
-                 + (length(p)-length(replace(p,' et ','')))/4.0
-                 + (length(p)-length(replace(p,' est ','')))/5.0
-                 + (length(p)-length(replace(p,' les ','')))/5.0) AS score_fr,
-                  ((length(p)-length(replace(p,' el ','')))/4.0
-                 + (length(p)-length(replace(p,' la ','')))/4.0
-                 + (length(p)-length(replace(p,' que ','')))/5.0
-                 + (length(p)-length(replace(p,' de ','')))/4.0
-                 + (length(p)-length(replace(p,' es ','')))/4.0) AS score_es
-                FROM s
-            )
-            SELECT doc_id, score_en, score_de, score_fr, score_es,
-                   CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0
-                        THEN 'und'
-                        WHEN score_en >= score_de AND score_en >= score_fr
-                             AND score_en >= score_es THEN 'en'
-                        WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-                        WHEN score_fr >= score_es THEN 'fr'
-                        ELSE 'es' END AS lang_pred
-            FROM sc
-        """,
         "token_counts": r"""
             SELECT doc_id,
                    length(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
@@ -3104,50 +2279,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # IVF inverted lists over deterministic seed centroids (the 8
         # lowest-id vectors); queries probe their 2 nearest lists
-        "ann_ivf_topk": """
-            WITH v AS (
-                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-            ),
-            cents AS (
-                SELECT vec_id AS c_id, e AS c_vec FROM v
-                ORDER BY vec_id LIMIT 8
-            ),
-            v_assign AS (
-                SELECT vec_id, e, c_id FROM (
-                    SELECT v.vec_id, v.e, c.c_id,
-                           row_number() OVER (
-                               PARTITION BY v.vec_id
-                               ORDER BY list_cosine_similarity(v.e, c.c_vec)
-                                            DESC, c.c_id ASC) AS c_rank
-                    FROM v, cents c)
-                WHERE c_rank <= 1
-            ),
-            q_assign AS (
-                SELECT vec_id AS q_id, e AS qe, c_id FROM (
-                    SELECT v.vec_id, v.e, c.c_id,
-                           row_number() OVER (
-                               PARTITION BY v.vec_id
-                               ORDER BY list_cosine_similarity(v.e, c.c_vec)
-                                            DESC, c.c_id ASC) AS c_rank
-                    FROM v, cents c
-                    WHERE v.vec_id < 8)
-                WHERE c_rank <= 2
-            ),
-            cand AS (
-                SELECT DISTINCT q.q_id, q.qe, a.vec_id, a.e
-                FROM v_assign a JOIN q_assign q USING (c_id)
-            )
-            SELECT q_id, vec_id, round(c, 6) AS cosine, rank FROM (
-                SELECT q_id, vec_id,
-                       list_cosine_similarity(e, qe) AS c,
-                       row_number() OVER (PARTITION BY q_id
-                                          ORDER BY list_cosine_similarity(e, qe)
-                                                       DESC, vec_id ASC) AS rank
-                FROM cand)
-            WHERE rank <= 5
-        """,
-        # random-hyperplane LSH with the exact same numpy-seeded coefficients
-        # embedded as a VALUES table (ops/ann.py planes_values_sql)
         "ann_lsh_topk": f"""
             WITH v AS (
                 SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -3172,38 +2303,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rank <= 5
         """,
-        "multimodal_features": """
-            SELECT doc_id::BIGINT AS media_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   lower(hex(encode(text)))[1:16] AS head_hex,
-                   (octet_length(encode(text)) % 640 + 16)::INT AS width,
-                   (octet_length(encode(text)) % 480 + 16)::INT AS height
-            FROM documents
-        """,
-        # stub resize: payload truncated to out_w*out_h/256 = 16 bytes
-        "multimodal_resize": """
-            SELECT doc_id::BIGINT AS media_id,
-                   least(octet_length(encode(text)), 16) AS n_bytes,
-                   lower(hex(encode(text)))[1:16] AS head_hex,
-                   64 AS width, 64 AS height
-            FROM documents
-        """,
-        # stub frame sampling: n_frames = len%7+1 equal chunks of len//n
-        "multimodal_frames": """
-            WITH m AS (
-                SELECT doc_id::BIGINT AS media_id,
-                       lower(hex(encode(text))) AS full_hex,
-                       octet_length(encode(text)) AS n,
-                       (octet_length(encode(text)) % 7 + 1) AS f
-                FROM documents
-            )
-            SELECT media_id, i::INT AS frame_idx, (n // f)::INT AS frame_bytes,
-                   substr(full_hex, (i * (n // f) * 2 + 1)::INT,
-                          least((n // f) * 2, 16)::INT) AS frame_head_hex
-            FROM m, UNNEST(range(0, f)) AS t(i)
-            WHERE n // f > 0
-        """,
     }
+    # analytics-layer oracles (lakehouse / experiment readouts /
+    # curation / graph / sketches / multimodal) live in
+    # tools/oracle_analytics.py — merged BEFORE the derived entries
+    # below, which compose some of them (ann_recall <- ann_ivf_topk)
+    sqls.update(_analytics_entries())
     # mergeable histogram quantiles — the web-scale variant of
     # event_value_quantiles (ops/sketches.hist_quantiles); bin index and
     # midpoints use identical IEEE expression order on both engines

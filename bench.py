@@ -79,19 +79,51 @@ def main() -> int:
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
+    attempts: dict[str, list] = {}
+
+    # ---- host-noise self-adjudication (VERDICT r5 task 2) ----
+    # a fixed-work pure-Python probe (no Spark, single thread) timed
+    # before the suite, after it, and every PROBE_EVERY timed queries:
+    # identical work each time, so any swing is the host, not the plan.
+    # BENCH_rN.json carries the raw per-query attempts + this probe
+    # timeline, making a contaminated stretch machine-readable.
+    probe_texts = [r["text"] for r in
+                   tdf.select("text").limit(64).collect()]
+    probe_timeline: list = []
+
+    def probe(tag):
+        from bella_domify_spark.parsers.dispatch import parse_payload
+        t0 = time.monotonic()
+        s = 0
+        for t in probe_texts:
+            s += len(parse_payload(t)["extracted_text"])
+        probe_timeline.append(
+            {"at": tag, "sec": round(time.monotonic() - t0, 4)})
+        return s
+
+    probe("warmup")  # first call pays imports; discard via tag
+    probe("before_suite")
+
+    PROBE_EVERY = 8
+    _n_timed = [0]
 
     def timed(name, fn, runs=1):
-        """Record the BEST of ``runs`` executions. Run 1 pays one-time
-        whole-stage-codegen compilation (amortizes to zero at production
-        scale) and this shared host shows 2-10x load spikes on identical
-        runs with zero local processes — best-of-N is the same statistic
-        BENCH/BASELINE.md uses, measuring what the plan can sustain."""
-        best = float("inf")
+        """Record the BEST of ``runs`` executions (plus ALL raw attempts
+        in the JSON). Run 1 pays one-time whole-stage-codegen compilation
+        (amortizes to zero at production scale) and this shared host
+        shows 2-10x load spikes on identical runs with zero local
+        processes — best-of-N is the same statistic BENCH/BASELINE.md
+        uses, measuring what the plan can sustain."""
+        raw = []
         for _ in range(runs):
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            raw.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(raw)
+        attempts[name] = raw
+        _n_timed[0] += 1
+        if _n_timed[0] % PROBE_EVERY == 0:
+            probe(f"after_{name}")
 
     # flagship: full extraction incl. salted shuffle + checkpointed sink
     out_dir = f"/tmp/bds_bench_out_{os.getpid()}"
@@ -135,12 +167,16 @@ def main() -> int:
                  "hard_negatives", "scd2_history", "psi_drift",
                  "classifier_auc", "hll_sliding_distinct",
                  "ab_conversion_chi2", "event_trigrams",
-                 "cuped_adjusted", "triangle_stats"]:
+                 "cuped_adjusted", "triangle_stats",
+                 "compact_files", "standard_images"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
               runs=(4 if name in extra else 3) + bonus)
 
+    probe("after_suite")
+    probe_secs = [p["sec"] for p in probe_timeline if p["at"] != "warmup"]
+    probe_floor = min(probe_secs)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_wall",
@@ -152,6 +188,15 @@ def main() -> int:
         "turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
         "turns_per_sec_compute": round(n_turns / timings["extract_compute"], 1),
         "cpus": cpus,
+        # self-adjudication: identical-work probe swings flag host
+        # contention windows; raw attempts expose which queries were hit
+        "attempts": attempts,
+        "probe_timeline": probe_timeline,
+        "probe_max_over_floor": round(max(probe_secs) / probe_floor, 2),
+        "contaminated_probes": [p["at"] for p in probe_timeline
+                                if p["at"] != "warmup"
+                                and p["sec"] > 1.5 * probe_floor],
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(result))
     spark.stop()
