@@ -1074,6 +1074,30 @@ def _q_zorder_layout(spark, sf):
     return zorder_layout(_t(spark, sf, "events"))
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup (ops/ann.py semdedup_prune): k-means-bucketed exact-cosine
+    semantic dedup — integer-exact clusters + DECIMAL(38,0) squared-cosine
+    threshold (0.95), keep = no smaller-id cluster-mate above it."""
+    from bella_domify_spark.ops.ann import semdedup_prune
+    return semdedup_prune(_t(spark, sf, "embeddings"))
+
+
+def _q_skew_report(spark, sf):
+    """Shuffle-key skew diagnostics (ops/analyze.py skew_report) for the
+    events.user_id key: top-10 heaviest keys, corpus share, salt factor —
+    the planning query behind every salted-shuffle decision."""
+    from bella_domify_spark.ops.analyze import skew_report
+    return skew_report(_t(spark, sf, "events"), "user_id")
+
+
+def _q_hybrid_rrf(spark, sf):
+    """Two-stage hybrid retrieval (ops/retrieval.py hybrid_rrf):
+    reciprocal-rank fusion of the BM25 top-10 with the hashed-linear
+    quality-margin re-rank — all-integer RRF (1e12 div (60+r)), exact."""
+    from bella_domify_spark.ops.retrieval import hybrid_rrf
+    return hybrid_rrf(_t(spark, sf, "documents"))
+
+
 def _q_compact_files(spark, sf):
     """OPTIMIZE bin-packing kernel (ops/lakehouse.py compact_files):
     next-fit-decreasing small-file compaction per table partition,
@@ -1246,10 +1270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted": _q_cuped_adjusted,
         "triangle_stats": _q_triangle_stats,
         "split_by_cluster": _q_split_by_cluster,
-        # new this round (r6): OPTIMIZE's bin-packing half + the
-        # StandardImageElement payload round-trip
+        # new this round (r6): OPTIMIZE's bin-packing half, the
+        # StandardImageElement payload round-trip, RRF hybrid retrieval
         "compact_files": _q_compact_files,
         "standard_images": _q_standard_images,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "skew_report": _q_skew_report,
+        "semdedup": _q_semdedup,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["analyze_table_stats", "psi_drift", "ab_conversion_chi2",
-           "cuped_adjusted"]
+           "cuped_adjusted", "skew_report"]
 
 
 def analyze_table_stats(events: DataFrame) -> DataFrame:
@@ -267,3 +267,39 @@ def cuped_adjusted(events: DataFrame) -> DataFrame:
         F.floor(mean_y * 1e6).cast("long").alias("mean_y_e6"),
         F.floor((mean_y - theta * (mean_x - gmean_x)) * 1e6).cast("long")
          .alias("mean_adj_e6"))
+
+
+def skew_report(df: DataFrame, key_col: str, n_top: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostics — the planning operator behind every
+    "salt the hot key" decision in this repo (ops/temporal.py salted
+    asof, manifest.with_bucket): per-key row counts, the ``n_top``
+    heaviest keys, each key's corpus share, and the salt factor a
+    mean-sized partitioning would need (cnt · n_keys div n_rows —
+    "this key is N× the mean, split it N ways").
+
+    Scale notes (100 TB): ONE map-side-combined count keyed by the
+    candidate shuffle key (the exact aggregation the skewed job itself
+    would run, so the diagnostic costs what one AQE stage costs); the
+    count table is key-cardinality-sized, the totals reduce to one row
+    and broadcast back, and the global top-N window materializes as
+    TakeOrdered work after the rank filter — nothing key-sized is
+    collected. All integer.
+
+    Output: (rank, key, cnt, share_e6, salt_factor), heaviest first,
+    ties by smallest key.
+    """
+    from pyspark.sql import Window
+
+    counts = (df.filter(F.col(key_col).isNotNull())
+              .groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.agg(F.count(F.lit(1)).alias("n_keys"),
+                        F.sum("cnt").alias("n_rows"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_top)
+            .crossJoin(F.broadcast(totals))
+            .select("rank", "key", "cnt",
+                    F.expr("cnt * 1000000L div n_rows").alias("share_e6"),
+                    F.expr("cnt * n_keys div n_rows").cast("long")
+                     .alias("salt_factor")))

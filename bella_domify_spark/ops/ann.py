@@ -428,3 +428,67 @@ def hard_negatives(vectors: DataFrame, n_queries: int = 8,
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") == 1)
             .select("q_id", F.col("id").alias("neg_id"), "dist2"))
+
+
+def semdedup_prune(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1_000_000) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by k-means
+    bucketing + within-cluster exact cosine pruning — the third member of
+    the embedding-dedup family (hyperplane-LSH `embedding_near_dups`
+    buckets by random projection; this buckets by learned cluster
+    structure, the shape the paper showed removes 2-4× more semantic
+    duplicates at equal recall).
+
+    Rule: a vector is PRUNED when some SAME-CLUSTER mate with a smaller
+    id has cosine similarity ≥ 0.95 (one deterministic pass; the paper's
+    keep-policy choice is orthogonal and min-id is this repo's dedup
+    convention). Cosine is integer-exact: quantized BIGINT vectors, and
+    ``cos ≥ 0.95 ⇔ dot > 0 ∧ 400·dot² ≥ 361·|a|²·|b|²`` — the squared
+    comparison runs in DECIMAL(38,0) (HUGEINT oracle-side), no float.
+
+    Scale notes (100 TB): the pair generator is a CLUSTER-equality
+    self-join — quadratic only in cluster size, which production bounds
+    by scaling n_clusters with the corpus (SemDeDup uses 50k clusters
+    for LAION; cluster size ≈ n/k stays ~constant). The k-means loop is
+    kmeans_assign (broadcast centroids, no vector shuffle); norms reduce
+    once per vector. Nothing collects.
+
+    Output: (vec_id, cluster_id, keep) for every non-NULL vector.
+    """
+    assign = kmeans_assign(vectors, n_clusters=n_clusters, iters=iters,
+                           id_col=id_col, vec_col=vec_col, scale=scale) \
+        .select(F.col(id_col).alias("id"), "cluster_id")
+    q = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(scale))).cast("long"))
+        .alias("v"))
+    norms = q.select(
+        "id",
+        F.aggregate(F.transform("v", lambda x: x * x),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+         .alias("n2"))
+    x = assign.join(q, "id").join(norms, "id")
+    a = x.select(F.col("id").alias("id_a"), F.col("cluster_id").alias("c"),
+                 F.col("v").alias("va"), F.col("n2").alias("n2a"))
+    b = x.select(F.col("id").alias("id_b"), F.col("cluster_id").alias("c"),
+                 F.col("v").alias("vb"), F.col("n2").alias("n2b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda p, r: p * r),
+                      F.lit(0).cast("long"), lambda acc, p: acc + p)
+    pairs = (a.join(b, "c")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "n2a", "n2b", dot.alias("dot")))
+    # 0.95^2 = 361/400 exact; dot^2 and n2a*n2b overflow int64 at 64-dim
+    # e6-quantized vectors (~4e27) -> DECIMAL(38,0)
+    dup = (pairs.filter(
+               (F.col("dot") > 0)
+               & (F.lit(400) * F.col("dot").cast("decimal(19,0)")
+                  * F.col("dot").cast("decimal(19,0)")
+                  >= F.lit(361) * F.col("n2a").cast("decimal(19,0)")
+                  * F.col("n2b").cast("decimal(19,0)")))
+           .select(F.col("id_b").alias("id")).distinct())
+    return (assign.join(dup.withColumn("is_dup", F.lit(1)), "id", "left")
+            .select(F.col("id").alias(id_col), "cluster_id",
+                    F.when(F.col("is_dup").isNull(), 1).otherwise(0)
+                     .cast("int").alias("keep")))

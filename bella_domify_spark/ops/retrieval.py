@@ -31,7 +31,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["bm25_topk", "BM25_QUERIES"]
+__all__ = ["bm25_topk", "hybrid_rrf", "BM25_QUERIES", "RRF_C"]
+
+#: reciprocal-rank-fusion damping constant (Cormack et al., SIGIR'09)
+RRF_C = 60
 
 #: fixed demo query set over the synthetic corpus vocabulary — the
 #: queries() entry and its DuckDB oracle share these literals
@@ -114,3 +117,45 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
                    F.col("s").cast("long").alias("score_e9")))
     # queries×k rows — small enough for the eager checkpoint
     return _eager_release(out, tf)
+
+
+def hybrid_rrf(docs: DataFrame,
+               queries: list[tuple[str, str]] | None = None,
+               k: int = 10, c: int = RRF_C) -> DataFrame:
+    """Two-stage hybrid retrieval: reciprocal-rank fusion (Cormack et
+    al., SIGIR'09) of the BM25 lexical ranking with a quality re-rank
+    signal — the hashed-linear classifier margin (ops/classifier.py) as
+    the quality prior, the standard 'relevance × quality' production
+    re-ranking shape.
+
+    Per query: the BM25 top-``k`` is the candidate set; candidates get a
+    second rank by (margin DESC, doc_id) and fuse as
+    ``rrf_e12 = 1e12 div (c + bm25_rank) + 1e12 div (c + q_rank)`` —
+    truncating integer division of exact integers, so the fused score is
+    bit-identical across engines with no float in sight.
+
+    Scale notes (100 TB): the candidate set is queries × k rows — it
+    BROADCASTS onto the corpus-sized classifier scan (map-side semi
+    join; the corpus is never shuffled), and both re-rank windows
+    partition by query over ≤ k rows. The expensive stage is bm25_topk's
+    single postings shuffle, already paid.
+
+    Output: (query_id, doc_id, bm25_rank, q_rank, rrf_e12, fused_rank),
+    all k candidates per query in fused order.
+    """
+    from bella_domify_spark.ops.classifier import quality_classifier
+
+    bm = bm25_topk(docs, queries, k=k).withColumnRenamed("rank",
+                                                         "bm25_rank")
+    margins = quality_classifier(docs).select("doc_id", "margin")
+    cand = margins.join(F.broadcast(bm), "doc_id")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("margin"),
+                                                F.asc("doc_id"))
+    ranked = cand.withColumn("q_rank", F.row_number().over(wq))
+    rrf = F.expr(f"1000000000000L div ({c} + bm25_rank)"
+                 f" + 1000000000000L div ({c} + q_rank)")
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_e12"),
+                                                F.asc("doc_id"))
+    return (ranked.select("query_id", "doc_id", "bm25_rank", "q_rank",
+                          rrf.alias("rrf_e12"))
+            .withColumn("fused_rank", F.row_number().over(wf)))

@@ -27,6 +27,7 @@ def entries() -> dict[str, str]:
     from tools.oracle_lib import (
         closure as _closure,
         jaccard_pair_ctes,
+        kmeans_ctes,
         md5_int60,
         pagerank_ctes,
     )
@@ -39,6 +40,51 @@ def entries() -> dict[str, str]:
             {_closure("pairs")}"""
     hll_num = repr(HLL_NUMERATOR)  # repr round-trips float64 exactly
     cms_params = params_values_sql(CMS_D)  # the shared hash family
+
+    # BM25 as a reusable SQL block: the bm25_topk entry verbatim, also
+    # composed by hybrid_rrf (so the lexical ranking cannot drift between
+    # the standalone query and the fusion)
+    bm25_sql = f"""
+            WITH toks AS (
+                SELECT doc_id AS id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+            dl AS (SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY id),
+            corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl
+                       FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qterms AS (SELECT * FROM {queries_values_sql()}),
+            contrib AS (
+                -- constants are the Python-folded exact binary fractions:
+                -- 2.25 = 1.0+k1, 0.25 = 1.0-b (k1=1.25, b=0.75)
+                SELECT qterms.query_id, tf.id,
+                       floor(
+                           floor(ln((c.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5) + 1.0) * 1e12)::DOUBLE
+                           * ((tf.tf * 2.25)
+                              / (tf.tf + 1.25 * (0.25 + 0.75 *
+                                  (dl.dl / (c.sum_dl::DOUBLE / c.n_docs)))))
+                           / 1e3
+                       )::DECIMAL(20,0) AS c_e9
+                FROM tf
+                JOIN qterms USING (term)
+                JOIN dft USING (term)
+                JOIN dl ON dl.id = tf.id
+                CROSS JOIN corpus c
+            ),
+            scores AS (SELECT query_id, id, sum(c_e9) AS s
+                       FROM contrib GROUP BY query_id, id)
+            SELECT query_id, rank, doc_id, score_e9 FROM (
+                SELECT query_id, id AS doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, id ASC) AS rank,
+                       s::BIGINT AS score_e9
+                FROM scores)
+            WHERE rank <= 10
+        """
 
     return {
         "merge_upsert": """
@@ -480,46 +526,95 @@ def entries() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q_id
                                        ORDER BY dist2, id) = 1
         """,
-        "bm25_topk": f"""
-            WITH toks AS (
-                SELECT doc_id AS id, t.term
-                FROM documents,
-                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
-                WHERE t.term <> ''
+        "bm25_topk": bm25_sql,
+        "semdedup": f"""
+            WITH {kmeans_ctes()},
+            wF AS (
+                SELECT id, c_id FROM dF
+                QUALIFY row_number() OVER (PARTITION BY id
+                                           ORDER BY dist2, c_id) = 1
             ),
-            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
-            dl AS (SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY id),
-            corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl
-                       FROM dl),
-            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            qterms AS (SELECT * FROM {queries_values_sql()}),
-            contrib AS (
-                -- constants are the Python-folded exact binary fractions:
-                -- 2.25 = 1.0+k1, 0.25 = 1.0-b (k1=1.25, b=0.75)
-                SELECT qterms.query_id, tf.id,
-                       floor(
-                           floor(ln((c.n_docs - dft.df + 0.5)
-                                    / (dft.df + 0.5) + 1.0) * 1e12)::DOUBLE
-                           * ((tf.tf * 2.25)
-                              / (tf.tf + 1.25 * (0.25 + 0.75 *
-                                  (dl.dl / (c.sum_dl::DOUBLE / c.n_docs)))))
-                           / 1e3
-                       )::DECIMAL(20,0) AS c_e9
-                FROM tf
-                JOIN qterms USING (term)
-                JOIN dft USING (term)
-                JOIN dl ON dl.id = tf.id
-                CROSS JOIN corpus c
+            norms AS (
+                SELECT id, sum(x * x)::BIGINT AS n2 FROM qe GROUP BY id
             ),
-            scores AS (SELECT query_id, id, sum(c_e9) AS s
-                       FROM contrib GROUP BY query_id, id)
-            SELECT query_id, rank, doc_id, score_e9 FROM (
-                SELECT query_id, id AS doc_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY s DESC, id ASC) AS rank,
-                       s::BIGINT AS score_e9
-                FROM scores)
+            prs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       sum(qa.x * qb.x)::BIGINT AS dot
+                FROM wF a
+                JOIN wF b ON a.c_id = b.c_id AND a.id < b.id
+                JOIN qe qa ON qa.id = a.id
+                JOIN qe qb ON qb.id = b.id AND qb.pos = qa.pos
+                GROUP BY a.id, b.id
+            ),
+            dups AS (
+                -- 0.95^2 = 361/400 exact; HUGEINT = the Spark side's
+                -- DECIMAL(38,0) headroom
+                SELECT DISTINCT p.id_b AS id
+                FROM prs p
+                JOIN norms na ON na.id = p.id_a
+                JOIN norms nb ON nb.id = p.id_b
+                WHERE p.dot > 0
+                  AND 400 * (p.dot::HUGEINT * p.dot::HUGEINT)
+                      >= 361 * (na.n2::HUGEINT * nb.n2::HUGEINT)
+            )
+            SELECT w.id AS vec_id, w.c_id::BIGINT AS cluster_id,
+                   CASE WHEN d.id IS NULL THEN 1 ELSE 0 END::INT AS keep
+            FROM wF w LEFT JOIN dups d USING (id)
+        """,
+        "skew_report": """
+            WITH counts AS (
+                SELECT user_id AS key, count(*) AS cnt
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ), totals AS (
+                SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows
+                FROM counts
+            ), ranked AS (
+                SELECT row_number() OVER (ORDER BY cnt DESC, key ASC)::INT
+                           AS rank,
+                       key, cnt
+                FROM counts
+            )
+            SELECT rank, key, cnt,
+                   (cnt * 1000000 // n_rows)::BIGINT AS share_e6,
+                   (cnt * n_keys // n_rows)::BIGINT AS salt_factor
+            FROM ranked CROSS JOIN totals
             WHERE rank <= 10
+        """,
+        "hybrid_rrf": f"""
+            WITH bm AS ({bm25_sql}),
+            {classifier_feats_sql()},
+            margins AS (
+                SELECT doc_id,
+                       COALESCE(list_aggregate(
+                           list_transform(fs,
+                               t -> ({classifier_weight_expr('t', 'duckdb')})),
+                           'sum'), 0)::BIGINT AS margin
+                FROM feats
+            ),
+            cand AS (
+                SELECT bm.query_id, bm.doc_id,
+                       bm.rank::INT AS bm25_rank, m.margin
+                FROM bm JOIN margins m USING (doc_id)
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, bm25_rank,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY margin DESC, doc_id ASC)::INT AS q_rank
+                FROM cand
+            ),
+            fused AS (
+                SELECT query_id, doc_id, bm25_rank, q_rank,
+                       (1000000000000 // (60 + bm25_rank)
+                        + 1000000000000 // (60 + q_rank))::BIGINT AS rrf_e12
+                FROM ranked
+            )
+            SELECT query_id, doc_id, bm25_rank, q_rank, rrf_e12,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_e12 DESC, doc_id ASC)::INT AS fused_rank
+            FROM fused
         """,
         "compact_files": f"""
             WITH mf AS (
