@@ -168,7 +168,8 @@ def main() -> int:
                  "classifier_auc", "hll_sliding_distinct",
                  "ab_conversion_chi2", "event_trigrams",
                  "cuped_adjusted", "triangle_stats",
-                 "compact_files", "standard_images"]:
+                 "compact_files", "standard_images",
+                 "hybrid_rrf", "skew_report", "semdedup"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -1599,3 +1599,77 @@ class TestTruncateAndAdaptiveQuality:
         # scores decrease with punctuation, so ids 17/18 are the two worst
         assert bb_kept == {10, 11, 12, 13, 14, 15, 16}
         assert all(r["kept"] for r in got.values() if r["lang"] == "aa")
+
+
+class TestRound6Ops:
+    def test_skew_report_counts_share_salt(self, spark):
+        from bella_domify_spark.ops.analyze import skew_report
+
+        # key 7 holds 12 of 20 rows (skewed); key 1 gets 5; 2 and 3
+        # get 2 and 1; plus NULLs that must be ignored
+        rows = ([(7,)] * 12 + [(1,)] * 5 + [(2,)] * 2 + [(3,)]
+                + [(None,)] * 4)
+        df = spark.createDataFrame(rows, "user_id long")
+        got = {r["key"]: r for r in
+               skew_report(df, "user_id", n_top=3).collect()}
+        assert set(got) == {7, 1, 2}
+        assert (got[7]["rank"], got[7]["cnt"]) == (1, 12)
+        assert got[7]["share_e6"] == 12 * 1_000_000 // 20
+        assert got[7]["salt_factor"] == 12 * 4 // 20  # 2.4x mean -> 2
+        assert got[1]["salt_factor"] == 1
+        assert got[2]["salt_factor"] == 0
+
+    def test_hybrid_rrf_fuses_lexical_and_quality(self, spark):
+        from bella_domify_spark.ops.retrieval import hybrid_rrf
+
+        # two docs match the query "alpha beta"; doc 1 wins BM25 (more
+        # hits) but doc 2 wins quality (longer text scores a different
+        # margin) — fused rank must follow the RRF sum of both ranks,
+        # recomputed here from the operator's own intermediate columns
+        docs = spark.createDataFrame(
+            [(1, "alpha beta alpha beta alpha"),
+             (2, "alpha beta gamma delta epsilon zeta"),
+             (3, "unrelated words entirely here")],
+            ["doc_id", "text"])
+        out = hybrid_rrf(docs, queries=[("q1", "alpha beta")], k=5).collect()
+        assert {r["query_id"] for r in out} == {"q1"}
+        assert {r["doc_id"] for r in out} == {1, 2}  # doc 3 never matches
+        for r in out:
+            assert r["rrf_e12"] == (10**12 // (60 + r["bm25_rank"])
+                                    + 10**12 // (60 + r["q_rank"]))
+        by_fused = sorted(out, key=lambda r: r["fused_rank"])
+        rrfs = [r["rrf_e12"] for r in by_fused]
+        assert rrfs == sorted(rrfs, reverse=True)
+        # both rank systems are permutations of 1..n over the candidates
+        assert sorted(r["bm25_rank"] for r in out) == [1, 2]
+        assert sorted(r["q_rank"] for r in out) == [1, 2]
+
+    def test_semdedup_prunes_near_identical_cluster_mates(self, spark):
+        from bella_domify_spark.ops.ann import semdedup_prune
+
+        # vectors 0/1/2 are near-identical (same direction), 3 is
+        # orthogonal; with 2 clusters the trio lands together and the
+        # two higher ids are pruned, the min id survives
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.001, 0.0]),
+            (2, [0.998, 0.002, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["keep"]
+               for r in semdedup_prune(df, n_clusters=2, iters=2).collect()}
+        assert got == {0: 1, 1: 0, 2: 0, 3: 1}
+
+    def test_semdedup_opposite_vectors_not_pruned(self, spark):
+        from bella_domify_spark.ops.ann import semdedup_prune
+
+        # anti-parallel vectors have cosine -1: the dot > 0 guard must
+        # keep them even if they share a cluster
+        rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [-0.999, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["keep"]
+               for r in semdedup_prune(df, n_clusters=2, iters=1).collect()}
+        assert got[0] == 1 and got[1] == 1
+        # 1 and 2 point the same way -> 2 pruned against 1
+        assert got[2] == 0
