@@ -1074,6 +1074,20 @@ def _q_zorder_layout(spark, sf):
     return zorder_layout(_t(spark, sf, "events"))
 
 
+def _q_vacuum_candidates(spark, sf):
+    """VACUUM kernel (ops/lakehouse.py vacuum_candidates): superseded +
+    past-watermark files from a write log synthesized over events (one
+    'file' per event; slot = (event_type, user_id), version = event_id)."""
+    from bella_domify_spark.ops.lakehouse import vacuum_candidates
+    ev = _t(spark, sf, "events")
+    writes = ev.select(F.col("event_id").alias("file_id"),
+                       F.col("event_type").alias("part"),
+                       F.col("user_id").alias("slot"),
+                       F.col("event_id").alias("version"),
+                       F.col("ts"))
+    return vacuum_candidates(writes)
+
+
 def _q_semdedup(spark, sf):
     """SemDeDup (ops/ann.py semdedup_prune): k-means-bucketed exact-cosine
     semantic dedup — integer-exact clusters + DECIMAL(38,0) squared-cosine
@@ -1277,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "skew_report": _q_skew_report,
         "semdedup": _q_semdedup,
+        "vacuum_candidates": _q_vacuum_candidates,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -37,7 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["merge_upsert", "incremental_view_update", "scd2_history",
-           "zorder_layout", "compact_files", "Z_BITS", "Z_BUCKET_SHIFT"]
+           "zorder_layout", "compact_files", "vacuum_candidates",
+           "Z_BITS", "Z_BUCKET_SHIFT"]
 
 # 16 bits per dimension -> 32-bit Morton code -> 2^10 buckets of 2^22 codes.
 Z_BITS = 16
@@ -340,3 +341,47 @@ def scd2_history(base: DataFrame, changes: DataFrame,
                 .select(key, "valid_from", "valid_to", "text",
                         F.when(F.col("valid_to").isNull(), 1).otherwise(0)
                          .alias("is_current")))
+
+
+def vacuum_candidates(writes: DataFrame,
+                      part_col: str = "part", slot_col: str = "slot",
+                      file_col: str = "file_id", ver_col: str = "version",
+                      ts_col: str = "ts") -> DataFrame:
+    """VACUUM's kernel — the third OPTIMIZE sibling (zorder_layout
+    clusters, compact_files bin-packs, this lists what is safe to
+    delete): given a write log where every row is a file that REWROTE a
+    (partition, slot) — the copy-on-write shape merge_upsert and
+    compact_files produce — return the files that are (a) superseded by
+    a newer version of their slot AND (b) older than the retention
+    watermark, so deleting them cannot break readers of the current
+    snapshot or time-travelers inside the retention window.
+
+    Watermark: the integer midpoint of the log's epoch-µs range (the
+    psi_drift idiom — a deterministic stand-in for "now - retention");
+    production passes its own cutoff the same way Delta's
+    ``VACUUM ... RETAIN n HOURS`` does.
+
+    Scale notes (100 TB): the write log is metadata-sized (a row per
+    FILE); one hash shuffle on (part, slot) feeds a max-version window —
+    the live file per slot is a running aggregate, never a self-join —
+    and the watermark broadcasts as a 1-row aggregate. All integer.
+
+    Output: (file_id, part, slot, version, live_version, ts_us) for
+    every deletable file.
+    """
+    from pyspark.sql import Window
+
+    t = writes.filter(F.col(ts_col).isNotNull()).select(
+        F.col(file_col).alias("file_id"),
+        F.col(part_col).alias("part"),
+        F.col(slot_col).alias("slot"),
+        F.col(ver_col).cast("long").alias("version"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+    mm = t.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    w = Window.partitionBy("part", "slot")
+    return (t.withColumn("live_version", F.max("version").over(w))
+            .crossJoin(F.broadcast(mm))
+            .filter((F.col("version") < F.col("live_version"))
+                    & (F.col("ts_us") <= F.expr("(lo + hi) div 2")))
+            .select("file_id", "part", "slot", "version",
+                    "live_version", "ts_us"))

@@ -169,7 +169,8 @@ def main() -> int:
                  "ab_conversion_chi2", "event_trigrams",
                  "cuped_adjusted", "triangle_stats",
                  "compact_files", "standard_images",
-                 "hybrid_rrf", "skew_report", "semdedup"]:
+                 "hybrid_rrf", "skew_report", "semdedup",
+                 "vacuum_candidates"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

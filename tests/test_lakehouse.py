@@ -460,3 +460,35 @@ class TestCompactFiles:
         mf = spark.createDataFrame(
             [], "part string, file_id long, size_bytes long")
         assert compact_files(mf, target_bytes=100).count() == 0
+
+
+class TestVacuumCandidates:
+    def test_superseded_and_aged_only(self, spark):
+        from bella_domify_spark.ops.lakehouse import vacuum_candidates
+
+        # slot (p, 1): versions 1 < 2 < 3; ts range 0..100 -> watermark 50.
+        # v1 (ts 10): superseded + old -> deletable.
+        # v2 (ts 80): superseded but INSIDE retention -> kept.
+        # v3 (ts 100): live -> kept.
+        # slot (p, 2): single version -> live -> kept even though old.
+        rows = [
+            (1, "p", 1, 1, "1970-01-01 00:00:10"),
+            (2, "p", 1, 2, "1970-01-01 00:01:20"),
+            (3, "p", 1, 3, "1970-01-01 00:01:40"),
+            (4, "p", 2, 1, "1970-01-01 00:00:00"),
+        ]
+        df = (spark.createDataFrame(
+                  rows, "file_id long, part string, slot long, "
+                        "version long, ts string")
+              .select("file_id", "part", "slot", "version",
+                      F.col("ts").cast("timestamp_ntz").alias("ts")))
+        got = _rows(vacuum_candidates(df), "file_id", "live_version")
+        assert got == [(1, 3)]
+
+    def test_empty_log(self, spark):
+        from bella_domify_spark.ops.lakehouse import vacuum_candidates
+
+        df = spark.createDataFrame(
+            [], "file_id long, part string, slot long, version long, "
+                "ts timestamp")
+        assert vacuum_candidates(df).count() == 0

@@ -527,6 +527,24 @@ def entries() -> dict[str, str]:
                                        ORDER BY dist2, id) = 1
         """,
         "bm25_topk": bm25_sql,
+        "vacuum_candidates": """
+            WITH t AS (
+                SELECT event_id AS file_id, event_type AS part,
+                       user_id AS slot, event_id AS version,
+                       epoch_us(ts) AS ts_us
+                FROM events WHERE ts IS NOT NULL
+            ), mm AS (
+                SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM t
+            ), lv AS (
+                SELECT file_id, part, slot, version, ts_us,
+                       max(version) OVER (PARTITION BY part, slot)
+                           AS live_version
+                FROM t
+            )
+            SELECT file_id, part, slot, version, live_version, ts_us
+            FROM lv CROSS JOIN mm
+            WHERE version < live_version AND ts_us <= (lo + hi) // 2
+        """,
         "semdedup": f"""
             WITH {kmeans_ctes()},
             wF AS (
