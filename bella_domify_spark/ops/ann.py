@@ -456,9 +456,16 @@ def semdedup_prune(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
 
     Output: (vec_id, cluster_id, keep) for every non-NULL vector.
     """
-    assign = kmeans_assign(vectors, n_clusters=n_clusters, iters=iters,
-                           id_col=id_col, vec_col=vec_col, scale=scale) \
-        .select(F.col(id_col).alias("id"), "cluster_id")
+    # eager checkpoint: the assignment feeds FOUR consumers (both pair
+    # sides, the norms join, the final keep join) — without truncation
+    # each re-runs the k-means loop (measured at sf0.1: 8.9 -> 7.6 s;
+    # the remaining floor IS one kmeans_assign at ~4-5 s plus the pair
+    # stage). Same discipline as pagerank's materialized ranks; the
+    # table is (id, cluster) — row-count-sized, never the vectors.
+    assign = (kmeans_assign(vectors, n_clusters=n_clusters, iters=iters,
+                            id_col=id_col, vec_col=vec_col, scale=scale)
+              .select(F.col(id_col).alias("id"), "cluster_id")
+              .localCheckpoint(eager=True))
     q = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col).cast("array<double>"),
