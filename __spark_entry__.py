@@ -1074,6 +1074,14 @@ def _q_zorder_layout(spark, sf):
     return zorder_layout(_t(spark, sf, "events"))
 
 
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE merge learning (ops/bpe.py): first 3 merges over
+    the documents word-type table — pair counts, 1-row winner, aggregate
+    fold re-tokenization; DuckDB twin folds with list_reduce."""
+    from bella_domify_spark.ops.bpe import bpe_merges
+    return bpe_merges(_t(spark, sf, "documents"))
+
+
 def _q_vacuum_candidates(spark, sf):
     """VACUUM kernel (ops/lakehouse.py vacuum_candidates): superseded +
     past-watermark files from a write log synthesized over events (one
@@ -1292,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "semdedup": _q_semdedup,
         "vacuum_candidates": _q_vacuum_candidates,
+        "bpe_merges": _q_bpe_merges,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -1673,3 +1673,53 @@ class TestRound6Ops:
         assert got[0] == 1 and got[1] == 1
         # 1 and 2 point the same way -> 2 pruned against 1
         assert got[2] == 0
+
+    def test_bpe_merges_match_python_reference(self, spark):
+        from bella_domify_spark.ops.bpe import bpe_merges
+
+        texts = [(1, "low lower lowest low low newer newest new"),
+                 (2, "wider wide wide widest new low"),
+                 (3, "er er er banana bandana")]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+        # pure-Python reference: word-type BPE with (freq desc, a, b)
+        # tie-break and left-to-right non-overlapping re-tokenization
+        from collections import Counter
+        wf = Counter(w for _, t in texts for w in t.lower().split() if w)
+        toks = {w: list(w) for w in wf}
+        expect = []
+        for step in range(3):
+            pc = Counter()
+            for w, t in toks.items():
+                for a, b in zip(t, t[1:]):
+                    pc[(a, b)] += wf[w]
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            expect.append((step, a, b, cnt))
+            for w, t in toks.items():
+                out, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(t[i])
+                        i += 1
+                toks[w] = out
+        got = [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+               for r in bpe_merges(docs).orderBy("step").collect()]
+        assert got == expect
+
+    def test_bpe_overlapping_pair_is_greedy_left_to_right(self, spark):
+        from bella_domify_spark.ops.bpe import bpe_merges
+
+        # 'aaa' must merge as (aa)(a), never (a)(aa): after round 0 the
+        # pair (a,a) is consumed left-to-right non-overlapping, so round
+        # 1's counts see 'aa a' — the canonical BPE greedy
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa aaa aa")], "doc_id long, text string")
+        got = [(r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+               for r in bpe_merges(docs, n_merges=2).orderBy("step").collect()]
+        # round 0: (a,a) appears 2x per 'aaa' (overlap counted per
+        # position) * 3 + 1x in 'aa' = 7; round 1: 'aa a' -> (aa, a) x3
+        assert got[0] == (0, "a", "a", 7)
+        assert got[1] == (1, "aa", "a", 3)

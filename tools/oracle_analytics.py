@@ -23,6 +23,7 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.dsir import dsir_lambda_sql
     from bella_domify_spark.ops.lakehouse import (compact_oracle_ctes,
                                                   zorder_oracle_ctes)
+    from bella_domify_spark.ops.bpe import bpe_oracle_sql
     from bella_domify_spark.ops.retrieval import queries_values_sql
     from tools.oracle_lib import (
         closure as _closure,
@@ -527,6 +528,7 @@ def entries() -> dict[str, str]:
                                        ORDER BY dist2, id) = 1
         """,
         "bm25_topk": bm25_sql,
+        "bpe_merges": bpe_oracle_sql(),
         "vacuum_candidates": """
             WITH t AS (
                 SELECT event_id AS file_id, event_type AS part,
