@@ -149,3 +149,12 @@ class TestSession5PlanShapes:
         # the manifest is metadata-sized so nothing else moves
         assert plan.count("Exchange") == 1
         assert "Python" not in plan
+
+    def test_bpe_merges_all_jvm(self, spark):
+        import __spark_entry__ as entry
+
+        plan = _plan(entry.queries()["bpe_merges"](spark, SF))
+        # word-type table + 3 rounds of pair count/TakeOrdered/fold —
+        # everything codegen, the fold never leaves the JVM
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
