@@ -1074,6 +1074,14 @@ def _q_zorder_layout(spark, sf):
     return zorder_layout(_t(spark, sf, "events"))
 
 
+def _q_turn_revisions(spark, sf):
+    """Consecutive-turn self-revision detection (ops/transcript.py
+    turn_revision_stats): integer token-set Jaccard between adjacent
+    events of a user stream, per-conversation revision counts."""
+    from bella_domify_spark.ops.transcript import turn_revision_stats
+    return turn_revision_stats(_t(spark, sf, "events"))
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE merge learning (ops/bpe.py): first 3 merges over
     the documents word-type table — pair counts, 1-row winner, aggregate
@@ -1301,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "vacuum_candidates": _q_vacuum_candidates,
         "bpe_merges": _q_bpe_merges,
+        "turn_revisions": _q_turn_revisions,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

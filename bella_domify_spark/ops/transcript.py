@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["tool_run_stats", "role_transitions", "tool_latency",
-           "truncate_conversations", "event_trigrams"]
+           "truncate_conversations", "event_trigrams",
+           "turn_revision_stats"]
 
 
 def _turn_window(conv_col: str, idx_col: str) -> Window:
@@ -143,3 +144,51 @@ def event_trigrams(events, k: int = 20):
     return (counts.withColumn("rnk", F.row_number().over(rw))
             .filter(F.col("rnk") <= k)
             .select("e1", "e2", "e3", "cnt", "rnk"))
+
+
+def turn_revision_stats(events: DataFrame,
+                        threshold_e6: int = 500_000) -> DataFrame:
+    """Self-revision detection over consecutive turns of a user stream:
+    for each adjacent pair of a user's time-ordered events, the token-set
+    Jaccard of their payloads — high similarity between consecutive turns
+    is the signature of retried/regenerated turns, the rows a training
+    pipeline collapses before packing. Integer-exact:
+    ``jaccard_e6 = |A∩B|·1e6 div |A∪B|`` over DISTINCT lowercase
+    alphanumeric tokens; a pair counts as a revision at
+    jaccard_e6 ≥ ``threshold_e6``.
+
+    Scale notes: one shuffle keyed by user (the lag window), token sets
+    built map-side as array columns (array_intersect/array_union inside
+    codegen — the DuckDB oracle instead UNNESTs and self-joins tokens, a
+    deliberately different physical strategy for the same set algebra),
+    then one map-side-combined per-conversation aggregate. Empty-token
+    pairs score 0 (union = 0 guard).
+
+    Output: (conv_id, n_pairs, n_revisions, sum_jaccard_e6), one row per
+    user with ≥2 timed events.
+    """
+    e = events.filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull())
+    toks = F.array_distinct(F.expr(
+        r"filter(split(lower(coalesce(props, '')), '[^a-z0-9]+'),"
+        r" x -> x != '')"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select("user_id", "ts", "event_id", toks.alias("cur"))
+    t = t.withColumn("prev", F.lag("cur").over(w)).filter(
+        F.col("prev").isNotNull())
+    inter = F.size(F.array_intersect("cur", "prev"))
+    union = F.size("cur") + F.size("prev") - inter
+    j = (t.select("user_id", inter.alias("i"), union.alias("u"))
+         .select("user_id",
+                 F.when(F.col("u") > 0,
+                        F.expr("i * 1000000L div u")).otherwise(F.lit(0))
+                 .cast("long").alias("j_e6")))
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.when(F.col("j_e6") >= threshold_e6, 1)
+                       .otherwise(0)).cast("long").alias("n_revisions"),
+                 F.sum("j_e6").cast("long").alias("sum_jaccard_e6"))
+            .select(F.concat(F.lit("conv"),
+                             F.col("user_id").cast("string"))
+                    .alias("conv_id"),
+                    "n_pairs", "n_revisions", "sum_jaccard_e6"))

@@ -170,7 +170,7 @@ def main() -> int:
                  "cuped_adjusted", "triangle_stats",
                  "compact_files", "standard_images",
                  "hybrid_rrf", "skew_report", "semdedup",
-                 "vacuum_candidates", "bpe_merges"]:
+                 "vacuum_candidates", "bpe_merges", "turn_revisions"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -1723,3 +1723,32 @@ class TestRound6Ops:
         # position) * 3 + 1x in 'aa' = 7; round 1: 'aa a' -> (aa, a) x3
         assert got[0] == (0, "a", "a", 7)
         assert got[1] == (1, "aa", "a", 3)
+
+    def test_turn_revision_jaccard_hand_counted(self, spark):
+        from bella_domify_spark.ops.transcript import turn_revision_stats
+
+        rows = [
+            # user 1: "a b c" -> "a b d" (J=2/4=0.5, revision) ->
+            #         "x y" (J=0/5=0, not)
+            (1, 1, "2024-01-01 00:00:01", "a b c"),
+            (2, 1, "2024-01-01 00:00:02", "a b d"),
+            (3, 1, "2024-01-01 00:00:03", "x y"),
+            # user 2: identical token SETS (J=1, revision)
+            (4, 2, "2024-01-01 00:00:01", "same same tokens"),
+            (5, 2, "2024-01-01 00:00:02", "tokens same"),
+            # user 3: single event -> no pairs -> no row
+            (6, 3, "2024-01-01 00:00:01", "lonely"),
+            # NULL ts event must be ignored entirely
+            (7, 1, None, "a b c"),
+        ]
+        df = (spark.createDataFrame(
+                  rows, "event_id long, user_id long, ts string, props string")
+              .select("event_id", "user_id",
+                      F.col("ts").cast("timestamp_ntz").alias("ts"), "props"))
+        got = {r["conv_id"]: (r["n_pairs"], r["n_revisions"],
+                              r["sum_jaccard_e6"])
+               for r in turn_revision_stats(df).collect()}
+        assert got == {
+            "conv1": (2, 1, 500_000),     # 0.5 + 0.0
+            "conv2": (1, 1, 1_000_000),   # distinct sets equal
+        }

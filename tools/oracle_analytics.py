@@ -528,6 +528,54 @@ def entries() -> dict[str, str]:
                                        ORDER BY dist2, id) = 1
         """,
         "bm25_topk": bm25_sql,
+        "turn_revisions": """
+            WITH e AS (
+                SELECT user_id, props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), tk AS (
+                -- token sets via UNNEST + self-join: a deliberately
+                -- different physical strategy from Spark's
+                -- array_intersect/array_union codegen
+                SELECT user_id, rn,
+                       unnest(list_distinct(list_filter(
+                           regexp_split_to_array(lower(
+                               COALESCE(props, '')), '[^a-z0-9]+'),
+                           x -> x <> ''))) AS tok
+                FROM e
+            ), sz AS (
+                SELECT user_id, rn, count(*)::BIGINT AS n
+                FROM tk GROUP BY 1, 2
+            ), prs AS (
+                SELECT user_id, rn FROM e WHERE rn >= 2
+            ), inter AS (
+                SELECT a.user_id, a.rn, count(*)::BIGINT AS i
+                FROM tk a
+                JOIN tk b ON b.user_id = a.user_id AND b.rn = a.rn - 1
+                         AND b.tok = a.tok
+                GROUP BY 1, 2
+            ), j AS (
+                SELECT p.user_id,
+                       COALESCE(i.i, 0) AS i,
+                       COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                           - COALESCE(i.i, 0) AS u
+                FROM prs p
+                LEFT JOIN inter i ON i.user_id = p.user_id AND i.rn = p.rn
+                LEFT JOIN sz sa ON sa.user_id = p.user_id AND sa.rn = p.rn
+                LEFT JOIN sz sb ON sb.user_id = p.user_id
+                               AND sb.rn = p.rn - 1
+            )
+            SELECT 'conv' || user_id::VARCHAR AS conv_id,
+                   count(*) AS n_pairs,
+                   sum(CASE WHEN u > 0
+                            AND (i * 1000000) // u >= 500000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_revisions,
+                   sum(CASE WHEN u > 0 THEN (i * 1000000) // u
+                            ELSE 0 END)::BIGINT AS sum_jaccard_e6
+            FROM j GROUP BY 1
+        """,
         "bpe_merges": bpe_oracle_sql(),
         "vacuum_candidates": """
             WITH t AS (
