@@ -1351,6 +1351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
         # --- exiled tail (51+): no driver row this round ---
+        # ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the window's
+        # 12 + 8 + 7 + 23 members will all have fresh driver rows; rotate
+        # in (a) any r7-new/changed queries first, then (b) the tail in
+        # ORDER BELOW — conv_assembly .. rollup_revenue are the
+        # longest-unconfirmed (r3-era driver proof), then the 50 r5-green
+        # block (freshest proof, last to return). Every tail entry below
+        # is green in this session's single-run 117/117 exact-hash sweep
+        # at sf0.01 (/tmp/oracle_full_r6.log, 2026-08-18).
         # next-oldest proof first (these rotate in next round):
         "decode_roundtrip": _q_decode_roundtrip,
         "session_gap": _q_session_gap,
