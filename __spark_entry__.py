@@ -1145,6 +1145,23 @@ def _q_compact_files(spark, sf):
     return compact_files(mf, target_bytes=8192)
 
 
+def _q_time_travel_read(spark, sf):
+    """Iceberg-style VERSION AS OF read (ops/lakehouse.py
+    time_travel_read): replay the CDC changelog up to the version-range
+    midpoint, last-writer-wins merge — the cutoff rides every row."""
+    from bella_domify_spark.ops.lakehouse import time_travel_read
+    docs, changes = _cdc_changelog(spark, sf)
+    return time_travel_read(docs.select("doc_id", "text"), changes)
+
+
+def _q_file_prune_stats(spark, sf):
+    """Zone-map data-skipping readout (ops/lakehouse.py prune_stats):
+    synthetic arrival-order footers (64 rows/file) vs a fixed 4-predicate
+    workload — files/rows scanned vs rows actually matching."""
+    from bella_domify_spark.ops.lakehouse import prune_stats
+    return prune_stats(_t(spark, sf, "events"))
+
+
 def _q_pagerank_dedup(spark, sf):
     """Integer-exact PageRank over the word-3-gram near-dup graph
     (ops/graph.py pagerank): 3 damped power iterations on a 1e12 grid,
@@ -1310,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_candidates": _q_vacuum_candidates,
         "bpe_merges": _q_bpe_merges,
         "turn_revisions": _q_turn_revisions,
+        "time_travel_read": _q_time_travel_read,
+        "file_prune_stats": _q_file_prune_stats,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1348,9 +1367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_embedding": _q_dedup_cluster_embedding,
         "doc_quality": _q_doc_quality,
         "train_split": _q_train_split,
+        # --- exiled tail (51+): no driver row this round ---
+        # (turn_ordering / conv_stats displaced by the session-2 new
+        # queries: in-window slots go to never-driver-confirmed ops first)
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
-        # --- exiled tail (51+): no driver row this round ---
         # ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the window's
         # 12 + 8 + 7 + 23 members will all have fresh driver rows; rotate
         # in (a) any r7-new/changed queries first, then (b) the tail in

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["merge_upsert", "incremental_view_update", "scd2_history",
            "zorder_layout", "compact_files", "vacuum_candidates",
+           "time_travel_read", "prune_stats",
            "Z_BITS", "Z_BUCKET_SHIFT"]
 
 # 16 bits per dimension -> 32-bit Morton code -> 2^10 buckets of 2^22 codes.
@@ -307,6 +308,39 @@ def compact_oracle_ctes(target_bytes: int) -> str:
     """
 
 
+def time_travel_read(base: DataFrame, changes: DataFrame,
+                     key: str = "doc_id") -> DataFrame:
+    """Snapshot-as-of read — Iceberg/Delta time travel (``VERSION AS OF``)
+    expressed over the same CDC changelog ``merge_upsert`` consumes:
+    reconstruct the table state at a historical snapshot version by
+    replaying only the changes with ``version <= as_of`` and resolving
+    last-writer-wins per key.
+
+    The cutoff is computed FROM the log — the integer midpoint of its
+    version range (the vacuum_candidates watermark idiom; production
+    passes the snapshot id a catalog lookup resolves). It rides every
+    output row so the oracle pins the cutoff algebra too.
+
+    Plan: 1-row version-range aggregate broadcast onto the changelog
+    (map-side filter — at 100 TB an Iceberg reader does this with
+    manifest-level pruning, never scanning post-snapshot files at all),
+    then the identical one-shuffle ``max_by`` merge as ``merge_upsert``.
+    Equality against the DuckDB twin proves the replay-to-version
+    algebra, not the merge (already proven) alone.
+
+    Output: (key, final_version, n_ops, text, as_of); deleted-at-as_of
+    keys absent, post-as_of inserts absent.
+    """
+    vr = changes.agg(
+        F.expr("(min(version) + max(version)) div 2").alias("as_of"))
+    past = (changes.crossJoin(F.broadcast(vr))
+                   .filter(F.col("version") <= F.col("as_of"))
+                   .select(key, "version", "op", "text"))
+    return (merge_upsert(base, past, key=key)
+            .crossJoin(F.broadcast(vr))
+            .select(key, "final_version", "n_ops", "text", "as_of"))
+
+
 def scd2_history(base: DataFrame, changes: DataFrame,
                  key: str = "doc_id") -> DataFrame:
     """Slowly-Changing-Dimension Type-2 history from the same CDC
@@ -341,6 +375,134 @@ def scd2_history(base: DataFrame, changes: DataFrame,
                 .select(key, "valid_from", "valid_to", "text",
                         F.when(F.col("valid_to").isNull(), 1).otherwise(0)
                          .alias("is_current")))
+
+
+def prune_stats(events: DataFrame, rows_per_file: int = 64) -> DataFrame:
+    """Zone-map data-skipping effectiveness over the ARRIVAL-ORDER layout
+    — the planner readout that decides whether a table is worth an
+    OPTIMIZE ZORDER pass (``zorder_layout`` evidences the after; this is
+    the before): synthesize parquet footers for an ingest-ordered file
+    layout (file = ``event_id div rows_per_file``), then evaluate a fixed
+    4-predicate workload against the min/max stats exactly the way an
+    Iceberg/Delta scan planner does.
+
+    Per predicate: files_scanned (footer range overlaps the predicate),
+    rows_scanned (rows inside scanned files — the I/O actually paid) and
+    rows_matching (true predicate hits) — the scanned/matching gap IS the
+    zone-map false-positive cost that clustering removes.
+
+    Predicates derive from the corpus min/max (1-row broadcast; integer
+    arithmetic end to end): top-decile value, centre-half value,
+    bottom-centile value, second-half time range.
+
+    Scale notes (100 TB): footers are metadata-sized (one row per file);
+    the stats aggregate combines map-side into rows_per_file-bounded
+    cells; the 4-row predicate table broadcasts onto footers and rows
+    alike — no shuffle grows with the predicate count. All min/max/count.
+
+    Output: (pred_id, files_total, files_scanned, rows_scanned,
+    rows_matching), 4 rows.
+    """
+    e = (events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                       & F.col("event_id").isNotNull())
+               .select(F.expr(f"event_id div {int(rows_per_file)}")
+                        .alias("file_id"),
+                       F.unix_micros(F.col("ts").cast("timestamp"))
+                        .alias("e_us"),
+                       F.floor(F.col("value") * 1e6).cast("long")
+                        .alias("v_e6")))
+    footers = e.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("e_us").alias("min_e"), F.max("e_us").alias("max_e"),
+        F.min("v_e6").alias("min_v"), F.max("v_e6").alias("max_v"))
+    mm = e.agg(F.min("e_us").alias("emin"), F.max("e_us").alias("emax"),
+               F.min("v_e6").alias("vmin"), F.max("v_e6").alias("vmax"))
+    # 4 predicates as a tiny table: (pred_id, on_ts, p_lo, p_hi)
+    preds = mm.selectExpr(
+        "stack(4, "
+        " 1L, 0L, vmax - (vmax - vmin) div 10, vmax,"
+        " 2L, 0L, vmin + (vmax - vmin) div 4, vmax - (vmax - vmin) div 4,"
+        " 3L, 0L, vmin, vmin + (vmax - vmin) div 100,"
+        " 4L, 1L, (emin + emax) div 2, emax"
+        ") AS (pred_id, on_ts, p_lo, p_hi)")
+    lo = F.when(F.col("on_ts") == 1, F.col("min_e")).otherwise(F.col("min_v"))
+    hi = F.when(F.col("on_ts") == 1, F.col("max_e")).otherwise(F.col("max_v"))
+    scan = (footers.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id")
+            .agg(F.count(F.lit(1)).alias("files_total"),
+                 F.sum(F.when((hi >= F.col("p_lo")) & (lo <= F.col("p_hi")),
+                              F.lit(1)).otherwise(F.lit(0)))
+                  .alias("files_scanned"),
+                 F.sum(F.when((hi >= F.col("p_lo")) & (lo <= F.col("p_hi")),
+                              F.col("n_rows")).otherwise(F.lit(0)))
+                  .alias("rows_scanned")))
+    x = F.when(F.col("on_ts") == 1, F.col("e_us")).otherwise(F.col("v_e6"))
+    hits = (e.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id")
+            .agg(F.sum(F.when((x >= F.col("p_lo")) & (x <= F.col("p_hi")),
+                              F.lit(1)).otherwise(F.lit(0)))
+                  .alias("rows_matching")))
+    return (scan.join(hits, "pred_id")
+                .select("pred_id", "files_total", "files_scanned",
+                        "rows_scanned", "rows_matching"))
+
+
+def prune_oracle_sql(rows_per_file: int = 64) -> str:
+    """DuckDB twin of prune_stats (kept beside the Spark code so the
+    predicate derivations cannot drift)."""
+    return f"""
+        WITH e AS (
+            SELECT event_id // {int(rows_per_file)} AS file_id,
+                   epoch_us(ts) AS e_us,
+                   floor(value * 1e6)::BIGINT AS v_e6
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND event_id IS NOT NULL
+        ), footers AS (
+            SELECT file_id, count(*) AS n_rows,
+                   min(e_us) AS min_e, max(e_us) AS max_e,
+                   min(v_e6) AS min_v, max(v_e6) AS max_v
+            FROM e GROUP BY file_id
+        ), mm AS (
+            SELECT min(e_us) AS emin, max(e_us) AS emax,
+                   min(v_e6) AS vmin, max(v_e6) AS vmax
+            FROM e
+        ), preds AS (
+            SELECT 1::BIGINT AS pred_id, 0::BIGINT AS on_ts,
+                   vmax - (vmax - vmin) // 10 AS p_lo, vmax AS p_hi FROM mm
+            UNION ALL
+            SELECT 2, 0, vmin + (vmax - vmin) // 4,
+                   vmax - (vmax - vmin) // 4 FROM mm
+            UNION ALL
+            SELECT 3, 0, vmin, vmin + (vmax - vmin) // 100 FROM mm
+            UNION ALL
+            SELECT 4, 1, (emin + emax) // 2, emax FROM mm
+        ), scan AS (
+            SELECT pred_id, count(*) AS files_total,
+                   sum(CASE WHEN (CASE WHEN on_ts = 1 THEN max_e
+                                       ELSE max_v END) >= p_lo
+                             AND (CASE WHEN on_ts = 1 THEN min_e
+                                       ELSE min_v END) <= p_hi
+                            THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+                   sum(CASE WHEN (CASE WHEN on_ts = 1 THEN max_e
+                                       ELSE max_v END) >= p_lo
+                             AND (CASE WHEN on_ts = 1 THEN min_e
+                                       ELSE min_v END) <= p_hi
+                            THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned
+            FROM footers CROSS JOIN preds
+            GROUP BY pred_id
+        ), hits AS (
+            SELECT pred_id,
+                   sum(CASE WHEN (CASE WHEN on_ts = 1 THEN e_us
+                                       ELSE v_e6 END) BETWEEN p_lo AND p_hi
+                            THEN 1 ELSE 0 END)::BIGINT AS rows_matching
+            FROM e CROSS JOIN preds
+            GROUP BY pred_id
+        )
+        SELECT pred_id, files_total, files_scanned, rows_scanned,
+               rows_matching
+        FROM scan JOIN hits USING (pred_id)
+    """
 
 
 def vacuum_candidates(writes: DataFrame,

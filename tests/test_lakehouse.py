@@ -492,3 +492,77 @@ class TestVacuumCandidates:
             [], "file_id long, part string, slot long, version long, "
                 "ts timestamp")
         assert vacuum_candidates(df).count() == 0
+
+
+class TestTimeTravelRead:
+    def test_replays_only_to_cutoff(self, spark):
+        from bella_domify_spark.ops.lakehouse import time_travel_read
+
+        base = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string")
+        # version range 0..10 -> as_of = 5: v<=5 applies, v>5 is the future
+        changes = spark.createDataFrame(
+            [
+                (1, 0, "U", "one-v0"),
+                (1, 8, "U", "one-v8-future"),   # after as_of -> invisible
+                (2, 4, "D", None),               # deleted before as_of
+                (2, 9, "U", "two-back-future"),  # resurrection is future
+                (4, 3, "U", "four-new"),        # insert before as_of
+                (5, 10, "U", "five-future"),    # insert after as_of
+            ],
+            "doc_id long, version long, op string, text string")
+        got = _rows(time_travel_read(base, changes),
+                    "doc_id", "final_version", "text", "as_of")
+        assert got == [
+            (1, 0, "one-v0", 5),
+            (3, -1, "three", 5),
+            (4, 3, "four-new", 5),
+        ]
+
+
+class TestPruneStats:
+    def test_matches_python_planner(self, spark):
+        from bella_domify_spark.ops.lakehouse import prune_stats
+
+        # 3 files of 2 rows (rows_per_file=2): values 0..100 cluster so
+        # file 0 is low, file 1 mid, file 2 high; ts splits files 0/1 vs 2
+        rows = [
+            (0, "1970-01-01 00:00:01", 0.0),
+            (1, "1970-01-01 00:00:02", 1.0),
+            (2, "1970-01-01 00:00:03", 50.0),
+            (3, "1970-01-01 00:00:04", 55.0),
+            (4, "1970-01-01 00:00:09", 99.0),
+            (5, "1970-01-01 00:00:10", 100.0),
+        ]
+        df = (spark.createDataFrame(rows, "event_id long, ts string, value double")
+              .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                      "value"))
+        got = _rows(prune_stats(df, rows_per_file=2), "pred_id",
+                    "files_total", "files_scanned", "rows_scanned",
+                    "rows_matching")
+
+        # pure-Python planner over the same footers
+        import math
+        e = [(eid // 2, int(ts_s * 1_000_000), math.floor(v * 1e6))
+             for eid, ts_s, v in [(0, 1, 0.0), (1, 2, 1.0), (2, 3, 50.0),
+                                  (3, 4, 55.0), (4, 9, 99.0), (5, 10, 100.0)]]
+        emin, emax = min(r[1] for r in e), max(r[1] for r in e)
+        vmin, vmax = min(r[2] for r in e), max(r[2] for r in e)
+        preds = [(1, 0, vmax - (vmax - vmin) // 10, vmax),
+                 (2, 0, vmin + (vmax - vmin) // 4, vmax - (vmax - vmin) // 4),
+                 (3, 0, vmin, vmin + (vmax - vmin) // 100),
+                 (4, 1, (emin + emax) // 2, emax)]
+        files = {}
+        for fid, e_us, v in e:
+            files.setdefault(fid, []).append((e_us, v))
+        want = []
+        for pid, on_ts, lo, hi in preds:
+            fs = rs = rm = 0
+            for fid, rows_f in files.items():
+                xs = [r[0] if on_ts else r[1] for r in rows_f]
+                if max(xs) >= lo and min(xs) <= hi:
+                    fs += 1
+                    rs += len(rows_f)
+                rm += sum(1 for x in xs if lo <= x <= hi)
+            want.append((pid, len(files), fs, rs, rm))
+        assert got == sorted(want)

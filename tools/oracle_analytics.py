@@ -22,6 +22,8 @@ def entries() -> dict[str, str]:
                                                    classifier_weight_expr)
     from bella_domify_spark.ops.dsir import dsir_lambda_sql
     from bella_domify_spark.ops.lakehouse import (compact_oracle_ctes,
+                                                  prune_oracle_sql
+                                                  as _prune_oracle_sql,
                                                   zorder_oracle_ctes)
     from bella_domify_spark.ops.bpe import bpe_oracle_sql
     from bella_domify_spark.ops.retrieval import queries_values_sql
@@ -114,6 +116,37 @@ def entries() -> dict[str, str]:
             SELECT doc_id, final_version, n_ops, text
             FROM m WHERE op = 'U'
         """,
+        "time_travel_read": """
+            WITH ks AS (
+                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
+            ), ch AS (
+                SELECT event_id % ks AS doc_id,
+                       event_id AS version,
+                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       event_type || ' ' || props AS text
+                FROM events CROSS JOIN ks
+            ), cut AS (
+                SELECT (min(version) + max(version)) // 2 AS as_of FROM ch
+            ), u AS (
+                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id, version, op, text
+                FROM ch CROSS JOIN cut WHERE version <= as_of
+            ), m AS (
+                SELECT doc_id,
+                       max(version) AS final_version,
+                       count(*) AS n_ops,
+                       arg_max(op, version) AS op,
+                       arg_max(text, version) AS text
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, final_version, n_ops, text,
+                   (SELECT as_of FROM cut) AS as_of
+            FROM m WHERE op = 'U'
+        """,
+        "file_prune_stats": _prune_oracle_sql(),
         "scd2_history": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
