@@ -1162,6 +1162,15 @@ def _q_file_prune_stats(spark, sf):
     return prune_stats(_t(spark, sf, "events"))
 
 
+def _q_late_data_stats(spark, sf):
+    """Watermark late-arrival ledger (ops/temporal.py late_data_stats):
+    per-user running-max event-time watermark over arrival order
+    (event_id), 10-minute delay — the rows a streaming windowed
+    aggregate would drop."""
+    from bella_domify_spark.ops.temporal import late_data_stats
+    return late_data_stats(_t(spark, sf, "events"))
+
+
 def _q_pagerank_dedup(spark, sf):
     """Integer-exact PageRank over the word-3-gram near-dup graph
     (ops/graph.py pagerank): 3 damped power iterations on a 1e12 grid,
@@ -1329,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_revisions": _q_turn_revisions,
         "time_travel_read": _q_time_travel_read,
         "file_prune_stats": _q_file_prune_stats,
+        "late_data_stats": _q_late_data_stats,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1366,10 +1376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_cluster_embedding": _q_dedup_cluster_embedding,
         "doc_quality": _q_doc_quality,
-        "train_split": _q_train_split,
         # --- exiled tail (51+): no driver row this round ---
-        # (turn_ordering / conv_stats displaced by the session-2 new
-        # queries: in-window slots go to never-driver-confirmed ops first)
+        # (train_split / turn_ordering / conv_stats displaced by the
+        # session-2 new queries: in-window slots go to
+        # never-driver-confirmed ops first)
+        "train_split": _q_train_split,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
         # ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the window's

@@ -320,3 +320,66 @@ def retention_cohorts(events: DataFrame, key: str = "user_id",
                .groupBy(F.col("cw").alias("cohort_week"),
                         (F.col("w") - F.col("cw")).alias("week_offset"))
                .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+def late_data_stats(events: DataFrame,
+                    delay_us: int = 600_000_000) -> DataFrame:
+    """Watermark late-data accounting — the batch twin of Structured
+    Streaming's ``withWatermark("ts", "10 minutes")`` drop ledger: replay
+    each user's stream in ARRIVAL order (event_id — the ingest sequence)
+    and flag every event whose event-time lags the stream's running
+    max-event-time watermark by more than ``delay_us``. These are exactly
+    the rows a streaming windowed aggregate would silently drop; sizing
+    the delay is a data-quality decision that needs this readout first.
+
+    Per-key watermarks (the window partitions by user) mirror
+    ``applyInPandasWithState`` per-group state; a global watermark is the
+    min over keys, so per-key lateness upper-bounds engine drops.
+
+    Plan: one hash shuffle on user_id feeds a running-max window (row
+    frame, no sort spill beyond a user's events — the same skew profile
+    as sessionize), then a map-side-combining aggregate on event_type.
+    All integer microseconds.
+
+    Output: (event_type, n_events, n_late, max_lateness_us).
+    """
+    e = (events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+                       & F.col("event_id").isNotNull())
+               .select("event_id", "user_id", "event_type",
+                       _us(F.col("ts")).alias("ts_us")))
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = e.select("event_type", "ts_us", F.max("ts_us").over(w).alias("wm"))
+    late = F.col("wm") - F.lit(delay_us) > F.col("ts_us")
+    lateness = F.col("wm") - F.lit(delay_us) - F.col("ts_us")
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.coalesce(F.max(F.when(late, lateness)), F.lit(0)).cast("long")
+         .alias("max_lateness_us"))
+
+
+def late_oracle_sql(delay_us: int = 600_000_000) -> str:
+    """DuckDB twin of late_data_stats (kept beside the Spark code so the
+    watermark rule cannot drift)."""
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+        ), w AS (
+            SELECT event_type, ts_us,
+                   max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS wm
+            FROM e
+        )
+        SELECT event_type, count(*) AS n_events,
+               sum(CASE WHEN wm - {int(delay_us)} > ts_us
+                        THEN 1 ELSE 0 END)::BIGINT AS n_late,
+               COALESCE(max(CASE WHEN wm - {int(delay_us)} > ts_us
+                                 THEN wm - {int(delay_us)} - ts_us END),
+                        0)::BIGINT AS max_lateness_us
+        FROM w GROUP BY event_type
+    """

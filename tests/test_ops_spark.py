@@ -1752,3 +1752,31 @@ class TestRound6Ops:
             "conv1": (2, 1, 500_000),     # 0.5 + 0.0
             "conv2": (1, 1, 1_000_000),   # distinct sets equal
         }
+
+    def test_late_data_watermark_hand_counted(self, spark):
+        from bella_domify_spark.ops.temporal import late_data_stats
+
+        # delay = 60 s. user 1 arrival order (event_id): times 100, 200,
+        # 130 (wm 200-60=140 > 130 -> late by 10 s), 250, 300 (never late
+        # going forward). user 2: monotone times -> zero late.
+        rows = [
+            (1, 1, "a", "1970-01-01 00:01:40"),   # 100 s
+            (2, 1, "a", "1970-01-01 00:03:20"),   # 200 s
+            (3, 1, "a", "1970-01-01 00:02:10"),   # 130 s -> late 10 s
+            (4, 1, "b", "1970-01-01 00:04:10"),   # 250 s
+            (5, 2, "a", "1970-01-01 00:00:01"),
+            (6, 2, "a", "1970-01-01 00:00:02"),
+            (7, 2, "b", None),                     # NULL ts ignored
+        ]
+        df = (spark.createDataFrame(
+                  rows, "event_id long, user_id long, event_type string, "
+                        "ts string")
+              .select("event_id", "user_id", "event_type",
+                      F.col("ts").cast("timestamp_ntz").alias("ts")))
+        got = {r["event_type"]: (r["n_events"], r["n_late"],
+                                 r["max_lateness_us"])
+               for r in late_data_stats(df, delay_us=60_000_000).collect()}
+        assert got == {
+            "a": (5, 1, 10_000_000),
+            "b": (1, 0, 0),
+        }

@@ -27,6 +27,8 @@ def entries() -> dict[str, str]:
                                                   zorder_oracle_ctes)
     from bella_domify_spark.ops.bpe import bpe_oracle_sql
     from bella_domify_spark.ops.retrieval import queries_values_sql
+    from bella_domify_spark.ops.temporal import (late_oracle_sql
+                                                 as _late_oracle_sql)
     from tools.oracle_lib import (
         closure as _closure,
         jaccard_pair_ctes,
@@ -147,6 +149,7 @@ def entries() -> dict[str, str]:
             FROM m WHERE op = 'U'
         """,
         "file_prune_stats": _prune_oracle_sql(),
+        "late_data_stats": _late_oracle_sql(),
         "scd2_history": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
