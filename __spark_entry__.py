@@ -1171,6 +1171,15 @@ def _q_late_data_stats(spark, sf):
     return late_data_stats(_t(spark, sf, "events"))
 
 
+def _q_corpus_boilerplate(spark, sf):
+    """Corpus-wide boilerplate frequency vote (ops/boilerplate.py) —
+    the reference's per-document header/footer vote (P7) generalized
+    across documents: per-source line df thresholds (40% and >=3) over
+    synthetic chrome, per-doc strip plan."""
+    from bella_domify_spark.ops.boilerplate import corpus_boilerplate
+    return corpus_boilerplate(_t(spark, sf, "documents"))
+
+
 def _q_pagerank_dedup(spark, sf):
     """Integer-exact PageRank over the word-3-gram near-dup graph
     (ops/graph.py pagerank): 3 damped power iterations on a 1e12 grid,
@@ -1339,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": _q_time_travel_read,
         "file_prune_stats": _q_file_prune_stats,
         "late_data_stats": _q_late_data_stats,
+        "corpus_boilerplate": _q_corpus_boilerplate,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1375,11 +1385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_cluster_embedding": _q_dedup_cluster_embedding,
-        "doc_quality": _q_doc_quality,
         # --- exiled tail (51+): no driver row this round ---
-        # (train_split / turn_ordering / conv_stats displaced by the
-        # session-2 new queries: in-window slots go to
+        # (doc_quality / train_split / turn_ordering / conv_stats
+        # displaced by the session-2 new queries: in-window slots go to
         # never-driver-confirmed ops first)
+        "doc_quality": _q_doc_quality,
         "train_split": _q_train_split,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,

@@ -1780,3 +1780,26 @@ class TestRound6Ops:
             "a": (5, 1, 10_000_000),
             "b": (1, 0, 0),
         }
+
+    def test_corpus_boilerplate_vote_hand_counted(self, spark):
+        from bella_domify_spark.ops.boilerplate import corpus_boilerplate
+
+        # source s: 4 docs -> 'About s'/'(c) 2026 s' df=4 (bp at 40%/3);
+        # subscribe line on doc_id%3==0 -> docs 0,3 -> df=2 < min_df=3
+        # -> kept; share line on doc_id%2==0 (lang same) -> docs 0,2 ->
+        # df=2 -> kept; bodies unique -> kept.
+        rows = [(i, f"body{i} words", "en", "s", 0) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        got = {r["doc_id"]: (r["n_lines"], r["n_bp_lines"], r["kept_chars"])
+               for r in corpus_boilerplate(df).collect()}
+        body = len("bodyX words")
+        sub = len("subscribe to the newsletter")
+        share = len("share on en")
+        assert got == {
+            0: (5, 2, body + sub + share),
+            1: (3, 2, body),
+            2: (4, 2, body + share),
+            3: (4, 2, body + sub),
+        }

@@ -26,6 +26,8 @@ def entries() -> dict[str, str]:
                                                   as _prune_oracle_sql,
                                                   zorder_oracle_ctes)
     from bella_domify_spark.ops.bpe import bpe_oracle_sql
+    from bella_domify_spark.ops.boilerplate import (boilerplate_oracle_sql
+                                                    as _bp_oracle_sql)
     from bella_domify_spark.ops.retrieval import queries_values_sql
     from bella_domify_spark.ops.temporal import (late_oracle_sql
                                                  as _late_oracle_sql)
@@ -150,6 +152,7 @@ def entries() -> dict[str, str]:
         """,
         "file_prune_stats": _prune_oracle_sql(),
         "late_data_stats": _late_oracle_sql(),
+        "corpus_boilerplate": _bp_oracle_sql(),
         "scd2_history": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
