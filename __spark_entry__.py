@@ -1180,6 +1180,16 @@ def _q_corpus_boilerplate(spark, sf):
     return corpus_boilerplate(_t(spark, sf, "documents"))
 
 
+def _q_kcore_peel(spark, sf):
+    """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
+    the word-3-gram near-dup graph — the dense-duplication communities
+    (template farms) that survive frontier deletion."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import kcore_peel
+    return kcore_peel(jaccard_pairs(_t(spark, sf, "documents"),
+                                    threshold=0.2))
+
+
 def _q_pagerank_dedup(spark, sf):
     """Integer-exact PageRank over the word-3-gram near-dup graph
     (ops/graph.py pagerank): 3 damped power iterations on a 1e12 grid,
@@ -1349,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_prune_stats": _q_file_prune_stats,
         "late_data_stats": _q_late_data_stats,
         "corpus_boilerplate": _q_corpus_boilerplate,
+        "kcore_peel": _q_kcore_peel,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -320,3 +320,42 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
                F.floor(3 * F.col("n_triangles").cast("double")
                        / F.col("n_wedges").cast("double") * 1e6))
          .otherwise(F.lit(0)).cast("long").alias("global_cc_e6")))
+
+
+def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """k-core peeling over the near-dup graph: iteratively delete nodes
+    whose degree in the surviving induced subgraph is < k. Survivors of
+    the k-core are the DENSE duplication communities — template farms and
+    mirror clusters that pairwise thresholds alone under-rank (a chain of
+    borderline pairs dies in the first peel; a clique never does). The
+    triangle/clustering readout (triangle_stats) scores cohesion
+    globally; this names the cohesive nodes.
+
+    ``rounds`` is a FIXED unrolled peel count so the DuckDB twin can
+    mirror it CTE-for-CTE (recursive SQL cannot aggregate over its own
+    recursive table); production loops the same body to fixpoint —
+    at most max-degree rounds, in practice <10 on near-dup graphs —
+    exactly like connected_components' bounded label-prop loop.
+
+    Plan per round: two semijoin-shaped hash joins prune the edge list to
+    the induced subgraph (both sides keyed on node id; the alive set
+    SHRINKS monotonically so AQE broadcast-converts it once it fits),
+    then one map-side-combining degree aggregate. The alive frontier is
+    localCheckpoint-ed per round — same plan-truncation discipline as
+    connected_components/pagerank.
+
+    Output: (node_id, core_deg) for nodes surviving ``rounds`` peels,
+    with their degree entering the final peel (>= k by construction).
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = _symmetrize(e, "a", "b")
+    alive = sym.select("src").distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    for _ in range(rounds):
+        induced = (sym.join(alive.select("src"), "src")
+                      .join(alive.select(F.col("src").alias("dst")), "dst"))
+        deg = induced.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = _ckpt(deg.filter(F.col("deg") >= k).select("src"), "local")
+    return (deg.join(alive, "src")
+               .select(F.col("src").alias("node_id"),
+                       F.col("deg").alias("core_deg")))

@@ -433,3 +433,50 @@ class TestZipfSkewGraph:
         # the hub outranks every spoke
         hub_rank = got[0][1]
         assert all(hub_rank > rk for v, (_, rk) in got.items() if v != 0)
+
+
+class TestKCorePeel:
+    def test_triangle_survives_tail_peels(self, spark):
+        from bella_domify_spark.ops.graph import kcore_peel
+
+        # triangle 1-2-3 with a tail 3-4-5: peel 1 drops 5 (deg 1),
+        # peel 2 drops 4 (induced deg 1), peel 3 leaves the triangle
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+            "id_a long, id_b long")
+        got = {r["node_id"]: r["core_deg"]
+               for r in kcore_peel(pairs, k=2, rounds=3).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_chain_fully_peels(self, spark):
+        from bella_domify_spark.ops.graph import kcore_peel
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+        assert kcore_peel(pairs, k=2, rounds=3).count() == 0
+
+    def test_matches_bruteforce_peel(self, spark):
+        import random
+        from bella_domify_spark.ops.graph import kcore_peel
+
+        rng = random.Random(7)
+        edges = sorted({(a, b) for _ in range(60)
+                        for a, b in [sorted(rng.sample(range(16), 2))]})
+        edges = [(a, b) for a, b in edges]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        # brute-force 3-round peel
+        alive = {v for e in edges for v in e}
+        deg = {}
+        for _ in range(3):
+            deg = {v: 0 for v in alive}
+            for a, b in edges:
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            alive = {v for v in alive if deg[v] >= 2}
+        want = {v: deg[v] for v in alive}
+
+        got = {r["node_id"]: r["core_deg"]
+               for r in kcore_peel(pairs, k=2, rounds=3).collect()}
+        assert got == want

@@ -34,6 +34,7 @@ def entries() -> dict[str, str]:
     from tools.oracle_lib import (
         closure as _closure,
         jaccard_pair_ctes,
+        kcore_ctes,
         kmeans_ctes,
         md5_int60,
         pagerank_ctes,
@@ -268,6 +269,12 @@ def entries() -> dict[str, str]:
                    COALESCE(sum(l.lam_e9), 0)::BIGINT AS logw_e9
             FROM inst i LEFT JOIN lam l USING (b)
             GROUP BY i.doc_id, i.is_target
+        """,
+        "kcore_peel": f"""
+            WITH {jaccard_pair_ctes()},
+            {kcore_ctes(2, 3)}
+            SELECT d.src AS node_id, d.deg AS core_deg
+            FROM kd3 d JOIN ka3 a ON a.src = d.src
         """,
         "pagerank_dedup": f"""
             WITH {jaccard_pair_ctes()},

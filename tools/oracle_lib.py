@@ -334,3 +334,27 @@ def pagerank_ctes(iters: int = 3, scale: int = 10 ** 12) -> str:
                 LEFT JOIN c{k} c USING (node)
             )""")
     return ",\n            ".join(parts)
+
+
+def kcore_ctes(k: int = 2, rounds: int = 3) -> str:
+    """k-core peel over the ``pairs`` CTE (graph.kcore_peel twin):
+    unrolled round-per-CTE peeling — recursive SQL cannot aggregate over
+    its own recursive table, so the fixed round count is mirrored
+    CTE-for-CTE. Terminal CTEs ``kd{rounds}`` (degrees entering the
+    final peel) and ``ka{rounds}`` (survivors)."""
+    parts = [f"""ksym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            ka0 AS (SELECT DISTINCT src FROM ksym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""kd{r} AS (
+                SELECT s.src, count(*) AS deg
+                FROM ksym s
+                JOIN ka{r - 1} a ON a.src = s.src
+                JOIN ka{r - 1} b ON b.src = s.dst
+                GROUP BY s.src
+            ),
+            ka{r} AS (SELECT src FROM kd{r} WHERE deg >= {int(k)})""")
+    return ",\n            ".join(parts)
