@@ -1180,6 +1180,14 @@ def _q_corpus_boilerplate(spark, sf):
     return corpus_boilerplate(_t(spark, sf, "documents"))
 
 
+def _q_bpe_encode(spark, sf):
+    """BPE tokenizer APPLY (ops/bpe.py bpe_encode): the 3 learned merges
+    priced onto every document — per-doc word/char/token budgets, the
+    input of every packing decision."""
+    from bella_domify_spark.ops.bpe import bpe_encode
+    return bpe_encode(_t(spark, sf, "documents"))
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1360,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data_stats": _q_late_data_stats,
         "corpus_boilerplate": _q_corpus_boilerplate,
         "kcore_peel": _q_kcore_peel,
+        "bpe_encode": _q_bpe_encode,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

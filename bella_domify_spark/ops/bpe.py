@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bpe_merges", "bpe_oracle_sql"]
+__all__ = ["bpe_merges", "bpe_encode", "bpe_oracle_sql",
+           "bpe_encode_oracle_sql"]
 
 #: separator between fold output and carry; '\t' is whitespace, so the
 #: \s+ word tokenizer guarantees no symbol contains it
@@ -121,18 +122,73 @@ def bpe_merges(docs: DataFrame, n_merges: int = 3,
     return out
 
 
-def bpe_oracle_sql(n_merges: int = 3, max_word_len: int = 32) -> str:
-    """DuckDB twin: the same per-round CTE chain — pair counts from the
-    word-type table, 1-row winner, list_reduce fold re-tokenization with
-    the initial accumulator prepended as the list head."""
-    def fold(src_t):
-        # identical recurrence to _fold_merge; acc = res || TAB || carry.
-        # DuckDB's list_reduce has no init/finish params: the init
-        # accumulator rides as a prepended head element, and a TAB
-        # SENTINEL appended at the tail flushes the final carry (TAB is
-        # whitespace so it can never equal a symbol or m.b) — after the
-        # fold, the result is everything before the first TAB.
-        return f"""string_split(split_part(list_reduce(
+def bpe_encode(docs: DataFrame, n_merges: int = 3,
+               text_col: str = "text", id_col: str = "doc_id",
+               max_word_len: int = 32) -> DataFrame:
+    """Apply the first ``n_merges`` learned merges to the corpus — the
+    tokenizer-APPLY half of the BPE pair (bpe_merges learns; this
+    encodes) — and report per-document token budgets, the number every
+    sequence-packing and context-window decision downstream consumes.
+
+    Same scale shape as training: merges learn AND apply on the word-
+    TYPE table (vocabulary-sized — the fold never touches the corpus),
+    then one word-equality join prices each document's words; at 100 TB
+    the type table broadcast-converts under AQE and the only corpus-
+    sized operation is the tokenize-explode + final per-doc aggregate.
+    Words longer than ``max_word_len`` are outside the tokenizer (the
+    trainer cap) and are excluded from all three counts.
+
+    Output: (doc_id, n_words, n_chars, n_tokens) — whitespace words,
+    their characters (= pre-merge symbol count), post-merge BPE tokens.
+    """
+    words = (docs.select(
+                 F.col(id_col),
+                 F.explode(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                      F.lit(""))),
+                                   r"\s+")).alias("w"))
+             .filter((F.col("w") != "")
+                     & (F.length("w") <= max_word_len)))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    toks = wf.select("w", "freq", F.split("w", "", -1).alias("t"))
+
+    for _ in range(n_merges):
+        pairs = (toks.filter(F.size("t") >= 2)
+                 .select("freq",
+                         F.explode(F.expr(
+                             "transform(sequence(1, size(t) - 1),"
+                             " i -> struct(t[i-1] AS a, t[i] AS b))"))
+                         .alias("p"))
+                 .select("freq", F.col("p.a").alias("a"),
+                         F.col("p.b").alias("b")))
+        win = (pairs.groupBy("a", "b")
+               .agg(F.sum("freq").alias("pair_count"))
+               .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+               .limit(1))
+        wj = win.select(F.col("a").alias("_wa"), F.col("b").alias("_wb"))
+        toks = (toks.crossJoin(F.broadcast(wj))
+                .select("w", "freq",
+                        _fold_merge(F.col("t"), F.col("_wa"),
+                                    F.col("_wb")).alias("t")))
+
+    enc = toks.select("w", F.size("t").alias("n_syms"))
+    return (words.join(enc, "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("w")).cast("long").alias("n_chars"),
+                 F.sum("n_syms").cast("long").alias("n_tokens")))
+
+
+def _fold_sql(src_t: str) -> str:
+    """The list_reduce fold shared by both oracle builders; the caller
+    must expose the merge row aliased ``m`` (columns a, b).
+
+    Identical recurrence to _fold_merge; acc = res || TAB || carry.
+    DuckDB's list_reduce has no init/finish params: the init
+    accumulator rides as a prepended head element, and a TAB
+    SENTINEL appended at the tail flushes the final carry (TAB is
+    whitespace so it can never equal a symbol or m.b) — after the
+    fold, the result is everything before the first TAB."""
+    return f"""string_split(split_part(list_reduce(
                  list_prepend(chr(9), list_append({src_t}, chr(9))),
                  (acc, s) -> CASE
                      WHEN split_part(acc, chr(9), 2) = ''
@@ -149,6 +205,12 @@ def bpe_oracle_sql(n_merges: int = 3, max_word_len: int = 32) -> str:
                           || chr(9) || s
                  END), chr(9), 1), ' ')"""
 
+
+def bpe_oracle_sql(n_merges: int = 3, max_word_len: int = 32) -> str:
+    """DuckDB twin of bpe_merges: the same per-round CTE chain — pair
+    counts from the word-type table, 1-row winner, list_reduce fold
+    re-tokenization (_fold_sql) with the initial accumulator prepended
+    as the list head."""
     parts = [f"""wt AS (
             SELECT w, count(*)::BIGINT AS freq FROM (
                 SELECT unnest(regexp_split_to_array(lower(
@@ -171,7 +233,7 @@ def bpe_oracle_sql(n_merges: int = 3, max_word_len: int = 32) -> str:
         )""")
         if r < n_merges - 1:
             parts.append(f"""t{r + 1} AS (
-            SELECT freq, {fold('t')} AS t
+            SELECT freq, {_fold_sql('t')} AS t
             FROM t{r} CROSS JOIN m{r} m
         )""")
     selects = " UNION ALL ".join(
@@ -179,3 +241,48 @@ def bpe_oracle_sql(n_merges: int = 3, max_word_len: int = 32) -> str:
         f" cnt AS pair_count FROM m{r}" for r in range(n_merges))
     return ("WITH " + ",\n        ".join(parts) + "\n        "
             + selects)
+
+
+def bpe_encode_oracle_sql(n_merges: int = 3,
+                          max_word_len: int = 32) -> str:
+    """DuckDB twin of bpe_encode: the bpe_merges CTE chain carrying the
+    word through every fold (ALL rounds fold, unlike training which
+    skips the last), then a word-equality join prices each document."""
+    parts = [f"""wt AS (
+            SELECT w, count(*)::BIGINT AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower(
+                           COALESCE(text, '')), '\\s+')) AS w
+                FROM documents)
+            WHERE w <> '' AND length(w) <= {max_word_len}
+            GROUP BY w
+        ), t0 AS (
+            SELECT w, freq, regexp_split_to_array(w, '') AS t FROM wt
+        )"""]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS (
+            SELECT t[i] AS a, t[i + 1] AS b, sum(freq)::BIGINT AS cnt
+            FROM t{r}, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+            GROUP BY 1, 2
+        ), m{r} AS (
+            SELECT a, b, cnt FROM p{r}
+            ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+        ), t{r + 1} AS (
+            SELECT w, freq, {_fold_sql('t')} AS t
+            FROM t{r} CROSS JOIN m{r} m
+        )""")
+    parts.append(f"""enc AS (
+            SELECT w, len(t) AS n_syms FROM t{n_merges}
+        ), dw AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(
+                           COALESCE(text, '')), '\\s+')) AS w
+                FROM documents)
+            WHERE w <> '' AND length(w) <= {max_word_len}
+        )""")
+    return ("WITH " + ",\n        ".join(parts) + """
+        SELECT doc_id, count(*) AS n_words,
+               sum(length(w))::BIGINT AS n_chars,
+               sum(n_syms)::BIGINT AS n_tokens
+        FROM dw JOIN enc USING (w)
+        GROUP BY doc_id""")

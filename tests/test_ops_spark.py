@@ -1803,3 +1803,16 @@ class TestRound6Ops:
             2: (4, 2, body + share),
             3: (4, 2, body + sub),
         }
+
+    def test_bpe_encode_hand_learned(self, spark):
+        from bella_domify_spark.ops.bpe import bpe_encode
+
+        # types: abc (freq 3), abcd (1). pair counts r1: (a,b)=4,(b,c)=4,
+        # (c,d)=1 -> tie breaks lexicographically to (a,b); r2: (ab,c)=4;
+        # r3: (abc,d)=1. So abc -> 1 token, abcd -> 1 token. The 40-char
+        # word is over the trainer cap and drops out of every count.
+        rows = [(1, "abc abc"), (2, "abcd " + "x" * 40), (3, "abc")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+               for r in bpe_encode(df, n_merges=3).collect()}
+        assert got == {1: (2, 6, 2), 2: (1, 4, 1), 3: (1, 3, 1)}

@@ -25,7 +25,8 @@ def entries() -> dict[str, str]:
                                                   prune_oracle_sql
                                                   as _prune_oracle_sql,
                                                   zorder_oracle_ctes)
-    from bella_domify_spark.ops.bpe import bpe_oracle_sql
+    from bella_domify_spark.ops.bpe import (bpe_encode_oracle_sql,
+                                            bpe_oracle_sql)
     from bella_domify_spark.ops.boilerplate import (boilerplate_oracle_sql
                                                     as _bp_oracle_sql)
     from bella_domify_spark.ops.retrieval import queries_values_sql
@@ -623,6 +624,7 @@ def entries() -> dict[str, str]:
             FROM j GROUP BY 1
         """,
         "bpe_merges": bpe_oracle_sql(),
+        "bpe_encode": bpe_encode_oracle_sql(),
         "vacuum_candidates": """
             WITH t AS (
                 SELECT event_id AS file_id, event_type AS part,
