@@ -1188,6 +1188,14 @@ def _q_bpe_encode(spark, sf):
     return bpe_encode(_t(spark, sf, "documents"))
 
 
+def _q_pq_codes(spark, sf):
+    """Product quantization (ops/ann.py pq_codes): 4 blocks x 16
+    seed-codebook sub-centroids, integer-exact assignment — the
+    compression half of the IVF+PQ billion-scale ANN stack."""
+    from bella_domify_spark.ops.ann import pq_codes
+    return pq_codes(_t(spark, sf, "embeddings"))
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1369,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_boilerplate": _q_corpus_boilerplate,
         "kcore_peel": _q_kcore_peel,
         "bpe_encode": _q_bpe_encode,
+        "pq_codes": _q_pq_codes,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -499,3 +499,112 @@ def semdedup_prune(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
             .select(F.col("id").alias(id_col), "cluster_id",
                     F.when(F.col("is_dup").isNull(), 1).otherwise(0)
                      .cast("int").alias("keep")))
+
+
+def pq_codes(vectors: DataFrame, m: int = 4, k_sub: int = 16,
+             dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             scale: int = 1_000_000) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI'11) — the compression
+    half of the billion-scale ANN stack (ivf_topk routes, PQ codes shrink
+    the residency ~dim·4B → m bytes): split each embedding into ``m``
+    sub-blocks and code each block as its nearest of ``k_sub``
+    sub-centroids, integer-exact like kmeans_assign (floor-e6
+    quantization, integer squared-L2, (d2, c_id) tie-break).
+
+    Codebook = the sub-blocks of the ``k_sub`` lowest-id vectors (the
+    kmeans_assign seeding rule, iterated zero times): the oracle equality
+    proves the ASSIGNMENT algebra — codebook refinement is orthogonal
+    (production trains each block's codebook with kmeans_assign on the
+    block slice and feeds it in unchanged).
+
+    Plan: the codebook is m·k_sub rows — broadcast; assignment is one
+    map-side join + a (d2, c_id) struct-min aggregate that partial-
+    combines per (vector, block) — no window, no shuffle of the vectors
+    beyond the final per-id pivot. Vectors failing the ``dim`` guard are
+    excluded (ragged/empty embeddings would zip_with-pad to NULL and
+    silently diverge from the oracle's positional join — the
+    embedding_outliers lesson).
+
+    Output: (vec_id, code0..code{m-1}, dist2) with dist2 the total
+    squared reconstruction error in the e6-quantized grid.
+    """
+    sub = dim // m
+    q = (vectors.filter(F.col(vec_col).isNotNull()
+                        & (F.size(vec_col) == dim))
+         .select(F.col(id_col).alias("id"),
+                 F.transform(F.col(vec_col).cast("array<double>"),
+                             lambda x: F.floor(x * F.lit(float(scale)))
+                                        .cast("long")).alias("v")))
+    seeds = (q.orderBy("id").limit(k_sub)
+             .withColumn("c_id",
+                         (F.row_number().over(Window.orderBy("id")) - 1)
+                         .cast("long")))
+    slicer = (f"transform(sequence(0, {m - 1}),"
+              f" b -> struct(b AS block,"
+              f" slice(v, b * {sub} + 1, {sub}) AS bv))")
+    cb = (seeds.select("c_id", F.explode(F.expr(slicer)).alias("s"))
+               .select(F.col("s.block").alias("block"), "c_id",
+                       F.col("s.bv").alias("cv")))
+    blocks = (q.select("id", F.explode(F.expr(slicer)).alias("s"))
+               .select("id", F.col("s.block").alias("block"),
+                       F.col("s.bv").alias("bv")))
+    d2 = F.aggregate(
+        F.zip_with("bv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (blocks.join(F.broadcast(cb), "block")
+                    .select("id", "block", "c_id", d2.alias("d2")))
+    best = (scored.groupBy("id", "block")
+                  .agg(F.min(F.struct("d2", "c_id")).alias("w")))
+    pivots = [F.max(F.when(F.col("block") == i, F.col("w.c_id")))
+               .alias(f"code{i}") for i in range(m)]
+    return (best.groupBy("id")
+                .agg(*pivots, F.sum("w.d2").alias("dist2"))
+                .select(F.col("id").alias(id_col),
+                        *[f"code{i}" for i in range(m)], "dist2"))
+
+
+def pq_oracle_sql(m: int = 4, k_sub: int = 16, dim: int = 64,
+                  scale: int = 1_000_000) -> str:
+    """DuckDB twin of pq_codes (kept beside the Spark code so the
+    codebook seeding and assignment rules cannot drift)."""
+    sub = dim // m
+    code_cols = ",\n               ".join(
+        f"max(CASE WHEN block = {i} THEN code END)::BIGINT AS code{i}"
+        for i in range(m))
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> floor(x::DOUBLE * {float(scale)})::BIGINT) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        ), seeds AS (
+            SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS c_id
+            FROM (SELECT id, v FROM q ORDER BY id LIMIT {k_sub})
+        ), cb AS (
+            SELECT b.bk AS block, c_id,
+                   list_slice(v, b.bk * {sub} + 1, (b.bk + 1) * {sub}) AS cv
+            FROM seeds, UNNEST(range(0, {m})) AS b(bk)
+        ), blocks AS (
+            SELECT id, b.bk AS block,
+                   list_slice(v, b.bk * {sub} + 1, (b.bk + 1) * {sub}) AS bv
+            FROM q, UNNEST(range(0, {m})) AS b(bk)
+        ), scored AS (
+            SELECT id, block, c_id,
+                   list_sum(list_transform(range(1, {sub} + 1),
+                       i -> (bv[i] - cv[i]) * (bv[i] - cv[i])))::BIGINT
+                       AS d2
+            FROM blocks JOIN cb USING (block)
+        ), best AS (
+            SELECT id, block, c_id AS code, d2,
+                   row_number() OVER (PARTITION BY id, block
+                                      ORDER BY d2, c_id) AS rn
+            FROM scored
+        )
+        SELECT id AS vec_id,
+               {code_cols},
+               sum(d2)::BIGINT AS dist2
+        FROM best WHERE rn = 1
+        GROUP BY id
+    """

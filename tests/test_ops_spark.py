@@ -1816,3 +1816,36 @@ class TestRound6Ops:
         got = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
                for r in bpe_encode(df, n_merges=3).collect()}
         assert got == {1: (2, 6, 2), 2: (1, 4, 1), 3: (1, 3, 1)}
+
+    def test_pq_codes_matches_numpy_bruteforce(self, spark):
+        import math
+        import random
+        from bella_domify_spark.ops.ann import pq_codes
+
+        rng = random.Random(11)
+        dim, m, k_sub = 8, 2, 2
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(10)]
+        rows = vecs + [(99, [0.5] * 3)]  # ragged -> excluded by the guard
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: (r["code0"], r["code1"], r["dist2"])
+               for r in pq_codes(df, m=m, k_sub=k_sub, dim=dim).collect()}
+
+        # brute force on the same float32->double->floor grid
+        import numpy as np
+        qv = {i: [math.floor(float(np.float32(x)) * 1e6) for x in v]
+              for i, v in vecs}
+        cb = {b: {c: qv[c][b * 4:(b + 1) * 4] for c in (0, 1)}
+              for b in (0, 1)}
+        want = {}
+        for i, _ in vecs:
+            codes, tot = [], 0
+            for b in (0, 1):
+                best = min((sum((a - c) ** 2 for a, c in
+                                zip(qv[i][b * 4:(b + 1) * 4], cb[b][cid])),
+                            cid) for cid in (0, 1))
+                codes.append(best[1])
+                tot += best[0]
+            want[i] = (codes[0], codes[1], tot)
+        assert 99 not in got
+        assert got == want
