@@ -1196,6 +1196,18 @@ def _q_pq_codes(spark, sf):
     return pq_codes(_t(spark, sf, "embeddings"))
 
 
+def _q_ivfpq_topk(spark, sf):
+    """IVF+PQ composite search (ops/ann.py ivfpq_topk): route each query
+    to 2 of 8 inverted lists, scan candidates by PQ asymmetric distance
+    (4 blocks x 16 codes) — the FAISS-shaped billion-scale query,
+    integer-exact end to end."""
+    from bella_domify_spark.ops.ann import ivfpq_topk
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivfpq_topk(em, q, k=5)
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1378,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": _q_kcore_peel,
         "bpe_encode": _q_bpe_encode,
         "pq_codes": _q_pq_codes,
+        "ivfpq_topk": _q_ivfpq_topk,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1403,6 +1416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
         "format_detect_stats": _q_format_detect_stats,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
+        # --- exiled tail (51+): no driver row this round ---
+        # (dedup_cluster_minhash .. conv_stats displaced by the 7
+        # session-2 new queries, which are never-driver-confirmed and
+        # take window priority; every displaced entry has r4-or-better
+        # driver proof plus this session's local exact-hash green)
         "dedup_cluster_minhash": _q_dedup_cluster_minhash,
         "xlsx_markdown": _q_xlsx_markdown,
         "extract_pptxlike_flat": _q_extract_pptxlike_flat,
@@ -1414,10 +1432,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_cluster_embedding": _q_dedup_cluster_embedding,
-        # --- exiled tail (51+): no driver row this round ---
-        # (doc_quality / train_split / turn_ordering / conv_stats
-        # displaced by the session-2 new queries: in-window slots go to
-        # never-driver-confirmed ops first)
         "doc_quality": _q_doc_quality,
         "train_split": _q_train_split,
         "turn_ordering": _q_turn_ordering,

@@ -608,3 +608,209 @@ def pq_oracle_sql(m: int = 4, k_sub: int = 16, dim: int = 64,
         FROM best WHERE rn = 1
         GROUP BY id
     """
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+               n_lists: int = 8, n_probe: int = 2, m: int = 4,
+               k_sub: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+               scale: int = 1_000_000) -> DataFrame:
+    """IVF+PQ search — the two scale halves composed the way a
+    billion-vector index actually runs (FAISS IVFPQ): IVF routing prunes
+    the candidate set to ``n_probe`` of ``n_lists`` inverted lists, and
+    the scan inside a list never touches the raw vectors — it sums
+    per-block ASYMMETRIC distances (query sub-block vs the candidate's
+    PQ code) from a query-local lookup table of m·k_sub entries.
+
+    Integer-exact throughout (floor-e6 grid, squared L2, (d2, id)
+    tie-breaks), so the whole composite sits under the exact-hash oracle
+    gate. Centroids and codebooks are the deterministic lowest-id seeds
+    (kmeans_assign's rule, zero iterations): the equality proves the
+    ROUTING + ADC algebra; production feeds trained centroids in
+    unchanged.
+
+    Plan: centroids, codebooks, query probe lists and ADC tables are all
+    aggregate-sized broadcasts; the vector table is touched exactly
+    twice map-side (list assignment, PQ coding — both broadcast joins +
+    partial-combining struct-min aggregates); candidate generation is an
+    equality join on list_id; the ADC scan joins (query, candidate,
+    block) rows that carry three ints each. At 100 TB the codes table
+    would be written bucketed BY list_id so the probe join prunes
+    partitions instead of shuffling — noted here because this operator
+    is exactly what that layout decision is for.
+
+    Output: (q_id, rank, vec_id, adc2) — top-``k`` per query by ADC
+    distance, ties to the smaller vec_id.
+    """
+    sub = dim // m
+
+    def _q(df, in_id, in_vec, out_id, out_vec):
+        return (df.filter(F.col(in_vec).isNotNull()
+                          & (F.size(in_vec) == dim))
+                  .select(F.col(in_id).alias(out_id),
+                          F.transform(F.col(in_vec).cast("array<double>"),
+                                      lambda x: F.floor(
+                                          x * F.lit(float(scale)))
+                                      .cast("long")).alias(out_vec)))
+
+    v = _q(vectors, id_col, vec_col, "id", "v")
+    qs = _q(queries, q_id_col, q_vec_col, "qid", "qv")
+
+    d2_full = F.aggregate(
+        F.zip_with("v", "lv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    ivf = (v.orderBy("id").limit(n_lists)
+            .withColumn("l_id",
+                        (F.row_number().over(Window.orderBy("id")) - 1)
+                        .cast("long"))
+            .select("l_id", F.col("v").alias("lv")))
+
+    # vector -> its single nearest list (map-side: broadcast + struct-min)
+    vlist = (v.crossJoin(F.broadcast(ivf))
+              .select("id", "v", "l_id", d2_full.alias("d2"))
+              .groupBy("id")
+              .agg(F.min(F.struct("d2", "l_id")).alias("w"),
+                   F.first("v").alias("v"))
+              .select("id", "v", F.col("w.l_id").alias("list_id")))
+
+    # PQ codebook (k_sub lowest-id vectors, per block) and vector codes
+    seeds = (v.orderBy("id").limit(k_sub)
+              .withColumn("c_id",
+                          (F.row_number().over(Window.orderBy("id")) - 1)
+                          .cast("long")))
+    slicer = (f"transform(sequence(0, {m - 1}),"
+              f" b -> struct(b AS block,"
+              f" slice(v, b * {sub} + 1, {sub}) AS bv))")
+    cb = (seeds.select("c_id", F.explode(F.expr(slicer)).alias("s"))
+               .select(F.col("s.block").alias("block"), "c_id",
+                       F.col("s.bv").alias("cv")))
+    d2_sub = F.aggregate(
+        F.zip_with("bv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    codes = (vlist.select("id", "list_id",
+                          F.explode(F.expr(slicer)).alias("s"))
+                  .select("id", "list_id", F.col("s.block").alias("block"),
+                          F.col("s.bv").alias("bv"))
+                  .join(F.broadcast(cb), "block")
+                  .select("id", "list_id", "block", "c_id",
+                          d2_sub.alias("d2"))
+                  .groupBy("id", "list_id", "block")
+                  .agg(F.min(F.struct("d2", "c_id")).alias("w"))
+                  .select("id", "list_id", "block",
+                          F.col("w.c_id").alias("code")))
+
+    # query probe lists (n_probe nearest IVF centroids) + ADC tables
+    qd2_full = F.aggregate(
+        F.zip_with("qv", "lv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    wq = Window.partitionBy("qid").orderBy("d2", "l_id")
+    probes = (qs.crossJoin(F.broadcast(ivf))
+                .select("qid", "l_id", qd2_full.alias("d2"))
+                .withColumn("r", F.row_number().over(wq))
+                .filter(F.col("r") <= n_probe)
+                .select("qid", F.col("l_id").alias("list_id")))
+    qslicer = slicer.replace("slice(v,", "slice(qv,")
+    qd2_sub = F.aggregate(
+        F.zip_with("qbv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    adc = (qs.select("qid", F.explode(F.expr(qslicer)).alias("s"))
+             .select("qid", F.col("s.block").alias("block"),
+                     F.col("s.bv").alias("qbv"))
+             .join(F.broadcast(cb), "block")
+             .select("qid", "block", F.col("c_id").alias("code"),
+                     qd2_sub.alias("qd2")))
+
+    # candidate scan: route by list, sum per-block table lookups
+    cand = codes.join(F.broadcast(probes), "list_id")
+    scored = (cand.join(F.broadcast(adc), ["qid", "block", "code"])
+                  .groupBy("qid", "id")
+                  .agg(F.sum("qd2").alias("adc2")))
+    wk = Window.partitionBy("qid").orderBy("adc2", "id")
+    return (scored.withColumn("rank",
+                              F.row_number().over(wk).cast("long"))
+                  .filter(F.col("rank") <= k)
+                  .select(F.col("qid").alias(q_id_col), "rank",
+                          F.col("id").alias(id_col), "adc2"))
+
+
+def ivfpq_oracle_sql(k: int = 5, n_lists: int = 8, n_probe: int = 2,
+                     m: int = 4, k_sub: int = 16, dim: int = 64,
+                     scale: int = 1_000_000,
+                     query_pred: str = "id < 8") -> str:
+    """DuckDB twin of ivfpq_topk over the embeddings table (queries =
+    rows matching ``query_pred``; kept beside the Spark code so the
+    routing/ADC rules cannot drift)."""
+    sub = dim // m
+    d2 = (lambda a, b, n: f"list_sum(list_transform(range(1, {n} + 1), "
+          f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))::BIGINT")
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> floor(x::DOUBLE * {float(scale)})::BIGINT) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        ), qs AS (
+            SELECT id AS qid, v AS qv FROM q WHERE {query_pred}
+        ), ivf AS (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS l_id, v AS lv
+            FROM (SELECT id, v FROM q ORDER BY id LIMIT {n_lists})
+        ), va0 AS (
+            SELECT q.id, q.v, i.l_id, {d2('v', 'lv', dim)} AS d2
+            FROM q CROSS JOIN ivf i
+        ), vlist AS (
+            SELECT id, v, l_id AS list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY id
+                                             ORDER BY d2, l_id) AS rn
+                FROM va0) WHERE rn = 1
+        ), seeds AS (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS c_id, v
+            FROM (SELECT id, v FROM q ORDER BY id LIMIT {k_sub})
+        ), cb AS (
+            SELECT b.bk AS block, c_id,
+                   list_slice(v, b.bk * {sub} + 1, (b.bk + 1) * {sub}) AS cv
+            FROM seeds, UNNEST(range(0, {m})) AS b(bk)
+        ), vblocks AS (
+            SELECT id, list_id, b.bk AS block,
+                   list_slice(v, b.bk * {sub} + 1, (b.bk + 1) * {sub}) AS bv
+            FROM vlist, UNNEST(range(0, {m})) AS b(bk)
+        ), vcode0 AS (
+            SELECT id, list_id, block, c_id, {d2('bv', 'cv', sub)} AS d2
+            FROM vblocks JOIN cb USING (block)
+        ), codes AS (
+            SELECT id, list_id, block, c_id AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY id, block
+                                             ORDER BY d2, c_id) AS rn
+                FROM vcode0) WHERE rn = 1
+        ), qa0 AS (
+            SELECT qid, l_id, {d2('qv', 'lv', dim)} AS d2
+            FROM qs CROSS JOIN ivf
+        ), probes AS (
+            SELECT qid, l_id AS list_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                                             ORDER BY d2, l_id) AS rn
+                FROM qa0) WHERE rn <= {n_probe}
+        ), qblocks AS (
+            SELECT qid, b.bk AS block,
+                   list_slice(qv, b.bk * {sub} + 1, (b.bk + 1) * {sub})
+                       AS qbv
+            FROM qs, UNNEST(range(0, {m})) AS b(bk)
+        ), adc AS (
+            SELECT qid, block, c_id AS code, {d2('qbv', 'cv', sub)} AS qd2
+            FROM qblocks JOIN cb USING (block)
+        ), cand AS (
+            SELECT p.qid, c.id, c.block, c.code
+            FROM codes c JOIN probes p ON p.list_id = c.list_id
+        ), sc AS (
+            SELECT qid, id, sum(qd2)::BIGINT AS adc2
+            FROM cand JOIN adc USING (qid, block, code)
+            GROUP BY qid, id
+        )
+        SELECT q_id, rank, vec_id, adc2 FROM (
+            SELECT qid AS q_id, id AS vec_id, adc2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc2, id) AS rank
+            FROM sc)
+        WHERE rank <= {k}
+    """

@@ -170,7 +170,10 @@ def main() -> int:
                  "cuped_adjusted", "triangle_stats",
                  "compact_files", "standard_images",
                  "hybrid_rrf", "skew_report", "semdedup",
-                 "vacuum_candidates", "bpe_merges", "turn_revisions"]:
+                 "vacuum_candidates", "bpe_merges", "turn_revisions",
+                 "time_travel_read", "file_prune_stats", "late_data_stats",
+                 "corpus_boilerplate", "kcore_peel", "bpe_encode",
+                 "pq_codes"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

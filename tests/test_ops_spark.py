@@ -1849,3 +1849,47 @@ class TestRound6Ops:
             want[i] = (codes[0], codes[1], tot)
         assert 99 not in got
         assert got == want
+
+    def test_ivfpq_matches_python_bruteforce(self, spark):
+        import math
+        import random
+        import numpy as np
+        from bella_domify_spark.ops.ann import ivfpq_topk
+
+        rng = random.Random(13)
+        dim, m, k_sub, n_lists, n_probe, k = 8, 2, 2, 2, 1, 3
+        sub = dim // m
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(12)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = (df.filter("vec_id < 2")
+               .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
+        got = {(r["q_id"], r["rank"]): (r["vec_id"], r["adc2"])
+               for r in ivfpq_topk(df, q, k=k, n_lists=n_lists,
+                                   n_probe=n_probe, m=m, k_sub=k_sub,
+                                   dim=dim).collect()}
+
+        qv = {i: [math.floor(float(np.float32(x)) * 1e6) for x in v]
+              for i, v in vecs}
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        ivf = {l: qv[l] for l in range(n_lists)}
+        cb = {b: {c: qv[c][b * sub:(b + 1) * sub] for c in range(k_sub)}
+              for b in range(m)}
+        vlist = {i: min((d2(qv[i], ivf[l]), l) for l in ivf)[1] for i in qv}
+        codes = {i: [min((d2(qv[i][b * sub:(b + 1) * sub], cb[b][c]), c)
+                         for c in range(k_sub))[1] for b in range(m)]
+                 for i in qv}
+        want = {}
+        for qi in (0, 1):
+            probe = sorted((d2(qv[qi], ivf[l]), l) for l in ivf)[:n_probe]
+            lists = {l for _, l in probe}
+            adc = {(b, c): d2(qv[qi][b * sub:(b + 1) * sub], cb[b][c])
+                   for b in range(m) for c in range(k_sub)}
+            cands = [(sum(adc[(b, codes[i][b])] for b in range(m)), i)
+                     for i in qv if vlist[i] in lists]
+            for rank, (dd, i) in enumerate(sorted(cands)[:k], 1):
+                want[(qi, rank)] = (i, dd)
+        assert got == want

@@ -17,7 +17,9 @@ from __future__ import annotations
 
 def entries() -> dict[str, str]:
     from bella_domify_spark.ops.analyze import analyze_oracle_sql
-    from bella_domify_spark.ops.ann import (planes_values_sql,
+    from bella_domify_spark.ops.ann import (ivfpq_oracle_sql
+                                            as _ivfpq_oracle_sql,
+                                            planes_values_sql,
                                             pq_oracle_sql as _pq_oracle_sql)
     from bella_domify_spark.ops.classifier import (classifier_feats_sql,
                                                    classifier_weight_expr)
@@ -627,6 +629,7 @@ def entries() -> dict[str, str]:
         "bpe_merges": bpe_oracle_sql(),
         "bpe_encode": bpe_encode_oracle_sql(),
         "pq_codes": _pq_oracle_sql(),
+        "ivfpq_topk": _ivfpq_oracle_sql(),
         "vacuum_candidates": """
             WITH t AS (
                 SELECT event_id AS file_id, event_type AS part,
