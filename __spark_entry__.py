@@ -1208,6 +1208,14 @@ def _q_ivfpq_topk(spark, sf):
     return ivfpq_topk(em, q, k=5)
 
 
+def _q_pmi_pairs(spark, sf):
+    """Skip-gram PMI collocations (ops/textstats.py pmi_pairs): top-30
+    window-3 co-occurring pairs by count, floor-e12 quantized PMI under
+    the corpus's own unigram statistics."""
+    from bella_domify_spark.ops.textstats import pmi_pairs
+    return pmi_pairs(_t(spark, sf, "documents"))
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1216,6 +1224,17 @@ def _q_kcore_peel(spark, sf):
     from bella_domify_spark.ops.graph import kcore_peel
     return kcore_peel(jaccard_pairs(_t(spark, sf, "documents"),
                                     threshold=0.2))
+
+
+def _q_snapshot_diff(spark, sf):
+    """Change Data Feed (ops/lakehouse.py snapshot_diff): the minimal
+    I/U/D changelog between the base snapshot and the CDC-merged one —
+    the inverse of merge_upsert, one full-outer join."""
+    from bella_domify_spark.ops.lakehouse import merge_upsert, snapshot_diff
+    docs, changes = _cdc_changelog(spark, sf)
+    before = docs.select("doc_id", "text")
+    after = merge_upsert(before, changes).select("doc_id", "text")
+    return snapshot_diff(before, after)
 
 
 def _q_pagerank_dedup(spark, sf):
@@ -1391,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "pq_codes": _q_pq_codes,
         "ivfpq_topk": _q_ivfpq_topk,
+        "pmi_pairs": _q_pmi_pairs,
+        "snapshot_diff": _q_snapshot_diff,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1415,12 +1436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_markdown": _q_csv_markdown,
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
         "format_detect_stats": _q_format_detect_stats,
-        "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         # --- exiled tail (51+): no driver row this round ---
-        # (dedup_cluster_minhash .. conv_stats displaced by the 7
+        # (dedup_cluster_simhash .. conv_stats displaced by the 8
         # session-2 new queries, which are never-driver-confirmed and
         # take window priority; every displaced entry has r4-or-better
         # driver proof plus this session's local exact-hash green)
+        "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_cluster_minhash": _q_dedup_cluster_minhash,
         "xlsx_markdown": _q_xlsx_markdown,
         "extract_pptxlike_flat": _q_extract_pptxlike_flat,

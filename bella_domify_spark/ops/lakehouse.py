@@ -547,3 +547,36 @@ def vacuum_candidates(writes: DataFrame,
                     & (F.col("ts_us") <= F.expr("(lo + hi) div 2")))
             .select("file_id", "part", "slot", "version",
                     "live_version", "ts_us"))
+
+
+def snapshot_diff(before: DataFrame, after: DataFrame,
+                  key: str = "doc_id") -> DataFrame:
+    """Change Data Feed: diff two table snapshots into the minimal
+    changelog that replays one into the other — the INVERSE of
+    merge_upsert (which applies a changelog). Emits I (key only in
+    ``after``), D (key only in ``before``) and U (both, text differs);
+    unchanged keys emit nothing. Feeding the output to a downstream
+    MERGE reproduces ``after`` exactly — this is how a lakehouse ships
+    incremental updates to consumers that only ever saw ``before``.
+
+    Plan: ONE full-outer hash join on the key (both sides shuffle once;
+    AQE skew-handles a hot key), all else map-side. NULL text is
+    handled set-wise: null-to-value and value-to-null are updates,
+    null-to-null is unchanged (null-safe equality, both engines).
+
+    Output: (key, op, text_before, text_after).
+    """
+    b = before.select(F.col(key).alias("k"),
+                      F.lit(1).alias("_inb"),
+                      F.col("text").alias("text_before"))
+    a = after.select(F.col(key).alias("k"),
+                     F.lit(1).alias("_ina"),
+                     F.col("text").alias("text_after"))
+    j = b.join(a, "k", "full_outer")
+    op = (F.when(F.col("_inb").isNull(), F.lit("I"))
+           .when(F.col("_ina").isNull(), F.lit("D"))
+           .when(~F.col("text_before").eqNullSafe(F.col("text_after")),
+                 F.lit("U")))
+    return (j.select(F.col("k").alias(key), op.alias("op"),
+                     "text_before", "text_after")
+             .filter(F.col("op").isNotNull()))

@@ -596,3 +596,106 @@ def cross_surprisal(new_docs: DataFrame, corpus_docs: DataFrame,
                     F.expr("ssum div (CAST(n_bigrams AS DECIMAL(20,0))"
                            " * 1000000)").cast("long")
                     .alias("mean_surprisal_e6")))
+
+
+def pmi_pairs(docs: DataFrame, window: int = 3, top_k: int = 30,
+              min_count: int = 5, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Skip-gram PMI collocations: pointwise mutual information of
+    unordered word pairs co-occurring within ``window`` positions —
+    word2vec's positive-sampling statistic and the classic collocation
+    extractor (PMI = ln(P(a,b) / (P(a)·P(b))), Church & Hanks, CL'90).
+    High-PMI pairs are multi-word expressions; they feed phrase-aware
+    tokenization and the template detection the boilerplate vote can't
+    see (reworded-but-correlated chrome).
+
+    Pair generation is an EQUALITY join — each token joins the token
+    exactly d positions ahead for d in 1..window via (doc, pos+d) keys,
+    so the work is corpus_tokens × window with no range-join blowup and
+    the per-doc skew profile of the token stream itself. Counts combine
+    map-side; the top-``top_k`` winner set (count >= ``min_count``,
+    ties (count DESC, a, b)) is 30 rows and BROADCASTS into the two
+    unigram lookups.
+
+    Exact-hash discipline: PMI quantizes as floor((ln(cab) + 2·ln(Nu)
+    − ln(Np) − ln(ca) − ln(cb)) · 1e12) with the ln-terms summed in one
+    fixed left-associated order — IEEE ops are deterministic given the
+    same expression tree, and floor beats round across engines (the
+    bigram_surprisal lesson).
+
+    Output: (w1, w2, n_pair, pmi_e12), top_k rows.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.posexplode(F.split(F.lower(
+                            F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+")).alias("pos", "w"))
+                .filter(F.col("w") != ""))
+    right = toks.select("id", F.col("pos").alias("pos2"),
+                        F.col("w").alias("wr"))
+    left = (toks.select("id", "pos", F.col("w").alias("wl"),
+                        F.explode(F.expr(f"sequence(1, {int(window)})"))
+                         .alias("d"))
+                .select("id", (F.col("pos") + F.col("d")).alias("pos2"),
+                        "wl"))
+    pr = (left.join(right, ["id", "pos2"])
+              .select(F.least("wl", "wr").alias("a"),
+                      F.greatest("wl", "wr").alias("b")))
+    cab = pr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pair"))
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = toks.agg(F.count(F.lit(1)).alias("nu"))
+    np_ = pr.agg(F.count(F.lit(1)).alias("np"))
+    top = (cab.filter(F.col("n_pair") >= min_count)
+              .orderBy(F.desc("n_pair"), F.asc("a"), F.asc("b"))
+              .limit(top_k))
+    j = (cw.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+           .join(F.broadcast(top), "a")
+           .join(F.broadcast(cw.select(F.col("w").alias("b"),
+                                       F.col("c").alias("cb"))
+                             .join(F.broadcast(top.select("b")), "b")
+                             .distinct()), "b")
+           .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(np_)))
+    ln = lambda c: F.log(F.col(c).cast("double"))
+    pmi = F.floor((ln("n_pair") + ln("nu") + ln("nu") - ln("np")
+                   - ln("ca") - ln("cb")) * F.lit(1e12)).cast("long")
+    return j.select(F.col("a").alias("w1"), F.col("b").alias("w2"),
+                    "n_pair", pmi.alias("pmi_e12"))
+
+
+def pmi_oracle_sql(window: int = 3, top_k: int = 30,
+                   min_count: int = 5) -> str:
+    """DuckDB twin of pmi_pairs (kept beside the Spark code so the pair
+    rule and the ln-term order cannot drift)."""
+    return f"""
+        WITH toks AS (
+            SELECT id, u.i AS pos, arr[u.i] AS w FROM (
+                SELECT doc_id AS id,
+                       regexp_split_to_array(lower(COALESCE(text, '')),
+                                             '\\s+') AS arr
+                FROM documents),
+                UNNEST(range(1, len(arr) + 1)) AS u(i)
+            WHERE arr[u.i] <> ''
+        ), pr AS (
+            SELECT least(l.w, r.w) AS a, greatest(l.w, r.w) AS b
+            FROM toks l JOIN toks r
+              ON r.id = l.id
+             AND r.pos BETWEEN l.pos + 1 AND l.pos + {int(window)}
+        ), cab AS (
+            SELECT a, b, count(*) AS n_pair FROM pr GROUP BY a, b
+        ), cw AS (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+        ), nu AS (SELECT count(*) AS nu FROM toks
+        ), np AS (SELECT count(*) AS np FROM pr
+        ), top AS (
+            SELECT a, b, n_pair FROM cab WHERE n_pair >= {int(min_count)}
+            ORDER BY n_pair DESC, a ASC, b ASC LIMIT {int(top_k)}
+        )
+        SELECT top.a AS w1, top.b AS w2, top.n_pair,
+               floor((ln(top.n_pair::DOUBLE) + ln(nu.nu::DOUBLE)
+                      + ln(nu.nu::DOUBLE) - ln(np.np::DOUBLE)
+                      - ln(ca.c::DOUBLE) - ln(cb.c::DOUBLE))
+                     * 1e12)::BIGINT AS pmi_e12
+        FROM top
+        JOIN cw ca ON ca.w = top.a
+        JOIN cw cb ON cb.w = top.b
+        CROSS JOIN nu CROSS JOIN np
+    """

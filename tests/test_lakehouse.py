@@ -566,3 +566,41 @@ class TestPruneStats:
                 rm += sum(1 for x in xs if lo <= x <= hi)
             want.append((pid, len(files), fs, rs, rm))
         assert got == sorted(want)
+
+
+class TestSnapshotDiff:
+    def test_emits_minimal_changelog(self, spark):
+        from bella_domify_spark.ops.lakehouse import snapshot_diff
+
+        before = spark.createDataFrame(
+            [(1, "same"), (2, "old"), (3, "gone"), (4, None), (5, None)],
+            "doc_id long, text string")
+        after = spark.createDataFrame(
+            [(1, "same"), (2, "new"), (4, "filled"), (5, None), (6, "born")],
+            "doc_id long, text string")
+        got = _rows(snapshot_diff(before, after),
+                    "doc_id", "op", "text_before", "text_after")
+        # 1 unchanged, 5 null->null unchanged: absent
+        assert got == [
+            (2, "U", "old", "new"),
+            (3, "D", "gone", None),
+            (4, "U", None, "filled"),
+            (6, "I", None, "born"),
+        ]
+
+    def test_replaying_diff_reproduces_after(self, spark):
+        from bella_domify_spark.ops.lakehouse import (merge_upsert,
+                                                      snapshot_diff)
+
+        before = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+        after = spark.createDataFrame(
+            [(1, "a"), (2, "bb"), (4, "d")], "doc_id long, text string")
+        diff = snapshot_diff(before, after)
+        changes = diff.select(
+            "doc_id", F.lit(0).cast("long").alias("version"),
+            F.when(F.col("op") == "D", "D").otherwise("U").alias("op"),
+            F.col("text_after").alias("text"))
+        replayed = merge_upsert(before, changes).select("doc_id", "text")
+        assert (_rows(replayed, "doc_id", "text")
+                == _rows(after, "doc_id", "text"))

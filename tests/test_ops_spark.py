@@ -1893,3 +1893,39 @@ class TestRound6Ops:
             for rank, (dd, i) in enumerate(sorted(cands)[:k], 1):
                 want[(qi, rank)] = (i, dd)
         assert got == want
+
+    def test_pmi_pairs_hand_counted(self, spark):
+        import math
+        from bella_domify_spark.ops.textstats import pmi_pairs
+
+        # "x y" adjacent in every doc (cab=4); "x z" at distance 2 in two
+        # docs (cab=2, under min_count=2 both qualify); window=2
+        rows = [(1, "x y q x z"), (2, "x y"), (3, "x y"), (4, "x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi_e12"])
+               for r in pmi_pairs(df, window=2, top_k=2,
+                                  min_count=2).collect()}
+
+        toks = [t for _, s in rows for t in s.split()]
+        nu = len(toks)
+        cw = {w: toks.count(w) for w in set(toks)}
+        # all window-2 pairs, canonical order
+        pairs = []
+        for _, s in rows:
+            ws = s.split()
+            for i, wl in enumerate(ws):
+                for d in (1, 2):
+                    if i + d < len(ws):
+                        a, b = sorted((wl, ws[i + d]))
+                        pairs.append((a, b))
+        np_ = len(pairs)
+        from collections import Counter
+        cab = Counter(pairs)
+        want = {}
+        for (a, b), c in sorted(cab.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:2]:
+            if c >= 2:
+                pmi = (math.log(c) + math.log(nu) + math.log(nu)
+                       - math.log(np_) - math.log(cw[a]) - math.log(cw[b]))
+                want[(a, b)] = (c, math.floor(pmi * 1e12))
+        assert got == want

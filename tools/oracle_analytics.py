@@ -35,6 +35,8 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.retrieval import queries_values_sql
     from bella_domify_spark.ops.temporal import (late_oracle_sql
                                                  as _late_oracle_sql)
+    from bella_domify_spark.ops.textstats import (pmi_oracle_sql
+                                                  as _pmi_oracle_sql)
     from tools.oracle_lib import (
         closure as _closure,
         jaccard_pair_ctes,
@@ -124,6 +126,41 @@ def entries() -> dict[str, str]:
             )
             SELECT doc_id, final_version, n_ops, text
             FROM m WHERE op = 'U'
+        """,
+        "snapshot_diff": """
+            WITH ks AS (
+                SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
+            ), ch AS (
+                SELECT event_id % ks AS doc_id,
+                       event_id AS version,
+                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END
+                           AS op,
+                       event_type || ' ' || props AS text
+                FROM events CROSS JOIN ks
+            ), u AS (
+                SELECT doc_id, -1::BIGINT AS version, 'U' AS op, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id, version, op, text FROM ch
+            ), m AS (
+                SELECT doc_id,
+                       arg_max(op, version) AS op,
+                       arg_max(text, version) AS text
+                FROM u GROUP BY doc_id
+            ), aft AS (
+                SELECT doc_id, text FROM m WHERE op = 'U'
+            ), d AS (
+                SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+                       CASE WHEN b.doc_id IS NULL THEN 'I'
+                            WHEN a.doc_id IS NULL THEN 'D'
+                            WHEN b.text IS DISTINCT FROM a.text THEN 'U'
+                       END AS op,
+                       b.text AS text_before, a.text AS text_after
+                FROM documents b FULL OUTER JOIN aft a
+                  ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id, op, text_before, text_after
+            FROM d WHERE op IS NOT NULL
         """,
         "time_travel_read": """
             WITH ks AS (
@@ -630,6 +667,7 @@ def entries() -> dict[str, str]:
         "bpe_encode": bpe_encode_oracle_sql(),
         "pq_codes": _pq_oracle_sql(),
         "ivfpq_topk": _ivfpq_oracle_sql(),
+        "pmi_pairs": _pmi_oracle_sql(),
         "vacuum_candidates": """
             WITH t AS (
                 SELECT event_id AS file_id, event_type AS part,
