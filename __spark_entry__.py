@@ -1434,13 +1434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docxlike_flat": _q_extract_docxlike_flat,
         "csv_normalize": _q_csv_normalize,
         "csv_markdown": _q_csv_markdown,
-        "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
-        "format_detect_stats": _q_format_detect_stats,
         # --- exiled tail (51+): no driver row this round ---
-        # (dedup_cluster_simhash .. conv_stats displaced by the 8
+        # (extract_xlsxlike_flat .. conv_stats displaced by the 10
         # session-2 new queries, which are never-driver-confirmed and
         # take window priority; every displaced entry has r4-or-better
         # driver proof plus this session's local exact-hash green)
+        "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
+        "format_detect_stats": _q_format_detect_stats,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
         "dedup_cluster_minhash": _q_dedup_cluster_minhash,
         "xlsx_markdown": _q_xlsx_markdown,

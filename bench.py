@@ -173,7 +173,7 @@ def main() -> int:
                  "vacuum_candidates", "bpe_merges", "turn_revisions",
                  "time_travel_read", "file_prune_stats", "late_data_stats",
                  "corpus_boilerplate", "kcore_peel", "bpe_encode",
-                 "pq_codes", "ivfpq_topk"]:
+                 "pq_codes", "ivfpq_topk", "pmi_pairs", "snapshot_diff"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
