@@ -1226,6 +1226,14 @@ def _q_kcore_peel(spark, sf):
                                     threshold=0.2))
 
 
+def _q_quantile_effects(spark, sf):
+    """Quantile treatment effects (ops/analyze.py quantile_effects):
+    pooled metric deciles of per-user value sums, per-decile variant gap
+    — tail-visible experiment readout, all integer."""
+    from bella_domify_spark.ops.analyze import quantile_effects
+    return quantile_effects(_t(spark, sf, "events"))
+
+
 def _q_snapshot_diff(spark, sf):
     """Change Data Feed (ops/lakehouse.py snapshot_diff): the minimal
     I/U/D changelog between the base snapshot and the CDC-merged one —
@@ -1412,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "pmi_pairs": _q_pmi_pairs,
         "snapshot_diff": _q_snapshot_diff,
+        "quantile_effects": _q_quantile_effects,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

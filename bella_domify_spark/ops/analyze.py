@@ -303,3 +303,99 @@ def skew_report(df: DataFrame, key_col: str, n_top: int = 10) -> DataFrame:
                     F.expr("cnt * 1000000L div n_rows").alias("share_e6"),
                     F.expr("cnt * n_keys div n_rows").cast("long")
                      .alias("salt_factor")))
+
+
+def quantile_effects(events: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Quantile treatment effects — the distributional companion to the
+    mean readouts (ab_conversion_chi2, cuped_adjusted): split users into
+    pooled metric deciles and report the per-decile variant gap, exposing
+    effects that concentrate in the tails (a heavy-user regression with a
+    flat mean, a floor effect in the bottom decile) that a single mean
+    cancels out.
+
+    Metric = per-user floor-e6 value sum; variant = user_id % 2 (the
+    chi2 assignment rule). Deciles come from ``ntile`` over the POOLED
+    (metric, user_id) total order — fully tie-broken, so both engines
+    cut identical buckets. The ntile window is a global sort of the
+    per-USER aggregate (users-sized, not events-sized); at 100 TB the
+    swap-in is percentile_approx boundary tables, exactly like
+    analyze_table_stats' exact-NDV caveat — noted, not hidden.
+
+    All integer: means are truncating integer divisions (``div`` ≡
+    DuckDB ``//`` on these operands — the kmeans_assign precedent).
+
+    Output: (bucket 1..n, n_a, n_b, mean_a_e6, mean_b_e6, qte_e6) where
+    qte_e6 = mean_b − mean_a (0 when a side is empty).
+    """
+    from pyspark.sql import Window
+
+    pu = (events.filter(F.col("user_id").isNotNull()
+                        & F.col("value").isNotNull())
+                .groupBy("user_id")
+                .agg(F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+                      .alias("m_e6")))
+    w = Window.orderBy("m_e6", "user_id")
+    d = pu.select(F.expr("user_id % 2").alias("variant"), "m_e6",
+                  F.ntile(n_buckets).over(w).cast("long").alias("bucket"))
+    agg = d.groupBy("bucket").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long")
+         .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("m_e6")).otherwise(0))
+         .cast("long").alias("_sa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("m_e6")).otherwise(0))
+         .cast("long").alias("_sb"))
+    mean_a = F.when(F.col("n_a") > 0, F.expr("_sa div n_a")) \
+              .otherwise(F.lit(0)).cast("long")
+    mean_b = F.when(F.col("n_b") > 0, F.expr("_sb div n_b")) \
+              .otherwise(F.lit(0)).cast("long")
+    return (agg.select("bucket", "n_a", "n_b",
+                       mean_a.alias("mean_a_e6"),
+                       mean_b.alias("mean_b_e6"))
+               .select("bucket", "n_a", "n_b", "mean_a_e6", "mean_b_e6",
+                       F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                              F.col("mean_b_e6") - F.col("mean_a_e6"))
+                        .otherwise(F.lit(0)).cast("long")
+                        .alias("qte_e6")))
+
+
+def qte_oracle_sql(n_buckets: int = 10) -> str:
+    """DuckDB twin of quantile_effects (kept beside the Spark code)."""
+    return f"""
+        WITH pu AS (
+            SELECT user_id,
+                   sum(floor(value * 1e6)::BIGINT)::BIGINT AS m_e6
+            FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+            GROUP BY user_id
+        ), d AS (
+            SELECT user_id % 2 AS variant, m_e6,
+                   ntile({int(n_buckets)})
+                       OVER (ORDER BY m_e6, user_id) AS bucket
+            FROM pu
+        ), agg AS (
+            SELECT bucket,
+                   sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_b,
+                   sum(CASE WHEN variant = 0 THEN m_e6 ELSE 0 END)::BIGINT
+                       AS sa,
+                   sum(CASE WHEN variant = 1 THEN m_e6 ELSE 0 END)::BIGINT
+                       AS sb
+            FROM d GROUP BY bucket
+        ), m AS (
+            SELECT bucket, n_a, n_b,
+                   (CASE WHEN n_a > 0 THEN sa // n_a ELSE 0 END)::BIGINT
+                       AS mean_a_e6,
+                   (CASE WHEN n_b > 0 THEN sb // n_b ELSE 0 END)::BIGINT
+                       AS mean_b_e6
+            FROM agg
+        )
+        SELECT bucket::BIGINT AS bucket, n_a, n_b, mean_a_e6, mean_b_e6,
+               (CASE WHEN n_a > 0 AND n_b > 0
+                     THEN mean_b_e6 - mean_a_e6 ELSE 0 END)::BIGINT
+                   AS qte_e6
+        FROM m
+    """

@@ -1929,3 +1929,22 @@ class TestRound6Ops:
                        - math.log(np_) - math.log(cw[a]) - math.log(cw[b]))
                 want[(a, b)] = (c, math.floor(pmi * 1e12))
         assert got == want
+
+    def test_quantile_effects_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import quantile_effects
+
+        # 4 users -> 2 buckets of 2 under ntile(2) over (m, user).
+        # metrics: u1=1.0, u2=2.0, u3=3.0, u4=4.0 (e6-scaled)
+        rows = [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+        ev = spark.createDataFrame(
+            [(i, u, v) for i, (u, v) in enumerate(rows)],
+            "event_id long, user_id long, value double")
+        got = {r["bucket"]: (r["n_a"], r["n_b"], r["mean_a_e6"],
+                             r["mean_b_e6"], r["qte_e6"])
+               for r in quantile_effects(ev, n_buckets=2).collect()}
+        # bucket 1 = users 1 (B, 1e6), 2 (A, 2e6); bucket 2 = users 3
+        # (B, 3e6), 4 (A, 4e6). variant = user_id % 2 (0=A, 1=B).
+        assert got == {
+            1: (1, 1, 2_000_000, 1_000_000, -1_000_000),
+            2: (1, 1, 4_000_000, 3_000_000, -1_000_000),
+        }

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 
 def entries() -> dict[str, str]:
-    from bella_domify_spark.ops.analyze import analyze_oracle_sql
+    from bella_domify_spark.ops.analyze import (analyze_oracle_sql,
+                                                qte_oracle_sql
+                                                as _qte_oracle_sql)
     from bella_domify_spark.ops.ann import (ivfpq_oracle_sql
                                             as _ivfpq_oracle_sql,
                                             planes_values_sql,
@@ -668,6 +670,7 @@ def entries() -> dict[str, str]:
         "pq_codes": _pq_oracle_sql(),
         "ivfpq_topk": _ivfpq_oracle_sql(),
         "pmi_pairs": _pmi_oracle_sql(),
+        "quantile_effects": _qte_oracle_sql(),
         "vacuum_candidates": """
             WITH t AS (
                 SELECT event_id AS file_id, event_type AS part,
