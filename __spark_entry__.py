@@ -1180,6 +1180,23 @@ def _q_corpus_boilerplate(spark, sf):
     return corpus_boilerplate(_t(spark, sf, "documents"))
 
 
+def _q_containment_pairs(spark, sf):
+    """Directed shingle-containment near-dups (ops/dedup.py
+    containment_pairs): |sh(A) ∩ sh(B)| / |sh(A)| >= 0.5 — the
+    quotation/subsumption detector symmetric Jaccard misses."""
+    from bella_domify_spark.ops.dedup import containment_pairs
+    return containment_pairs(_t(spark, sf, "documents"))
+
+
+def _q_boilerplate_strip(spark, sf):
+    """Boilerplate APPLY pass (ops/boilerplate.py boilerplate_strip):
+    replay the corpus vote, drop flagged lines, reassemble each
+    document's surviving text in original line order — the extraction
+    output corpus_boilerplate only counts."""
+    from bella_domify_spark.ops.boilerplate import boilerplate_strip
+    return boilerplate_strip(_t(spark, sf, "documents"))
+
+
 def _q_bpe_encode(spark, sf):
     """BPE tokenizer APPLY (ops/bpe.py bpe_encode): the 3 learned merges
     priced onto every document — per-doc word/char/token budgets, the
@@ -1421,6 +1438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _q_pmi_pairs,
         "snapshot_diff": _q_snapshot_diff,
         "quantile_effects": _q_quantile_effects,
+        # session-3 new queries (never driver-confirmed — window priority):
+        "boilerplate_strip": _q_boilerplate_strip,
+        "containment_pairs": _q_containment_pairs,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

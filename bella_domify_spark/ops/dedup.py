@@ -131,6 +131,47 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.5,
+                      max_shingle_freq: int = 1000,
+                      min_shingles: int = 5) -> DataFrame:
+    """DIRECTED near-dup containment: fraction of A's distinct word
+    ``n``-gram shingles that also occur in B. Catches quotation and
+    subsumption (a short doc embedded verbatim in a much longer one)
+    that symmetric Jaccard structurally misses — |A∩B|/|A∪B| stays tiny
+    when |A| << |B| even at 100% containment (Broder's resemblance vs
+    containment distinction, the same split the reference draws between
+    per-page and per-document header votes).
+
+    Same candidate generation as :func:`jaccard_pairs` (shingle equality
+    join under a stop-shingle cap — never all-pairs), so the shuffle
+    profile is identical and scale-safe; the only new knob is
+    ``min_shingles``, which drops trivially small documents on BOTH
+    sides (every 4-shingle doc would otherwise "contain-match" half the
+    corpus). Output: directed (id_a, id_b, n_common, n_a, containment)
+    with id_a != id_b and containment(A→B) >= threshold.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = (sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+               .filter(F.col("n_sh") >= min_shingles))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    sh_f = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
+    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    common = (a.join(b, "shingle")
+               .filter(F.col("id_a") != F.col("id_b"))
+               .groupBy("id_a", "id_b")
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common
+            .join(sizes.withColumnRenamed("id", "id_a")
+                       .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b")), "id_b")
+            .withColumn("containment", F.col("n_common") / F.col("n_a"))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "n_common", "n_a", "containment"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, num_hashes: int = 64) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of h_i(shingle),

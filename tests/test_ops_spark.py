@@ -56,6 +56,24 @@ class TestDedup:
         assert jaccard_pairs(df, threshold=0.1).count() == 0
         assert minhash_lsh_pairs(df, threshold=0.1).count() == 0
 
+    def test_containment_pairs_directed(self, spark):
+        from bella_domify_spark.ops.dedup import containment_pairs
+
+        # A (7 words, 5 shingles) appears verbatim inside B (18 words,
+        # 16 shingles): containment(A->B)=1.0, containment(B->A)=5/16.
+        # C (5 words, 3 shingles < min_shingles=5) is a sub-span of both
+        # but must be dropped on BOTH join sides by the floor.
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over dogs"),
+             (1, "intro words here then the quick brown fox jumps over "
+                 "dogs and some extra trailing words to finish"),
+             (2, "the quick brown fox jumps")],
+            ["doc_id", "text"])
+        got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_a"],
+                                        r["containment"])
+               for r in containment_pairs(df, threshold=0.5).collect()}
+        assert got == {(0, 1): (5, 5, 1.0)}
+
     def test_minhash_estimates_jaccard(self, docs):
         from bella_domify_spark.ops.dedup import jaccard_pairs, minhash_lsh_pairs
 
@@ -1802,6 +1820,24 @@ class TestRound6Ops:
             1: (3, 2, body),
             2: (4, 2, body + share),
             3: (4, 2, body + sub),
+        }
+
+    def test_boilerplate_strip_rebuilds_survivors_in_order(self, spark):
+        from bella_domify_spark.ops.boilerplate import boilerplate_strip
+
+        # Same corpus as the vote test: 'about s'/'(c) 2026 s' are bp
+        # (df=4); subscribe (docs 0,3) and share (docs 0,2) stay (df=2).
+        rows = [(i, f"body{i} words", "en", "s", 0) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+        got = {r["doc_id"]: (r["clean_text"], r["n_kept"])
+               for r in boilerplate_strip(df).collect()}
+        assert got == {
+            0: ("body0 words\nsubscribe to the newsletter\nshare on en", 3),
+            1: ("body1 words", 1),
+            2: ("body2 words\nshare on en", 2),
+            3: ("body3 words\nsubscribe to the newsletter", 2),
         }
 
     def test_bpe_encode_hand_learned(self, spark):

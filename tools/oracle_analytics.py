@@ -33,7 +33,9 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.bpe import (bpe_encode_oracle_sql,
                                             bpe_oracle_sql)
     from bella_domify_spark.ops.boilerplate import (boilerplate_oracle_sql
-                                                    as _bp_oracle_sql)
+                                                    as _bp_oracle_sql,
+                                                    boilerplate_strip_oracle_sql
+                                                    as _bp_strip_oracle_sql)
     from bella_domify_spark.ops.retrieval import queries_values_sql
     from bella_domify_spark.ops.temporal import (late_oracle_sql
                                                  as _late_oracle_sql)
@@ -41,6 +43,7 @@ def entries() -> dict[str, str]:
                                                   as _pmi_oracle_sql)
     from tools.oracle_lib import (
         closure as _closure,
+        containment_pair_sql,
         jaccard_pair_ctes,
         kcore_ctes,
         kmeans_ctes,
@@ -197,6 +200,8 @@ def entries() -> dict[str, str]:
         "file_prune_stats": _prune_oracle_sql(),
         "late_data_stats": _late_oracle_sql(),
         "corpus_boilerplate": _bp_oracle_sql(),
+        "boilerplate_strip": _bp_strip_oracle_sql(),
+        "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents

@@ -106,6 +106,36 @@ def jaccard_pair_ctes(threshold: float = 0.2,
             )"""
 
 
+def containment_pair_sql(threshold: float = 0.5,
+                         max_shingle_freq: int = 1000,
+                         min_shingles: int = 5) -> str:
+    """Full SELECT for dedup.containment_pairs (directed shingle
+    containment |A∩B|/|A| with a min-shingle floor on both sides) —
+    same shingle/freq-cap CTEs as the jaccard oracle."""
+    return f"""
+        WITH {shingle_ctes(3)},
+        sizes AS (
+            SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+            HAVING count(*) >= {int(min_shingles)}
+        ),
+        freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+        shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle)
+                WHERE f <= {max_shingle_freq}),
+        common AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+            FROM shf a JOIN shf b USING (shingle)
+            WHERE a.id <> b.id GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, n_common,
+               sa.n_sh AS n_a,
+               n_common::DOUBLE / sa.n_sh AS containment
+        FROM common
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n_common::DOUBLE / sa.n_sh >= {threshold}
+    """
+
+
 def minhash_cand_ctes(minhash_params_sql: str,
                       include_shingles: bool = True) -> str:
     """shingles → md5-seeded minhash (64 hashes) → 16 bands × 4 rows LSH
