@@ -1104,6 +1104,25 @@ def _q_vacuum_candidates(spark, sf):
     return vacuum_candidates(writes)
 
 
+def _q_position_deletes(spark, sf):
+    """Merge-on-read DV apply (ops/lakehouse.py position_deletes): 64
+    rows/file over events; a ``DELETE WHERE event_type='error'``
+    rewritten as (file_id, pos) tombstones; per-file live accounting +
+    exact floor-e3 survivor checksum."""
+    from bella_domify_spark.ops.lakehouse import position_deletes
+    ev = _t(spark, sf, "events")
+    data = ev.select((F.col("event_id") % 64).alias("pos"),
+                     F.floor(F.col("event_id") / 64).cast("long")
+                      .alias("file_id"),
+                     F.floor(F.col("value") * 1000).cast("long")
+                      .alias("value_e3"),
+                     "event_type")
+    deletes = data.filter(F.col("event_type") == "error") \
+                  .select("file_id", "pos")
+    return position_deletes(data.select("file_id", "pos", "value_e3"),
+                            deletes)
+
+
 def _q_semdedup(spark, sf):
     """SemDeDup (ops/ann.py semdedup_prune): k-means-bucketed exact-cosine
     semantic dedup — integer-exact clusters + DECIMAL(38,0) squared-cosine
@@ -1178,6 +1197,14 @@ def _q_corpus_boilerplate(spark, sf):
     synthetic chrome, per-doc strip plan."""
     from bella_domify_spark.ops.boilerplate import corpus_boilerplate
     return corpus_boilerplate(_t(spark, sf, "documents"))
+
+
+def _q_calibration_bins(spark, sf):
+    """Classifier reliability bins (ops/classifier.py calibration_bins):
+    fixed-width margin buckets × empirical lang='en' rate — the
+    threshold-calibration readout, zero-join via scoring passthrough."""
+    from bella_domify_spark.ops.classifier import calibration_bins
+    return calibration_bins(_t(spark, sf, "documents"))
 
 
 def _q_containment_pairs(spark, sf):
@@ -1441,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-3 new queries (never driver-confirmed — window priority):
         "boilerplate_strip": _q_boilerplate_strip,
         "containment_pairs": _q_containment_pairs,
+        "calibration_bins": _q_calibration_bins,
+        "position_deletes": _q_position_deletes,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

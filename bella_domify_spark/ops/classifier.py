@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from bella_domify_spark.ops.hashfamily import MERSENNE_P, _md5_int
 
-__all__ = ["quality_classifier", "classifier_auc",
+__all__ = ["quality_classifier", "classifier_auc", "calibration_bins",
            "classifier_weight_expr", "classifier_feats_sql"]
 
 # Affine weight-table constants, md5-seeded like minhash_params so both
@@ -82,17 +82,20 @@ def classifier_feats_sql() -> str:
     """
 
 
-def quality_classifier(docs: DataFrame) -> DataFrame:
+def quality_classifier(docs: DataFrame,
+                       passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Score each document with the hashed linear model; label 'keep' when
-    the margin is positive. Returns (doc_id, n_feats, margin, label)."""
+    the margin is positive. Returns (doc_id, n_feats, margin, label[,
+    *passthrough]) — ``passthrough`` columns ride along so consumers that
+    need a truth label (calibration_bins) avoid a join back to docs."""
     toks = docs.select(
-        "doc_id",
+        "doc_id", *passthrough,
         F.expr(r"filter(split(lower(coalesce(text, '')), '\\s+'),"
                r" x -> x != '')")
          .alias("ws"),
     )
     feats = toks.select(
-        "doc_id",
+        "doc_id", *passthrough,
         F.expr("""
             concat(ws,
                    CASE WHEN size(ws) >= 2
@@ -104,15 +107,45 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     )
     w = classifier_weight_expr("t", "spark")
     scored = feats.select(
-        "doc_id",
+        "doc_id", *passthrough,
         F.expr("size(fs)").cast("long").alias("n_feats"),
         F.expr(f"aggregate(fs, 0L, (acc, t) -> acc + ({w}))").alias("margin"),
     )
     return scored.select(
         "doc_id", "n_feats", "margin",
         F.when(F.col("margin") > 0, F.lit("keep")).otherwise(F.lit("drop"))
-         .alias("label"),
+         .alias("label"), *passthrough,
     )
+
+
+def calibration_bins(docs: DataFrame, width: int = 1000) -> DataFrame:
+    """Reliability-diagram bins for the classifier margin against the
+    same deterministic truth label classifier_auc evaluates (lang='en'):
+    per fixed-width margin bucket, the count, positives, exact margin
+    mass, and the floor-quantized empirical positive rate. A calibrated
+    score shows pos_rate rising monotonically with bucket — the check a
+    curation pipeline runs before turning a margin into a keep
+    THRESHOLD rather than a keep sign.
+
+    Scale notes (100 TB): buckets are FIXED-WIDTH (floor(margin/width)),
+    not quantile (ntile needs a global sort) — the whole readout is one
+    map-side-combinable groupBy on a data-independent key; the truth
+    label rides the scoring projection (quality_classifier passthrough),
+    so there is no join at all. Output: (bucket, n, n_pos, sum_margin,
+    pos_rate_e9).
+    """
+    scored = quality_classifier(docs, passthrough=("lang",)).select(
+        "margin", (F.col("lang") == "en").cast("long").alias("y"))
+    g = (scored
+         .groupBy(F.floor(F.col("margin") / F.lit(int(width)))
+                   .cast("long").alias("bucket"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("y").cast("long").alias("n_pos"),
+              F.sum("margin").cast("long").alias("sum_margin")))
+    return g.select(
+        "bucket", "n", "n_pos", "sum_margin",
+        F.floor(F.col("n_pos").cast("double") / F.col("n").cast("double")
+                * 1e9).cast("long").alias("pos_rate_e9"))
 
 
 def classifier_auc(docs: DataFrame) -> DataFrame:

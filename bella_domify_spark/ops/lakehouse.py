@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["merge_upsert", "incremental_view_update", "scd2_history",
            "zorder_layout", "compact_files", "vacuum_candidates",
-           "time_travel_read", "prune_stats",
+           "time_travel_read", "prune_stats", "position_deletes",
            "Z_BITS", "Z_BUCKET_SHIFT"]
 
 # 16 bits per dimension -> 32-bit Morton code -> 2^10 buckets of 2^22 codes.
@@ -339,6 +339,43 @@ def time_travel_read(base: DataFrame, changes: DataFrame,
     return (merge_upsert(base, past, key=key)
             .crossJoin(F.broadcast(vr))
             .select(key, "final_version", "n_ops", "text", "as_of"))
+
+
+def position_deletes(data: DataFrame, deletes: DataFrame) -> DataFrame:
+    """Merge-on-read position-delete apply — Iceberg v2 delete files /
+    Delta deletion vectors: a DELETE writes (file_id, pos) tombstones
+    instead of rewriting data files, and every subsequent read subtracts
+    them. This is the read side: per-file accounting of rows, deleted
+    rows, survivors, and an exact survivor checksum, i.e. what an MoR
+    scan task reports after applying its delete vector.
+
+    ``data``:    (file_id, pos, value_e3) — pos unique within file_id,
+                 value_e3 an exact BIGINT payload checksum column.
+    ``deletes``: (file_id, pos) — the accumulated position deletes
+                 (duplicates tolerated, as rewritten delete files stack).
+
+    Plan shape (100 TB): deletes dedupe with a map-side-combinable
+    distinct, then ONE left join keyed (file_id, pos) — both sides hash
+    on the same key, and because file_id leads the key, AQE coalesces
+    the survivor aggregate onto the same partitioning (a real Iceberg
+    reader does this join scan-side per file, never shuffling data at
+    all; expressing it relationally keeps the oracle exact). No window,
+    no skew risk beyond file-size skew the writer already bounds.
+
+    Output: (file_id, n_rows, n_deleted, n_live, live_value_sum).
+    """
+    d = deletes.select("file_id", "pos").distinct() \
+               .withColumn("_del", F.lit(1))
+    j = data.join(d, ["file_id", "pos"], "left")
+    return (j.groupBy("file_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.sum(F.when(F.col("_del").isNotNull(), 1)
+                         .otherwise(0)).cast("long").alias("n_deleted"),
+                  F.sum(F.when(F.col("_del").isNull(), 1)
+                         .otherwise(0)).cast("long").alias("n_live"),
+                  F.sum(F.when(F.col("_del").isNull(), F.col("value_e3"))
+                         .otherwise(F.lit(0)))
+                   .cast("long").alias("live_value_sum")))
 
 
 def scd2_history(base: DataFrame, changes: DataFrame,

@@ -178,6 +178,61 @@ class TestQualityClassifier:
         assert "BatchEvalPython" not in plan
 
 
+class TestCalibrationBins:
+    def test_bins_match_python_recount(self, spark):
+        from bella_domify_spark.ops.classifier import (calibration_bins,
+                                                       quality_classifier)
+
+        rows = [(i, f"doc {i} body words number {i % 3}",
+                 "en" if i % 2 == 0 else "fr") for i in range(12)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        margins = {r["doc_id"]: r["margin"]
+                   for r in quality_classifier(docs).collect()}
+        import collections, math
+        exp = collections.defaultdict(lambda: [0, 0, 0])
+        for i, _, lang in rows:
+            b = math.floor(margins[i] / 1000)
+            exp[b][0] += 1
+            exp[b][1] += 1 if lang == "en" else 0
+            exp[b][2] += margins[i]
+        got = {r["bucket"]: (r["n"], r["n_pos"], r["sum_margin"],
+                             r["pos_rate_e9"])
+               for r in calibration_bins(docs).collect()}
+        assert set(got) == set(exp)
+        for b, (n, npos, sm) in exp.items():
+            assert got[b] == (n, npos, sm, math.floor(npos / n * 1e9))
+
+    def test_zero_join_zero_python_plan(self, spark):
+        import io, contextlib
+        from bella_domify_spark.ops.classifier import calibration_bins
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            calibration_bins(docs).explain()
+        plan = buf.getvalue()
+        assert "Join" not in plan          # truth label rides passthrough
+        assert "BatchEvalPython" not in plan
+
+
+class TestPositionDeletes:
+    def test_mor_accounting_hand_counted(self, spark):
+        from bella_domify_spark.ops.lakehouse import position_deletes
+
+        data = spark.createDataFrame(
+            [(0, 0, 10), (0, 1, 20), (0, 2, 30), (1, 0, 5)],
+            "file_id long, pos long, value_e3 long")
+        deletes = spark.createDataFrame(
+            [(0, 1), (0, 1),      # stacked delete files duplicate entries
+             (2, 0)],             # dangling delete: file 2 has no data
+            "file_id long, pos long")
+        got = _rows(position_deletes(data, deletes),
+                    "file_id", "n_rows", "n_deleted", "n_live",
+                    "live_value_sum")
+        assert got == [(0, 3, 1, 2, 40), (1, 1, 0, 1, 5)]
+
+
 class TestIncrementalViewUpdate:
     def _direct(self, spark, base_rows, change_rows):
         """Recompute the view from the merged table via merge_upsert —

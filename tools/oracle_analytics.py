@@ -274,6 +274,52 @@ def entries() -> dict[str, str]:
                         THEN 'keep' ELSE 'drop' END AS label
             FROM feats
         """,
+        "position_deletes": """
+            WITH data AS (
+                SELECT event_id % 64 AS pos,
+                       floor(event_id / 64)::BIGINT AS file_id,
+                       floor(value * 1000)::BIGINT AS value_e3,
+                       event_type
+                FROM events
+            ), del AS (
+                SELECT DISTINCT file_id, pos, 1 AS _del
+                FROM data WHERE event_type = 'error'
+            )
+            SELECT file_id,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN _del IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_deleted,
+                   sum(CASE WHEN _del IS NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_live,
+                   sum(CASE WHEN _del IS NULL THEN value_e3
+                            ELSE 0 END)::BIGINT AS live_value_sum
+            FROM data LEFT JOIN del USING (file_id, pos)
+            GROUP BY file_id
+        """,
+        "calibration_bins": f"""
+            WITH {classifier_feats_sql()}, s AS (
+                SELECT f.doc_id,
+                       COALESCE(list_aggregate(
+                           list_transform(fs,
+                               t -> ({classifier_weight_expr('t', 'duckdb')})),
+                           'sum'), 0)::BIGINT AS margin
+                FROM feats f
+            ), j AS (
+                SELECT margin,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM s JOIN documents USING (doc_id)
+            ), g AS (
+                SELECT floor(margin / 1000.0)::BIGINT AS bucket,
+                       count(*)::BIGINT AS n,
+                       sum(y)::BIGINT AS n_pos,
+                       sum(margin)::BIGINT AS sum_margin
+                FROM j GROUP BY 1
+            )
+            SELECT bucket, n, n_pos, sum_margin,
+                   floor(n_pos::DOUBLE / n::DOUBLE * 1e9)::BIGINT
+                       AS pos_rate_e9
+            FROM g
+        """,
         "classifier_auc": f"""
             WITH {classifier_feats_sql()}, s AS (
                 SELECT f.doc_id,
