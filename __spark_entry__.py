@@ -1260,6 +1260,26 @@ def _q_pmi_pairs(spark, sf):
     return pmi_pairs(_t(spark, sf, "documents"))
 
 
+def _q_cooccurrence_pairs(spark, sf):
+    """Shared-rare-shingle candidate graph (ops/dedup.py
+    cooccurrence_pairs): >=2 shared trigrams of corpus freq <=20 —
+    the recall-oriented pair generator (no ratio threshold)."""
+    from bella_domify_spark.ops.dedup import cooccurrence_pairs
+    return cooccurrence_pairs(_t(spark, sf, "documents"))
+
+
+def _q_link_prediction(spark, sf):
+    """Common-neighbor link prediction (ops/graph.py link_prediction)
+    over the rare-trigram co-occurrence graph (the 0.2-jaccard graph is
+    a union of closed cliques at these SFs — zero open wedges): the
+    missed-pair recall-repair list, hub-capped wedge centers, floor-e9
+    neighborhood Jaccard, predictions need >=2 common neighbors."""
+    from bella_domify_spark.ops.graph import link_prediction
+    from bella_domify_spark.ops.dedup import cooccurrence_pairs
+    return link_prediction(cooccurrence_pairs(_t(spark, sf, "documents")),
+                           min_common=2)
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1470,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "calibration_bins": _q_calibration_bins,
         "position_deletes": _q_position_deletes,
+        "link_prediction": _q_link_prediction,
+        "cooccurrence_pairs": _q_cooccurrence_pairs,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -131,6 +131,34 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return out
 
 
+def cooccurrence_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       min_common: int = 2,
+                       max_shingle_freq: int = 20) -> DataFrame:
+    """Candidate-pair graph by shared RARE shingles: (id_a, id_b,
+    n_common) for document pairs sharing >= ``min_common`` distinct word
+    ``n``-grams whose corpus frequency is <= ``max_shingle_freq``. This
+    is the recall-oriented cousin of :func:`jaccard_pairs` — no ratio
+    threshold, so weakly-overlapping pairs survive as a GRAPH whose
+    structure downstream ops mine (link_prediction ranks its open
+    wedges; kcore/triangles score its density). The tight frequency cap
+    is what keeps it scale-safe: only rare shingles generate join rows,
+    so the candidate count is Σ f² over f <= cap, linear in corpus size
+    for fixed cap.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    sh_f = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
+    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    return (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .filter(F.col("n_common") >= min_common)
+             .select("id_a", "id_b", "n_common"))
+
+
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       threshold: float = 0.5,

@@ -322,6 +322,55 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
          .otherwise(F.lit(0)).cast("long").alias("global_cc_e6")))
 
 
+def link_prediction(pairs: DataFrame, max_center_deg: int = 1000,
+                    min_common: int = 1) -> DataFrame:
+    """Common-neighbor link prediction over the near-dup graph: for every
+    NON-adjacent pair (a, b) sharing >= ``min_common`` neighbors, the
+    shared-neighbor count, both degrees, and the neighborhood-Jaccard
+    score floor(|N(a)∩N(b)| / |N(a)∪N(b)| · 1e9). On a duplication graph
+    these are exactly the pairs a thresholded detector MISSED but
+    transitivity implicates — the recall-repair list a curation pipeline
+    reviews before closing dup clusters (connected_components closes them
+    blindly; this ranks the evidence).
+
+    Scale notes (100 TB): the wedge join is Σ deg(center)² — unbounded on
+    hub nodes — so wedge CENTERS above ``max_center_deg`` are dropped
+    (the standard hub cap: a node adjacent to everything certifies
+    nothing about any particular pair). The cap is part of the contract
+    and mirrored in the oracle; with it, the join is two hash joins on
+    node id plus one map-side-combinable pair aggregate. The non-edge
+    check is a LEFT ANTI join on the (already-shuffled-by) pair key.
+
+    Output: (id_a, id_b, n_common, deg_a, deg_b, nb_jaccard_e9),
+    id_a < id_b.
+    """
+    e = pairs.select("id_a", "id_b")
+    sym = _symmetrize(e, "id_a", "id_b")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= max_center_deg) \
+                 .select(F.col("src").alias("w"))
+    nb = (sym.select(F.col("src").alias("w"), F.col("dst").alias("n"))
+             .join(centers, "w"))
+    x = nb.select("w", F.col("n").alias("id_a"))
+    y = nb.select("w", F.col("n").alias("id_b"))
+    cand = (x.join(y, "w")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .filter(F.col("n_common") >= min_common))
+    non_edges = cand.join(e, ["id_a", "id_b"], "left_anti")
+    return (non_edges
+            .join(deg.select(F.col("src").alias("id_a"),
+                             F.col("deg").alias("deg_a")), "id_a")
+            .join(deg.select(F.col("src").alias("id_b"),
+                             F.col("deg").alias("deg_b")), "id_b")
+            .select("id_a", "id_b", "n_common", "deg_a", "deg_b",
+                    F.floor(F.col("n_common").cast("double")
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("n_common")).cast("double") * 1e9)
+                     .cast("long").alias("nb_jaccard_e9")))
+
+
 def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     """k-core peeling over the near-dup graph: iteratively delete nodes
     whose degree in the surviving induced subgraph is < k. Survivors of

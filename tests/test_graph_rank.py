@@ -435,6 +435,49 @@ class TestZipfSkewGraph:
         assert all(hub_rank > rk for v, (_, rk) in got.items() if v != 0)
 
 
+class TestLinkPrediction:
+    # square 1-2-3-4 plus hub 9 adjacent to all four corners
+    _EDGES = [(1, 2), (2, 3), (3, 4), (1, 4),
+              (1, 9), (2, 9), (3, 9), (4, 9)]
+
+    def test_square_diagonals_predicted(self, spark):
+        from bella_domify_spark.ops.graph import link_prediction
+
+        pairs = spark.createDataFrame(self._EDGES, "id_a long, id_b long")
+        got = {(r["id_a"], r["id_b"]): (r["n_common"], r["deg_a"],
+                                        r["deg_b"], r["nb_jaccard_e9"])
+               for r in link_prediction(pairs).collect()}
+        # diagonals see 3 common neighbors (two corners + the hub),
+        # degrees 3 each -> jaccard 3/(3+3-3) = 1.0
+        assert got == {(1, 3): (3, 3, 3, 1_000_000_000),
+                       (2, 4): (3, 3, 3, 1_000_000_000)}
+
+    def test_hub_cap_drops_hub_wedges_not_hub_degrees(self, spark):
+        from bella_domify_spark.ops.graph import link_prediction
+
+        pairs = spark.createDataFrame(self._EDGES, "id_a long, id_b long")
+        got = {(r["id_a"], r["id_b"]): (r["n_common"], r["nb_jaccard_e9"])
+               for r in link_prediction(pairs, max_center_deg=3).collect()}
+        # hub (deg 4) no longer certifies wedges: diagonals drop to 2
+        # common corners; degrees still count hub edges -> 2/(3+3-2)
+        assert got == {(1, 3): (2, 500_000_000),
+                       (2, 4): (2, 500_000_000)}
+
+
+class TestCooccurrencePairs:
+    def test_shared_rare_trigrams(self, spark):
+        from bella_domify_spark.ops.dedup import cooccurrence_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"),            # trigrams: abc, bcd
+             (2, "a b c d e"),          # abc, bcd, cde
+             (3, "x y a b c")],         # xya, yab, abc (1 shared only)
+            "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["n_common"]
+               for r in cooccurrence_pairs(df, min_common=2).collect()}
+        assert got == {(1, 2): 2}
+
+
 class TestKCorePeel:
     def test_triangle_survives_tail_peels(self, spark):
         from bella_domify_spark.ops.graph import kcore_peel

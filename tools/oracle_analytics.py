@@ -44,8 +44,10 @@ def entries() -> dict[str, str]:
     from tools.oracle_lib import (
         closure as _closure,
         containment_pair_sql,
+        cooccurrence_pair_ctes,
         jaccard_pair_ctes,
         kcore_ctes,
+        link_prediction_sql,
         kmeans_ctes,
         md5_int60,
         pagerank_ctes,
@@ -363,6 +365,14 @@ def entries() -> dict[str, str]:
                    COALESCE(sum(l.lam_e9), 0)::BIGINT AS logw_e9
             FROM inst i LEFT JOIN lam l USING (b)
             GROUP BY i.doc_id, i.is_target
+        """,
+        "cooccurrence_pairs": f"""
+            WITH {cooccurrence_pair_ctes()}
+            SELECT id_a, id_b, n_common FROM pairs
+        """,
+        "link_prediction": f"""
+            WITH {cooccurrence_pair_ctes()},
+            {link_prediction_sql(min_common=2)}
         """,
         "kcore_peel": f"""
             WITH {jaccard_pair_ctes()},

@@ -366,6 +366,63 @@ def pagerank_ctes(iters: int = 3, scale: int = 10 ** 12) -> str:
     return ",\n            ".join(parts)
 
 
+def cooccurrence_pair_ctes(n: int = 3, min_common: int = 2,
+                           max_shingle_freq: int = 20) -> str:
+    """shingle_ctes(n) → shared-rare-shingle candidate ``pairs``
+    (dedup.cooccurrence_pairs twin, n_common carried)."""
+    return f"""{shingle_ctes(n)},
+            cfreq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+            cshf AS (SELECT sh.* FROM sh JOIN cfreq USING (shingle)
+                     WHERE f <= {int(max_shingle_freq)}),
+            pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       count(*)::BIGINT AS n_common
+                FROM cshf a JOIN cshf b USING (shingle)
+                WHERE a.id < b.id GROUP BY a.id, b.id
+                HAVING count(*) >= {int(min_common)}
+            )"""
+
+
+def link_prediction_sql(max_center_deg: int = 1000,
+                        min_common: int = 1) -> str:
+    """Tail SELECT for graph.link_prediction over the ``pairs`` CTE
+    (common-neighbor candidates among non-edges, hub-capped wedge
+    centers, floor-e9 neighborhood Jaccard)."""
+    return f"""
+            lsym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            ldeg AS (SELECT src, count(*) AS deg FROM lsym GROUP BY src),
+            lnb AS (
+                SELECT s.src AS w, s.dst AS n
+                FROM lsym s JOIN ldeg d ON d.src = s.src
+                WHERE d.deg <= {int(max_center_deg)}
+            ),
+            lcand AS (
+                SELECT x.n AS id_a, y.n AS id_b, count(*) AS n_common
+                FROM lnb x JOIN lnb y ON x.w = y.w
+                WHERE x.n < y.n
+                GROUP BY x.n, y.n
+                HAVING count(*) >= {int(min_common)}
+            ),
+            lnon AS (
+                SELECT c.* FROM lcand c
+                WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                  WHERE p.id_a = c.id_a
+                                    AND p.id_b = c.id_b)
+            )
+            SELECT n.id_a, n.id_b, n.n_common::BIGINT AS n_common,
+                   da.deg::BIGINT AS deg_a, db.deg::BIGINT AS deg_b,
+                   floor(n.n_common::DOUBLE
+                         / (da.deg + db.deg - n.n_common)::DOUBLE
+                         * 1e9)::BIGINT AS nb_jaccard_e9
+            FROM lnon n
+            JOIN ldeg da ON da.src = n.id_a
+            JOIN ldeg db ON db.src = n.id_b"""
+
+
 def kcore_ctes(k: int = 2, rounds: int = 3) -> str:
     """k-core peel over the ``pairs`` CTE (graph.kcore_peel twin):
     unrolled round-per-CTE peeling — recursive SQL cannot aggregate over
