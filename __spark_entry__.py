@@ -1280,6 +1280,31 @@ def _q_link_prediction(spark, sf):
                            min_common=2)
 
 
+def _q_concurrency_stats(spark, sf):
+    """Per-hour peak session concurrency (ops/temporal.py
+    concurrency_stats): gap-based session intervals swept by a two-level
+    distributed prefix sum — in-hour window + tiny cross-hour carry
+    broadcast; starts-before-ends at shared instants."""
+    from bella_domify_spark.ops.temporal import concurrency_stats
+    return concurrency_stats(_t(spark, sf, "events"))
+
+
+def _q_srm_check(spark, sf):
+    """Sample-ratio-mismatch guardrail (ops/analyze.py srm_check):
+    per-event_type exposure counts under the user_id % 2 assignment,
+    goodness-of-fit (a-b)^2/(a+b) in DECIMAL, flag at chi2 >= 3.841459."""
+    from bella_domify_spark.ops.analyze import srm_check
+    return srm_check(_t(spark, sf, "events"))
+
+
+def _q_anomaly_mad(spark, sf):
+    """Hampel volume anomalies (ops/analyze.py anomaly_mad): hourly
+    event counts vs per-type lower-median and MAD, all-integer flag rule
+    100*dev > 300*mad."""
+    from bella_domify_spark.ops.analyze import anomaly_mad
+    return anomaly_mad(_t(spark, sf, "events"))
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1492,6 +1517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_deletes": _q_position_deletes,
         "link_prediction": _q_link_prediction,
         "cooccurrence_pairs": _q_cooccurrence_pairs,
+        "concurrency_stats": _q_concurrency_stats,
+        "srm_check": _q_srm_check,
+        "anomaly_mad": _q_anomaly_mad,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

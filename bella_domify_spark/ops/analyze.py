@@ -20,7 +20,7 @@ single aggregated row — no second pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["analyze_table_stats", "psi_drift", "ab_conversion_chi2",
            "cuped_adjusted", "skew_report"]
@@ -202,6 +202,162 @@ def ab_conversion_chi2(events: DataFrame) -> DataFrame:
         F.when(den > 0,
                F.floor(num.cast("double") / den.cast("double") * 1e6))
          .otherwise(F.lit(0)).cast("long").alias("chi2_e6"))
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the readout every experiment
+    platform runs BEFORE the effect test: per event_type exposure slice,
+    did the hash assignment (variant = user_id % 2, the chi2/CUPED rule)
+    actually deliver the designed 50/50 split? A skewed split means the
+    assignment or logging is broken and ab_conversion_chi2's answer is
+    garbage; SRM is the canary. Goodness-of-fit chi² against equal
+    expected counts collapses to (a−b)²/(a+b), kept integer until the
+    final ratio (DECIMAL(19,0) operands → DECIMAL(38,0) square, the
+    ab_conversion_chi2 headroom rule). Flag fires at the 1-df p=0.05
+    critical value 3.841459 compared in quantized integers, so both
+    engines flip on the same row.
+
+    Scale notes: one scan → distinct (event_type, user) — a map-side
+    combining dedup on the natural key — then a tiny per-type aggregate.
+    Nothing user-count-sized survives the first shuffle.
+
+    Output: (event_type, n_a, n_b, chi2_e6, srm_flag).
+    """
+    per = (events.filter(F.col("user_id").isNotNull())
+           .select("event_type", "user_id").distinct())
+    cells = per.groupBy("event_type").agg(
+        F.sum(F.when(F.expr("user_id % 2") == 0, 1).otherwise(0))
+         .cast("long").alias("n_a"),
+        F.sum(F.when(F.expr("user_id % 2") == 1, 1).otherwise(0))
+         .cast("long").alias("n_b"))
+    a = F.col("n_a").cast("decimal(19,0)")
+    b = F.col("n_b").cast("decimal(19,0)")
+    chi2_e6 = (F.when(a + b > 0,
+                      F.floor(((a - b) * (a - b)).cast("double")
+                              / (a + b).cast("double") * 1e6))
+               .otherwise(F.lit(0)).cast("long"))
+    return (cells.select("event_type", "n_a", "n_b",
+                         chi2_e6.alias("chi2_e6"))
+            .select("event_type", "n_a", "n_b", "chi2_e6",
+                    F.when(F.col("chi2_e6") >= 3_841_459, 1).otherwise(0)
+                     .cast("int").alias("srm_flag")))
+
+
+def srm_oracle_sql() -> str:
+    """DuckDB twin of srm_check (beside the Spark code so the variant
+    rule and the 3.841459 critical value cannot drift)."""
+    return """
+        WITH per AS (
+            SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL
+        ), c AS (
+            SELECT event_type,
+                   sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                   sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_b
+            FROM per GROUP BY event_type
+        ), s AS (
+            SELECT event_type, n_a, n_b,
+                   CASE WHEN n_a + n_b > 0 THEN
+                       floor(((n_a - n_b)::HUGEINT * (n_a - n_b))::DOUBLE
+                             / (n_a + n_b)::DOUBLE * 1e6)::BIGINT
+                   ELSE 0 END AS chi2_e6
+            FROM c
+        )
+        SELECT event_type, n_a, n_b, chi2_e6,
+               CASE WHEN chi2_e6 >= 3841459 THEN 1 ELSE 0 END::INT
+                   AS srm_flag
+        FROM s
+    """
+
+
+def anomaly_mad(events: DataFrame, hour_us: int = 3_600_000_000,
+                k_e2: int = 300) -> DataFrame:
+    """Robust volume-anomaly flags — the monitoring readout: hourly event
+    counts per event_type, scored against the type's median and MAD
+    (median absolute deviation), flagged when |cnt − med| > k·MAD with
+    k = ``k_e2``/100 (default 3.0 — the classic Hampel rule). Median and
+    MAD resist the very outliers being hunted, unlike mean/stddev.
+
+    Exactness: LOWER median (the value at row (n+1) div 2 ordered
+    ascending) — a multiset element, never an interpolated float — so
+    med, MAD and the flag inequality (100·dev > k_e2·MAD) are all
+    integers; no engine can round differently. Degenerate MAD = 0 (over
+    half the hours identical) flags every deviating hour — the standard
+    Hampel behavior, intentionally kept.
+
+    Scale notes: the raw scan reduces immediately to the
+    (event_type × hour) count grid — aggregate-sized (10⁴ types ×
+    10⁶ hours/century worst case) — and every window/join after runs on
+    that grid keyed by event_type. One corpus-sized map-side-combining
+    shuffle total.
+
+    Output: (event_type, hour_us, cnt, med, mad, is_anomaly).
+    """
+    e = events.filter(F.col("ts").isNotNull())
+    u = F.unix_micros(F.col("ts").cast("timestamp"))
+    hc = (e.select("event_type", (u - u % hour_us).alias("hour_us"))
+          .groupBy("event_type", "hour_us")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "hour_us")
+        n = Window.partitionBy("event_type")
+        return (df.select("event_type", F.col(val),
+                          F.row_number().over(w).alias("rn"),
+                          F.count(F.lit(1)).over(n).alias("n"))
+                .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+                .select("event_type", F.col(val).alias(out)))
+
+    med = _lower_median(hc, "cnt", "med")
+    d = (hc.join(F.broadcast(med), "event_type")
+         .withColumn("dev", F.abs(F.col("cnt") - F.col("med"))))
+    mad = _lower_median(d.select("event_type", "hour_us",
+                                 F.col("dev").alias("cnt")), "cnt", "mad")
+    return (d.join(F.broadcast(mad), "event_type")
+            .select("event_type", "hour_us", "cnt", "med", "mad",
+                    F.when(100 * F.col("dev") > k_e2 * F.col("mad"), 1)
+                     .otherwise(0).cast("int").alias("is_anomaly")))
+
+
+def anomaly_oracle_sql(hour_us: int = 3_600_000_000,
+                       k_e2: int = 300) -> str:
+    """DuckDB twin of anomaly_mad (lower-median + Hampel rule pinned
+    beside the Spark code)."""
+    return f"""
+        WITH hc AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(ts) % {int(hour_us)} AS hour_us,
+                   count(*) AS cnt
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, cnt AS med FROM (
+                SELECT event_type, cnt,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt, hour_us) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM hc)
+            WHERE rn = (n + 1) // 2
+        ), d AS (
+            SELECT hc.event_type, hc.hour_us, hc.cnt, m.med,
+                   abs(hc.cnt - m.med) AS dev
+            FROM hc JOIN m USING (event_type)
+        ), md AS (
+            SELECT event_type, dev AS mad FROM (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, hour_us) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d)
+            WHERE rn = (n + 1) // 2
+        )
+        SELECT d.event_type, d.hour_us, d.cnt, d.med, md.mad,
+               CASE WHEN 100 * d.dev > {int(k_e2)} * md.mad
+                    THEN 1 ELSE 0 END::INT AS is_anomaly
+        FROM d JOIN md USING (event_type)
+    """
 
 
 def cuped_adjusted(events: DataFrame) -> DataFrame:

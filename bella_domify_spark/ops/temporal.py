@@ -359,6 +359,113 @@ def late_data_stats(events: DataFrame,
          .alias("max_lateness_us"))
 
 
+def concurrency_stats(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts", order_col: str = "event_id",
+                      gap_sec: float = 1800.0,
+                      hour_us: int = 3_600_000_000) -> DataFrame:
+    """Per-hour peak session concurrency — the capacity-planning readout:
+    how many gap-based sessions (see :func:`sessionize`) were open at once,
+    maxed within each hour bucket. A session is the closed interval
+    [first event, last event]; at a shared instant, starts count before
+    ends (a session that begins exactly as another ends overlaps it).
+
+    Scale notes (100 TB): the classic sweep-line needs a GLOBAL running
+    sum — a single-task sort at scale. This is the two-level distributed
+    prefix sum instead: endpoint deltas collapse per-instant (map-side
+    combining group-by), the in-hour prefix runs under a window
+    PARTITIONED BY hour (balanced shuffle), and the cross-hour carry is a
+    window over the per-hour NET totals — an aggregate-sized frame (one
+    row per hour; ~10^6 rows per century) broadcast back. The peak at an
+    instant is ``carry-in + prefix-before + starts-here``, which is
+    order-free within the instant, so no intra-tie ordering can perturb
+    the hash. Hours with no endpoints carry constant concurrency and emit
+    no row (documented contract; the oracle agrees by construction).
+
+    Output: (hour_us, max_concurrent, n_starts, n_ends).
+    """
+    e = events.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+    sess_w = Window.partitionBy(key).orderBy(ts, order_col)
+    cum = sess_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us_col = _us(F.col(ts)) - F.lag(_us(F.col(ts))).over(sess_w)
+    new_sess = F.when(gap_us_col.isNull()
+                      | (gap_us_col > int(gap_sec * 1e6)), 1).otherwise(0)
+    sess = (e.select(F.col(key).alias("u"), _us(F.col(ts)).alias("us"),
+                     F.sum(new_sess).over(cum).alias("sess"))
+             .groupBy("u", "sess")
+             .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us")))
+    ep = (sess.select(F.col("start_us").alias("us"), F.lit(1).alias("delta"),
+                      F.lit(1).alias("st"))
+          .unionAll(sess.select("end_us", F.lit(-1), F.lit(0))))
+    per_us = (ep.groupBy("us")
+                .agg(F.sum("delta").alias("net"), F.sum("st").alias("starts"),
+                     F.count(F.lit(1)).alias("n_pts"))
+                .withColumn("hour_us", F.col("us") - F.col("us") % hour_us))
+    in_hour = Window.partitionBy("hour_us").orderBy("us") \
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scanned = per_us.select(
+        "hour_us", "starts", "n_pts",
+        (F.sum("net").over(in_hour) - F.col("net") + F.col("starts"))
+        .alias("peak_at"), "net")
+    hour_net = per_us.groupBy("hour_us").agg(F.sum("net").alias("net_h"))
+    carry_w = Window.orderBy("hour_us") \
+                    .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hour_net.select(
+        "hour_us",
+        F.coalesce(F.sum("net_h").over(carry_w), F.lit(0)).alias("carry"))
+    return (scanned.join(F.broadcast(offsets), "hour_us")
+            .groupBy("hour_us")
+            .agg(F.max(F.col("carry") + F.col("peak_at")).cast("long")
+                  .alias("max_concurrent"),
+                 F.sum("starts").cast("long").alias("n_starts"),
+                 F.sum(F.col("n_pts") - F.col("starts")).cast("long")
+                  .alias("n_ends")))
+
+
+def concurrency_oracle_sql(gap_sec: float = 1800.0,
+                           hour_us: int = 3_600_000_000) -> str:
+    """DuckDB twin of concurrency_stats (kept beside the Spark code so the
+    starts-before-ends tie rule cannot drift). The oracle may use the
+    global running sum Spark must avoid — same algebra, smaller engine."""
+    gap_us = int(gap_sec * 1e6)
+    return f"""
+        WITH g AS (
+            SELECT user_id AS u, epoch_us(ts) AS us,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), s AS (
+            SELECT u, us,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > {gap_us}
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY u ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM g
+        ), iv AS (
+            SELECT u, sess, min(us) AS start_us, max(us) AS end_us
+            FROM s GROUP BY u, sess
+        ), ep AS (
+            SELECT start_us AS us, 1 AS delta, 1 AS st FROM iv
+            UNION ALL
+            SELECT end_us, -1, 0 FROM iv
+        ), pu AS (
+            SELECT us, sum(delta) AS net, sum(st) AS starts,
+                   count(*) AS n_pts
+            FROM ep GROUP BY us
+        ), c AS (
+            SELECT us, net, starts, n_pts,
+                   sum(net) OVER (ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM pu
+        )
+        SELECT (us - us % {int(hour_us)}) AS hour_us,
+               max(cum - net + starts)::BIGINT AS max_concurrent,
+               sum(starts)::BIGINT AS n_starts,
+               sum(n_pts - starts)::BIGINT AS n_ends
+        FROM c GROUP BY 1
+    """
+
+
 def late_oracle_sql(delay_us: int = 600_000_000) -> str:
     """DuckDB twin of late_data_stats (kept beside the Spark code so the
     watermark rule cannot drift)."""

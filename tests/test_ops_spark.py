@@ -1984,3 +1984,80 @@ class TestRound6Ops:
             1: (1, 1, 2_000_000, 1_000_000, -1_000_000),
             2: (1, 1, 4_000_000, 3_000_000, -1_000_000),
         }
+
+
+class TestRound6Session4Ops:
+    def test_concurrency_sweep_hand_counted(self, spark):
+        from bella_domify_spark.ops.temporal import concurrency_stats
+
+        # seconds -> sessions (gap 1800): u1 [0,100]; u2 [50,50];
+        # u3 [100,100] (starts exactly as u1 ends -> overlaps, peak 2);
+        # u4 4000 and 10000 split into two point sessions (gap 6000);
+        # u5 [3500,3700] spans the hour-0/hour-1 boundary (carry-in +1).
+        rows = [(1, 1, 0), (2, 1, 100), (3, 2, 50), (4, 3, 100),
+                (5, 4, 4000), (6, 4, 10000), (7, 5, 3500), (8, 5, 3700)]
+        ev = (spark.createDataFrame(rows,
+                                    "event_id long, user_id long, sec long")
+              .select("event_id", "user_id",
+                      F.timestamp_seconds(F.col("sec"))
+                       .cast("timestamp_ntz").alias("ts")))
+        got = {r["hour_us"]: (r["max_concurrent"], r["n_starts"],
+                              r["n_ends"])
+               for r in concurrency_stats(ev).collect()}
+        assert got == {
+            0: (2, 4, 3),                  # peak: u1 open + u2 (or u3)
+            3_600_000_000: (1, 1, 2),      # u5 carries in, ends; u4 point
+            7_200_000_000: (1, 1, 1),      # u4's 10000 s point session
+        }
+
+    def test_srm_check_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import srm_check
+
+        # type x: users 0,2,4 (variant 0) + 1 (variant 1), with a
+        # duplicate (x, 0) row that distinct must collapse -> chi2
+        # (3-1)^2/4 = 1.0, no flag. type y: users 1,3,5,7,9 all
+        # variant 1 -> chi2 25/5 = 5.0 >= 3.841459 -> flag.
+        rows = [(1, 0, "x"), (2, 0, "x"), (3, 2, "x"), (4, 4, "x"),
+                (5, 1, "x")] + [(10 + u, u, "y") for u in (1, 3, 5, 7, 9)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string")
+        got = {r["event_type"]: (r["n_a"], r["n_b"], r["chi2_e6"],
+                                 r["srm_flag"])
+               for r in srm_check(ev).collect()}
+        assert got == {"x": (3, 1, 1_000_000, 0),
+                       "y": (0, 5, 5_000_000, 1)}
+
+    def test_anomaly_mad_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import anomaly_mad
+
+        # type a: hourly counts [1,1,1,1,10] -> lower med 1, devs
+        # [0,0,0,0,9] -> MAD 0 (degenerate Hampel: any dev flags);
+        # type b: counts [2,4,6,8] -> lower med 4 (rn 2 of 4), devs
+        # [2,0,2,4] -> MAD 2 -> threshold dev > 6 -> nothing flags.
+        rows = []
+        eid = 0
+        for h, k in enumerate([1, 1, 1, 1, 10]):
+            for i in range(k):
+                eid += 1
+                rows.append((eid, "a", h * 3600 + i))
+        for h, k in enumerate([2, 4, 6, 8]):
+            for i in range(k):
+                eid += 1
+                rows.append((eid, "b", h * 3600 + i))
+        ev = (spark.createDataFrame(rows,
+                                    "event_id long, event_type string, "
+                                    "sec long")
+              .select("event_id", "event_type",
+                      F.timestamp_seconds(F.col("sec"))
+                       .cast("timestamp_ntz").alias("ts")))
+        got = {(r["event_type"], r["hour_us"]): (r["cnt"], r["med"],
+                                                 r["mad"], r["is_anomaly"])
+               for r in anomaly_mad(ev).collect()}
+        h = 3_600_000_000
+        assert got == {
+            ("a", 0 * h): (1, 1, 0, 0), ("a", 1 * h): (1, 1, 0, 0),
+            ("a", 2 * h): (1, 1, 0, 0), ("a", 3 * h): (1, 1, 0, 0),
+            ("a", 4 * h): (10, 1, 0, 1),
+            ("b", 0 * h): (2, 4, 2, 0), ("b", 1 * h): (4, 4, 2, 0),
+            ("b", 2 * h): (6, 4, 2, 0), ("b", 3 * h): (8, 4, 2, 0),
+        }

@@ -37,7 +37,13 @@ def entries() -> dict[str, str]:
                                                     boilerplate_strip_oracle_sql
                                                     as _bp_strip_oracle_sql)
     from bella_domify_spark.ops.retrieval import queries_values_sql
-    from bella_domify_spark.ops.temporal import (late_oracle_sql
+    from bella_domify_spark.ops.analyze import (anomaly_oracle_sql
+                                                as _anomaly_oracle_sql,
+                                                srm_oracle_sql
+                                                as _srm_oracle_sql)
+    from bella_domify_spark.ops.temporal import (concurrency_oracle_sql
+                                                 as _concurrency_oracle_sql,
+                                                 late_oracle_sql
                                                  as _late_oracle_sql)
     from bella_domify_spark.ops.textstats import (pmi_oracle_sql
                                                   as _pmi_oracle_sql)
@@ -201,6 +207,9 @@ def entries() -> dict[str, str]:
         """,
         "file_prune_stats": _prune_oracle_sql(),
         "late_data_stats": _late_oracle_sql(),
+        "concurrency_stats": _concurrency_oracle_sql(),
+        "srm_check": _srm_oracle_sql(),
+        "anomaly_mad": _anomaly_oracle_sql(),
         "corpus_boilerplate": _bp_oracle_sql(),
         "boilerplate_strip": _bp_strip_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
