@@ -1305,6 +1305,37 @@ def _q_anomaly_mad(spark, sf):
     return anomaly_mad(_t(spark, sf, "events"))
 
 
+def _q_bm25_prf(spark, sf):
+    """RM3-lite pseudo-relevance feedback (ops/retrieval.py bm25_prf):
+    BM25 top-5 feedback docs per query, top-3 non-query expansion terms
+    by summed tf, rescore at integer weights 2 (original) / 1 (expansion)."""
+    from bella_domify_spark.ops.retrieval import bm25_prf
+    return bm25_prf(_t(spark, sf, "documents"))
+
+
+def _q_walk_centrality(spark, sf):
+    """Power-iteration walk counts (ops/graph.py walk_centrality) over
+    the 0.2-jaccard near-dup graph: (A^3 · 1)(v) in DECIMAL(38,0)/HUGEINT
+    — the integer-exact eigenvector-centrality proxy."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import walk_centrality
+    return walk_centrality(jaccard_pairs(_t(spark, sf, "documents"),
+                                         threshold=0.2))
+
+
+def _q_fuzzy_decontaminate(spark, sf):
+    """Near-dup decontamination (ops/dedup.py fuzzy_contamination_flags):
+    corpus vs the doc_id % 13 benchmark subset (wider than decontaminate's
+    % 97 so planted near-dups actually land in it), LSH band candidates
+    verified at >= 32/64 matching minhash components; exact self-copies
+    excluded (contamination_flags' job)."""
+    from bella_domify_spark.ops.dedup import fuzzy_contamination_flags
+    d = _t(spark, sf, "documents")
+    bench = (d.filter(F.col("doc_id") % 13 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return fuzzy_contamination_flags(d, bench)
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1520,6 +1551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_stats": _q_concurrency_stats,
         "srm_check": _q_srm_check,
         "anomaly_mad": _q_anomaly_mad,
+        "bm25_prf": _q_bm25_prf,
+        "walk_centrality": _q_walk_centrality,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -488,6 +488,58 @@ def bloom_contamination_flags(corpus: DataFrame, benchmark: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_collisions")))
 
 
+def fuzzy_contamination_flags(corpus: DataFrame, benchmark: DataFrame,
+                              id_col: str = "doc_id",
+                              bench_id_col: str = "bench_id",
+                              text_col: str = "text", n: int = 3,
+                              num_hashes: int = 64, bands: int = 16,
+                              min_match: int = 32) -> DataFrame:
+    """NEAR-duplicate decontamination — the recall tier above
+    :func:`contamination_flags` (exact n-gram collision) and
+    :func:`incremental_dedup` (unverified band collision): corpus docs
+    whose MinHash signature AGREES with a benchmark doc's on at least
+    ``min_match`` of ``num_hashes`` components (est. Jaccard ≥
+    min_match/num_hashes), found via LSH band-bucket candidates and then
+    VERIFIED against the full signatures, so a lone band collision can't
+    flag a clean document. Paraphrased or lightly-edited benchmark leaks
+    — the ones exact-substring decontamination misses — survive this
+    screen. Exact self-copies are excluded by the id inequality: those
+    are contamination_flags' job; this op reports the near-misses.
+
+    Scale notes (100 TB): corpus-side cost is the one minhash aggregate
+    (the 64-buffer map-side combine documented at minhash_signatures);
+    the band join hits only colliding buckets, and the verify step joins
+    candidate-pair-sized frames against the two signature tables (the
+    benchmark side broadcast — benchmark ≪ corpus by contract). The
+    match count is an integer zip_with/aggregate over two in-row arrays —
+    no explode, exact-hash-safe.
+
+    Output: (doc_id, bench_id, n_match), n_match ≥ ``min_match``.
+    """
+    rows_per_band = num_hashes // bands
+    sig_c = minhash_signatures(corpus, id_col, text_col, n, num_hashes)
+    sig_b = minhash_signatures(benchmark, bench_id_col, text_col, n,
+                               num_hashes)
+    bc = minhash_band_buckets(sig_c, bands, rows_per_band)
+    bb = (minhash_band_buckets(sig_b, bands, rows_per_band)
+          .select(F.col("id").alias("bid"), "band", "bucket"))
+    cand = (bc.join(F.broadcast(bb), ["band", "bucket"])
+            .filter(F.col("id") != F.col("bid"))
+            .select("id", "bid").distinct())
+    j = (cand.join(sig_c, "id")
+         .join(F.broadcast(sig_b.select(F.col("id").alias("bid"),
+                                        F.col("sig").alias("sig_b"))),
+               "bid"))
+    n_match = F.aggregate(
+        F.zip_with("sig", "sig_b",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (j.select(F.col("id").alias(id_col),
+                     F.col("bid").alias(bench_id_col),
+                     n_match.cast("long").alias("n_match"))
+            .filter(F.col("n_match") >= min_match))
+
+
 def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 8,
                    min_docs: int = 2) -> DataFrame:

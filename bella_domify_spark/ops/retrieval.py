@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["bm25_topk", "hybrid_rrf", "BM25_QUERIES", "RRF_C"]
+__all__ = ["bm25_topk", "bm25_prf", "hybrid_rrf", "BM25_QUERIES", "RRF_C"]
 
 #: reciprocal-rank-fusion damping constant (Cormack et al., SIGIR'09)
 RRF_C = 60
@@ -55,6 +55,49 @@ def queries_values_sql() -> str:
     return f"(VALUES {rows}) AS q(query_id, term)"
 
 
+def _postings(docs: DataFrame, id_col: str, text_col: str):
+    """The shared BM25 statistics build: (tf, dl, dft, corpus). tf is the
+    one corpus-sized shuffle — token stream -> (doc, term) counts —
+    PERSISTED because every consumer (hits, dl, dft, corpus-via-dl) would
+    otherwise rescan + re-aggregate the raw token stream; it is the
+    compact postings table (O(docs × distinct terms)), the canonical
+    thing to pin. Callers release it before returning (dedup.py cache
+    discipline)."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          r"\s+")).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = (toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist())
+    # dl and df both derive from tf (aggregate-sized), not from toks
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, dl, dft, corpus
+
+
+def _contrib_e9(k1: float, b: float):
+    """Per-(term, doc) BM25 contribution, floor-e9 DECIMAL(20,0) — the
+    exact-hash expression shared by bm25_topk and bm25_prf (columns:
+    tf, df, dl, n_docs, sum_dl)."""
+    idf = F.floor(F.log((F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0) * F.lit(1e12))
+    tfnorm = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl")
+                                           / (F.col("sum_dl").cast("double")
+                                              / F.col("n_docs")))))
+    return (F.floor(idf.cast("double") * tfnorm / F.lit(1e3))
+            .cast("decimal(20,0)"))
+
+
+def _qterms_df(spark, queries):
+    return spark.createDataFrame(
+        [(qid, t) for qid, qtext in queries
+         for t in dict.fromkeys(qtext.lower().split())],
+        ["query_id", "term"])
+
+
 def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
               k: int = 10, k1: float = 1.25, b: float = 0.75,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -67,44 +110,16 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
     engine-order-independent — the oracle embeds the folded literals."""
     spark = docs.sparkSession
     queries = BM25_QUERIES if queries is None else queries
-
-    toks = (docs.select(F.col(id_col).alias("id"),
-                        F.explode(F.split(F.lower(F.col(text_col)),
-                                          r"\s+")).alias("term"))
-            .filter(F.col("term") != ""))
-    # the one corpus-sized shuffle: token stream -> (doc, term) tf.
-    # Persisted: FOUR consumers (hits, dl, dft, corpus-via-dl) would each
-    # rescan + re-aggregate the raw token stream otherwise; tf is the
-    # compact postings table (O(docs × distinct terms)), the canonical
-    # thing to pin. Released before return (dedup.py cache discipline).
-    tf = (toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-          .persist())
-    # dl and df both derive from tf (aggregate-sized), not from toks
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("sum_dl"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, qtext in queries
-         for t in dict.fromkeys(qtext.lower().split())],
-        ["query_id", "term"])
+    tf, dl, dft, corpus = _postings(docs, id_col, text_col)
+    qterms = _qterms_df(spark, queries)
 
     # prune tf to query vocabulary before any join fan-out
     hits = tf.join(F.broadcast(qterms), "term")
-    idf = F.floor(F.log((F.col("n_docs") - F.col("df") + 0.5)
-                        / (F.col("df") + 0.5) + 1.0) * F.lit(1e12))
-    tfnorm = (F.col("tf") * (1.0 + k1)) / (
-        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl")
-                                           / (F.col("sum_dl").cast("double")
-                                              / F.col("n_docs")))))
     contrib = (hits
                .join(F.broadcast(dft), "term")
                .join(dl, "id")
                .crossJoin(F.broadcast(corpus))
-               .select("query_id", "id",
-                       F.floor(idf.cast("double") * tfnorm / F.lit(1e3))
-                       .cast("decimal(20,0)").alias("c_e9")))
+               .select("query_id", "id", _contrib_e9(k1, b).alias("c_e9")))
     scores = (contrib.groupBy("query_id", "id")
               .agg(F.sum("c_e9").alias("s")))
     w = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
@@ -116,6 +131,73 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
            .select("query_id", "rank", F.col("id").alias(id_col),
                    F.col("s").cast("long").alias("score_e9")))
     # queries×k rows — small enough for the eager checkpoint
+    return _eager_release(out, tf)
+
+
+def bm25_prf(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
+             k: int = 10, fb_k: int = 5, fb_terms: int = 3,
+             w_orig: int = 2, w_exp: int = 1,
+             k1: float = 1.25, b: float = 0.75,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (RM3-lite): run the base ranking,
+    treat each query's top ``fb_k`` documents as relevant, mine their
+    ``fb_terms`` strongest non-query terms (by summed tf, term-asc
+    tie-break), and re-score the corpus with integer term weights —
+    original terms at ``w_orig``, expansion terms at ``w_exp`` — so the
+    expanded score Σ w·c_e9 stays exact-integer (the float interpolation
+    of textbook RM3 would not hash across engines).
+
+    Scale notes (100 TB): both passes reuse the ONE persisted postings
+    table; the feedback-doc set (queries × fb_k) and the expanded
+    vocabulary (queries × (|q| + fb_terms)) broadcast, so pass-2 cost is
+    |expanded vocab| postings, never a corpus rescan. Expansion mining
+    joins postings against the broadcast feedback docs — feedback-set
+    sized, tiny.
+
+    Output: (query_id, rank, doc_id, score_w_e9), rank ≤ ``k`` by
+    (weighted score DESC, doc_id ASC).
+    """
+    spark = docs.sparkSession
+    queries = BM25_QUERIES if queries is None else queries
+    tf, dl, dft, corpus = _postings(docs, id_col, text_col)
+    qterms = _qterms_df(spark, queries)
+
+    def score(weighted_terms: DataFrame) -> DataFrame:
+        hits = tf.join(F.broadcast(weighted_terms), "term")
+        contrib = (hits
+                   .join(F.broadcast(dft), "term")
+                   .join(dl, "id")
+                   .crossJoin(F.broadcast(corpus))
+                   .select("query_id", "id",
+                           (_contrib_e9(k1, b)
+                            * F.col("w").cast("decimal(2,0)"))
+                           .alias("wc")))
+        return contrib.groupBy("query_id", "id").agg(F.sum("wc").alias("s"))
+
+    base = score(qterms.withColumn("w", F.lit(1)))
+    wfb = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                                 F.col("id").asc())
+    fb_docs = (base.withColumn("r", F.row_number().over(wfb))
+               .filter(F.col("r") <= fb_k).select("query_id", "id"))
+    # expansion mining: postings of the feedback docs, minus query terms
+    fb_tf = (tf.join(F.broadcast(fb_docs), "id")
+             .groupBy("query_id", "term").agg(F.sum("tf").alias("sum_tf"))
+             .join(qterms, ["query_id", "term"], "left_anti"))
+    wexp = Window.partitionBy("query_id").orderBy(F.col("sum_tf").desc(),
+                                                  F.col("term").asc())
+    exp = (fb_tf.withColumn("r", F.row_number().over(wexp))
+           .filter(F.col("r") <= fb_terms).select("query_id", "term"))
+    weighted = (qterms.withColumn("w", F.lit(w_orig))
+                .unionAll(exp.withColumn("w", F.lit(w_exp))))
+    rescored = score(weighted)
+    wk = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
+                                                F.col("id").asc())
+    from bella_domify_spark.ops.dedup import _eager_release
+
+    out = (rescored.withColumn("rank", F.row_number().over(wk))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "rank", F.col("id").alias(id_col),
+                   F.col("s").cast("long").alias("score_w_e9")))
     return _eager_release(out, tf)
 
 

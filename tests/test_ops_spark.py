@@ -2061,3 +2061,61 @@ class TestRound6Session4Ops:
             ("b", 0 * h): (2, 4, 2, 0), ("b", 1 * h): (4, 4, 2, 0),
             ("b", 2 * h): (6, 4, 2, 0), ("b", 3 * h): (8, 4, 2, 0),
         }
+
+    def test_prf_expansion_recalls_unmatched_doc(self, spark):
+        from bella_domify_spark.ops.retrieval import bm25_prf, bm25_topk
+
+        # d1 matches 'alpha' and is the sole feedback doc; its dominant
+        # non-query term 'beta' expands the query, pulling in d2 (which
+        # shares no original term). d3 shares nothing -> never appears.
+        docs = spark.createDataFrame(
+            [(1, "alpha beta beta"), (2, "beta beta gamma"),
+             (3, "delta delta")],
+            ["doc_id", "text"])
+        base = bm25_topk(docs, queries=[("q", "alpha")], k=3).collect()
+        assert [r["doc_id"] for r in base] == [1]
+        got = bm25_prf(docs, queries=[("q", "alpha")], k=3).collect()
+        assert [r["doc_id"] for r in got] == [1, 2]
+        assert [r["rank"] for r in got] == [1, 2]
+        s = {r["doc_id"]: r["score_w_e9"] for r in got}
+        assert s[1] > s[2] > 0
+        # cache discipline: postings released on both paths
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+class TestWalkCentrality:
+    def test_path_graph_walks_hand_counted(self, spark):
+        from bella_domify_spark.ops.graph import walk_centrality
+
+        # path 1-2-3: x1 = deg = (1,2,1); x2 = (2,2,2); x3 = (2,4,2)
+        pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "id_a long, id_b long")
+        got = {r["id"]: r["walks"]
+               for r in walk_centrality(pairs, iters=3).collect()}
+        assert got == {1: 2, 2: 4, 3: 2}
+
+    def test_single_iter_is_degree(self, spark):
+        from bella_domify_spark.ops.graph import walk_centrality
+
+        pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                      "id_a long, id_b long")
+        got = {r["id"]: r["walks"]
+               for r in walk_centrality(pairs, iters=1).collect()}
+        assert got == {1: 3, 2: 1, 3: 1, 4: 1}
+
+
+class TestFuzzyDecontamination:
+    def test_near_dup_flagged_self_excluded(self, spark):
+        from bella_domify_spark.ops.dedup import fuzzy_contamination_flags
+
+        text = "a b c d e f g h i j"
+        corpus = spark.createDataFrame(
+            [(1, text), (3, "zz yy xx ww vv uu tt ss rr qq")],
+            ["doc_id", "text"])
+        # bench 1 = same id + same text as corpus doc 1 (self: excluded);
+        # bench 10 = identical text under a different id (flagged, 64/64)
+        bench = spark.createDataFrame([(1, text), (10, text)],
+                                      ["bench_id", "text"])
+        got = {(r["doc_id"], r["bench_id"]): r["n_match"]
+               for r in fuzzy_contamination_flags(corpus, bench).collect()}
+        assert got == {(1, 10): 64}

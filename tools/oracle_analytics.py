@@ -56,7 +56,9 @@ def entries() -> dict[str, str]:
         link_prediction_sql,
         kmeans_ctes,
         md5_int60,
+        minhash_cand_ctes,
         pagerank_ctes,
+        walk_ctes,
     )
     from bella_domify_spark.ops.hashfamily import params_values_sql
     from bella_domify_spark.ops.sketches import CMS_D, CMS_W, HLL_NUMERATOR
@@ -113,7 +115,91 @@ def entries() -> dict[str, str]:
             WHERE rank <= 10
         """
 
+    # RM3-lite PRF twin (retrieval.bm25_prf): same statistics head and
+    # folded constants as bm25_sql; per-term contributions computed once
+    # (cb), base ranking selects 5 feedback docs, their top-3 non-query
+    # terms expand the vocabulary at weight 1 vs 2 for originals
+    bm25_prf_sql = f"""
+            WITH toks AS (
+                SELECT doc_id AS id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+            dl AS (SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY id),
+            corpus AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl
+                       FROM dl),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            qterms AS (SELECT * FROM {queries_values_sql()}),
+            cb AS (
+                SELECT tf.id, tf.term,
+                       floor(
+                           floor(ln((c.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5) + 1.0) * 1e12)::DOUBLE
+                           * ((tf.tf * 2.25)
+                              / (tf.tf + 1.25 * (0.25 + 0.75 *
+                                  (dl.dl / (c.sum_dl::DOUBLE / c.n_docs)))))
+                           / 1e3
+                       )::DECIMAL(20,0) AS c_e9
+                FROM tf
+                JOIN dft USING (term)
+                JOIN dl ON dl.id = tf.id
+                CROSS JOIN corpus c
+            ),
+            base AS (
+                SELECT q.query_id, cb.id, sum(cb.c_e9) AS s
+                FROM cb JOIN qterms q USING (term)
+                GROUP BY q.query_id, cb.id
+            ),
+            fb AS (
+                SELECT query_id, id FROM (
+                    SELECT query_id, id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY s DESC, id ASC) AS r
+                    FROM base) WHERE r <= 5
+            ),
+            fbagg AS (
+                SELECT f.query_id, t.term, sum(t.tf) AS sum_tf
+                FROM tf t JOIN fb f ON f.id = t.id
+                GROUP BY f.query_id, t.term
+            ),
+            fbx AS (
+                SELECT * FROM fbagg a
+                WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                                  WHERE q.query_id = a.query_id
+                                    AND q.term = a.term)
+            ),
+            expt AS (
+                SELECT query_id, term FROM (
+                    SELECT query_id, term,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sum_tf DESC, term ASC) AS r
+                    FROM fbx) WHERE r <= 3
+            ),
+            wq AS (
+                SELECT query_id, term, 2 AS w FROM qterms
+                UNION ALL
+                SELECT query_id, term, 1 AS w FROM expt
+            ),
+            sc AS (
+                SELECT wq.query_id, cb.id,
+                       sum(cb.c_e9 * wq.w::DECIMAL(2,0)) AS s
+                FROM cb JOIN wq USING (term)
+                GROUP BY wq.query_id, cb.id
+            )
+            SELECT query_id, rank, doc_id, score_w_e9 FROM (
+                SELECT query_id, id AS doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, id ASC) AS rank,
+                       s::BIGINT AS score_w_e9
+                FROM sc)
+            WHERE rank <= 10
+        """
+
     return {
+        "bm25_prf": bm25_prf_sql,
         "merge_upsert": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
@@ -388,6 +474,30 @@ def entries() -> dict[str, str]:
             {kcore_ctes(2, 3)}
             SELECT d.src AS node_id, d.deg AS core_deg
             FROM kd3 d JOIN ka3 a ON a.src = d.src
+        """,
+        "walk_centrality": f"""
+            WITH {jaccard_pair_ctes()},
+            {walk_ctes(3)}
+            SELECT id, s::BIGINT AS walks FROM wx3
+        """,
+        "fuzzy_decontaminate": f"""
+            WITH {minhash_cand_ctes(params_values_sql(64))},
+            fcand AS (
+                SELECT DISTINCT a.id AS id, b.id AS bid
+                FROM banded a JOIN banded b USING (band, bucket)
+                WHERE b.id % 13 = 0 AND a.id <> b.id
+            ),
+            fm AS (
+                SELECT c.id, c.bid,
+                       sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT
+                           AS n_match
+                FROM fcand c
+                JOIN mh ma ON ma.id = c.id
+                JOIN mh mb ON mb.id = c.bid AND mb.i = ma.i
+                GROUP BY c.id, c.bid
+            )
+            SELECT id AS doc_id, bid AS bench_id, n_match
+            FROM fm WHERE n_match >= 32
         """,
         "pagerank_dedup": f"""
             WITH {jaccard_pair_ctes()},

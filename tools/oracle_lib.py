@@ -423,6 +423,29 @@ def link_prediction_sql(max_center_deg: int = 1000,
             JOIN ldeg db ON db.src = n.id_b"""
 
 
+def walk_ctes(iters: int = 3) -> str:
+    """Power-iteration walk counts over the ``pairs`` CTE
+    (graph.walk_centrality twin): symmetrize, then ``iters`` unrolled
+    message rounds; HUGEINT accumulators pair with Spark's
+    DECIMAL(38,0)."""
+    parts = ["""wsym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            )""",
+             """wx1 AS (SELECT dst AS id, count(*)::DECIMAL(38,0) AS s
+                       FROM wsym GROUP BY dst)"""]
+    # DECIMAL(38,0), not HUGEINT: DuckDB's sum(HUGEINT) silently returns
+    # DOUBLE; sum(DECIMAL(38,0)) stays exact decimal, matching Spark
+    for i in range(2, iters + 1):
+        parts.append(f"""wx{i} AS (
+                SELECT e.dst AS id, sum(x.s)::DECIMAL(38,0) AS s
+                FROM wsym e JOIN wx{i - 1} x ON x.id = e.src
+                GROUP BY e.dst
+            )""")
+    return ",\n            ".join(parts)
+
+
 def kcore_ctes(k: int = 2, rounds: int = 3) -> str:
     """k-core peel over the ``pairs`` CTE (graph.kcore_peel twin):
     unrolled round-per-CTE peeling — recursive SQL cannot aggregate over
