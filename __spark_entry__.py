@@ -1336,6 +1336,30 @@ def _q_fuzzy_decontaminate(spark, sf):
     return fuzzy_contamination_flags(d, bench)
 
 
+def _q_expectations_report(spark, sf):
+    """Constraint audit (ops/analyze.py expectations_report): the fixed
+    5-rule demo suite over events, one wide conditional aggregate, NULL
+    predicate = violation, min offending event_id per rule."""
+    from bella_domify_spark.ops.analyze import expectations_report
+    return expectations_report(_t(spark, sf, "events"))
+
+
+def _q_retrieval_eval(spark, sf):
+    """Ranking quality (ops/retrieval.py retrieval_eval): MRR + nDCG@10
+    of bm25_topk against the conjunctive all-terms-present relevance
+    rule; discounts are Python-precomputed e12 literals on both engines."""
+    from bella_domify_spark.ops.retrieval import retrieval_eval
+    return retrieval_eval(_t(spark, sf, "documents"))
+
+
+def _q_flesch_reading(spark, sf):
+    """Readability (ops/textstats.py flesch_reading): vowel-group
+    syllables, [.!?]+ sentences, floor-e3 Flesch reading ease — pure
+    JVM regexp expressions."""
+    from bella_domify_spark.ops.textstats import flesch_reading
+    return flesch_reading(_t(spark, sf, "documents"))
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1554,6 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prf": _q_bm25_prf,
         "walk_centrality": _q_walk_centrality,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "expectations_report": _q_expectations_report,
+        "retrieval_eval": _q_retrieval_eval,
+        "flesch_reading": _q_flesch_reading,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -272,6 +272,84 @@ def srm_oracle_sql() -> str:
     """
 
 
+#: demo expectation suite over the events table — (rule, spark_pred,
+#: duckdb_pred). Predicates are per-row booleans; NULL counts as a
+#: violation (COALESCE(pred, FALSE) on both engines). In production the
+#: suite is user-supplied; this fixed set mixes clean rules with two
+#: that real rows violate, so the readout is not trivially zero.
+DEFAULT_EXPECTATIONS = [
+    ("user_id_not_null", "user_id IS NOT NULL", "user_id IS NOT NULL"),
+    ("ts_not_null", "ts IS NOT NULL", "ts IS NOT NULL"),
+    ("known_event_type",
+     "event_type IN ('click','error','purchase','signup','view')",
+     "event_type IN ('click','error','purchase','signup','view')"),
+    ("value_le_95", "value IS NULL OR value <= 95.0",
+     "value IS NULL OR value <= 95.0"),
+    ("props_k_lt_90",
+     "CAST(get_json_object(props, '$.k') AS BIGINT) < 90",
+     "CAST(json_extract_string(props, '$.k') AS BIGINT) < 90"),
+]
+
+
+def expectations_report(events: DataFrame, rules=None) -> DataFrame:
+    """Delta-expectations / dbt-test style constraint audit: per rule,
+    how many rows violate it and the smallest offending event_id (the
+    reproducible example a data steward opens first). A NULL predicate
+    is a violation — constraints assert knowledge, and NULL is the
+    absence of it.
+
+    Scale notes (100 TB): ONE scan, ONE wide conditional aggregate — two
+    buffers per rule (violation count + min example id), all map-side
+    combining (the CLAUDE.md wide-aggregate result: 60+ conditional
+    buffers beat per-rule passes ~4×). The per-rule rows come from
+    ``stack`` over the single aggregate row — driver-tiny.
+
+    Output: (rule, n_checked, n_violations, min_bad_event_id) —
+    min_bad_event_id = -1 when the rule is clean.
+    """
+    rules = DEFAULT_EXPECTATIONS if rules is None else rules
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (_, sexpr, _d) in enumerate(rules):
+        ok = F.coalesce(F.expr(sexpr), F.lit(False))
+        aggs.append(F.sum(F.when(ok, 0).otherwise(1)).cast("long")
+                    .alias(f"v{i}"))
+        aggs.append(F.coalesce(F.min(F.when(~ok, F.col("event_id"))),
+                               F.lit(-1)).alias(f"m{i}"))
+    row = events.agg(*aggs)
+    stack = ", ".join(f"'{nm}', v{i}, m{i}"
+                      for i, (nm, _s, _d) in enumerate(rules))
+    return (row.select(
+        F.col("n").alias("n_checked"),
+        F.expr(f"stack({len(rules)}, {stack}) AS "
+               f"(rule, n_violations, min_bad_event_id)"))
+        .select("rule", "n_checked", "n_violations", "min_bad_event_id"))
+
+
+def expectations_oracle_sql(rules=None) -> str:
+    """DuckDB twin of expectations_report (one aggregate row, unioned
+    out per rule — the NULL-is-violation rule pinned beside the Spark
+    code)."""
+    rules = DEFAULT_EXPECTATIONS if rules is None else rules
+    cols = ["count(*) AS n"]
+    for i, (_, _s, dexpr) in enumerate(rules):
+        cols.append(f"""sum(CASE WHEN COALESCE({dexpr}, FALSE)
+                         THEN 0 ELSE 1 END)::BIGINT AS v{i}""")
+        cols.append(f"""COALESCE(min(CASE WHEN NOT COALESCE({dexpr}, FALSE)
+                         THEN event_id END), -1) AS m{i}""")
+    sel = ",\n            ".join(cols)
+    unions = "\n            UNION ALL ".join(
+        f"SELECT '{nm}' AS rule, n AS n_checked, v{i} AS n_violations, "
+        f"m{i} AS min_bad_event_id FROM agg"
+        for i, (nm, _s, _d) in enumerate(rules))
+    return f"""
+        WITH agg AS (
+            SELECT {sel}
+            FROM events
+        )
+        {unions}
+    """
+
+
 def anomaly_mad(events: DataFrame, hour_us: int = 3_600_000_000,
                 k_e2: int = 300) -> DataFrame:
     """Robust volume-anomaly flags — the monitoring readout: hourly event

@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["bm25_topk", "bm25_prf", "hybrid_rrf", "BM25_QUERIES", "RRF_C"]
+__all__ = ["bm25_topk", "bm25_prf", "hybrid_rrf", "retrieval_eval",
+           "BM25_QUERIES", "RRF_C"]
 
 #: reciprocal-rank-fusion damping constant (Cormack et al., SIGIR'09)
 RRF_C = 60
@@ -199,6 +200,116 @@ def bm25_prf(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
            .select("query_id", "rank", F.col("id").alias(id_col),
                    F.col("s").cast("long").alias("score_w_e9")))
     return _eager_release(out, tf)
+
+
+def discount_tables(k: int = 10):
+    """The nDCG rank discounts floor(1e12 / log2(rank+1)) for ranks
+    1..k, plus the cumulative (ideal-DCG) prefix sums for 0..k — computed
+    ONCE here in Python and embedded as literals on BOTH engines, so no
+    engine ever evaluates a log: (disc, cum) lists of (key, value)."""
+    import math
+
+    disc = [(r, int(math.floor(1e12 / math.log2(r + 1))))
+            for r in range(1, k + 1)]
+    cum, acc = [(0, 0)], 0
+    for r, d in disc:
+        acc += d
+        cum.append((r, acc))
+    return disc, cum
+
+
+def retrieval_eval(docs: DataFrame,
+                   queries: list[tuple[str, str]] | None = None,
+                   k: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Ranking-quality readout for :func:`bm25_topk`: MRR and nDCG@``k``
+    against a DETERMINISTIC relevance oracle — a document is relevant to
+    a query iff it contains EVERY query term as a whitespace token
+    (lowercased). That conjunctive rule is the classic pooled-judgment
+    stand-in: derivable by both engines from the corpus itself, no human
+    labels, and strictly harder than BM25's disjunctive scoring — so the
+    metric is informative, not circular.
+
+    Exactness: the rank discounts 1/log2(r+1) are Python-precomputed
+    e12 integers (:func:`discount_tables`) embedded as literal tables in
+    BOTH engines; DCG/IDCG are integer sums, MRR is 1e6 div first_rank,
+    nDCG is dcg·1e6 div idcg — truncating BIGINT division, zero floats.
+
+    Scale notes (100 TB): one distinct (doc, term) projection pruned to
+    the broadcast query vocabulary BEFORE the conjunction count (the
+    bm25 semi-filter discipline); everything after is (queries × docs
+    matching any term) sized, and the final frames are queries-sized.
+
+    Output: (query_id, n_rel, first_rank, mrr_e6, dcg_e12, idcg_e12,
+    ndcg_e6) — first_rank/mrr/ndcg are 0 when no relevant doc is ranked.
+    """
+    spark = docs.sparkSession
+    queries = BM25_QUERIES if queries is None else queries
+    ranked = bm25_topk(docs, queries, k=k, id_col=id_col,
+                       text_col=text_col)
+    qterms = _qterms_df(spark, queries)
+    nterms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms"))
+
+    dt = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"\s+")).alias("term"))
+          .filter(F.col("term") != "").distinct())
+    rel = (dt.join(F.broadcast(qterms), "term")
+           .groupBy("query_id", "id")
+           .agg(F.count(F.lit(1)).alias("n_hit"))
+           .join(F.broadcast(nterms), "query_id")
+           .filter(F.col("n_hit") == F.col("n_terms"))
+           .select("query_id", F.col("id").alias(id_col)))
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+
+    disc, cum = discount_tables(k)
+    disc_df = spark.createDataFrame(disc, ["rank", "d_e12"])
+    cum_df = spark.createDataFrame(cum, ["m", "i_e12"])
+
+    labeled = (ranked
+               .join(rel.withColumn("is_rel", F.lit(1)),
+                     ["query_id", id_col], "left")
+               .join(F.broadcast(disc_df), "rank"))
+    perq = (labeled.groupBy("query_id")
+            .agg(F.sum(F.when(F.col("is_rel") == 1, F.col("d_e12"))
+                       .otherwise(0)).cast("long").alias("dcg_e12"),
+                 F.coalesce(F.min(F.when(F.col("is_rel") == 1,
+                                         F.col("rank"))), F.lit(0))
+                 .cast("int").alias("first_rank")))
+    base = nterms.select("query_id")
+    out = (base
+           .join(nrel, "query_id", "left")
+           .join(perq, "query_id", "left")
+           .select("query_id",
+                   F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+                    .alias("n_rel"),
+                   F.coalesce(F.col("first_rank"), F.lit(0)).cast("int")
+                    .alias("first_rank"),
+                   F.coalesce(F.col("dcg_e12"), F.lit(0)).cast("long")
+                    .alias("dcg_e12"))
+           .join(F.broadcast(cum_df),
+                 F.least(F.col("n_rel"), F.lit(k)) == F.col("m"))
+           .select("query_id", "n_rel", "first_rank",
+                   F.when(F.col("first_rank") > 0,
+                          F.expr("1000000 div first_rank"))
+                    .otherwise(0).cast("long").alias("mrr_e6"),
+                   "dcg_e12",
+                   F.col("i_e12").cast("long").alias("idcg_e12"),
+                   F.when(F.col("i_e12") > 0,
+                          F.expr("dcg_e12 * 1000000 div i_e12"))
+                    .otherwise(0).cast("long").alias("ndcg_e6")))
+    return out
+
+
+def discount_values_sql(k: int = 10) -> tuple[str, str]:
+    """The discount_tables literals as DuckDB VALUES tables — returns
+    (disc_sql, cum_sql) so the oracle embeds the exact same integers."""
+    disc, cum = discount_tables(k)
+    d = ", ".join(f"({r}, {v})" for r, v in disc)
+    c = ", ".join(f"({m}, {v})" for m, v in cum)
+    return (f"(VALUES {d}) AS disc(rnk, d_e12)",
+            f"(VALUES {c}) AS idc(m, i_e12)")
 
 
 def hybrid_rrf(docs: DataFrame,

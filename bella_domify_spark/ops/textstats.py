@@ -110,6 +110,61 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def flesch_reading(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the quality-gate staple beyond
+    the Gopher ratios: ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)``. Syllables are the classic vowel-group
+    heuristic (runs of [aeiouy] in the lowercased text), sentences count
+    [.!?]+ runs (min 1 — a fragment is one sentence). All three counts
+    are exact integers from regex counting; the formula is then one
+    fixed-shape IEEE double expression, identical operand order on both
+    engines, floor-e3 quantized. Documents with zero words drop out
+    (both engines agree).
+
+    Scale: pure per-row JVM regexp expressions inside whole-stage
+    codegen — no shuffle, no Python.
+
+    Output: (doc_id, n_words, n_sentences, n_syllables, flesch_e3).
+    """
+    text = F.col(text_col)
+    low = F.lower(text)
+    nw = _ws_tokens(text)
+    ns = F.greatest(F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+                    F.lit(1))
+    nsy = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (nw.cast("double") / ns.cast("double"))
+              - F.lit(84.6) * (nsy.cast("double") / nw.cast("double")))
+    return (df.select(F.col(id_col), nw.alias("n_words"),
+                      ns.alias("n_sentences"), nsy.alias("n_syllables"),
+                      F.floor(flesch * 1e3).cast("long").alias("flesch_e3"))
+            .filter(F.col("n_words") > 0))
+
+
+def flesch_oracle_sql() -> str:
+    """DuckDB twin of flesch_reading (vowel-group + sentence-run regexes
+    and the operand order pinned beside the Spark code)."""
+    return r"""
+        WITH c AS (
+            SELECT doc_id,
+                   length(regexp_split_to_array(trim(text), '\s+'))
+                       AS n_words,
+                   greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                   length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               floor((206.835
+                      - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                      - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+                     * 1e3)::BIGINT AS flesch_e3
+        FROM c WHERE n_words > 0
+    """
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: lowercase, strip non-alnum, collapse

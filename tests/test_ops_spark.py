@@ -2119,3 +2119,57 @@ class TestFuzzyDecontamination:
         got = {(r["doc_id"], r["bench_id"]): r["n_match"]
                for r in fuzzy_contamination_flags(corpus, bench).collect()}
         assert got == {(1, 10): 64}
+
+
+class TestEvalAndQuality:
+    def test_expectations_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import expectations_report
+
+        rules = [("value_nonneg", "value >= 0", "value >= 0"),
+                 ("uid_not_null", "user_id IS NOT NULL",
+                  "user_id IS NOT NULL")]
+        ev = spark.createDataFrame(
+            [(1, None, 5.0), (2, 7, -3.0), (3, 8, None)],
+            "event_id long, user_id long, value double")
+        got = {r["rule"]: (r["n_checked"], r["n_violations"],
+                           r["min_bad_event_id"])
+               for r in expectations_report(ev, rules=rules).collect()}
+        # NULL value (event 3) violates value_nonneg (NULL pred = fail)
+        assert got == {"value_nonneg": (3, 2, 2),
+                       "uid_not_null": (3, 1, 1)}
+
+    def test_retrieval_eval_perfect_and_empty(self, spark):
+        from bella_domify_spark.ops.retrieval import retrieval_eval
+
+        # d1/d3 contain both terms (relevant, outscore d2) -> ranks 1-2
+        # in some order -> dcg == idcg -> ndcg 1e6, mrr 1e6. 'q2' matches
+        # nothing -> all-zero row survives via the left joins.
+        docs = spark.createDataFrame(
+            [(1, "hash join fast"), (2, "hash only here"),
+             (3, "join hash")],
+            ["doc_id", "text"])
+        got = {r["query_id"]: r.asDict()
+               for r in retrieval_eval(
+                   docs, queries=[("q", "hash join"),
+                                  ("q2", "absent term")]).collect()}
+        q = got["q"]
+        assert (q["n_rel"], q["first_rank"], q["mrr_e6"]) == (2, 1, 1_000_000)
+        assert q["dcg_e12"] == q["idcg_e12"] > 0
+        assert q["ndcg_e6"] == 1_000_000
+        assert got["q2"] == {"query_id": "q2", "n_rel": 0, "first_rank": 0,
+                             "mrr_e6": 0, "dcg_e12": 0, "idcg_e12": 0,
+                             "ndcg_e6": 0}
+
+    def test_flesch_hand_counted(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import flesch_reading
+
+        docs = spark.createDataFrame(
+            [(1, "Hello world. It is good!")], ["doc_id", "text"])
+        [r] = flesch_reading(docs).collect()
+        # 5 words; 2 sentence runs (. and !); vowel groups:
+        # e,o | o | i | i | oo -> 6
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
+        want = math.floor((206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5)) * 1e3)
+        assert r["flesch_e3"] == want

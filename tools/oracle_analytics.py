@@ -36,7 +36,12 @@ def entries() -> dict[str, str]:
                                                     as _bp_oracle_sql,
                                                     boilerplate_strip_oracle_sql
                                                     as _bp_strip_oracle_sql)
-    from bella_domify_spark.ops.retrieval import queries_values_sql
+    from bella_domify_spark.ops.analyze import (expectations_oracle_sql
+                                                as _expectations_oracle_sql)
+    from bella_domify_spark.ops.retrieval import (discount_values_sql,
+                                                  queries_values_sql)
+    from bella_domify_spark.ops.textstats import (flesch_oracle_sql
+                                                  as _flesch_oracle_sql)
     from bella_domify_spark.ops.analyze import (anomaly_oracle_sql
                                                 as _anomaly_oracle_sql,
                                                 srm_oracle_sql
@@ -198,8 +203,66 @@ def entries() -> dict[str, str]:
             WHERE rank <= 10
         """
 
+    disc_sql, cum_sql = discount_values_sql(10)
     return {
         "bm25_prf": bm25_prf_sql,
+        "expectations_report": _expectations_oracle_sql(),
+        "flesch_reading": _flesch_oracle_sql(),
+        "retrieval_eval": f"""
+            WITH bm AS ({bm25_sql}),
+            dtt AS (
+                SELECT DISTINCT doc_id AS id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text), '\\s+'))
+                         AS t(term)
+                WHERE t.term <> ''
+            ),
+            qt AS (SELECT * FROM {queries_values_sql()}),
+            nt AS (SELECT query_id, count(*) AS n_terms
+                   FROM qt GROUP BY query_id),
+            rel AS (
+                SELECT q.query_id, d.id
+                FROM dtt d JOIN qt q USING (term)
+                JOIN nt ON nt.query_id = q.query_id
+                GROUP BY q.query_id, d.id, nt.n_terms
+                HAVING count(*) = nt.n_terms
+            ),
+            nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+                     FROM rel GROUP BY query_id),
+            lab AS (
+                SELECT bm.query_id, bm.rank, disc.d_e12,
+                       (r.id IS NOT NULL) AS is_rel
+                FROM bm
+                JOIN {disc_sql} ON disc.rnk = bm.rank
+                LEFT JOIN rel r ON r.query_id = bm.query_id
+                               AND r.id = bm.doc_id
+            ),
+            perq AS (
+                SELECT query_id,
+                       sum(CASE WHEN is_rel THEN d_e12 ELSE 0 END)::BIGINT
+                           AS dcg_e12,
+                       COALESCE(min(CASE WHEN is_rel THEN rank END), 0)
+                           AS first_rank
+                FROM lab GROUP BY query_id
+            )
+            SELECT nt.query_id,
+                   COALESCE(nrel.n_rel, 0)::BIGINT AS n_rel,
+                   COALESCE(perq.first_rank, 0)::INT AS first_rank,
+                   (CASE WHEN COALESCE(perq.first_rank, 0) > 0
+                         THEN 1000000 // perq.first_rank
+                         ELSE 0 END)::BIGINT AS mrr_e6,
+                   COALESCE(perq.dcg_e12, 0)::BIGINT AS dcg_e12,
+                   idc.i_e12::BIGINT AS idcg_e12,
+                   (CASE WHEN idc.i_e12 > 0
+                         THEN COALESCE(perq.dcg_e12, 0) * 1000000
+                              // idc.i_e12
+                         ELSE 0 END)::BIGINT AS ndcg_e6
+            FROM nt
+            LEFT JOIN nrel USING (query_id)
+            LEFT JOIN perq USING (query_id)
+            JOIN {cum_sql}
+              ON idc.m = least(COALESCE(nrel.n_rel, 0), 10)
+        """,
         "merge_upsert": """
             WITH ks AS (
                 SELECT (max(doc_id) + 1) * 2 AS ks FROM documents
