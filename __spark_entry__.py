@@ -1360,6 +1360,30 @@ def _q_flesch_reading(spark, sf):
     return flesch_reading(_t(spark, sf, "documents"))
 
 
+def _q_source_modularity(spark, sf):
+    """Attribute modularity (ops/graph.py attribute_modularity): Newman
+    q-terms of the documents.source partition over the 0.2-jaccard
+    near-dup graph — 'is duplication intra-source?'."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import attribute_modularity
+    d = _t(spark, sf, "documents")
+    return attribute_modularity(jaccard_pairs(d, threshold=0.2),
+                                d.select("doc_id", "source"),
+                                id_col="doc_id", label_col="source")
+
+
+def _q_dim_ablation(spark, sf):
+    """Matryoshka dimension ablation (ops/ann.py dim_ablation_recall):
+    recall@5 of 32-dim-truncated cosine top-k vs the 64-dim exact —
+    integer hits per query."""
+    from bella_domify_spark.ops.ann import dim_ablation_recall
+    em = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return dim_ablation_recall(em, q, k=5, keep_dims=32)
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1581,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": _q_expectations_report,
         "retrieval_eval": _q_retrieval_eval,
         "flesch_reading": _q_flesch_reading,
+        "source_modularity": _q_source_modularity,
+        "dim_ablation": _q_dim_ablation,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2710,5 +2736,35 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN lshr l ON l.q_id = e.q_id AND l.vec_id = e.vec_id
         LEFT JOIN ivfr i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
         GROUP BY e.q_id
+    """
+    # matryoshka dimension ablation: full-dim exact oracle composed as a
+    # CTE; the truncated ranking slices both sides to dims [1:32]
+    sqls["dim_ablation"] = f"""
+        WITH fullk AS ({sqls["ann_cosine_topk"]}),
+        tq AS (
+            SELECT vec_id AS q_id, (embedding::DOUBLE[])[1:32] AS q_vec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        ts AS (
+            SELECT q.q_id, e.vec_id,
+                   list_cosine_similarity((e.embedding::DOUBLE[])[1:32],
+                                          q.q_vec) AS c
+            FROM embeddings e, tq q
+        ),
+        tr AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY c DESC, vec_id ASC)
+                           AS rank
+                FROM ts)
+            WHERE rank <= 5
+        )
+        SELECT f.q_id, count(*) AS k,
+               sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   ::BIGINT AS hits_trunc
+        FROM fullk f
+        LEFT JOIN tr t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+        GROUP BY f.q_id
     """
     return sqls

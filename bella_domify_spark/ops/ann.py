@@ -343,6 +343,44 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .select(q_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank"))
 
 
+def dim_ablation_recall(vectors: DataFrame, queries: DataFrame,
+                        k: int = 5, keep_dims: int = 32,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        q_id_col: str = "q_id",
+                        q_vec_col: str = "q_vec") -> DataFrame:
+    """Matryoshka-style dimension ablation: per query, how many of the
+    exact full-dimension cosine top-``k`` survive when BOTH sides are
+    truncated to their first ``keep_dims`` components — the sizing
+    readout for "can we store/search half the vector?" (Kusupati et al.
+    2022 MRL). hits ≈ k means the truncated index is safe; a big drop
+    means the tail dims carry real signal for this corpus.
+
+    Scale notes: two :func:`cosine_topk` passes (queries broadcast; the
+    corpus is scanned, never shuffled) — the truncation is a per-row
+    ``slice``, free inside the same scan — and an integer join/aggregate
+    over (queries × k)-sized frames.
+
+    Output: (q_id, k, hits_trunc) — all-integer, exact-hash-safe.
+    """
+    full = cosine_topk(vectors, queries, k=k, id_col=id_col,
+                       vec_col=vec_col, q_id_col=q_id_col,
+                       q_vec_col=q_vec_col).select(q_id_col, id_col)
+    tv = vectors.select(F.col(id_col),
+                        F.slice(F.col(vec_col), 1, keep_dims)
+                         .alias(vec_col))
+    tq = queries.select(F.col(q_id_col),
+                        F.slice(F.col(q_vec_col), 1, keep_dims)
+                         .alias(q_vec_col))
+    trunc = (cosine_topk(tv, tq, k=k, id_col=id_col, vec_col=vec_col,
+                         q_id_col=q_id_col, q_vec_col=q_vec_col)
+             .select(q_id_col, id_col).withColumn("in_t", F.lit(1)))
+    return (full.join(trunc, [q_id_col, id_col], "left")
+            .groupBy(q_id_col)
+            .agg(F.count(F.lit(1)).alias("k"),
+                 F.sum(F.coalesce(F.col("in_t"), F.lit(0))).cast("long")
+                  .alias("hits_trunc")))
+
+
 def embedding_outliers(vectors: DataFrame, k: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        label_col: str = "label",

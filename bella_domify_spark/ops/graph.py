@@ -402,6 +402,94 @@ def walk_centrality(pairs: DataFrame, iters: int = 3) -> DataFrame:
     return x.select("id", F.col("s").cast("long").alias("walks"))
 
 
+def attribute_modularity(pairs: DataFrame, labels: DataFrame,
+                         id_col: str = "id",
+                         label_col: str = "lab") -> DataFrame:
+    """Newman modularity of an ATTRIBUTE partition over the near-dup
+    graph — the curation diagnostic "is duplication mostly intra-X?"
+    (X = source, language, shard …): per label c,
+    ``q_term = e_c/m − (d_c/2m)²`` where e_c = intra-label edges, d_c =
+    summed degree of c's nodes, m = total edges; Q = Σ q_term. Q near 0
+    means dup pairs ignore the attribute (cross-source contamination —
+    the expensive kind); Q near 1 means dedup can run per-partition.
+
+    Exactness: e_c, d_c, m are exact BIGINTs; q_term is one fixed-shape
+    IEEE double expression floor-e9 quantized (the PSI convention).
+
+    Scale notes (100 TB): two broadcast-label joins on the edge list, a
+    degree aggregate, and label-count-sized frames after — the 1-row m
+    aggregate rides a broadcast crossJoin (cuped_adjusted precedent).
+    Nodes without a label drop (both engines agree); an edge counts
+    intra only when BOTH endpoints carry the same label.
+
+    Output: (lab, n_nodes, e_intra, d_sum, q_term_e9).
+    """
+    e = pairs.select("id_a", "id_b")
+    lab = labels.select(F.col(id_col).alias("_lid"),
+                        F.col(label_col).alias("lab"))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (_symmetrize(e, "id_a", "id_b")
+           .groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    node_lab = deg.join(F.broadcast(lab), deg["src"] == lab["_lid"])
+    per_lab = (node_lab.groupBy("lab")
+               .agg(F.count(F.lit(1)).alias("n_nodes"),
+                    F.sum("deg").alias("d_sum")))
+    la = lab.select(F.col("_lid").alias("id_a"), F.col("lab").alias("la"))
+    lb = lab.select(F.col("_lid").alias("id_b"), F.col("lab").alias("lb"))
+    intra = (e.join(F.broadcast(la), "id_a").join(F.broadcast(lb), "id_b")
+             .filter(F.col("la") == F.col("lb"))
+             .groupBy(F.col("la").alias("lab"))
+             .agg(F.count(F.lit(1)).alias("e_intra")))
+    j = (per_lab.join(intra, "lab", "left")
+         .crossJoin(F.broadcast(m)))
+    ec = F.coalesce(F.col("e_intra"), F.lit(0))
+    md = F.col("m").cast("double")
+    frac = F.col("d_sum").cast("double") / (F.lit(2.0) * md)
+    q = ec.cast("double") / md - frac * frac
+    return j.select("lab", F.col("n_nodes").cast("long").alias("n_nodes"),
+                    ec.cast("long").alias("e_intra"),
+                    F.col("d_sum").cast("long").alias("d_sum"),
+                    F.floor(q * 1e9).cast("long").alias("q_term_e9"))
+
+
+def modularity_oracle_sql() -> str:
+    """DuckDB twin of attribute_modularity over the ``pairs`` CTE with
+    documents.source as the label (the q_term operand order pinned
+    beside the Spark code)."""
+    return """
+            msym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            mtot AS (SELECT count(*) AS m FROM pairs),
+            mdeg AS (SELECT src, count(*) AS deg FROM msym GROUP BY src),
+            mlab AS (SELECT doc_id AS lid, source AS lab FROM documents),
+            mnl AS (
+                SELECT l.lab, count(*) AS n_nodes, sum(d.deg) AS d_sum
+                FROM mdeg d JOIN mlab l ON l.lid = d.src
+                GROUP BY l.lab
+            ),
+            mintra AS (
+                SELECT la.lab, count(*) AS e_intra
+                FROM pairs p
+                JOIN mlab la ON la.lid = p.id_a
+                JOIN mlab lb ON lb.lid = p.id_b
+                WHERE la.lab = lb.lab
+                GROUP BY la.lab
+            )
+            SELECT n.lab, n.n_nodes::BIGINT AS n_nodes,
+                   COALESCE(i.e_intra, 0)::BIGINT AS e_intra,
+                   n.d_sum::BIGINT AS d_sum,
+                   floor((COALESCE(i.e_intra, 0)::DOUBLE / t.m::DOUBLE
+                          - (n.d_sum::DOUBLE / (2.0 * t.m::DOUBLE))
+                            * (n.d_sum::DOUBLE / (2.0 * t.m::DOUBLE)))
+                         * 1e9)::BIGINT AS q_term_e9
+            FROM mnl n
+            LEFT JOIN mintra i ON i.lab = n.lab
+            CROSS JOIN mtot t"""
+
+
 def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     """k-core peeling over the near-dup graph: iteratively delete nodes
     whose degree in the surviving induced subgraph is < k. Survivors of

@@ -149,7 +149,8 @@ def main() -> int:
     # contaminated 8.4s for a 1.6s plan) — give every query 3 attempts and
     # the contention-prone ones a fourth; BENCH_RUNS_EXTRA adds more
     bonus = int(os.environ.get("BENCH_RUNS_EXTRA", "0"))
-    extra = {"dedup_minhash_lsh", "simhash", "dedup_embedding", "ann_ivf_topk"}
+    extra = {"dedup_minhash_lsh", "simhash", "dedup_embedding",
+             "ann_ivf_topk", "fuzzy_decontaminate"}
     for name in ["q1_pricing_summary", "top_revenue_orders", "window_topk_orders",
                  "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
                  "simhash", "doc_quality", "ann_cosine_topk", "ann_ivf_topk",
@@ -173,7 +174,10 @@ def main() -> int:
                  "vacuum_candidates", "bpe_merges", "turn_revisions",
                  "time_travel_read", "file_prune_stats", "late_data_stats",
                  "corpus_boilerplate", "kcore_peel", "bpe_encode",
-                 "pq_codes", "ivfpq_topk", "pmi_pairs", "snapshot_diff"]:
+                 "pq_codes", "ivfpq_topk", "pmi_pairs", "snapshot_diff",
+                 "concurrency_stats", "anomaly_mad", "bm25_prf",
+                 "walk_centrality", "fuzzy_decontaminate",
+                 "link_prediction"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

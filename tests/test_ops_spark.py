@@ -2173,3 +2173,52 @@ class TestEvalAndQuality:
         assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
         want = math.floor((206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5)) * 1e3)
         assert r["flesch_e3"] == want
+
+    def test_modularity_hand_counted(self, spark):
+        from bella_domify_spark.ops.graph import attribute_modularity
+
+        # edges: intra-A (1,2); cross (2,3); intra-B (3,4). m=3.
+        # A = {1,2}: e=1, d = deg1+deg2 = 1+2 = 3 -> 1/3 - (3/6)^2 = 1/12
+        # B = {3,4}: e=1, d = 2+1 = 3           -> 1/12
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                      "id_a long, id_b long")
+        labels = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B"), (4, "B")], "id long, lab string")
+        got = {r["lab"]: (r["n_nodes"], r["e_intra"], r["d_sum"],
+                          r["q_term_e9"])
+               for r in attribute_modularity(pairs, labels).collect()}
+        import math
+        q = math.floor((1 / 3 - (3 / 6.0) ** 2) * 1e9)
+        assert got == {"A": (2, 1, 3, q), "B": (2, 1, 3, q)}
+
+    def test_modularity_label_missing_node_drops(self, spark):
+        from bella_domify_spark.ops.graph import attribute_modularity
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        labels = spark.createDataFrame([(1, "A")], "id long, lab string")
+        got = attribute_modularity(pairs, labels).collect()
+        # node 2 unlabeled: edge not intra (no label match), node 2 absent
+        assert len(got) == 1
+        r = got[0]
+        assert (r["lab"], r["n_nodes"], r["e_intra"]) == ("A", 1, 0)
+
+    def test_dim_ablation_planted(self, spark):
+        from bella_domify_spark.ops.ann import dim_ablation_recall
+
+        # 4-dim vectors; truncation keeps dims 1-2. Query = v0.
+        # full cosine: v1 aligned in all dims (top), v2 aligned only in
+        # the TAIL dims (high full cosine, ~0 truncated), v3 orthogonal.
+        rows = [(0, [1.0, 1.0, 1.0, 1.0]),
+                (1, [1.0, 1.0, 1.0, 0.9]),
+                (2, [0.01, -0.01, 1.0, 1.0]),
+                (3, [1.0, -1.0, 1.0, -1.0])]
+        em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = (em.filter(F.col("vec_id") == 0)
+             .selectExpr("vec_id as q_id", "embedding as q_vec"))
+        got = {r["q_id"]: (r["k"], r["hits_trunc"])
+               for r in dim_ablation_recall(em, q, k=2, keep_dims=2)
+                   .collect()}
+        # full top-2 = {v0 (self), v1}; truncated [1,1] ranking: v0, v1
+        # still lead (v2's truncated cosine is 0: [0.01,-0.01] ⟂ [1,1])
+        # -> both hit
+        assert got == {0: (2, 2)}

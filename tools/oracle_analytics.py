@@ -50,6 +50,8 @@ def entries() -> dict[str, str]:
                                                  as _concurrency_oracle_sql,
                                                  late_oracle_sql
                                                  as _late_oracle_sql)
+    from bella_domify_spark.ops.graph import (modularity_oracle_sql
+                                              as _modularity_oracle_sql)
     from bella_domify_spark.ops.textstats import (pmi_oracle_sql
                                                   as _pmi_oracle_sql)
     from tools.oracle_lib import (
@@ -542,6 +544,10 @@ def entries() -> dict[str, str]:
             WITH {jaccard_pair_ctes()},
             {walk_ctes(3)}
             SELECT id, s::BIGINT AS walks FROM wx3
+        """,
+        "source_modularity": f"""
+            WITH {jaccard_pair_ctes()},
+            {_modularity_oracle_sql()}
         """,
         "fuzzy_decontaminate": f"""
             WITH {minhash_cand_ctes(params_values_sql(64))},
