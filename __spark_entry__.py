@@ -1384,6 +1384,17 @@ def _q_dim_ablation(spark, sf):
     return dim_ablation_recall(em, q, k=5, keep_dims=32)
 
 
+def _q_split_leakage(spark, sf):
+    """Leakage report (ops/curate.py split_leakage): near-dup pairs
+    crossing the naive md5-mod train/val/test boundaries — the
+    contamination count split_by_cluster exists to zero out."""
+    from bella_domify_spark.ops.curate import split_leakage
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.textstats import train_split
+    d = _t(spark, sf, "documents")
+    return split_leakage(jaccard_pairs(d, threshold=0.2), train_split(d))
+
+
 def _q_kcore_peel(spark, sf):
     """k-core peeling (ops/graph.py kcore_peel): 3 unrolled k=2 peels of
     the word-3-gram near-dup graph — the dense-duplication communities
@@ -1607,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_reading": _q_flesch_reading,
         "source_modularity": _q_source_modularity,
         "dim_ablation": _q_dim_ablation,
+        "split_leakage": _q_split_leakage,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -54,6 +54,35 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_words", "quality_score", "split"))
 
 
+def split_leakage(pairs: DataFrame, splits: DataFrame,
+                  id_col: str = "doc_id",
+                  split_col: str = "split") -> DataFrame:
+    """The leakage REPORT that motivates :func:`split_by_cluster`: count
+    near-dup pairs whose endpoints landed in DIFFERENT splits under a
+    given assignment, per ordered (split_a, split_b) cell with split_a
+    <= split_b lexicographically (so (test,train) and (train,test)
+    collapse into one row — pairs are undirected). The (train,test) and
+    (train,val) cells are the contamination number an eval report must
+    disclose; diagonal cells show dup mass the split kept together.
+
+    Scale notes: two joins of the pair list against the split assignment
+    keyed by doc id (the pair side is candidate-sized, see ops/dedup.py
+    generators) and a map-side-combined count into a ≤ 3×3 grid.
+
+    Output: (split_a, split_b, n_pairs).
+    """
+    s = splits.select(F.col(id_col).alias("_sid"),
+                      F.col(split_col).alias("_sp"))
+    a = s.select(F.col("_sid").alias("id_a"), F.col("_sp").alias("sp_a"))
+    b = s.select(F.col("_sid").alias("id_b"), F.col("_sp").alias("sp_b"))
+    return (pairs.select("id_a", "id_b")
+            .join(a, "id_a").join(b, "id_b")
+            .select(F.least("sp_a", "sp_b").alias("split_a"),
+                    F.greatest("sp_a", "sp_b").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
 def split_by_cluster(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      jaccard_threshold: float = 0.2,

@@ -2222,3 +2222,19 @@ class TestEvalAndQuality:
         # still lead (v2's truncated cosine is 0: [0.01,-0.01] ⟂ [1,1])
         # -> both hit
         assert got == {0: (2, 2)}
+
+    def test_split_leakage_hand_counted(self, spark):
+        from bella_domify_spark.ops.curate import split_leakage
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "val"),
+             (5, "val")],
+            "doc_id string, split string").selectExpr(
+                "cast(doc_id as long) as doc_id", "split")
+        got = {(r["split_a"], r["split_b"]): r["n_pairs"]
+               for r in split_leakage(pairs, splits).collect()}
+        # (1,2) and (2,3) cross test/train (orientation collapsed);
+        # (4,5) stays intra-val
+        assert got == {("test", "train"): 2, ("val", "val"): 1}

@@ -549,6 +549,25 @@ def entries() -> dict[str, str]:
             WITH {jaccard_pair_ctes()},
             {_modularity_oracle_sql()}
         """,
+        "split_leakage": f"""
+            WITH {jaccard_pair_ctes()},
+            spl AS (
+                SELECT doc_id,
+                       CASE WHEN {md5_int60('doc_id::VARCHAR')} % 100 < 5
+                                THEN 'test'
+                            WHEN {md5_int60('doc_id::VARCHAR')} % 100 < 10
+                                THEN 'val'
+                            ELSE 'train' END AS sp
+                FROM documents
+            )
+            SELECT least(a.sp, b.sp) AS split_a,
+                   greatest(a.sp, b.sp) AS split_b,
+                   count(*)::BIGINT AS n_pairs
+            FROM pairs p
+            JOIN spl a ON a.doc_id = p.id_a
+            JOIN spl b ON b.doc_id = p.id_b
+            GROUP BY 1, 2
+        """,
         "fuzzy_decontaminate": f"""
             WITH {minhash_cand_ctes(params_values_sql(64))},
             fcand AS (
