@@ -1352,6 +1352,32 @@ def _q_retrieval_eval(spark, sf):
     return retrieval_eval(_t(spark, sf, "documents"))
 
 
+def _q_c4_filters(spark, sf):
+    """C4/FineWeb line + document heuristics (ops/webfilter.py
+    c4_filters): terminal-punct / min-word / javascript / cookie line
+    rules, lorem-ipsum / curly-brace / min-kept doc rules over the
+    synthetic page payload — the post-extraction hygiene pass the
+    reference (single-file parser) has no corpus layer for."""
+    from bella_domify_spark.ops.webfilter import c4_filters
+    return c4_filters(_t(spark, sf, "documents"))
+
+
+def _q_encoding_report(spark, sf):
+    """Encoding sanitation (ops/webfilter.py encoding_report): mojibake
+    markers, control chars, U+FFFD, clean-char budget — ftfy-class
+    damage detection as pure codegen regex counting."""
+    from bella_domify_spark.ops.webfilter import encoding_report
+    return encoding_report(_t(spark, sf, "documents"))
+
+
+def _q_secrets_detect(spark, sf):
+    """Credential scan (ops/webfilter.py secrets_detect): long word-char
+    runs scored by the distinct-char entropy proxy; hex keys flag,
+    repeated-char runs don't. Map-side flatMap, no shuffle."""
+    from bella_domify_spark.ops.webfilter import secrets_detect
+    return secrets_detect(_t(spark, sf, "documents"))
+
+
 def _q_flesch_reading(spark, sf):
     """Readability (ops/textstats.py flesch_reading): vowel-group
     syllables, [.!?]+ sentences, floor-e3 Flesch reading ease — pure
@@ -1619,6 +1645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_modularity": _q_source_modularity,
         "dim_ablation": _q_dim_ablation,
         "split_leakage": _q_split_leakage,
+        # session-5 new queries (never driver-confirmed — window priority):
+        "c4_filters": _q_c4_filters,
+        "encoding_report": _q_encoding_report,
+        "secrets_detect": _q_secrets_detect,
         # r5-rotated-out stalwarts, back in (r4-driver-green):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -2238,3 +2238,80 @@ class TestEvalAndQuality:
         # (1,2) and (2,3) cross test/train (orientation collapsed);
         # (4,5) stays intra-val
         assert got == {("test", "train"): 2, ("val", "val"): 1}
+
+
+class TestWebFilter:
+    def test_c4_filters_hand_counted(self, spark):
+        from bella_domify_spark.ops.webfilter import c4_filters
+
+        # payload lines per doc (text = 'alpha beta gamma delta', src 's'):
+        # doc 0: headline / body+'.' / js / lorem / brace / cookie /
+        #        contact = 7 lines; kept = headline, body, lorem = 3;
+        #        lorem+brace present -> killed.
+        # doc 1: headline / body (no terminal '.') / contact = 3 lines;
+        #        kept = headline only -> n_kept=1 < 2 -> killed.
+        # doc 3: headline / body+'.' / contact = 3 lines; kept =
+        #        headline + body = 2 >= 2, no lorem/brace -> SURVIVES.
+        rows = [(i, "alpha beta gamma delta", "s") for i in (0, 1, 3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "source string")
+        got = {r["doc_id"]: (r["n_lines"], r["n_kept_lines"],
+                             r["kept_chars"], r["has_lorem"],
+                             r["has_brace"], r["doc_kept"])
+               for r in c4_filters(df).collect()}
+        head = len("Top story from s news desk.")    # 27
+        body = len("alpha beta gamma delta.")        # 23
+        lorem = len("Lorem ipsum dolor sit amet.")   # 27
+        assert got == {
+            0: (7, 3, head + body + lorem, True, True, False),
+            1: (3, 1, head, False, False, False),
+            3: (3, 2, head + body, False, False, True),
+        }
+
+    def test_c4_min_words_boundary(self, spark):
+        from bella_domify_spark.ops.webfilter import c4_filters
+
+        # doc 3 body 'one two three.' = 3 words < C4_MIN_WORDS=4 ->
+        # body line dropped despite terminal '.', doc killed (1 kept).
+        df = spark.createDataFrame([(3, "one two three", "s")],
+                                   "doc_id long, text string, source string")
+        [r] = c4_filters(df).collect()
+        assert (r["n_kept_lines"], r["doc_kept"]) == (1, False)
+
+    def test_encoding_report_hand_counted(self, spark):
+        from bella_domify_spark.ops.webfilter import encoding_report
+
+        rows = [(1, "hello"),   # clean
+                (6, "hi"),      # + ' cafÃ©'  -> mojibake marker
+                (9, "hi"),      # + ' bell\x07' -> control char
+                (10, "hi"),     # + ' bad�byte' -> replacement
+                (24, "hi")]     # %6 and %8 -> both mojibake markers
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_chars"], r["n_nonascii"], r["n_mojibake"],
+                             r["n_ctrl"], r["n_repl"], r["clean_chars"],
+                             r["flagged"])
+               for r in encoding_report(df).collect()}
+        assert got == {
+            1: (5, 0, 0, 0, 0, 5, False),
+            6: (8, 2, 1, 0, 0, 8, True),       # 'hi cafÃ©'
+            9: (8, 0, 0, 1, 0, 7, True),       # 'hi bell\x07'
+            10: (11, 1, 0, 0, 1, 10, True),    # 'hi bad�byte'
+            24: (16, 5, 2, 0, 0, 16, True),    # cafÃ© + donâ€™t
+        }
+
+    def test_secrets_detect_hand_counted(self, spark):
+        import hashlib
+
+        from bella_domify_spark.ops.webfilter import secrets_detect
+
+        rows = [(1, "hello"),    # no candidate at all -> 0 rows
+                (5, "hello"),    # + sk_<md5> : 35 chars, hex -> secret
+                (11, "hello")]   # + tok_ + 28*'a' : low diversity -> no
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["token"], r["tok_len"], r["n_distinct"],
+                             r["has_digit"], r["is_secret"])
+               for r in secrets_detect(df).collect()}
+        key = "sk_" + hashlib.md5(b"5").hexdigest()
+        assert set(got) == {5, 11}
+        assert got[5] == (key, 35, len(set(key)), True, True)
+        assert got[11] == ("tok_" + "a" * 28, 32, 5, False, False)

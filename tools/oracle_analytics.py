@@ -36,6 +36,12 @@ def entries() -> dict[str, str]:
                                                     as _bp_oracle_sql,
                                                     boilerplate_strip_oracle_sql
                                                     as _bp_strip_oracle_sql)
+    from bella_domify_spark.ops.webfilter import (c4_oracle_sql
+                                                  as _c4_oracle_sql,
+                                                  encoding_oracle_sql
+                                                  as _encoding_oracle_sql,
+                                                  secrets_oracle_sql
+                                                  as _secrets_oracle_sql)
     from bella_domify_spark.ops.analyze import (expectations_oracle_sql
                                                 as _expectations_oracle_sql)
     from bella_domify_spark.ops.retrieval import (discount_values_sql,
@@ -363,6 +369,9 @@ def entries() -> dict[str, str]:
         "anomaly_mad": _anomaly_oracle_sql(),
         "corpus_boilerplate": _bp_oracle_sql(),
         "boilerplate_strip": _bp_strip_oracle_sql(),
+        "c4_filters": _c4_oracle_sql(),
+        "encoding_report": _encoding_oracle_sql(),
+        "secrets_detect": _secrets_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
