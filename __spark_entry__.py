@@ -1378,6 +1378,54 @@ def _q_secrets_detect(spark, sf):
     return secrets_detect(_t(spark, sf, "documents"))
 
 
+def _q_lexical_diversity(spark, sf):
+    """Per-source diversity (ops/textstats.py lexical_diversity): token/
+    type counts, TTR, Simpson repeat index — the templated-source
+    detector. Two key-sized aggregates."""
+    from bella_domify_spark.ops.textstats import lexical_diversity
+    return lexical_diversity(_t(spark, sf, "documents"))
+
+
+def _q_k_anonymity(spark, sf):
+    """Privacy audit (ops/curate.py k_anonymity): equivalence classes
+    over (lang, source, chars-bucket) quasi-identifiers, classes below
+    K flagged at_risk. One small-key groupBy."""
+    from bella_domify_spark.ops.curate import k_anonymity
+    return k_anonymity(_t(spark, sf, "documents"))
+
+
+def _q_rater_kappa(spark, sf):
+    """Cohen's kappa between the Gopher gate and the hashed classifier
+    (ops/analyze.py rater_kappa): chance-corrected agreement, exact
+    integer 2x2 algebra, one row."""
+    from bella_domify_spark.ops.analyze import rater_kappa
+    return rater_kappa(_t(spark, sf, "documents"))
+
+
+def _q_rank_rbo(spark, sf):
+    """Rank agreement bm25 vs fused (ops/retrieval.py rank_rbo):
+    truncated RBO@10 in exact integer arithmetic + Spearman footrule,
+    per query."""
+    from bella_domify_spark.ops.retrieval import rank_rbo
+    return rank_rbo(_t(spark, sf, "documents"))
+
+
+def _q_context_budget(spark, sf):
+    """Context-window packing readout (ops/transcript.py context_budget):
+    chars/4 turn costs, prefix cumsum truncation at the token budget,
+    per-user kept/total."""
+    from bella_domify_spark.ops.transcript import context_budget
+    return context_budget(_t(spark, sf, "events"))
+
+
+def _q_sq_error(spark, sf):
+    """Int8 scalar-quantization error (ops/ann.py sq_error): per-dim
+    global ranges, 0..255 codes, integer-exact per-vector sse at 255e6
+    scale."""
+    from bella_domify_spark.ops.ann import sq_error
+    return sq_error(_t(spark, sf, "embeddings"))
+
+
 def _q_flesch_reading(spark, sf):
     """Readability (ops/textstats.py flesch_reading): vowel-group
     syllables, [.!?]+ sentences, floor-e3 Flesch reading ease — pure
@@ -1647,9 +1695,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         # session-5 new queries (never driver-confirmed — window priority):
         "c4_filters": _q_c4_filters,
+        # --- exiled tail (51+): no driver row this round ---
+        # 58 never-driver-confirmed queries compete for the 50 window
+        # slots; the 8 newest (the two remaining session-5 queries plus
+        # the six session-6 queries below) defer to round 7 — oldest
+        # unconfirmed first. All 8 are green in the local exact-hash
+        # oracle at sf0.01 AND sf0.1 (this session's run) and take
+        # FIRST priority in the round-7 rotation (see plan below).
         "encoding_report": _q_encoding_report,
         "secrets_detect": _q_secrets_detect,
-        # r5-rotated-out stalwarts, back in (r4-driver-green):
+        # session-6 new queries (never driver-confirmed):
+        "lexical_diversity": _q_lexical_diversity,
+        "k_anonymity": _q_k_anonymity,
+        "rater_kappa": _q_rater_kappa,
+        "rank_rbo": _q_rank_rbo,
+        "context_budget": _q_context_budget,
+        "sq_error": _q_sq_error,
+        # r5-rotated-out stalwarts (r4-driver-green; displaced past the
+        # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "decontaminate": _q_decontaminate,
@@ -1657,7 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": _q_dedup_cluster_canonical,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "simhash": _q_simhash,
-        # longest-unconfirmed tail entries, rotating back in:
+        # longest-unconfirmed tail entries (also past the boundary):
         "cross_surprisal": _q_cross_surprisal,
         "remove_dup_spans": _q_remove_dup_spans,
         "kmeans_assign": _q_kmeans_assign,
@@ -1671,11 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docxlike_flat": _q_extract_docxlike_flat,
         "csv_normalize": _q_csv_normalize,
         "csv_markdown": _q_csv_markdown,
-        # --- exiled tail (51+): no driver row this round ---
-        # (extract_xlsxlike_flat .. conv_stats displaced by the 10
-        # session-2 new queries, which are never-driver-confirmed and
-        # take window priority; every displaced entry has r4-or-better
-        # driver proof plus this session's local exact-hash green)
+        # (extract_xlsxlike_flat .. conv_stats: every displaced entry
+        # has r4-or-better driver proof plus local exact-hash green)
         "extract_xlsxlike_flat": _q_extract_xlsxlike_flat,
         "format_detect_stats": _q_format_detect_stats,
         "dedup_cluster_simhash": _q_dedup_cluster_simhash,
@@ -1694,14 +1754,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "turn_ordering": _q_turn_ordering,
         "conv_stats": _q_conv_stats,
-        # ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the window's
-        # 12 + 8 + 7 + 23 members will all have fresh driver rows; rotate
-        # in (a) any r7-new/changed queries first, then (b) the tail in
-        # ORDER BELOW — conv_assembly .. rollup_revenue are the
-        # longest-unconfirmed (r3-era driver proof), then the 50 r5-green
-        # block (freshest proof, last to return). Every tail entry below
-        # is green in this session's single-run 117/117 exact-hash sweep
-        # at sf0.01 (/tmp/oracle_full_r6.log, 2026-08-18).
+        # ROUND-7 ROTATION PLAN: after CORRECTNESS_r06 lands, the 50
+        # window members will all have fresh driver rows; rotate in
+        # (a) the 8 never-driver-confirmed overflow queries first
+        # (encoding_report, secrets_detect, lexical_diversity,
+        # k_anonymity, rater_kappa, rank_rbo, context_budget, sq_error),
+        # then (b) any r7-new/changed queries, then (c) the tail in
+        # ORDER BELOW — the r4-green stalwarts and back-in entries
+        # above, then conv_assembly .. rollup_revenue (r3-era driver
+        # proof), then the 50 r5-green block (freshest proof, last to
+        # return). Every registry entry is green in this session's
+        # full-sweep exact-hash run at sf0.01 (see git log).
         # next-oldest proof first (these rotate in next round):
         "decode_roundtrip": _q_decode_roundtrip,
         "session_gap": _q_session_gap,

@@ -633,3 +633,136 @@ def qte_oracle_sql(n_buckets: int = 10) -> str:
                    AS qte_e6
         FROM m
     """
+
+
+def rater_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the two quality raters the pipeline already
+    runs: rater A = the Gopher heuristic gate (textstats.gopher_quality
+    ``keep``), rater B = the hashed linear classifier
+    (classifier.quality_classifier ``label == 'keep'``). Chance-corrected
+    agreement is the standard readout before trusting a learned filter to
+    replace (or be distilled from) a heuristic one — raw agreement is
+    inflated whenever both raters mostly say "drop".
+
+    κ = (pₒ − pₑ)/(1 − pₑ) computed in exact integer form first:
+    num = N·(n11+n00) − (a1·b1 + a0·b0), den = N² − (a1·b1 + a0·b0),
+    with DECIMAL(19,0) operands (the chi2 pattern — products stay exact
+    to ~1e7 docs per cell at 100 TB), then one double-divide-then-floor.
+
+    Output: one row (n11, n10, n01, n00, po_e9, kappa_e9);
+    kappa_e9 NULL when a rater is constant (den = 0). NULL-text docs are
+    excluded on both engines (the raters disagree on NULL semantics).
+
+    Scale: two full-corpus projections joined on doc_id then collapsed
+    to a single row — the join shuffles once on doc_id; the aggregate is
+    four conditional counters, map-side combined.
+    """
+    from bella_domify_spark.ops.classifier import quality_classifier
+    from bella_domify_spark.ops.textstats import gopher_quality
+
+    base = docs.filter(F.col("doc_id").isNotNull()
+                       & F.col("text").isNotNull())
+    a = gopher_quality(base).select("doc_id", F.col("keep").alias("ra"))
+    b = (quality_classifier(base)
+         .select("doc_id", (F.col("label") == "keep").alias("rb")))
+    j = a.join(b, "doc_id")
+    ra, rb = F.col("ra"), F.col("rb")
+    cells = j.agg(
+        F.sum((ra & rb).cast("long")).alias("n11"),
+        F.sum((ra & ~rb).cast("long")).alias("n10"),
+        F.sum((~ra & rb).cast("long")).alias("n01"),
+        F.sum((~ra & ~rb).cast("long")).alias("n00"))
+    n11, n10, n01, n00 = (F.col(x).cast("decimal(19,0)") for x in
+                          ("n11", "n10", "n01", "n00"))
+    n = n11 + n10 + n01 + n00
+    chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    num = n * (n11 + n00) - chance
+    den = n * n - chance
+    return cells.select(
+        "n11", "n10", "n01", "n00",
+        F.floor((n11 + n00).cast("double") / n.cast("double") * 1e9)
+         .cast("long").alias("po_e9"),
+        F.when(den > 0,
+               F.floor(num.cast("double") / den.cast("double") * 1e9))
+         .cast("long").alias("kappa_e9"))
+
+
+def rater_kappa_oracle_sql() -> str:
+    """DuckDB twin of rater_kappa: the Gopher keep rule inlined (same
+    constants as textstats.gopher_quality) + the shared classifier
+    feature/weight SQL; HUGEINT plays DECIMAL(38,0)."""
+    from bella_domify_spark.ops.classifier import (classifier_feats_sql,
+                                                   classifier_weight_expr)
+    w = classifier_weight_expr("t", "duckdb")
+    return rf"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), gw AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM base
+        ), ga AS (
+            SELECT doc_id, len(ws) AS n_words,
+                   CASE WHEN len(ws) > 0 THEN
+                       list_sum(list_transform(ws, x -> length(x)))
+                           ::DOUBLE / len(ws) END AS mwl,
+                   len(list_intersect(list_distinct(ws),
+                       ['the','be','to','of','and','that','have',
+                        'with','a'])) AS stop_hits
+            FROM gw
+        ), ra AS (
+            SELECT doc_id,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (CASE WHEN n_words > 0
+                              THEN (mwl >= 3.0 AND mwl <= 10.0)
+                              ELSE FALSE END)
+                    AND stop_hits >= 2) AS ra
+            FROM ga
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                                   lower(COALESCE(text, '')), '\s+'),
+                               x -> x <> '') AS ws
+            FROM base
+        ), feats AS (
+            SELECT doc_id,
+                   list_concat(
+                       ws,
+                       list_transform(range(1, greatest(len(ws), 1)),
+                                      i -> ws[i] || '_' || ws[i + 1])
+                   ) AS fs
+            FROM toks
+        ), rb AS (
+            SELECT doc_id,
+                   COALESCE(list_aggregate(
+                       list_transform(fs, t -> ({w})), 'sum'), 0) > 0 AS rb
+            FROM feats
+        ), cells AS (
+            SELECT sum((ra AND rb)::INT)::HUGEINT AS n11,
+                   sum((ra AND NOT rb)::INT)::HUGEINT AS n10,
+                   sum((NOT ra AND rb)::INT)::HUGEINT AS n01,
+                   sum((NOT ra AND NOT rb)::INT)::HUGEINT AS n00
+            FROM ra JOIN rb USING (doc_id)
+        )
+        SELECT n11::BIGINT AS n11, n10::BIGINT AS n10,
+               n01::BIGINT AS n01, n00::BIGINT AS n00,
+               floor((n11 + n00)::DOUBLE
+                     / (n11 + n10 + n01 + n00)::DOUBLE * 1e9)::BIGINT
+                   AS po_e9,
+               CASE WHEN ((n11 + n10 + n01 + n00)
+                          * (n11 + n10 + n01 + n00)
+                          - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00))) > 0
+                    THEN floor(((n11 + n10 + n01 + n00) * (n11 + n00)
+                                - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)))::DOUBLE
+                               / ((n11 + n10 + n01 + n00)
+                                  * (n11 + n10 + n01 + n00)
+                                  - ((n11 + n10) * (n11 + n01)
+                                     + (n01 + n00) * (n10 + n00)))::DOUBLE
+                               * 1e9)::BIGINT
+               END AS kappa_e9
+        FROM cells
+    """

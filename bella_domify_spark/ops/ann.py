@@ -852,3 +852,101 @@ def ivfpq_oracle_sql(k: int = 5, n_lists: int = 8, n_probe: int = 2,
             FROM sc)
         WHERE rank <= {k}
     """
+
+
+def sq_error(vectors: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             scale: int = 1_000_000) -> DataFrame:
+    """Int8 scalar-quantization (SQ8) error report — the other half of
+    embedding compression next to pq_codes: per dimension, learn the
+    global [min, max] range, code each component to 0..255, and report
+    each vector's exact reconstruction error. The readout that decides
+    whether an index can store SQ8 (4× smaller than float32) without
+    hurting recall; vectors with outsized sse are the ones SQ clips.
+
+    Integer-exact end to end: components floor-e6 quantize to BIGINT
+    first (the kmeans_assign discipline); the code is
+    ``(x−mn)·255 div (mx−mn)``; the per-dim residual is computed at
+    255× scale, ``e = 255·(x−mn) − code·(mx−mn)`` (0 ≤ e < mx−mn), so
+    sse = Σe² is a BIGINT both engines agree on bit-for-bit.
+
+    Scale notes: the per-dim range table is ONE map-side-combined
+    (pos) aggregation of dim-count rows; it re-joins the corpus as a
+    single-row broadcast of two arrays, and the error fold runs inside
+    codegen — no shuffle of the vectors themselves. Ragged vectors
+    (size ≠ the corpus-wide dim count) are excluded by the same rule on
+    both engines.
+
+    Output: (vec_id, n_dims, sse, max_err) at the scales above.
+    """
+    q = (vectors.filter(F.col(vec_col).isNotNull()
+                        & (F.size(F.col(vec_col)) > 0))
+         .select(F.col(id_col).alias("id"),
+                 F.transform(F.col(vec_col).cast("array<double>"),
+                             lambda x: F.floor(x * F.lit(float(scale)))
+                             .cast("long")).alias("v")))
+    dims = (q.select(F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_dims"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "mn", "mx"))),
+                     lambda s: s["mn"]).alias("mns"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "mn", "mx"))),
+                     lambda s: s["mx"]).alias("mxs")))
+    j = q.crossJoin(F.broadcast(dims)).filter(
+        F.size("v") == F.col("n_dims"))
+    err = F.expr("""
+        transform(arrays_zip(v, mns, mxs),
+                  s -> CASE WHEN s.mxs > s.mns
+                            THEN 255L * (s.v - s.mns)
+                                 - ((s.v - s.mns) * 255L div (s.mxs - s.mns))
+                                   * (s.mxs - s.mns)
+                            ELSE 0L END)
+    """)
+    return (j.select(F.col("id").alias("vec_id"), "n_dims",
+                     err.alias("_e"))
+            .select("vec_id", "n_dims",
+                    F.aggregate("_e", F.lit(0).cast("long"),
+                                lambda acc, x: acc + x * x).alias("sse"),
+                    F.array_max("_e").cast("long").alias("max_err")))
+
+
+def sq_error_oracle_sql(scale: int = 1_000_000) -> str:
+    """DuckDB twin of sq_error (UNNEST-join physical strategy for the
+    same integer algebra; `//` is div on BIGINTs)."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> floor(x::DOUBLE * {float(scale)!r})::BIGINT)
+                       AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+        ), comp AS (
+            SELECT id, u.i AS pos, v[u.i] AS x
+            FROM q, UNNEST(range(1, len(v) + 1)) AS u(i)
+        ), dims AS (
+            SELECT pos, min(x) AS mn, max(x) AS mx
+            FROM comp GROUP BY pos
+        ), nd AS (SELECT count(*)::INT AS n_dims FROM dims
+        ), e AS (
+            SELECT comp.id, nd.n_dims,
+                   CASE WHEN d.mx > d.mn
+                        THEN 255 * (comp.x - d.mn)
+                             - ((comp.x - d.mn) * 255 // (d.mx - d.mn))
+                               * (d.mx - d.mn)
+                        ELSE 0 END AS err
+            FROM comp JOIN dims d USING (pos) CROSS JOIN nd
+        ), sized AS (
+            SELECT id FROM q CROSS JOIN nd WHERE len(v) = nd.n_dims
+        )
+        SELECT e.id AS vec_id, e.n_dims,
+               sum(e.err * e.err)::BIGINT AS sse,
+               max(e.err)::BIGINT AS max_err
+        FROM e JOIN sized USING (id)
+        GROUP BY e.id, e.n_dims
+    """

@@ -159,3 +159,47 @@ def adaptive_quality_filter(docs: DataFrame, p: float = 0.25,
                     F.floor(F.col("quality_score") * 1e4).alias("score_e4"),
                     F.floor(F.col("q_thr") * 1e4).alias("thr_e4"),
                     (F.col("quality_score") >= F.col("q_thr")).alias("kept")))
+
+
+K_ANON_K = 5
+
+
+def k_anonymity(docs: DataFrame) -> DataFrame:
+    """Privacy k-anonymity audit over the document metadata: group the
+    corpus by its quasi-identifier tuple (lang, source, n_chars rounded
+    to the nearest 100) and report every equivalence class with its
+    size, flagging classes smaller than K_ANON_K — the release rule for
+    any redistributable corpus slice (a class of 1-4 docs can
+    re-identify an author/session even after PII redaction; see
+    Sweeney's k-anonymity model).
+
+    Output: (lang, source, chars_bucket, class_size, at_risk). A
+    downstream pass would suppress or generalize the at_risk classes;
+    this operator is the audit that finds them.
+
+    Scale: one groupBy on a low-cardinality composite key —
+    map-side-combined counts, one small shuffle, no row data moves.
+    """
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (docs.filter(F.col("lang").isNotNull()
+                        & F.col("source").isNotNull()
+                        & F.col("n_chars").isNotNull())
+            .groupBy(F.col("lang"), F.col("source"),
+                     bucket.alias("chars_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+            .select("lang", "source", "chars_bucket", "class_size",
+                    (F.col("class_size") < K_ANON_K).alias("at_risk")))
+
+
+def k_anonymity_oracle_sql() -> str:
+    """DuckDB twin of k_anonymity (same bucket rule and K)."""
+    return f"""
+        SELECT lang, source,
+               (floor(n_chars / 100) * 100)::BIGINT AS chars_bucket,
+               count(*)::BIGINT AS class_size,
+               (count(*) < {K_ANON_K}) AS at_risk
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+          AND n_chars IS NOT NULL
+        GROUP BY lang, source, chars_bucket
+    """

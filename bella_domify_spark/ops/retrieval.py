@@ -352,3 +352,63 @@ def hybrid_rrf(docs: DataFrame,
     return (ranked.select("query_id", "doc_id", "bm25_rank", "q_rank",
                           rrf.alias("rrf_e12"))
             .withColumn("fused_rank", F.row_number().over(wf)))
+
+
+# --- RBO rank agreement (bm25 vs fused) -----------------------------------
+#
+# truncated rank-biased overlap (Webber et al., TOIS'10) at depth D=10
+# with persistence p = 9/10, in EXACT integer arithmetic: scaling by
+# S = 2520·10¹⁰ makes every per-depth weight (1−p)·p^(d−1)/d an integer
+# w_d = 9^(d−1)·(2520/d)·10^(10−d)  (2520 = lcm(1..10)), and
+# rbo_e9 = total·10⁹/S = total div 25200 exactly — no float anywhere.
+RBO_D = 10
+RBO_WEIGHTS = [9 ** (d - 1) * (2520 // d) * 10 ** (10 - d)
+               for d in range(1, RBO_D + 1)]
+# suffix sums: a doc first counted at depth m contributes SW[m] in total
+RBO_SUFFIX = [sum(RBO_WEIGHTS[m - 1:]) for m in range(1, RBO_D + 1)]
+
+
+def rbo_suffix_sql() -> str:
+    """VALUES table (m, sw) of the suffix weights, shared verbatim by the
+    DuckDB oracle."""
+    rows = ", ".join(f"({m}, {sw})"
+                     for m, sw in enumerate(RBO_SUFFIX, start=1))
+    return f"(VALUES {rows}) AS sw(m, sw)"
+
+
+def rank_rbo(docs: DataFrame,
+             queries: list[tuple[str, str]] | None = None,
+             k: int = RBO_D) -> DataFrame:
+    """Rank-agreement readout between the lexical ranking and the fused
+    ranking that hybrid_rrf emits for the same candidate set: per query,
+    truncated RBO@10 (top-weighted — disagreement at rank 1 costs ~26×
+    rank 10) plus the Spearman footrule Σ|rank_a − rank_b| (uniform).
+    The standard guardrail when shipping a re-ranker: a query whose RBO
+    collapses is one where the quality prior overruled lexical relevance
+    wholesale.
+
+    Both rankings permute the SAME k docs, so the depth-d overlap is
+    |{doc : max(bm25_rank, fused_rank) ≤ d}| and each doc contributes the
+    suffix weight RBO_SUFFIX[max(ra, rb)] once — one projection + one
+    per-query sum, integer-exact end to end (see module comment).
+
+    Scale: piggybacks entirely on hybrid_rrf's plan (one postings
+    shuffle); this adds a queries×k-row aggregate.
+
+    Output: (query_id, n_docs, footrule, rbo_e9).
+    """
+    fused = hybrid_rrf(docs, queries, k=k)
+    m = F.greatest(F.col("bm25_rank"), F.col("fused_rank"))
+    sw = F.element_at(
+        F.array(*[F.lit(x) for x in RBO_SUFFIX]), m.cast("int"))
+    return (fused.select(
+                "query_id",
+                F.abs(F.col("bm25_rank") - F.col("fused_rank"))
+                 .cast("long").alias("_fr"),
+                sw.alias("_sw"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_fr").alias("footrule"),
+                 F.sum("_sw").cast("long").alias("_tot"))
+            .select("query_id", "n_docs", "footrule",
+                    F.expr("_tot div 25200").alias("rbo_e9")))

@@ -754,3 +754,78 @@ def pmi_oracle_sql(window: int = 3, top_k: int = 30,
         JOIN cw cb ON cb.w = top.b
         CROSS JOIN nu CROSS JOIN np
     """
+
+
+def lexical_diversity(df: DataFrame, source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-source lexical diversity: token count N, type count V,
+    type-token ratio, and the Simpson repeat index Σ nᵢ(nᵢ−1)/(N(N−1))
+    (probability two random tokens are the same type — high = templated
+    boilerplate, low = diverse prose). The standard corpus-health readout
+    before mixing sources into a training run: a source whose Simpson
+    index spikes is serving near-identical pages.
+
+    Tokens = lowercased whitespace split, '' dropped (the vocab_stats
+    convention). Ratios are double-divide-then-floor quantized (ttr_e9,
+    simpson_e9), the chi2 pattern; the Simpson numerator/denominator are
+    exact BIGINTs first.
+
+    Scale: one (source, term)-keyed aggregate (map-side combined) then a
+    source-keyed re-aggregate — two shuffles, both on keys far smaller
+    than the corpus; nothing collects.
+
+    Output: (source, n_tokens, n_types, ttr_e9, simpson_e9); sources with
+    N < 2 drop (Simpson undefined).
+    """
+    toks = (df.filter(F.col(source_col).isNotNull())
+              .select(F.col(source_col).alias("source"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        r"\s+")).alias("term"))
+              .filter(F.col("term") != ""))
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    agg = counts.groupBy("source").agg(
+        F.sum(n).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(n * (n - 1)).cast("long").alias("_rep"))
+    nt = F.col("n_tokens")
+    return (agg.filter(nt >= 2)
+            .select("source", "n_tokens", "n_types",
+                    F.floor(F.col("n_types").cast("double")
+                            / nt.cast("double") * 1e9)
+                     .cast("long").alias("ttr_e9"),
+                    F.floor(F.col("_rep").cast("double")
+                            / (nt * (nt - 1)).cast("double") * 1e9)
+                     .cast("long").alias("simpson_e9")))
+
+
+def lexical_diversity_oracle_sql() -> str:
+    """DuckDB twin of lexical_diversity (same tokenizer as vocab_stats,
+    same double-divide-then-floor quantization)."""
+    return r"""
+        WITH toks AS (
+            SELECT source, u.term
+            FROM documents,
+                 UNNEST(regexp_split_to_array(lower(COALESCE(text, '')),
+                                              '\s+')) AS u(term)
+            WHERE source IS NOT NULL AND u.term <> ''
+        ), counts AS (
+            SELECT source, term, count(*) AS n
+            FROM toks GROUP BY source, term
+        ), agg AS (
+            SELECT source,
+                   sum(n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   sum(n * (n - 1))::BIGINT AS rep
+            FROM counts GROUP BY source
+        )
+        SELECT source, n_tokens, n_types,
+               floor(n_types::DOUBLE / n_tokens::DOUBLE * 1e9)::BIGINT
+                   AS ttr_e9,
+               floor(rep::DOUBLE
+                     / (n_tokens * (n_tokens - 1))::DOUBLE * 1e9)::BIGINT
+                   AS simpson_e9
+        FROM agg
+        WHERE n_tokens >= 2
+    """

@@ -192,3 +192,72 @@ def turn_revision_stats(events: DataFrame,
                              F.col("user_id").cast("string"))
                     .alias("conv_id"),
                     "n_pairs", "n_revisions", "sum_jaccard_e6"))
+
+
+CONTEXT_BUDGET_TOKENS = 256
+
+
+def context_budget(events: DataFrame,
+                   budget: int = CONTEXT_BUDGET_TOKENS) -> DataFrame:
+    """Context-window packing readout: treat each user's time-ordered
+    event stream as a conversation, cost each turn at
+    ``length(props) div 4 + 1`` tokens (the chars/4 estimate every
+    serving stack uses for budgeting), and find how much of the stream
+    fits a ``budget``-token context — the turn where cumulative cost
+    first exceeds the budget is the truncation point a packer would cut
+    at. The per-conversation readout (kept turns/tokens vs total) is what
+    decides max_seq_len and truncation strategy before a training run.
+
+    Integer-exact: costs and cumulative sums are BIGINTs; a turn is kept
+    iff its cumulative cost ≤ budget (prefix semantics — later turns
+    never displace earlier ones).
+
+    Scale: one shuffle keyed by user for the (ts, event_id)-ordered
+    running-sum window, then a map-side-combined per-user aggregate;
+    state per key is one counter.
+
+    Output: (user_id, n_turns, total_tokens, kept_turns, kept_tokens,
+    truncated).
+    """
+    e = events.filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull())
+    cost = (F.expr("length(coalesce(props, '')) div 4") + 1).cast("long")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (e.select("user_id", "ts", "event_id", cost.alias("_c"))
+            .withColumn("_cum", F.sum("_c").over(w)))
+    fits = F.col("_cum") <= budget
+    return (cum.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.sum("_c").cast("long").alias("total_tokens"),
+                 F.sum(fits.cast("long")).cast("long").alias("kept_turns"),
+                 F.sum(F.when(fits, F.col("_c")).otherwise(0))
+                  .cast("long").alias("kept_tokens"))
+            .withColumn("truncated",
+                        F.col("kept_turns") < F.col("n_turns")))
+
+
+def context_budget_oracle_sql(budget: int = CONTEXT_BUDGET_TOKENS) -> str:
+    """DuckDB twin of context_budget (same cost rule, same tie order)."""
+    return f"""
+        WITH c AS (
+            SELECT user_id, event_id,
+                   (length(COALESCE(props, '')) // 4 + 1)::BIGINT AS c,
+                   sum(length(COALESCE(props, '')) // 4 + 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT user_id,
+               count(*)::BIGINT AS n_turns,
+               sum(c)::BIGINT AS total_tokens,
+               sum((cum <= {int(budget)})::INT)::BIGINT AS kept_turns,
+               sum(CASE WHEN cum <= {int(budget)} THEN c ELSE 0 END)
+                   ::BIGINT AS kept_tokens,
+               (sum((cum <= {int(budget)})::INT) < count(*)) AS truncated
+        FROM c
+        GROUP BY user_id
+    """

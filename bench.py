@@ -177,7 +177,19 @@ def main() -> int:
                  "pq_codes", "ivfpq_topk", "pmi_pairs", "snapshot_diff",
                  "concurrency_stats", "anomaly_mad", "bm25_prf",
                  "walk_centrality", "fuzzy_decontaminate",
-                 "link_prediction"]:
+                 "link_prediction",
+                 # round-6 session-3/4/5 queries (first-bench floors):
+                 "split_by_cluster", "quantile_effects",
+                 "boilerplate_strip", "containment_pairs",
+                 "calibration_bins", "position_deletes",
+                 "cooccurrence_pairs", "srm_check",
+                 "expectations_report", "retrieval_eval",
+                 "flesch_reading", "source_modularity",
+                 "dim_ablation", "split_leakage",
+                 "c4_filters", "encoding_report", "secrets_detect",
+                 # round-6 session-6 queries (first-bench floors):
+                 "lexical_diversity", "k_anonymity", "rater_kappa",
+                 "rank_rbo", "context_budget", "sq_error"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

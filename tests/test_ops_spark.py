@@ -2315,3 +2315,163 @@ class TestWebFilter:
         assert set(got) == {5, 11}
         assert got[5] == (key, 35, len(set(key)), True, True)
         assert got[11] == ("tok_" + "a" * 28, 32, 5, False, False)
+
+
+class TestRound6Session6Ops:
+    def test_lexical_diversity_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import lexical_diversity
+
+        # source a: tokens x,x,y (case-folded) -> N=3, V=2,
+        #   ttr = floor(2/3 * 1e9), rep = 2*1 = 2,
+        #   simpson = floor(2/(3*2) * 1e9) = floor(1e9/3)
+        # source b: single token -> N=1 < 2 -> dropped
+        # null source -> dropped
+        rows = [(1, "X x  y", "a"), (2, "z", "b"), (3, "w w", None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "source string")
+        got = [(r["source"], r["n_tokens"], r["n_types"],
+                r["ttr_e9"], r["simpson_e9"])
+               for r in lexical_diversity(df).collect()]
+        assert got == [("a", 3, 2, 666666666, 333333333)]
+
+    def test_k_anonymity_hand_counted(self, spark):
+        from bella_domify_spark.ops.curate import K_ANON_K, k_anonymity
+
+        assert K_ANON_K == 5
+        rows = ([(i, "en", "s", 100 + i) for i in range(5)]      # bucket 100
+                + [(10, "en", "s", 250), (11, "en", "s", 299)]   # bucket 200
+                + [(12, None, "s", 50)])                         # dropped
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, n_chars long")
+        got = {(r["lang"], r["source"], r["chars_bucket"]):
+               (r["class_size"], r["at_risk"])
+               for r in k_anonymity(df).collect()}
+        assert got == {("en", "s", 100): (5, False),
+                       ("en", "s", 200): (2, True)}
+
+    def test_rater_kappa_matches_component_raters(self, spark):
+        from fractions import Fraction
+
+        from bella_domify_spark.ops.analyze import rater_kappa
+        from bella_domify_spark.ops.classifier import quality_classifier
+        from bella_domify_spark.ops.textstats import gopher_quality
+
+        # mixed corpus: a 60-word stopword-rich doc (gopher keep), a
+        # 5-word doc (too short), a NULL text (excluded), plus filler —
+        # the classifier's verdicts are recomputed here from its own
+        # output, so the test pins the 2x2 cells + exact kappa algebra
+        long_text = ("the cat and the dog have fun with a ball " * 6).strip()
+        rows = [(1, long_text), (2, "tiny doc here now"), (3, None),
+                (4, ("you must not use short words ever again in this "
+                     "corpus because " * 5).strip())]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = [r for r in rows if r[1] is not None]
+        ra = {r["doc_id"]: r["keep"]
+              for r in gopher_quality(
+                  spark.createDataFrame(base,
+                                        "doc_id long, text string"))
+              .collect()}
+        rb = {r["doc_id"]: r["label"] == "keep"
+              for r in quality_classifier(
+                  spark.createDataFrame(base,
+                                        "doc_id long, text string"))
+              .collect()}
+        cells = [sum(1 for d in ra if ra[d] and rb[d]),
+                 sum(1 for d in ra if ra[d] and not rb[d]),
+                 sum(1 for d in ra if not ra[d] and rb[d]),
+                 sum(1 for d in ra if not ra[d] and not rb[d])]
+        n11, n10, n01, n00 = cells
+        n = sum(cells)
+        chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        num, den = n * (n11 + n00) - chance, n * n - chance
+        [r] = rater_kappa(df).collect()
+        assert [r["n11"], r["n10"], r["n01"], r["n00"]] == cells
+        assert r["po_e9"] == (Fraction(n11 + n00, n) * 10**9).__floor__()
+        if den > 0:
+            assert r["kappa_e9"] == (Fraction(num, den) * 10**9).__floor__()
+        else:
+            assert r["kappa_e9"] is None
+
+    def test_rank_rbo_weights_and_aggregation(self, spark):
+        from fractions import Fraction
+
+        from bella_domify_spark.ops.retrieval import (RBO_SUFFIX,
+                                                      RBO_WEIGHTS, hybrid_rrf,
+                                                      rank_rbo)
+
+        # the integer weight table IS (1-p)p^(d-1)/d at scale 2520e10
+        scale = 2520 * 10**10
+        for d, w in enumerate(RBO_WEIGHTS, start=1):
+            assert Fraction(w, scale) == (Fraction(1, 10)
+                                          * Fraction(9, 10) ** (d - 1)
+                                          / d)
+        docs = spark.createDataFrame(
+            [(1, "alpha beta alpha beta alpha"),
+             (2, "alpha beta gamma delta epsilon zeta"),
+             (3, "unrelated words entirely here")],
+            ["doc_id", "text"])
+        q = [("q1", "alpha beta")]
+        fused = hybrid_rrf(docs, queries=q, k=5).collect()
+        exp_fr = sum(abs(r["bm25_rank"] - r["fused_rank"]) for r in fused)
+        exp_tot = sum(RBO_SUFFIX[max(r["bm25_rank"], r["fused_rank"]) - 1]
+                      for r in fused)
+        [r] = rank_rbo(docs, queries=q, k=5).collect()
+        assert (r["query_id"], r["n_docs"]) == ("q1", len(fused))
+        assert r["footrule"] == exp_fr
+        assert r["rbo_e9"] == exp_tot // 25200
+        # identical permutations of all 10 depths -> rbo = 1 - 0.9^10
+        assert sum(RBO_SUFFIX) // 25200 == 651321559
+
+    def test_context_budget_hand_counted(self, spark):
+        import datetime as dt
+
+        from bella_domify_spark.ops.transcript import context_budget
+
+        base = dt.datetime(2024, 1, 1)
+        # costs: len(props) div 4 + 1 -> 3, 1, 4; cum 3, 4, 8; budget 4
+        # keeps the first two turns only; u2 fits entirely
+        rows = [("u1", base, "e1", "x" * 8),
+                ("u1", base + dt.timedelta(seconds=1), "e2", ""),
+                ("u1", base + dt.timedelta(seconds=2), "e3", "y" * 12),
+                ("u2", base, "e9", None)]
+        df = spark.createDataFrame(
+            rows, "user_id string, ts timestamp, event_id string, "
+                  "props string")
+        got = {r["user_id"]: (r["n_turns"], r["total_tokens"],
+                              r["kept_turns"], r["kept_tokens"],
+                              r["truncated"])
+               for r in context_budget(df, budget=4).collect()}
+        assert got == {"u1": (3, 8, 2, 4, True),
+                       "u2": (1, 1, 1, 1, False)}
+
+    def test_context_budget_ties_break_on_event_id(self, spark):
+        import datetime as dt
+
+        from bella_domify_spark.ops.transcript import context_budget
+
+        ts = dt.datetime(2024, 1, 1)
+        # same ts: event_id order puts the cheap turn first -> both the
+        # cheap (cum 2) and budget boundary (cum 5 > 4) are deterministic
+        rows = [("u", ts, "b", "z" * 8), ("u", ts, "a", "w" * 4)]
+        df = spark.createDataFrame(
+            rows, "user_id string, ts timestamp, event_id string, "
+                  "props string")
+        [r] = context_budget(df, budget=4).collect()
+        assert (r["kept_turns"], r["kept_tokens"]) == (1, 2)
+
+    def test_sq_error_hand_counted(self, spark):
+        from bella_domify_spark.ops.ann import sq_error
+
+        # dims both span [0, 1e6] after e6 quantization; v3's components
+        # leave residuals 500000 and 750000 at the 255x scale
+        rows = [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.5, 0.25]),
+                (4, [0.0])]                      # ragged -> excluded
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: (r["n_dims"], r["sse"], r["max_err"])
+               for r in sq_error(df).collect()}
+        assert got == {
+            1: (2, 0, 0),
+            2: (2, 0, 0),
+            3: (2, 500000**2 + 750000**2, 750000),
+        }

@@ -45,7 +45,18 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.analyze import (expectations_oracle_sql
                                                 as _expectations_oracle_sql)
     from bella_domify_spark.ops.retrieval import (discount_values_sql,
-                                                  queries_values_sql)
+                                                  queries_values_sql,
+                                                  rbo_suffix_sql)
+    from bella_domify_spark.ops.textstats import (lexical_diversity_oracle_sql
+                                                  as _lexdiv_oracle_sql)
+    from bella_domify_spark.ops.curate import (k_anonymity_oracle_sql
+                                               as _kanon_oracle_sql)
+    from bella_domify_spark.ops.analyze import (rater_kappa_oracle_sql
+                                                as _kappa_oracle_sql)
+    from bella_domify_spark.ops.transcript import (context_budget_oracle_sql
+                                                   as _ctx_oracle_sql)
+    from bella_domify_spark.ops.ann import (sq_error_oracle_sql
+                                            as _sq_oracle_sql)
     from bella_domify_spark.ops.textstats import (flesch_oracle_sql
                                                   as _flesch_oracle_sql)
     from bella_domify_spark.ops.analyze import (anomaly_oracle_sql
@@ -126,6 +137,44 @@ def entries() -> dict[str, str]:
                        s::BIGINT AS score_e9
                 FROM scores)
             WHERE rank <= 10
+        """
+
+    # fused re-ranking as a reusable block: the hybrid_rrf entry verbatim,
+    # also wrapped by rank_rbo (agreement audits the ranking it measures)
+    hybrid_sql = f"""
+            WITH bm AS ({bm25_sql}),
+            {classifier_feats_sql()},
+            margins AS (
+                SELECT doc_id,
+                       COALESCE(list_aggregate(
+                           list_transform(fs,
+                               t -> ({classifier_weight_expr('t', 'duckdb')})),
+                           'sum'), 0)::BIGINT AS margin
+                FROM feats
+            ),
+            cand AS (
+                SELECT bm.query_id, bm.doc_id,
+                       bm.rank::INT AS bm25_rank, m.margin
+                FROM bm JOIN margins m USING (doc_id)
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, bm25_rank,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY margin DESC, doc_id ASC)::INT AS q_rank
+                FROM cand
+            ),
+            fused AS (
+                SELECT query_id, doc_id, bm25_rank, q_rank,
+                       (1000000000000 // (60 + bm25_rank)
+                        + 1000000000000 // (60 + q_rank))::BIGINT AS rrf_e12
+                FROM ranked
+            )
+            SELECT query_id, doc_id, bm25_rank, q_rank, rrf_e12,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_e12 DESC, doc_id ASC)::INT AS fused_rank
+            FROM fused
         """
 
     # RM3-lite PRF twin (retrieval.bm25_prf): same statistics head and
@@ -372,6 +421,11 @@ def entries() -> dict[str, str]:
         "c4_filters": _c4_oracle_sql(),
         "encoding_report": _encoding_oracle_sql(),
         "secrets_detect": _secrets_oracle_sql(),
+        "lexical_diversity": _lexdiv_oracle_sql(),
+        "k_anonymity": _kanon_oracle_sql(),
+        "rater_kappa": _kappa_oracle_sql(),
+        "context_budget": _ctx_oracle_sql(),
+        "sq_error": _sq_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
@@ -1020,40 +1074,21 @@ def entries() -> dict[str, str]:
             FROM ranked CROSS JOIN totals
             WHERE rank <= 10
         """,
-        "hybrid_rrf": f"""
-            WITH bm AS ({bm25_sql}),
-            {classifier_feats_sql()},
-            margins AS (
-                SELECT doc_id,
-                       COALESCE(list_aggregate(
-                           list_transform(fs,
-                               t -> ({classifier_weight_expr('t', 'duckdb')})),
-                           'sum'), 0)::BIGINT AS margin
-                FROM feats
-            ),
-            cand AS (
-                SELECT bm.query_id, bm.doc_id,
-                       bm.rank::INT AS bm25_rank, m.margin
-                FROM bm JOIN margins m USING (doc_id)
-            ),
-            ranked AS (
-                SELECT query_id, doc_id, bm25_rank,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY margin DESC, doc_id ASC)::INT AS q_rank
-                FROM cand
-            ),
-            fused AS (
-                SELECT query_id, doc_id, bm25_rank, q_rank,
-                       (1000000000000 // (60 + bm25_rank)
-                        + 1000000000000 // (60 + q_rank))::BIGINT AS rrf_e12
-                FROM ranked
-            )
-            SELECT query_id, doc_id, bm25_rank, q_rank, rrf_e12,
-                   row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY rrf_e12 DESC, doc_id ASC)::INT AS fused_rank
-            FROM fused
+        "hybrid_rrf": hybrid_sql,
+        # rank_rbo wraps the SAME fused ranking (hybrid_sql verbatim) so
+        # the agreement readout cannot drift from the ranking it audits;
+        # suffix weights come from retrieval.rbo_suffix_sql (exact
+        # integers, total div 25200 = rbo_e9 — see retrieval.py)
+        "rank_rbo": f"""
+            WITH fused_out AS ({hybrid_sql})
+            SELECT query_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(abs(bm25_rank - fused_rank))::BIGINT AS footrule,
+                   (sum(sw.sw) // 25200)::BIGINT AS rbo_e9
+            FROM fused_out
+            JOIN {rbo_suffix_sql()}
+              ON sw.m = greatest(bm25_rank, fused_rank)
+            GROUP BY query_id
         """,
         "compact_files": f"""
             WITH mf AS (
