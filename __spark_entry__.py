@@ -1625,6 +1625,38 @@ def _q_dedup_recall(spark, sf):
     return nt.crossJoin(ne).crossJoin(nh)
 
 
+def _q_gini_concentration(spark, sf):
+    """Source-concentration Lorenz/Gini readout (ops/analyze.py
+    gini_concentration): per-source char mass, value-ranked, exact
+    DECIMAL(38,0) gini algebra floor-e9 quantized once."""
+    from bella_domify_spark.ops.analyze import gini_concentration
+    return gini_concentration(_t(spark, sf, "documents"))
+
+
+def _q_mann_kendall(spark, sf):
+    """Mann-Kendall trend test per event type (ops/analyze.py
+    mann_kendall): daily-count sign statistic S + tie-corrected var×18,
+    both exact BIGINT — calendar-bounded O(d²) per type."""
+    from bella_domify_spark.ops.analyze import mann_kendall
+    return mann_kendall(_t(spark, sf, "events"))
+
+
+def _q_heaps_law(spark, sf):
+    """Heaps'-law vocab growth (ops/textstats.py heaps_law): ten
+    id-range ingest slices, cumulative docs/tokens/vocab via
+    term→first-bucket min-aggregate."""
+    from bella_domify_spark.ops.textstats import heaps_law
+    return heaps_law(_t(spark, sf, "documents"))
+
+
+def _q_lev_verify(spark, sf):
+    """Edit-distance verification of the LSH candidate pairs
+    (ops/dedup.py lev_verify_pairs): ASCII-folded 256-char prefixes,
+    codegen'd levenshtein, integer sim_e6."""
+    from bella_domify_spark.ops.dedup import lev_verify_pairs
+    return lev_verify_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST
     # 50 entries. Window policy (see comments inline): never-confirmed and
@@ -1711,6 +1743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_rbo": _q_rank_rbo,
         "context_budget": _q_context_budget,
         "sq_error": _q_sq_error,
+        # session-7 new queries (never driver-confirmed):
+        "gini_concentration": _q_gini_concentration,
+        "mann_kendall": _q_mann_kendall,
+        "heaps_law": _q_heaps_law,
+        "lev_verify": _q_lev_verify,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,
@@ -2661,6 +2698,41 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {simhash_fp_ctes("simhash")}
             SELECT id, simhash FROM fp
+        """,
+        # LSH candidates (est_jaccard >= 0.2, as dedup_minhash_lsh) then
+        # exact Levenshtein on ASCII-folded 256-char prefixes — the fold
+        # pins char-vs-byte counting to one semantics on both engines
+        "lev_verify": f"""
+            WITH {minhash_cand_ctes(minhash_params_sql)},
+            vp AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN mh ma ON ma.id = c.id_a
+                JOIN mh mb ON mb.id = c.id_b AND mb.i = ma.i
+                GROUP BY c.id_a, c.id_b
+                HAVING sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                       / 64.0 >= 0.2
+            ),
+            txt AS (
+                SELECT doc_id AS id,
+                       regexp_replace(substr(text, 1, 256),
+                                      '[^\\x00-\\x7f]', '?', 'g') AS t
+                FROM documents
+            ),
+            lv AS (
+                SELECT v.id_a, v.id_b,
+                       levenshtein(ta.t, tb.t)::BIGINT AS lev,
+                       greatest(length(ta.t), length(tb.t))::BIGINT
+                           AS max_len
+                FROM vp v
+                JOIN txt ta ON ta.id = v.id_a
+                JOIN txt tb ON tb.id = v.id_b
+            )
+            SELECT id_a, id_b, lev, max_len,
+                   CASE WHEN max_len > 0
+                        THEN (max_len - lev) * 1000000 // max_len
+                        ELSE 1000000 END::BIGINT AS sim_e6
+            FROM lv
         """,
         "train_split": """
             SELECT doc_id,

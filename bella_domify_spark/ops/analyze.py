@@ -766,3 +766,171 @@ def rater_kappa_oracle_sql() -> str:
                END AS kappa_e9
         FROM cells
     """
+
+
+def gini_concentration(docs: DataFrame,
+                       group_col: str = "source",
+                       weight_col: str = "n_chars") -> DataFrame:
+    """Source-concentration readout: the Lorenz curve and Gini
+    coefficient of corpus mass (chars) across sources — the one-number
+    answer to "is this corpus a few giant crawls wearing twenty hats?".
+    A mix with gini ≈ 0 spreads mass evenly; ≈ 1 means one source owns
+    the tokens and deduplication/mixing decisions are really decisions
+    about that source.
+
+    Exact integer algebra throughout: per-source weights are BIGINT
+    sums; sources sort ascending by (weight, name) with rank i = 1..n;
+    gini = (2·Σ i·wᵢ − (n+1)·W) / (n·W) with DECIMAL(38,0) products
+    (the chi2 pattern — Σ i·wᵢ reaches ~1e17 at 100 TB, past int64 once
+    scaled e9), floor-e9 quantized once at the end. The Lorenz share
+    cumᵢ/W is floor-e9 per row.
+
+    Scale: ONE map-side-combined groupBy collapses the corpus to
+    n_sources rows; every window below runs on that key-sized table
+    (single partition by construction — documented, deliberate: source
+    cardinality is bounded by the ingest config, not the corpus).
+
+    Output: (rnk, source, w_chars, cum_chars, lorenz_e9, gini_e9),
+    gini_e9 repeated on every row.
+    """
+    w = (docs.filter(F.col(group_col).isNotNull()
+                     & F.col(weight_col).isNotNull())
+         .groupBy(F.col(group_col).alias("source"))
+         .agg(F.sum(weight_col).cast("long").alias("w_chars")))
+    ow = Window.orderBy(F.asc("w_chars"), F.asc("source"))
+    ranked = (w.withColumn("rnk", F.row_number().over(ow))
+               .withColumn("cum_chars",
+                           F.sum("w_chars").over(
+                               ow.rowsBetween(Window.unboundedPreceding,
+                                              0))))
+    dec = "decimal(38,0)"
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("w_chars").cast(dec).alias("tw"),
+        F.sum(F.col("rnk").cast(dec)
+              * F.col("w_chars").cast(dec)).alias("iw"))
+    g = tot.select(
+        F.floor(((F.lit(2).cast(dec) * F.col("iw")
+                  - (F.col("n") + 1) * F.col("tw")).cast("double"))
+                / (F.col("n") * F.col("tw")).cast("double") * 1e9)
+         .cast("long").alias("gini_e9"))
+    return (ranked.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(tot.select(F.col("tw").cast("long")
+                                              .alias("_tw"))))
+            .select("rnk", "source", "w_chars", "cum_chars",
+                    F.floor(F.col("cum_chars").cast("double")
+                            / F.col("_tw").cast("double") * 1e9)
+                     .cast("long").alias("lorenz_e9"),
+                    "gini_e9"))
+
+
+def gini_oracle_sql() -> str:
+    """DuckDB twin of gini_concentration (HUGEINT plays DECIMAL(38,0))."""
+    return """
+        WITH w AS (
+            SELECT source, sum(n_chars)::BIGINT AS w_chars
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            GROUP BY source
+        ), ranked AS (
+            SELECT source, w_chars,
+                   row_number() OVER (ORDER BY w_chars, source) AS rnk,
+                   sum(w_chars) OVER (ORDER BY w_chars, source
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT
+                       AS cum_chars
+            FROM w
+        ), tot AS (
+            SELECT count(*)::HUGEINT AS n, sum(w_chars)::HUGEINT AS tw,
+                   sum(rnk::HUGEINT * w_chars::HUGEINT)::HUGEINT AS iw
+            FROM ranked
+        )
+        SELECT rnk, source, w_chars, cum_chars,
+               floor(cum_chars::DOUBLE / tw::DOUBLE * 1e9)::BIGINT
+                   AS lorenz_e9,
+               floor((2 * iw - (n + 1) * tw)::DOUBLE
+                     / (n * tw)::DOUBLE * 1e9)::BIGINT AS gini_e9
+        FROM ranked CROSS JOIN tot
+    """
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test over each event type's daily volume — the
+    non-parametric "is this metric drifting?" monitor (no distribution
+    assumed, robust to outliers; the standard choice for event-rate
+    trend alarms next to anomaly_mad's point alerts).
+
+    Per event_type with daily counts c₁..cₙ (day-ordered):
+    S = Σᵢ<ⱼ sign(cⱼ − cᵢ), and the tie-corrected variance at ×18
+    scale: var18 = n(n−1)(2n+5) − Σₜ t(t−1)(2t+5) over tie groups of
+    size t — both exact BIGINTs (n is calendar-bounded, no overflow),
+    so the driver hashes the test statistic itself rather than a
+    quantized z-score.
+
+    Scale: the corpus collapses to (type, day) counts in ONE
+    map-side-combined aggregate; the O(d²) sign join runs per type on
+    at most ~3.65k rows per decade of data — bounded by the calendar,
+    not the corpus — and the tie table is smaller still.
+
+    Output: (event_type, n_days, s_stat, var18); types with < 2 days
+    drop (no pairs to sign).
+    """
+    days = (events.filter(F.col("ts").isNotNull()
+                          & F.col("event_type").isNotNull())
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    a = days.select("event_type", F.col("day").alias("da"),
+                    F.col("c").alias("ca"))
+    b = days.select("event_type", F.col("day").alias("db"),
+                    F.col("c").alias("cb"))
+    s = (a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+         .groupBy("event_type")
+         .agg(F.sum(F.when(F.col("cb") > F.col("ca"), 1)
+                    .when(F.col("cb") < F.col("ca"), -1)
+                    .otherwise(0)).cast("long").alias("s_stat")))
+    n = (days.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    t = (days.groupBy("event_type", "c")
+         .agg(F.count(F.lit(1)).cast("long").alias("t"))
+         .groupBy("event_type")
+         .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("_ties")))
+    nd = F.col("n_days")
+    return (n.join(s, "event_type").join(t, "event_type")
+            .filter(nd >= 2)
+            .select("event_type", "n_days", "s_stat",
+                    (nd * (nd - 1) * (2 * nd + 5) - F.col("_ties"))
+                    .cast("long").alias("var18")))
+
+
+def mann_kendall_oracle_sql() -> str:
+    """DuckDB twin of mann_kendall (same sign join, same tie algebra)."""
+    return """
+        WITH days AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*)::BIGINT AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, day
+        ), s AS (
+            SELECT a.event_type,
+                   sum(CASE WHEN b.c > a.c THEN 1
+                            WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT
+                       AS s_stat
+            FROM days a JOIN days b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type
+        ), n AS (
+            SELECT event_type, count(*)::BIGINT AS n_days
+            FROM days GROUP BY event_type
+        ), t AS (
+            SELECT event_type,
+                   sum(t * (t - 1) * (2 * t + 5))::BIGINT AS ties
+            FROM (SELECT event_type, c, count(*)::BIGINT AS t
+                  FROM days GROUP BY event_type, c)
+            GROUP BY event_type
+        )
+        SELECT n.event_type, n.n_days, s.s_stat,
+               (n_days * (n_days - 1) * (2 * n_days + 5) - t.ties)::BIGINT
+                   AS var18
+        FROM n JOIN s USING (event_type) JOIN t USING (event_type)
+        WHERE n.n_days >= 2
+    """

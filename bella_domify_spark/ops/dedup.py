@@ -643,3 +643,50 @@ def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
                  .alias("n_words_dropped"))
             .select(F.col("id").alias(id_col), "text", "n_words",
                     "n_words_dropped"))
+
+
+LEV_PREFIX = 256
+
+
+def lev_verify_pairs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.2,
+                     prefix: int = LEV_PREFIX) -> DataFrame:
+    """Edit-distance verification of the MinHash-LSH candidate pairs —
+    the gold-standard second stage of the dedup funnel: LSH recalls
+    candidates cheaply, exact Levenshtein on a bounded prefix confirms
+    them (MinHash measures set overlap and misses small in-place edits;
+    edit distance is the character-level truth). ``sim_e6`` is the
+    normalized similarity (maxlen − lev)·1e6 div maxlen — pure integer.
+
+    Distance runs on the first ``prefix`` chars with non-ASCII folded
+    to '?' on BOTH engines: Spark's levenshtein counts characters while
+    DuckDB's counts bytes, so the fold pins one semantics (and bounds
+    the O(prefix²) DP cost per pair regardless of document length).
+
+    Scale: candidate generation is minhash_lsh_pairs' banded equality
+    join (never all-pairs); this stage adds two hash joins to fetch
+    the prefix texts and a codegen'd DP per candidate — cost is
+    pairs × prefix², independent of corpus doc length.
+
+    Output: (id_a, id_b, lev, max_len, sim_e6), one row per verified
+    candidate (empty-prefix pairs score 1e6 by convention).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col,
+                              threshold=threshold).select("id_a", "id_b")
+    txt = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.substring(F.col(text_col), 1, prefix),
+                         "[^\\x00-\\x7f]", "?").alias("t"))
+    ta = txt.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    tb = txt.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    ml = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    return (pairs.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("ta", "tb").cast("long").alias("lev"),
+                    ml.alias("max_len"))
+            .select("id_a", "id_b", "lev", "max_len",
+                    F.when(F.col("max_len") > 0,
+                           F.expr("(max_len - lev) * 1000000L"
+                                  " div max_len"))
+                     .otherwise(F.lit(1_000_000).cast("long"))
+                     .alias("sim_e6")))

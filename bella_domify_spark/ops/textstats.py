@@ -829,3 +829,105 @@ def lexical_diversity_oracle_sql() -> str:
         FROM agg
         WHERE n_tokens >= 2
     """
+
+
+HEAPS_BUCKETS = 10
+
+
+def heaps_law(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              n_buckets: int = HEAPS_BUCKETS) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: split the corpus into
+    ``n_buckets`` ingest-order slices (by doc-id range — the synthetic
+    id is the ingest order) and report cumulative docs, tokens, and
+    DISTINCT vocabulary at each slice boundary. The readout that says
+    whether a corpus is still discovering new types (V ~ α·Nᵝ, β≈0.5
+    for natural text) or has gone asymptotically templated — and how
+    much vocab a dedup pass can afford to lose.
+
+    Tokens = lowercased whitespace split, '' dropped (the vocab_stats
+    convention). Bucket = least((id−min)·B div span, B−1) + 1 over the
+    [min,max] id span — a VALUE-range slice, deliberately not a
+    row_number: exact on both engines with no global sort, so the
+    assignment is one broadcast-joined projection at any scale.
+
+    Scale: one 1-row min/max aggregate broadcasts back; the vocab half
+    collapses (term → first bucket) in a single map-side-combined
+    min-aggregate keyed by term; everything after runs on ≤ B rows.
+
+    Output: (bucket, n_docs, cum_docs, cum_tokens, new_terms,
+    cum_vocab), bucket ascending; empty buckets (no docs in the id
+    range) don't emit rows.
+    """
+    base = (df.filter(F.col(id_col).isNotNull()
+                      & F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.expr(f"filter(split(lower({text_col}), '\\\\s+'),"
+                           " x -> x != '')").alias("ws")))
+    bounds = base.agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    b = F.lit(n_buckets)
+    d = (base.crossJoin(F.broadcast(bounds))
+         .select((F.least((F.col("id") - F.col("mn")) * b
+                          / (F.col("mx") - F.col("mn") + 1),
+                          (b - 1).cast("long")).cast("long") + 1)
+                 .alias("bucket"),
+                 "ws"))
+    ds = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("ws")).cast("long").alias("_toks"))
+    nv = (d.select("bucket", F.explode("ws").alias("term"))
+          .groupBy("term").agg(F.min("bucket").alias("bucket"))
+          .groupBy("bucket")
+          .agg(F.count(F.lit(1)).cast("long").alias("new_terms")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (ds.join(nv, "bucket", "left")
+            .na.fill({"new_terms": 0})
+            .select("bucket", "n_docs",
+                    F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+                    F.sum("_toks").over(w).cast("long")
+                     .alias("cum_tokens"),
+                    "new_terms",
+                    F.sum("new_terms").over(w).cast("long")
+                     .alias("cum_vocab")))
+
+
+def heaps_oracle_sql(n_buckets: int = HEAPS_BUCKETS) -> str:
+    """DuckDB twin of heaps_law (same tokenizer, same value-range
+    bucket rule; // is BIGINT div)."""
+    return rf"""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), bounds AS (
+            SELECT min(id) AS mn, max(id) AS mx FROM base
+        ), d AS (
+            SELECT least((id - mn) * {n_buckets} // (mx - mn + 1),
+                         {n_buckets - 1}) + 1 AS bucket, ws
+            FROM base CROSS JOIN bounds
+        ), ds AS (
+            SELECT bucket, count(*)::BIGINT AS n_docs,
+                   sum(len(ws))::BIGINT AS toks
+            FROM d GROUP BY bucket
+        ), nv AS (
+            SELECT bucket, count(*)::BIGINT AS new_terms
+            FROM (SELECT u.term, min(bucket) AS bucket
+                  FROM d, UNNEST(ws) AS u(term) GROUP BY u.term)
+            GROUP BY bucket
+        )
+        SELECT ds.bucket, ds.n_docs,
+               sum(ds.n_docs) OVER (ORDER BY ds.bucket
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_docs,
+               sum(ds.toks) OVER (ORDER BY ds.bucket
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_tokens,
+               COALESCE(nv.new_terms, 0)::BIGINT AS new_terms,
+               sum(COALESCE(nv.new_terms, 0))
+                   OVER (ORDER BY ds.bucket
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
+        FROM ds LEFT JOIN nv USING (bucket)
+    """

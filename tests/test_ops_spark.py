@@ -2475,3 +2475,74 @@ class TestRound6Session6Ops:
             2: (2, 0, 0),
             3: (2, 500000**2 + 750000**2, 750000),
         }
+
+
+class TestRound6Session7Ops:
+    def test_gini_concentration_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import gini_concentration
+
+        # per-source sums: a=10, b=30 (10+20), c=60; null source dropped.
+        # ranked asc: a(1), b(2), c(3); W=100, sum(i*w)=10+60+180=250
+        # gini = (2*250 - 4*100) / (3*100) = 1/3 -> 333333333
+        rows = [(1, "a", 10), (2, "b", 10), (3, "b", 20), (4, "c", 60),
+                (5, None, 999)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, source string, n_chars long")
+        got = [(r["rnk"], r["source"], r["w_chars"], r["cum_chars"],
+                r["lorenz_e9"], r["gini_e9"])
+               for r in gini_concentration(df).orderBy("rnk").collect()]
+        assert got == [(1, "a", 10, 10, 100000000, 333333333),
+                       (2, "b", 30, 40, 400000000, 333333333),
+                       (3, "c", 60, 100, 1000000000, 333333333)]
+
+    def test_mann_kendall_hand_counted(self, spark):
+        import datetime as dt
+
+        from bella_domify_spark.ops.analyze import mann_kendall
+
+        d = lambda day, hour=0: dt.datetime(2024, 1, day, hour)
+        # type x daily counts: d1=1, d2=2, d3=1
+        #   S = sign(2-1) + sign(1-1) + sign(1-2) = 1 + 0 - 1 = 0
+        #   ties: count 1 appears twice -> 2*1*9 = 18
+        #   var18 = 3*2*11 - 18 = 48
+        # type y: single day -> dropped; null ts row dropped
+        rows = [("x", d(1)), ("x", d(2)), ("x", d(2, 5)), ("x", d(3)),
+                ("y", d(1)), ("x", None)]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = [(r["event_type"], r["n_days"], r["s_stat"], r["var18"])
+               for r in mann_kendall(df).collect()]
+        assert got == [("x", 3, 0, 48)]
+
+    def test_heaps_law_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import heaps_law
+
+        # ids 1..4, 2 buckets: (id-1)*2/4 -> ids 1,2 bucket 1; 3,4 bucket 2
+        # bucket 1: docs {1,2}, 4 tokens, new terms {a,b,c}
+        # bucket 2: docs {3,4}, 2 tokens, new term {d} (a already seen)
+        rows = [(1, "a B a"), (2, "c"), (3, "a d"), (4, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [(r["bucket"], r["n_docs"], r["cum_docs"], r["cum_tokens"],
+                r["new_terms"], r["cum_vocab"])
+               for r in heaps_law(df, n_buckets=2).orderBy("bucket")
+                                                  .collect()]
+        assert got == [(1, 2, 2, 4, 3, 3), (2, 2, 4, 6, 1, 4)]
+
+    def test_lev_verify_pairs_hand_counted(self, spark):
+        from bella_domify_spark.ops.dedup import lev_verify_pairs
+
+        # docs 1 and 2 share 57 of 59 word-3-gram shingles (jaccard ~.97
+        # -> LSH candidate + est >= 0.2 with certainty in practice); they
+        # differ only in word 0 ("aaaa" vs "bbbb", a 4-char substitution
+        # inside the 256-char prefix) and both carry the same non-ASCII
+        # char (folded to '?' on both sides, lev-neutral). doc 9 shares
+        # nothing. 60 words x 5 chars = 299 chars, prefix = 256.
+        words = ["w%02dé" % i if i == 1 else "w%02dx" % i
+                 for i in range(60)]
+        a = " ".join(["aaaa"] + words[1:])
+        b = " ".join(["bbbb"] + words[1:])
+        other = " ".join("zq%02d" % i for i in range(60))
+        df = spark.createDataFrame([(1, a), (2, b), (9, other)],
+                                   "doc_id long, text string")
+        got = [(r["id_a"], r["id_b"], r["lev"], r["max_len"], r["sim_e6"])
+               for r in lev_verify_pairs(df).collect()]
+        assert got == [(1, 2, 4, 256, (256 - 4) * 1000000 // 256)]

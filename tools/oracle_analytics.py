@@ -57,6 +57,12 @@ def entries() -> dict[str, str]:
                                                    as _ctx_oracle_sql)
     from bella_domify_spark.ops.ann import (sq_error_oracle_sql
                                             as _sq_oracle_sql)
+    from bella_domify_spark.ops.analyze import (gini_oracle_sql
+                                                as _gini_oracle_sql,
+                                                mann_kendall_oracle_sql
+                                                as _mk_oracle_sql)
+    from bella_domify_spark.ops.textstats import (heaps_oracle_sql
+                                                  as _heaps_oracle_sql)
     from bella_domify_spark.ops.textstats import (flesch_oracle_sql
                                                   as _flesch_oracle_sql)
     from bella_domify_spark.ops.analyze import (anomaly_oracle_sql
@@ -426,6 +432,9 @@ def entries() -> dict[str, str]:
         "rater_kappa": _kappa_oracle_sql(),
         "context_budget": _ctx_oracle_sql(),
         "sq_error": _sq_oracle_sql(),
+        "gini_concentration": _gini_oracle_sql(),
+        "mann_kendall": _mk_oracle_sql(),
+        "heaps_law": _heaps_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
