@@ -1649,6 +1649,30 @@ def _q_heaps_law(spark, sf):
     return heaps_law(_t(spark, sf, "documents"))
 
 
+def _q_interarrival(spark, sf):
+    """Per-type inter-arrival burstiness (ops/temporal.py
+    interarrival_stats): user-stream µs gaps, DECIMAL sums, exact
+    integer mean + floor-√ std."""
+    from bella_domify_spark.ops.temporal import interarrival_stats
+    return interarrival_stats(_t(spark, sf, "events"))
+
+
+def _q_cusum_changepoint(spark, sf):
+    """CUSUM changepoint per event type (ops/analyze.py
+    cusum_changepoint): ×n integer mean-centered cumsum, argmax |·|,
+    earliest-day tie break."""
+    from bella_domify_spark.ops.analyze import cusum_changepoint
+    return cusum_changepoint(_t(spark, sf, "events"))
+
+
+def _q_script_mix(spark, sf):
+    """Writing-script char-class profile (ops/textstats.py script_mix):
+    latin/digit/CJK/cyrillic/space/other counts + dominant script, one
+    stateless codegen projection."""
+    from bella_domify_spark.ops.textstats import script_mix
+    return script_mix(_t(spark, sf, "documents"))
+
+
 def _q_lev_verify(spark, sf):
     """Edit-distance verification of the LSH candidate pairs
     (ops/dedup.py lev_verify_pairs): ASCII-folded 256-char prefixes,
@@ -1748,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": _q_mann_kendall,
         "heaps_law": _q_heaps_law,
         "lev_verify": _q_lev_verify,
+        "interarrival_stats": _q_interarrival,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "script_mix": _q_script_mix,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -934,3 +934,90 @@ def mann_kendall_oracle_sql() -> str:
         FROM n JOIN s USING (event_type) JOIN t USING (event_type)
         WHERE n.n_days >= 2
     """
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint locator over each event type's daily volume —
+    the "WHEN did this metric shift?" companion to mann_kendall's "is
+    it drifting?": the day k maximizing |Σᵢ≤ₖ (n·cᵢ − W)| (the
+    mean-centered cumulative sum at ×n scale, so it stays integer) is
+    the classic single-changepoint estimate.
+
+    With per-type daily counts c₁..cₙ (day-ordered, W = Σc): cusumₖ =
+    n·cumₖ − k·W, computed in DECIMAL(38,0) (exact far past the int64
+    cliff — n·cumₖ ~ 3.6e3 × corpus) and emitted as BIGINT (throws
+    ANSI-style past ~9e18, i.e. ~2.5e15 events/day·decade — headroom
+    documented, not silently wrapped). Ties on |cusum| break to the
+    earliest day; cusumₙ = 0 by construction so a flat series reports
+    its first day with statistic 0.
+
+    Scale: corpus collapses to (type, day) in ONE map-side-combined
+    aggregate; all windows run per type on calendar-bounded partitions
+    (≤ ~3.65k rows per decade).
+
+    Output: (event_type, n_days, cp_day, max_abs_cusum) with cp_day as
+    epoch days (exact integer on both engines).
+    """
+    days = (events.filter(F.col("ts").isNotNull()
+                          & F.col("event_type").isNotNull())
+            .groupBy("event_type",
+                     F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                      .cast("long").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    dec = "decimal(38,0)"
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    cum = (days
+           .withColumn("n_days", F.count(F.lit(1)).over(wt))
+           .withColumn("w_tot", F.sum("c").over(wt))
+           .withColumn("k", F.row_number().over(wo))
+           .withColumn("cum", F.sum("c").over(
+               wo.rowsBetween(Window.unboundedPreceding, 0))))
+    cusum = (F.col("n_days").cast(dec) * F.col("cum").cast(dec)
+             - F.col("k").cast(dec) * F.col("w_tot").cast(dec))
+    scored = cum.withColumn("acs", F.abs(cusum))
+    pick = Window.partitionBy("event_type").orderBy(F.desc("acs"),
+                                                    F.asc("day"))
+    return (scored.withColumn("pr", F.row_number().over(pick))
+            .filter(F.col("pr") == 1)
+            .select("event_type",
+                    F.col("n_days").cast("long").alias("n_days"),
+                    F.col("day").alias("cp_day"),
+                    F.col("acs").cast("long").alias("max_abs_cusum")))
+
+
+def cusum_oracle_sql() -> str:
+    """DuckDB twin of cusum_changepoint (same ×n integer CUSUM, same
+    earliest-day tie break; HUGEINT plays DECIMAL(38,0))."""
+    return """
+        WITH days AS (
+            SELECT event_type,
+                   (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+                   count(*)::BIGINT AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, day
+        ), cum AS (
+            SELECT event_type, day,
+                   count(*) OVER (PARTITION BY event_type)::BIGINT
+                       AS n_days,
+                   sum(c) OVER (PARTITION BY event_type)::BIGINT AS w_tot,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS k,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+            FROM days
+        ), scored AS (
+            SELECT event_type, day, n_days,
+                   abs(n_days::HUGEINT * cum::HUGEINT
+                       - k::HUGEINT * w_tot::HUGEINT) AS acs,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(n_days::HUGEINT * cum
+                                                   - k::HUGEINT * w_tot)
+                                               DESC, day) AS pr
+            FROM cum
+        )
+        SELECT event_type, n_days, day AS cp_day,
+               acs::BIGINT AS max_abs_cusum
+        FROM scored WHERE pr = 1
+    """

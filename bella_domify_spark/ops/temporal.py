@@ -490,3 +490,84 @@ def late_oracle_sql(delay_us: int = 600_000_000) -> str:
                         0)::BIGINT AS max_lateness_us
         FROM w GROUP BY event_type
     """
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival statistics over each user's event
+    stream — the burstiness readout next to session_gap's raw gaps:
+    does a type arrive on a steady clock (std ≪ mean: heartbeats,
+    crons) or in bursts (std ≫ mean: retry storms, human sessions)?
+    Each gap is the microseconds since the SAME user's previous event
+    (any type) and is attributed to the later event's type.
+
+    Integer-exact path: epoch-microsecond gaps sum in DECIMAL(38,0)
+    (Σgap ~ users × span ≈ 1e22 µs at 100 TB — past int64, and Σgap²
+    reaches ~1e35, still inside DECIMAL(38,0)); mean_gap_us is exact
+    integer division (``div``), std_gap_us = floor(√(n·Σg² − (Σg)²)/n)
+    — the variance numerator is exact, the one double conversion is
+    correctly rounded from the same integer on both engines.
+
+    Scale: the lag window partitions by user_id (corpus-cardinality
+    key — no skew pileup), then ONE map-side-combined aggregate
+    collapses to the enum-sized type table.
+
+    Output: (event_type, n_gaps, mean_gap_us, std_gap_us, max_gap_us),
+    types whose events never follow a previous same-user event drop.
+    """
+    base = (events.filter(F.col("ts").isNotNull()
+                          & F.col("user_id").isNotNull()
+                          & F.col("event_type").isNotNull())
+            .select("user_id", "event_id", "event_type",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                     .alias("ts_us")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = (base.withColumn("gap_us",
+                         F.col("ts_us") - F.lag("ts_us").over(w))
+         .filter(F.col("gap_us").isNotNull()))
+    dec = "decimal(38,0)"
+    gd = F.col("gap_us").cast(dec)
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(gd).cast(dec).alias("sg"),
+        F.sum(gd * gd).cast(dec).alias("sq"),
+        F.max("gap_us").cast("long").alias("max_gap_us"))
+    var_num = (F.col("n_gaps").cast(dec) * F.col("sq")
+               - F.col("sg") * F.col("sg"))
+    return a.select(
+        "event_type", "n_gaps",
+        F.expr("sg div n_gaps").alias("mean_gap_us"),
+        F.floor(F.sqrt(var_num.cast("double")) / F.col("n_gaps"))
+         .cast("long").alias("std_gap_us"),
+        "max_gap_us")
+
+
+def interarrival_oracle_sql() -> str:
+    """DuckDB twin of interarrival_stats (HUGEINT plays DECIMAL(38,0);
+    // is exact integer division on the non-negative sums)."""
+    return """
+        WITH base AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+        ), g AS (
+            SELECT event_type,
+                   ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id)
+                       AS gap_us
+            FROM base
+        ), a AS (
+            SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   sum(gap_us::HUGEINT) AS sg,
+                   sum(gap_us::HUGEINT * gap_us::HUGEINT) AS sq,
+                   max(gap_us)::BIGINT AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n_gaps,
+               (sg // n_gaps)::BIGINT AS mean_gap_us,
+               floor(sqrt((n_gaps::HUGEINT * sq - sg * sg)::DOUBLE)
+                     / n_gaps)::BIGINT AS std_gap_us,
+               max_gap_us
+        FROM a
+    """

@@ -931,3 +931,82 @@ def heaps_oracle_sql(n_buckets: int = HEAPS_BUCKETS) -> str:
                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
         FROM ds LEFT JOIN nv USING (bucket)
     """
+
+
+SCRIPT_CLASSES = [
+    ("n_latin", "[A-Za-z]"),
+    ("n_digit", "[0-9]"),
+    ("n_cjk", "[一-鿿]"),
+    ("n_cyrillic", "[Ѐ-ӿ]"),
+    ("n_space", "[ \\t\\n\\r\\f]"),
+]
+
+
+def script_mix(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document writing-script profile: character counts for Latin
+    letters, digits, CJK Unified Ideographs, Cyrillic, whitespace, and
+    everything else, plus the dominant script — the char-class
+    complement to lang_id's n-gram vote (a doc can be "en" by n-grams
+    yet 40% CJK by mass: mixed-script spam, pasted logs, wrong-charset
+    crawls) and to encoding_report's mojibake flags.
+
+    Each count is length(text) − length(regexp_replace(text, class,
+    '')) — pure codegen'd regexp, identical class syntax on Java regex
+    and RE2 (literal range chars, escape-form whitespace; both engines
+    count CODEPOINTS). Dominance breaks ties latin > cjk > cyrillic,
+    'none' when all three are zero.
+
+    Scale: one stateless projection — no shuffle, no UDF; Catalyst
+    prunes to (id, text) at the scan.
+
+    Output: (doc_id, n_latin, n_digit, n_cjk, n_cyrillic, n_space,
+    n_other, dominant).
+    """
+    t = F.col(text_col)
+    cnt = {name: (F.length(t) - F.length(F.regexp_replace(t, pat, "")))
+           .cast("long").alias(name)
+           for name, pat in SCRIPT_CLASSES}
+    base = (df.filter(F.col(id_col).isNotNull() & t.isNotNull())
+            .select(F.col(id_col).alias("doc_id"), F.length(t)
+                    .cast("long").alias("_n"), *cnt.values()))
+    known = sum((F.col(n) for n, _ in SCRIPT_CLASSES), F.lit(0))
+    lat, cjk, cyr = (F.col(c) for c in ("n_latin", "n_cjk", "n_cyrillic"))
+    dom = (F.when((lat == 0) & (cjk == 0) & (cyr == 0), "none")
+            .when((lat >= cjk) & (lat >= cyr), "latin")
+            .when(cjk >= cyr, "cjk")
+            .otherwise("cyrillic"))
+    return base.select("doc_id", *(n for n, _ in SCRIPT_CLASSES),
+                       (F.col("_n") - known).cast("long").alias("n_other"),
+                       dom.alias("dominant"))
+
+
+def script_mix_oracle_sql() -> str:
+    """DuckDB twin of script_mix (same classes, same tie order; RE2
+    reads the identical class syntax, 'g' for replace-all)."""
+    c = {name: (f"(length(text) - length(regexp_replace(text,"
+                f" '{pat}', '', 'g')))::BIGINT")
+         for name, pat in SCRIPT_CLASSES}
+    known = " + ".join(f"{v}" for v in c.values())
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {c['n_latin']} AS n_latin,
+                   {c['n_digit']} AS n_digit,
+                   {c['n_cjk']} AS n_cjk,
+                   {c['n_cyrillic']} AS n_cyrillic,
+                   {c['n_space']} AS n_space,
+                   (length(text))::BIGINT - ({known}) AS n_other
+            FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        )
+        SELECT doc_id, n_latin, n_digit, n_cjk, n_cyrillic, n_space,
+               n_other,
+               CASE WHEN n_latin = 0 AND n_cjk = 0 AND n_cyrillic = 0
+                        THEN 'none'
+                    WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+                        THEN 'latin'
+                    WHEN n_cjk >= n_cyrillic THEN 'cjk'
+                    ELSE 'cyrillic' END AS dominant
+        FROM base
+    """

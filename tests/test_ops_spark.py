@@ -2546,3 +2546,60 @@ class TestRound6Session7Ops:
         got = [(r["id_a"], r["id_b"], r["lev"], r["max_len"], r["sim_e6"])
                for r in lev_verify_pairs(df).collect()]
         assert got == [(1, 2, 4, 256, (256 - 4) * 1000000 // 256)]
+
+    def test_interarrival_stats_hand_counted(self, spark):
+        import datetime as dt
+        import math
+
+        from bella_domify_spark.ops.temporal import interarrival_stats
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        # user 1: gaps 10s -> b, 0s (ts tie, event_id order) -> b,
+        # 15s -> b; user 2 single event -> no gap; null ts dropped
+        rows = [(1, 1, "a", t(0)), (2, 1, "b", t(10)), (3, 1, "b", t(10)),
+                (4, 1, "b", t(25)), (5, 2, "a", t(0)), (6, 1, "b", None)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+                  "ts timestamp")
+        sg, sq, n = 25_000_000, 10_000_000**2 + 15_000_000**2, 3
+        std = math.floor(math.sqrt(n * sq - sg * sg) / n)
+        got = [(r["event_type"], r["n_gaps"], r["mean_gap_us"],
+                r["std_gap_us"], r["max_gap_us"])
+               for r in interarrival_stats(df).collect()]
+        assert got == [("b", 3, sg // 3, std, 15_000_000)]
+
+    def test_cusum_changepoint_hand_counted(self, spark):
+        import datetime as dt
+
+        from bella_domify_spark.ops.analyze import cusum_changepoint
+
+        epoch = dt.date(1970, 1, 1)
+        day = lambda d: (dt.date(2024, 1, d) - epoch).days
+        mk = lambda ty, d, k: [(ty, dt.datetime(2024, 1, d, h))
+                               for h in range(k)]
+        # x: daily counts 5,1,3 -> W=9,n=3; cusum = 3*cum - k*9 =
+        #    (6, 0, 0) -> max |6| at day 1
+        # y: flat 2,2 -> cusum (0, 0) -> tie breaks to day 1, stat 0
+        rows = (mk("x", 1, 5) + mk("x", 2, 1) + mk("x", 3, 3)
+                + mk("y", 1, 2) + mk("y", 2, 2) + [("x", None)])
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {r["event_type"]: (r["n_days"], r["cp_day"],
+                                 r["max_abs_cusum"])
+               for r in cusum_changepoint(df).collect()}
+        assert got == {"x": (3, day(1), 6), "y": (2, day(1), 0)}
+
+    def test_script_mix_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import script_mix
+
+        rows = [(1, "Abc 123 你好 Ж!"),   # latin-dominant mixed doc
+                (2, "你好 мир"),           # cyrillic wins 3 > 2
+                (3, " \t.,"),              # no script chars -> none
+                (4, None)]                 # dropped
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_latin"], r["n_digit"], r["n_cjk"],
+                             r["n_cyrillic"], r["n_space"], r["n_other"],
+                             r["dominant"])
+               for r in script_mix(df).collect()}
+        assert got == {1: (3, 3, 2, 1, 3, 1, "latin"),
+                       2: (0, 0, 2, 3, 1, 0, "cyrillic"),
+                       3: (0, 0, 0, 0, 2, 2, "none")}

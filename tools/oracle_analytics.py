@@ -62,7 +62,13 @@ def entries() -> dict[str, str]:
                                                 mann_kendall_oracle_sql
                                                 as _mk_oracle_sql)
     from bella_domify_spark.ops.textstats import (heaps_oracle_sql
-                                                  as _heaps_oracle_sql)
+                                                  as _heaps_oracle_sql,
+                                                  script_mix_oracle_sql
+                                                  as _script_oracle_sql)
+    from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
+                                                 as _ia_oracle_sql)
+    from bella_domify_spark.ops.analyze import (cusum_oracle_sql
+                                                as _cusum_oracle_sql)
     from bella_domify_spark.ops.textstats import (flesch_oracle_sql
                                                   as _flesch_oracle_sql)
     from bella_domify_spark.ops.analyze import (anomaly_oracle_sql
@@ -435,6 +441,9 @@ def entries() -> dict[str, str]:
         "gini_concentration": _gini_oracle_sql(),
         "mann_kendall": _mk_oracle_sql(),
         "heaps_law": _heaps_oracle_sql(),
+        "interarrival_stats": _ia_oracle_sql(),
+        "cusum_changepoint": _cusum_oracle_sql(),
+        "script_mix": _script_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
