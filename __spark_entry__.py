@@ -1673,6 +1673,30 @@ def _q_script_mix(spark, sf):
     return script_mix(_t(spark, sf, "documents"))
 
 
+def _q_winnow_fingerprints(spark, sf):
+    """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
+    5-gram md5 hashes, 4-window packed-integer minima, guaranteed
+    shared-substring detection at ≥ 8 chars."""
+    from bella_domify_spark.ops.dedup import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf, "documents"))
+
+
+def _q_source_temperature(spark, sf):
+    """α=1/2 temperature mixing weights (ops/textstats.py
+    source_temperature): exact token mass, one-shot √ quantization,
+    integer share_e9."""
+    from bella_domify_spark.ops.textstats import source_temperature
+    return source_temperature(_t(spark, sf, "documents"))
+
+
+def _q_l_diversity(spark, sf):
+    """Distinct l-diversity audit (ops/curate.py l_diversity):
+    (lang, chars-bucket) quasi-classes vs the source sensitive
+    attribute, classes under L flagged."""
+    from bella_domify_spark.ops.curate import l_diversity
+    return l_diversity(_t(spark, sf, "documents"))
+
+
 def _q_lev_verify(spark, sf):
     """Edit-distance verification of the LSH candidate pairs
     (ops/dedup.py lev_verify_pairs): ASCII-folded 256-char prefixes,
@@ -1775,6 +1799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": _q_interarrival,
         "cusum_changepoint": _q_cusum_changepoint,
         "script_mix": _q_script_mix,
+        "source_temperature": _q_source_temperature,
+        "l_diversity": _q_l_diversity,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,
@@ -2725,6 +2752,35 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {simhash_fp_ctes("simhash")}
             SELECT id, simhash FROM fp
+        """,
+        # winnowing: same packed (h31, 2^31-1-pos) key and 4-window min
+        # as ops/dedup.py winnow_fingerprints; k=5 grams -> range upper
+        # bound len-5+2 = len-3
+        "winnow_fingerprints": f"""
+            WITH base AS (
+                SELECT doc_id AS id, lower(text) AS t
+                FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                  AND length(text) >= 5
+            ), g AS (
+                SELECT id, i.pos, substr(t, i.pos, 5) AS gram
+                FROM base, UNNEST(range(1, length(t) - 3)) AS i(pos)
+            ), keyed AS (
+                SELECT id, pos,
+                       ({md5_int60('gram')} % 2147483648) * 2147483648
+                       + (2147483647 - pos) AS key
+                FROM g
+            ), m AS (
+                SELECT id, pos,
+                       min(key) OVER (PARTITION BY id ORDER BY pos
+                                      ROWS BETWEEN 3 PRECEDING
+                                               AND CURRENT ROW) AS mk
+                FROM keyed
+            )
+            SELECT DISTINCT id AS doc_id,
+                   (2147483647 - (mk % 2147483648))::BIGINT AS pos,
+                   (mk // 2147483648)::BIGINT AS fp
+            FROM m WHERE pos >= 4
         """,
         # LSH candidates (est_jaccard >= 0.2, as dedup_minhash_lsh) then
         # exact Levenshtein on ASCII-folded 256-char prefixes — the fold

@@ -203,3 +203,47 @@ def k_anonymity_oracle_sql() -> str:
           AND n_chars IS NOT NULL
         GROUP BY lang, source, chars_bucket
     """
+
+
+L_DIVERSITY_L = 3
+
+
+def l_diversity(docs: DataFrame) -> DataFrame:
+    """Distinct l-diversity audit — k_anonymity's companion: a class
+    can be large (k-anonymous) yet still leak if every member shares
+    one sensitive value (Machanavajjhala's homogeneity attack). Here
+    the quasi-identifiers are (lang, n_chars rounded to 100) and the
+    sensitive attribute is ``source``: a release slice where a
+    quasi-class maps to fewer than L distinct sources pins members to
+    their origin crawl/session.
+
+    Output: (lang, chars_bucket, class_size, n_sources, at_risk) with
+    at_risk = n_sources < L. Scale: one map-side partial-combining
+    aggregate on a low-cardinality composite key (count-distinct over
+    the bounded source enum — no row data moves).
+    """
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (docs.filter(F.col("lang").isNotNull()
+                        & F.col("source").isNotNull()
+                        & F.col("n_chars").isNotNull())
+            .groupBy("lang", bucket.alias("chars_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("class_size"),
+                 F.countDistinct("source").cast("long")
+                  .alias("n_sources"))
+            .select("lang", "chars_bucket", "class_size", "n_sources",
+                    (F.col("n_sources") < L_DIVERSITY_L)
+                    .alias("at_risk")))
+
+
+def l_diversity_oracle_sql() -> str:
+    """DuckDB twin of l_diversity (same bucket rule and L)."""
+    return f"""
+        SELECT lang, (floor(n_chars / 100) * 100)::BIGINT AS chars_bucket,
+               count(*)::BIGINT AS class_size,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               (count(DISTINCT source) < {L_DIVERSITY_L}) AS at_risk
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+          AND n_chars IS NOT NULL
+        GROUP BY lang, chars_bucket
+    """

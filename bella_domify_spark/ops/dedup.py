@@ -23,7 +23,7 @@ oracle twin (__spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from bella_domify_spark.ops.hashfamily import MERSENNE_P, minhash_params
 
@@ -690,3 +690,56 @@ def lev_verify_pairs(df: DataFrame, id_col: str = "doc_id",
                                   " div max_len"))
                      .otherwise(F.lit(1_000_000).cast("long"))
                      .alias("sim_e6")))
+
+
+WINNOW_K = 5   # char-gram size
+WINNOW_W = 4   # winnowing window (guarantee threshold t = K + W - 1 = 8)
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every lowercased char k-gram, slide a
+    w-position window, keep each window's minimum — any shared
+    substring of length ≥ k+w−1 is GUARANTEED to contribute a shared
+    fingerprint, the local-copy detector that doc_fingerprint's single
+    rolling hash and MinHash's global set view both miss.
+
+    The (hash, position) pair packs into ONE BIGINT — key = h₃₁·2³¹ +
+    (2³¹−1−pos), h₃₁ = md5-60bit(gram) mod 2³¹ — so the window min
+    implements the rightmost-smallest-hash tie rule with plain integer
+    min on both engines (injective while docs stay under 2³¹ chars —
+    the triangle_stats packing convention). Selected keys decode back
+    to (pos, fp).
+
+    Scale: one row per character (the k-gram explode), a per-doc
+    ordered window (doc-bounded partitions, corpus-cardinality key),
+    then DISTINCT on the winnowed ~2/(w+1) density subset — the only
+    corpus-wide shuffle runs on the already-thinned selection.
+
+    Output: (doc_id, pos, fp), one row per selected fingerprint; docs
+    shorter than k+w−1 chars emit nothing (no full window).
+    """
+    base = (df.filter(F.col(id_col).isNotNull()
+                      & F.col(text_col).isNotNull()
+                      & (F.length(text_col) >= k))
+            .select(F.col(id_col).alias("id"),
+                    F.lower(F.col(text_col)).alias("t")))
+    pg = base.select("id", F.explode(F.expr(
+        f"transform(sequence(1, length(t) - {k} + 1),"
+        f" i -> named_struct('pos', cast(i as bigint),"
+        f"                   'g', substring(t, i, {k})))")).alias("pg"))
+    h31 = _md5_int60(F.col("pg.g")) % F.lit(2 ** 31)
+    keyed = pg.select(
+        "id", F.col("pg.pos").alias("pos"),
+        (h31 * F.lit(2 ** 31)
+         + (F.lit(2 ** 31 - 1) - F.col("pg.pos"))).alias("key"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (keyed.withColumn("mk", F.min("key").over(win))
+           .filter(F.col("pos") >= w)
+           .select("id", "mk").distinct())
+    return sel.select(
+        F.col("id").alias(id_col),
+        (F.lit(2 ** 31 - 1) - F.col("mk") % F.lit(2 ** 31)).alias("pos"),
+        F.expr("mk div 2147483648").alias("fp"))

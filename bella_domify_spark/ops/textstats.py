@@ -1010,3 +1010,64 @@ def script_mix_oracle_sql() -> str:
                     ELSE 'cyrillic' END AS dominant
         FROM base
     """
+
+
+def source_temperature(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled source-mixing weights at α = 1/2 — the
+    multilingual-sampling rule (pᵢ^α / Σpⱼ^α, the mBERT/XLM-R exponent)
+    that upweights small sources relative to their raw token share:
+    where mix_weights needs target shares handed in, this computes them
+    from supply. α is FIXED at 1/2 because √ is the one power IEEE 754
+    specifies correctly rounded — bit-identical on both engines, where
+    pow(x, 0.7) would not be.
+
+    Determinism path: per-source token counts are exact BIGINTs;
+    sqrt_e6 = floor(√n · 1e6) quantizes each source ONCE (√ then ×1e6,
+    both correctly rounded from exact inputs); the share then runs in
+    integers — share_e9 = sqrt_e6·1e9 div Σsqrt_e6 (DECIMAL(38,0)
+    product, exact division) — so no float summation order exists.
+
+    Scale: one map-side-combined aggregate to the source-sized table,
+    then a 1-row broadcast of the total.
+
+    Output: (source, n_tokens, sqrt_e6, share_e9).
+    """
+    tok = (docs.filter(F.col("source").isNotNull()
+                       & F.col("text").isNotNull())
+           .select("source",
+                   F.expr("size(filter(split(lower(text), '\\\\s+'),"
+                          " x -> x != ''))").cast("long").alias("nt")))
+    per = (tok.groupBy("source")
+           .agg(F.sum("nt").cast("long").alias("n_tokens"))
+           .withColumn("sqrt_e6",
+                       F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                               * 1e6).cast("long")))
+    tot = per.agg(F.sum("sqrt_e6").cast("long").alias("tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens", "sqrt_e6",
+                    F.expr("cast(sqrt_e6 as decimal(38,0)) * 1000000000"
+                           " div tot").alias("share_e9")))
+
+
+def source_temperature_oracle_sql() -> str:
+    """DuckDB twin of source_temperature (same tokenizer, same one-shot
+    √ quantization; HUGEINT product, // exact division)."""
+    return r"""
+        WITH tok AS (
+            SELECT source,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '\s+'),
+                                   x -> x <> ''))::BIGINT AS nt
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+        ), per AS (
+            SELECT source, sum(nt)::BIGINT AS n_tokens,
+                   floor(sqrt(sum(nt)::DOUBLE) * 1e6)::BIGINT AS sqrt_e6
+            FROM tok GROUP BY source
+        ), tot AS (
+            SELECT sum(sqrt_e6)::BIGINT AS tot FROM per
+        )
+        SELECT source, n_tokens, sqrt_e6,
+               (sqrt_e6::HUGEINT * 1000000000 // tot)::BIGINT AS share_e9
+        FROM per CROSS JOIN tot
+    """

@@ -2603,3 +2603,67 @@ class TestRound6Session7Ops:
         assert got == {1: (3, 3, 2, 1, 3, 1, "latin"),
                        2: (0, 0, 2, 3, 1, 0, "cyrillic"),
                        3: (0, 0, 0, 0, 2, 2, "none")}
+
+    def test_source_temperature_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import source_temperature
+
+        # a: 9 tokens -> sqrt_e6 = 3e6; b: 16 -> 4e6; tot = 7e6
+        rows = [(1, "a", " ".join("t%d" % i for i in range(9))),
+                (2, "b", " ".join("u%d" % i for i in range(16))),
+                (3, None, "x"), (4, "c", None)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, source string, text string")
+        got = {r["source"]: (r["n_tokens"], r["sqrt_e6"], r["share_e9"])
+               for r in source_temperature(df).collect()}
+        assert got == {
+            "a": (9, 3_000_000, 3_000_000 * 10**9 // 7_000_000),
+            "b": (16, 4_000_000, 4_000_000 * 10**9 // 7_000_000)}
+
+    def test_l_diversity_hand_counted(self, spark):
+        from bella_domify_spark.ops.curate import L_DIVERSITY_L, l_diversity
+
+        assert L_DIVERSITY_L == 3
+        # class (en,100): 3 distinct sources -> safe;
+        # class (en,200): one source twice -> at risk; null lang dropped
+        rows = [(1, "en", "s1", 150), (2, "en", "s2", 160),
+                (3, "en", "s3", 170), (4, "en", "s1", 250),
+                (5, "en", "s1", 260), (6, None, "s1", 50)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, n_chars long")
+        got = {(r["lang"], r["chars_bucket"]):
+               (r["class_size"], r["n_sources"], r["at_risk"])
+               for r in l_diversity(df).collect()}
+        assert got == {("en", 100): (3, 3, False),
+                       ("en", 200): (2, 1, True)}
+
+    def test_winnow_fingerprints_vs_reference(self, spark):
+        import hashlib
+
+        from bella_domify_spark.ops.dedup import (WINNOW_K, WINNOW_W,
+                                                  winnow_fingerprints)
+
+        def ref(text, k=WINNOW_K, w=WINNOW_W):
+            t = text.lower()
+            m = len(t) - k + 1
+            keys = [int(hashlib.md5(t[i - 1:i - 1 + k].encode())
+                        .hexdigest()[:15], 16) % 2**31 * 2**31
+                    + (2**31 - 1 - i) for i in range(1, m + 1)]
+            sel = {min(keys[j - w + 1:j + 1]) for j in range(w - 1, m)}
+            return {(2**31 - 1 - mk % 2**31, mk >> 31) for mk in sel}
+
+        texts = {1: "The quick brown fox jumps over the lazy dog",
+                 2: "some OTHER doc with the quick brown fox inside",
+                 3: "abcdefgh",   # exactly k+w-1 chars -> one window
+                 4: "short"}      # len 5 = k but m=1 < w -> no window
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+        assert got[1] == ref(texts[1])
+        assert got[2] == ref(texts[2])
+        assert got[3] == ref(texts[3])
+        assert 4 not in got
+        # the winnowing guarantee: the shared >= k+w-1 substring
+        # "the quick brown fox" contributes a shared fingerprint
+        assert {f for _, f in got[1]} & {f for _, f in got[2]}

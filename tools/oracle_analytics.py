@@ -64,7 +64,11 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.textstats import (heaps_oracle_sql
                                                   as _heaps_oracle_sql,
                                                   script_mix_oracle_sql
-                                                  as _script_oracle_sql)
+                                                  as _script_oracle_sql,
+                                                  source_temperature_oracle_sql
+                                                  as _stemp_oracle_sql)
+    from bella_domify_spark.ops.curate import (l_diversity_oracle_sql
+                                               as _ldiv_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql)
     from bella_domify_spark.ops.analyze import (cusum_oracle_sql
@@ -444,6 +448,8 @@ def entries() -> dict[str, str]:
         "interarrival_stats": _ia_oracle_sql(),
         "cusum_changepoint": _cusum_oracle_sql(),
         "script_mix": _script_oracle_sql(),
+        "source_temperature": _stemp_oracle_sql(),
+        "l_diversity": _ldiv_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
