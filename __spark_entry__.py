@@ -1673,6 +1673,16 @@ def _q_script_mix(spark, sf):
     return script_mix(_t(spark, sf, "documents"))
 
 
+def _q_lpa_communities(spark, sf):
+    """Modal label propagation (ops/graph.py lpa_communities): 3
+    unrolled sync rounds over the word-3-gram near-dup graph — splits a
+    component into its densely-linked cores."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import lpa_communities
+    return lpa_communities(jaccard_pairs(_t(spark, sf, "documents"),
+                                         threshold=0.2))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1802,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_temperature": _q_source_temperature,
         "l_diversity": _q_l_diversity,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "lpa_communities": _q_lpa_communities,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -27,7 +27,7 @@ localCheckpoint-ed so loop caches release immediately.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _symmetrize(pairs: DataFrame, src: str, dst: str) -> DataFrame:
@@ -527,3 +527,44 @@ def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     return (deg.join(alive, "src")
                .select(F.col("src").alias("node_id"),
                        F.col("deg").alias("core_deg")))
+
+
+def lpa_communities(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan's LPA) over
+    the near-dup graph: every node starts as its own label; each round
+    every node adopts the MODAL label among its neighbors (ties → min
+    label). Where connected_components answers "which nodes touch at
+    all", LPA splits a component into its densely-linked cores — two
+    template farms bridged by one borderline pair stay separate
+    communities but one CC.
+
+    ``rounds`` is a FIXED unrolled count (the kcore_peel convention) so
+    the DuckDB twin mirrors it CTE-for-CTE, and because synchronous LPA
+    can oscillate on bipartite-ish structures a fixed horizon is also
+    the determinism guarantee — no run-order-dependent fixpoint test.
+    The modal pick is exact: per (node, candidate-label) counts, then
+    one row_number window ordered (count DESC, label ASC).
+
+    Plan per round: one hash join ships each node's label across its
+    edges (shuffle keyed on node id — corpus-cardinality, skew bounded
+    by the max near-dup degree), one map-side-combined count aggregate,
+    one per-node window on the (node, label) pairs; the label frontier
+    localCheckpoint-s per round (constant plan depth).
+
+    Output: (node_id, community) for every node with an edge.
+    """
+    sym = _symmetrize(pairs, "id_a", "id_b")
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("lab", F.col("node"))
+              .transform(lambda d: _ckpt(d, "local")))
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        msgs = (sym.join(labels, sym.dst == labels.node)
+                .select("src", "lab"))
+        counts = msgs.groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (counts.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col("src").alias("node"), "lab")
+                  .transform(lambda d: _ckpt(d, "local")))
+    return labels.select(F.col("node").alias("node_id"),
+                         F.col("lab").alias("community"))

@@ -523,3 +523,48 @@ class TestKCorePeel:
         got = {r["node_id"]: r["core_deg"]
                for r in kcore_peel(pairs, k=2, rounds=3).collect()}
         assert got == want
+
+
+class TestLpaCommunities:
+    def test_bridged_cliques_split(self, spark):
+        from bella_domify_spark.ops.graph import lpa_communities
+
+        # two triangles bridged by a single edge 3-4: LPA keeps them as
+        # separate communities even though they are one CC
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "id_a long, id_b long")
+        got = {r["node_id"]: r["community"]
+               for r in lpa_communities(pairs, rounds=3).collect()}
+        assert len(set(got.values())) >= 2
+        assert got[1] == got[2] == got[3]
+        assert got[4] == got[5] == got[6]
+        assert got[1] != got[4]
+
+    def test_matches_bruteforce_sync_lpa(self, spark):
+        import random
+        from collections import Counter
+        from bella_domify_spark.ops.graph import lpa_communities
+
+        rng = random.Random(11)
+        edges = sorted({(a, b) for _ in range(60)
+                        for a, b in [sorted(rng.sample(range(16), 2))]})
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        # brute-force 3-round synchronous modal propagation
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {v: v for v in adj}
+        for _ in range(3):
+            nxt = {}
+            for v, nbrs in adj.items():
+                c = Counter(lab[n] for n in nbrs)
+                best = max(c.values())
+                nxt[v] = min(l for l, n in c.items() if n == best)
+            lab = nxt
+
+        got = {r["node_id"]: r["community"]
+               for r in lpa_communities(pairs, rounds=3).collect()}
+        assert got == lab

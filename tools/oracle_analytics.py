@@ -94,6 +94,7 @@ def entries() -> dict[str, str]:
         jaccard_pair_ctes,
         kcore_ctes,
         link_prediction_sql,
+        lpa_ctes,
         kmeans_ctes,
         md5_int60,
         minhash_cand_ctes,
@@ -626,6 +627,11 @@ def entries() -> dict[str, str]:
             {kcore_ctes(2, 3)}
             SELECT d.src AS node_id, d.deg AS core_deg
             FROM kd3 d JOIN ka3 a ON a.src = d.src
+        """,
+        "lpa_communities": f"""
+            WITH {jaccard_pair_ctes()},
+            {lpa_ctes(3)}
+            SELECT node AS node_id, lab AS community FROM ll3
         """,
         "walk_centrality": f"""
             WITH {jaccard_pair_ctes()},

@@ -468,3 +468,32 @@ def kcore_ctes(k: int = 2, rounds: int = 3) -> str:
             ),
             ka{r} AS (SELECT src FROM kd{r} WHERE deg >= {int(k)})""")
     return ",\n            ".join(parts)
+
+
+def lpa_ctes(rounds: int = 3) -> str:
+    """Synchronous modal label propagation over the ``pairs`` CTE
+    (graph.lpa_communities twin): unrolled round-per-CTE — the fixed
+    horizon is both the recursion workaround and the determinism
+    guarantee (sync LPA can oscillate). Modal pick = row_number over
+    (count DESC, label ASC). Terminal CTE ``ll{rounds}`` (node, lab)."""
+    parts = [f"""lsym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            ll0 AS (SELECT DISTINCT src AS node, src AS lab FROM lsym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""lm{r} AS (
+                SELECT s.src, l.lab, count(*) AS c
+                FROM lsym s JOIN ll{r - 1} l ON l.node = s.dst
+                GROUP BY s.src, l.lab
+            ),
+            ll{r} AS (
+                SELECT src AS node, lab
+                FROM (SELECT src, lab,
+                             row_number() OVER (PARTITION BY src
+                                                ORDER BY c DESC, lab) AS rn
+                      FROM lm{r})
+                WHERE rn = 1
+            )""")
+    return ",\n            ".join(parts)
