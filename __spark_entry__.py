@@ -1683,6 +1683,33 @@ def _q_lpa_communities(spark, sf):
                                          threshold=0.2))
 
 
+def _q_neighborhood_sizes(spark, sf):
+    """2-hop ball sizes (ops/graph.py neighborhood_sizes): exact
+    |B(v,2)| over the word-3-gram near-dup graph — the dedup
+    blast-radius readout."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import neighborhood_sizes
+    return neighborhood_sizes(jaccard_pairs(_t(spark, sf, "documents"),
+                                            threshold=0.2))
+
+
+def _q_t_closeness(spark, sf):
+    """t-closeness audit (ops/curate.py t_closeness): variational
+    distance between each (lang, chars-bucket) class's source
+    distribution and the global one — completes the k-anonymity /
+    l-diversity release-privacy trio."""
+    from bella_domify_spark.ops.curate import t_closeness
+    return t_closeness(_t(spark, sf, "documents"))
+
+
+def _q_char_entropy(spark, sf):
+    """Shannon character entropy (ops/textstats.py char_entropy):
+    zero-shuffle sorted-run-length walk inside the row, per-term
+    floor-e6 integer sum."""
+    from bella_domify_spark.ops.textstats import char_entropy
+    return char_entropy(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1813,6 +1840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _q_l_diversity,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "lpa_communities": _q_lpa_communities,
+        "neighborhood_sizes": _q_neighborhood_sizes,
+        "t_closeness": _q_t_closeness,
+        "char_entropy": _q_char_entropy,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

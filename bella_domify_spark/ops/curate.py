@@ -247,3 +247,92 @@ def l_diversity_oracle_sql() -> str:
           AND n_chars IS NOT NULL
         GROUP BY lang, chars_bucket
     """
+
+
+T_CLOSENESS_E9 = 350_000_000  # variational distance 0.35
+
+
+def t_closeness(docs: DataFrame) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy ladder
+    after k_anonymity and l_diversity (Li, Li & Venkatasubramanian,
+    ICDE'07): a quasi-class can be k-anonymous AND l-diverse yet still
+    leak if its sensitive-attribute DISTRIBUTION differs sharply from
+    the corpus-wide one (skewness attack). For the categorical
+    sensitive attribute ``source`` the prescribed distance is the
+    variational distance t = ½·Σ_s |P_class(s) − P_global(s)|.
+
+    Exact-hash discipline: the numerator Σ_s |c_s·N − g_s·n| is an
+    exact integer (DECIMAL(19,0) operands → DECIMAL(38,0) products, the
+    ab_conversion_chi2 pattern; HUGEINT on the DuckDB side), and the
+    only float step is one fixed-shape double divide+scale, floor-e9
+    quantized.
+
+    Scale: three map-side-combined aggregates on low-cardinality keys,
+    then a crossJoin of aggregate-sized relations only (classes ×
+    the bounded source enum × one total row) — no row data moves.
+
+    Output: (lang, chars_bucket, class_size, t_e9, at_risk) with
+    at_risk = t_e9 > T_CLOSENESS_E9.
+    """
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    base = (docs.filter(F.col("lang").isNotNull()
+                        & F.col("source").isNotNull()
+                        & F.col("n_chars").isNotNull())
+            .select("lang", bucket.alias("chars_bucket"), "source"))
+    tot = base.agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("nn"))
+    glob = (base.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("g")))
+    cls = (base.groupBy("lang", "chars_bucket")
+           .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("n")))
+    cell = (base.groupBy("lang", "chars_bucket", "source")
+            .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("c")))
+    x = (cls.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+         .join(cell, ["lang", "chars_bucket", "source"], "left")
+         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)
+                                     .cast("decimal(19,0)"))))
+    agg = (x.groupBy("lang", "chars_bucket", "n", "nn")
+           .agg(F.sum(F.abs(F.col("c") * F.col("nn")
+                            - F.col("g") * F.col("n"))).alias("s")))
+    t_e9 = F.floor((F.col("s").cast("double")
+                    / (F.lit(2).cast("decimal(19,0)") * F.col("n")
+                       * F.col("nn")).cast("double")) * F.lit(1e9))
+    return agg.select(
+        "lang", "chars_bucket", F.col("n").cast("long").alias("class_size"),
+        t_e9.cast("long").alias("t_e9"),
+        (t_e9 > T_CLOSENESS_E9).alias("at_risk"))
+
+
+def t_closeness_oracle_sql() -> str:
+    """DuckDB twin of t_closeness (HUGEINT numerator, same fixed-shape
+    double divide and floor-e9)."""
+    return f"""
+        WITH tbase AS (
+            SELECT lang, (floor(n_chars / 100) * 100)::BIGINT AS chars_bucket,
+                   source
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+              AND n_chars IS NOT NULL
+        ),
+        ttot AS (SELECT count(*)::HUGEINT AS nn FROM tbase),
+        tglob AS (SELECT source, count(*)::HUGEINT AS g
+                  FROM tbase GROUP BY source),
+        tcls AS (SELECT lang, chars_bucket, count(*)::HUGEINT AS n
+                 FROM tbase GROUP BY lang, chars_bucket),
+        tcell AS (SELECT lang, chars_bucket, source, count(*)::HUGEINT AS c
+                  FROM tbase GROUP BY lang, chars_bucket, source),
+        tx AS (
+            SELECT cl.lang, cl.chars_bucket, cl.n, t.nn,
+                   sum(abs(COALESCE(ce.c, 0) * t.nn - gl.g * cl.n)) AS s
+            FROM tcls cl CROSS JOIN tglob gl CROSS JOIN ttot t
+            LEFT JOIN tcell ce ON ce.lang = cl.lang
+                 AND ce.chars_bucket = cl.chars_bucket
+                 AND ce.source = gl.source
+            GROUP BY cl.lang, cl.chars_bucket, cl.n, t.nn
+        )
+        SELECT lang, chars_bucket, n::BIGINT AS class_size,
+               floor((s::DOUBLE / (2 * n * nn)::DOUBLE) * 1e9)::BIGINT
+                   AS t_e9,
+               (floor((s::DOUBLE / (2 * n * nn)::DOUBLE) * 1e9)
+                    > {T_CLOSENESS_E9}) AS at_risk
+        FROM tx
+    """

@@ -568,3 +568,37 @@ def lpa_communities(pairs: DataFrame, rounds: int = 3) -> DataFrame:
                   .transform(lambda d: _ckpt(d, "local")))
     return labels.select(F.col("node").alias("node_id"),
                          F.col("lab").alias("community"))
+
+
+def neighborhood_sizes(pairs: DataFrame, radius: int = 2) -> DataFrame:
+    """Exact ball sizes |B(v, r)| — how many OTHER nodes sit within
+    ``radius`` hops of each node in the near-dup graph (the r-hop
+    neighborhood function; radius=2 is the dedup-blast-radius readout:
+    removing one template hub touches its 2-ball). Where degree answers
+    "how many direct near-dups", the 2-ball exposes chained duplication
+    a pairwise threshold hides.
+
+    ``radius`` is a FIXED unrolled count (the kcore_peel/lpa convention)
+    so the DuckDB twin mirrors it CTE-for-CTE. Self is excluded.
+
+    Plan per extra hop: one hash join extends the current ball by one
+    edge (row count bounded by Σ_v deg(v)·|B(v,r-1)| ≤ Σ deg² at r=2 —
+    the same wedge bound triangle_stats relies on, capped on near-dup
+    graphs by the stop-shingle frequency cut), then one distinct
+    (shuffle keyed (src, dst) — map-side combinable). The ball
+    localCheckpoint-s per hop (constant plan depth).
+
+    Output: (node_id, ball_size) for every node with an edge.
+    """
+    sym = _symmetrize(pairs, "id_a", "id_b")
+    ball = sym.distinct().transform(lambda d: _ckpt(d, "local"))
+    for _ in range(radius - 1):
+        ext = (ball.alias("b")
+               .join(sym.alias("e"), F.col("b.dst") == F.col("e.src"))
+               .select(F.col("b.src").alias("src"),
+                       F.col("e.dst").alias("dst"))
+               .filter(F.col("src") != F.col("dst")))
+        ball = (ball.unionByName(ext).distinct()
+                .transform(lambda d: _ckpt(d, "local")))
+    return ball.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("ball_size"))

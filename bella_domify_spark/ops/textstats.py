@@ -1071,3 +1071,81 @@ def source_temperature_oracle_sql() -> str:
                (sqrt_e6::HUGEINT * 1000000000 // tot)::BIGINT AS share_e9
         FROM per CROSS JOIN tot
     """
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document — the classic
+    low-entropy garbage gate (key dumps, repeated-char padding, binary
+    spill rendered as text score near 0; natural prose sits ~4.2
+    bits ≈ 2.9 nats): H = ln(n) − (Σ_c cnt_c·ln cnt_c)/n over the
+    document's exact per-character counts.
+
+    Exact-hash discipline: each distinct character contributes
+    ``floor(cnt·ln(cnt)·1e6)`` — an exact BIGINT (bounded by n·ln n,
+    safe past 10¹¹-char documents) — and the integer sum feeds ONE
+    fixed-shape double expression, floor-e6 quantized. ln-on-integer
+    inputs is bit-identical across engines (the bigram_surprisal
+    contract).
+
+    Scale: zero shuffle, zero Python — the per-character counts come
+    from a sorted-array run-length walk INSIDE the row (array_sort →
+    run-start positions → zip_with run lengths → sequential
+    ``aggregate``), not from exploding characters into rows: a
+    100 TB corpus would otherwise shuffle 10¹⁴ single-character rows.
+    The DuckDB twin, which only ever runs at oracle SF, uses the
+    straightforward unnest+groupBy form — semantics twin, not plan
+    twin. Each array producer sits behind its own projection (a
+    transform capturing split() re-evaluates it per element).
+
+    Output: (doc_id, n_chars_counted, n_distinct_chars, ent_e6);
+    empty/NULL texts drop out (both engines agree).
+    """
+    d1 = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.filter(F.split(F.col(text_col), ""),
+                              lambda x: x != "")).alias("s"))
+    d2 = d1.select("id", "s", F.size("s").alias("n")).filter(F.col("n") > 0)
+    d3 = d2.select("id", "n", F.expr(
+        "filter(sequence(1, n), i -> CASE WHEN i = 1 THEN true "
+        "ELSE element_at(s, i) != element_at(s, i - 1) END)").alias("starts"))
+    d4 = d3.select(
+        "id", "n", F.size("starts").alias("k"),
+        F.expr("zip_with(starts, concat(slice(starts, 2, size(starts) - 1),"
+               " array(n + 1)), (a, b) -> b - a)").alias("lens"))
+    d5 = d4.select("id", "n", "k", F.expr(
+        "aggregate(lens, 0L, (acc, L) -> acc + CAST(FLOOR(CAST(L AS DOUBLE)"
+        " * LN(CAST(L AS DOUBLE)) * 1e6) AS BIGINT))").alias("s_e6"))
+    ent = (F.log(F.col("n").cast("double"))
+           - (F.col("s_e6").cast("double") / F.lit(1e6))
+           / F.col("n").cast("double"))
+    return d5.select(
+        F.col("id").alias(id_col), F.col("n").alias("n_chars_counted"),
+        F.col("k").alias("n_distinct_chars"),
+        F.floor(ent * F.lit(1e6)).cast("long").alias("ent_e6"))
+
+
+def char_entropy_oracle_sql() -> str:
+    """DuckDB twin of char_entropy (unnest+groupBy per-char counts —
+    oracle-SF only; same per-term floor-e6 and final fixed-shape
+    expression)."""
+    return r"""
+        WITH ech AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+            FROM documents
+        ),
+        ecc AS (
+            SELECT doc_id, c, count(*)::BIGINT AS cnt
+            FROM ech GROUP BY doc_id, c
+        ),
+        eagg AS (
+            SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS k,
+                   sum(floor(cnt::DOUBLE * ln(cnt::DOUBLE) * 1e6))::BIGINT
+                       AS s_e6
+            FROM ecc GROUP BY doc_id
+        )
+        SELECT doc_id, n AS n_chars_counted, k AS n_distinct_chars,
+               floor((ln(n::DOUBLE) - (s_e6::DOUBLE / 1e6) / n::DOUBLE)
+                     * 1e6)::BIGINT AS ent_e6
+        FROM eagg
+    """

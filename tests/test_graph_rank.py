@@ -525,6 +525,42 @@ class TestKCorePeel:
         assert got == want
 
 
+class TestNeighborhoodSizes:
+    def test_path_graph_hand_counted(self, spark):
+        from bella_domify_spark.ops.graph import neighborhood_sizes
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+        got = {r["node_id"]: r["ball_size"]
+               for r in neighborhood_sizes(pairs, radius=2).collect()}
+        assert got == {1: 2, 2: 3, 3: 4, 4: 3, 5: 2}
+
+    def test_matches_bruteforce_bfs(self, spark):
+        import random
+        from bella_domify_spark.ops.graph import neighborhood_sizes
+
+        rng = random.Random(13)
+        edges = sorted({(a, b) for _ in range(50)
+                        for a, b in [sorted(rng.sample(range(14), 2))]})
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for v, nbrs in adj.items():
+            ball = set(nbrs)
+            for u in nbrs:
+                ball |= adj[u]
+            ball.discard(v)
+            want[v] = len(ball)
+
+        got = {r["node_id"]: r["ball_size"]
+               for r in neighborhood_sizes(pairs, radius=2).collect()}
+        assert got == want
+
+
 class TestLpaCommunities:
     def test_bridged_cliques_split(self, spark):
         from bella_domify_spark.ops.graph import lpa_communities

@@ -2636,6 +2636,51 @@ class TestRound6Session7Ops:
         assert got == {("en", 100): (3, 3, False),
                        ("en", 200): (2, 1, True)}
 
+    def test_t_closeness_hand_counted(self, spark):
+        from bella_domify_spark.ops.curate import T_CLOSENESS_E9, t_closeness
+
+        assert T_CLOSENESS_E9 == 350_000_000
+        # global: s1 x6, s2 x2 (N=8). class (en,100) = 5 x s1:
+        # t = 1/2(|1-3/4| + |0-1/4|) = 0.25 -> safe; class (en,200) =
+        # 1 x s1 + 2 x s2: t = 1/2(|1/3-3/4| + |2/3-1/4|) = 5/12 -> risk
+        rows = ([(i, "en", "s1", 100 + i) for i in range(5)]
+                + [(10, "en", "s1", 250), (11, "en", "s2", 260),
+                   (12, "en", "s2", 270), (13, None, "s1", 50)])
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, n_chars long")
+        got = {(r["lang"], r["chars_bucket"]):
+               (r["class_size"], r["t_e9"], r["at_risk"])
+               for r in t_closeness(df).collect()}
+        assert got == {("en", 100): (5, 250_000_000, False),
+                       ("en", 200): (3, 416_666_666, True)}
+
+    def test_char_entropy_hand_and_brute(self, spark):
+        import math
+        import random
+        from collections import Counter
+
+        from bella_domify_spark.ops.textstats import char_entropy
+
+        def ref(text):
+            n = len(text)
+            s_e6 = sum(math.floor(c * math.log(c) * 1e6)
+                       for c in Counter(text).values())
+            return (n, len(set(text)),
+                    math.floor((math.log(n) - (s_e6 / 1e6) / n) * 1e6))
+
+        rng = random.Random(5)
+        texts = ["aabb", "zzzz", "a", "line1\nline1\n"] + [
+            "".join(rng.choice("abcde \n.!") for _ in range(rng.randint(1, 200)))
+            for _ in range(20)]
+        rows = [(i, t) for i, t in enumerate(texts)] + [(99, None), (98, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_chars_counted"], r["n_distinct_chars"],
+                             r["ent_e6"])
+               for r in char_entropy(df).collect()}
+        assert got == {i: ref(t) for i, t in enumerate(texts)}
+        assert got[0] == (4, 2, 693147)   # 2 ln 2 exactly
+        assert got[1] == (4, 1, 0)        # single-char runs score zero
+
     def test_winnow_fingerprints_vs_reference(self, spark):
         import hashlib
 

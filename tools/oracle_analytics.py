@@ -68,7 +68,11 @@ def entries() -> dict[str, str]:
                                                   source_temperature_oracle_sql
                                                   as _stemp_oracle_sql)
     from bella_domify_spark.ops.curate import (l_diversity_oracle_sql
-                                               as _ldiv_oracle_sql)
+                                               as _ldiv_oracle_sql,
+                                               t_closeness_oracle_sql
+                                               as _tclose_oracle_sql)
+    from bella_domify_spark.ops.textstats import (char_entropy_oracle_sql
+                                                  as _chent_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql)
     from bella_domify_spark.ops.analyze import (cusum_oracle_sql
@@ -88,6 +92,7 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.textstats import (pmi_oracle_sql
                                                   as _pmi_oracle_sql)
     from tools.oracle_lib import (
+        ball_ctes,
         closure as _closure,
         containment_pair_sql,
         cooccurrence_pair_ctes,
@@ -451,6 +456,8 @@ def entries() -> dict[str, str]:
         "script_mix": _script_oracle_sql(),
         "source_temperature": _stemp_oracle_sql(),
         "l_diversity": _ldiv_oracle_sql(),
+        "t_closeness": _tclose_oracle_sql(),
+        "char_entropy": _chent_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
@@ -632,6 +639,12 @@ def entries() -> dict[str, str]:
             WITH {jaccard_pair_ctes()},
             {lpa_ctes(3)}
             SELECT node AS node_id, lab AS community FROM ll3
+        """,
+        "neighborhood_sizes": f"""
+            WITH {jaccard_pair_ctes()},
+            {ball_ctes(2)}
+            SELECT src AS node_id, count(*)::BIGINT AS ball_size
+            FROM nb2 GROUP BY src
         """,
         "walk_centrality": f"""
             WITH {jaccard_pair_ctes()},

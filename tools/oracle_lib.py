@@ -497,3 +497,26 @@ def lpa_ctes(rounds: int = 3) -> str:
                 WHERE rn = 1
             )""")
     return ",\n            ".join(parts)
+
+
+def ball_ctes(radius: int = 2) -> str:
+    """r-hop ball over the ``pairs`` CTE (graph.neighborhood_sizes
+    twin): unrolled hop-per-CTE, self excluded, DISTINCT per hop.
+    Terminal CTE ``nb{radius}`` (src, dst)."""
+    parts = [f"""nsym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            nb1 AS (SELECT DISTINCT src, dst FROM nsym)"""]
+    for r in range(2, radius + 1):
+        parts.append(f"""nb{r} AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM nb{r - 1}
+                    UNION ALL
+                    SELECT b.src, e.dst
+                    FROM nb{r - 1} b JOIN nsym e ON e.src = b.dst
+                    WHERE b.src != e.dst
+                )
+            )""")
+    return ",\n            ".join(parts)
