@@ -1710,6 +1710,22 @@ def _q_char_entropy(spark, sf):
     return char_entropy(_t(spark, sf, "documents"))
 
 
+def _q_negative_sampling(spark, sf):
+    """word2vec negative-sampling table (ops/textstats.py
+    negative_sampling_table): unigram^(3/4) via the correctly-rounded
+    sqrt(c*sqrt(c)) chain, integer shares."""
+    from bella_domify_spark.ops.textstats import negative_sampling_table
+    return negative_sampling_table(_t(spark, sf, "documents"))
+
+
+def _q_fertility_by_lang(spark, sf):
+    """Tokenizer fertility readout (ops/textstats.py fertility_by_lang):
+    BPE-ish tokens per word and bytes per token, per language —
+    all-integer div-quantized ratios."""
+    from bella_domify_spark.ops.textstats import fertility_by_lang
+    return fertility_by_lang(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1843,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_sizes": _q_neighborhood_sizes,
         "t_closeness": _q_t_closeness,
         "char_entropy": _q_char_entropy,
+        "negative_sampling": _q_negative_sampling,
+        "fertility_by_lang": _q_fertility_by_lang,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

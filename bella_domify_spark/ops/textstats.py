@@ -1149,3 +1149,136 @@ def char_entropy_oracle_sql() -> str:
                      * 1e6)::BIGINT AS ent_e6
         FROM eagg
     """
+
+
+NS_MIN_COUNT = 5
+
+
+def negative_sampling_table(df: DataFrame, text_col: str = "text",
+                            min_count: int = NS_MIN_COUNT) -> DataFrame:
+    """word2vec negative-sampling distribution — the unigram table
+    raised to the 3/4 power (Mikolov et al., NeurIPS'13: pᵢ ∝ cᵢ^¾
+    flattens Zipf so rare words get sampled as negatives at all).
+    Companion of source_temperature (α = ½ over sources); here α = ¾
+    over the vocabulary.
+
+    Determinism path: c^¾ computes as ``sqrt(c · sqrt(c))`` — IEEE 754
+    specifies sqrt (and one multiply) correctly rounded, so the chain is
+    bit-identical across engines where ``pow(c, 0.75)`` would not be.
+    w_e6 = floor(·1e6) quantizes each term ONCE; the share then runs in
+    integers (w_e6·1e9 div Σw_e6, DECIMAL(38,0) product, exact
+    division) — no float summation order exists.
+
+    Scale: one corpus-sized token aggregate (map-side partial combine)
+    down to the vocabulary, a ≥min_count cut, then a 1-row broadcast of
+    the total. Output: (term, freq, w_e6, share_e9).
+    """
+    terms = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"\s+")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("freq"))
+             .filter(F.col("freq") >= min_count))
+    c = F.col("freq").cast("double")
+    per = terms.withColumn(
+        "w_e6", F.floor(F.sqrt(c * F.sqrt(c)) * F.lit(1e6)).cast("long"))
+    tot = per.agg(F.sum("w_e6").cast("long").alias("tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("term", "freq", "w_e6",
+                    F.expr("cast(w_e6 as decimal(38,0)) * 1000000000"
+                           " div tot").alias("share_e9")))
+
+
+def negative_sampling_oracle_sql(min_count: int = NS_MIN_COUNT) -> str:
+    """DuckDB twin of negative_sampling_table (same sqrt(c·sqrt(c))
+    chain, HUGEINT product, // exact division)."""
+    return rf"""
+        WITH nst AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x != '')) AS term
+            FROM documents
+        ),
+        nsc AS (
+            SELECT term, count(*)::BIGINT AS freq FROM nst
+            GROUP BY term HAVING count(*) >= {min_count}
+        ),
+        nsp AS (
+            SELECT term, freq,
+                   floor(sqrt(freq::DOUBLE * sqrt(freq::DOUBLE))
+                         * 1e6)::BIGINT AS w_e6
+            FROM nsc
+        ),
+        nstot AS (SELECT sum(w_e6)::BIGINT AS tot FROM nsp)
+        SELECT term, freq, w_e6,
+               (w_e6::HUGEINT * 1000000000 // tot)::BIGINT AS share_e9
+        FROM nsp CROSS JOIN nstot
+    """
+
+
+def fertility_by_lang(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility per language — the multilingual-tokenizer
+    health readout: regex-BPE-ish tokens per whitespace word
+    (fertility; high = the tokenizer shreds that language) and bytes
+    per token (compression; high = byte-fallback territory). The two
+    numbers that decide whether a vocabulary is fair across the corpus's
+    languages before a single GPU-hour is spent.
+
+    All-integer outputs: the per-language sums are exact BIGINTs and
+    both ratios quantize as ``x·1e6 div y`` (DECIMAL(38,0) product,
+    exact integer division) — no doubles anywhere.
+
+    Scale: per-row JVM regex counts fused into the scan, one map-side
+    combined aggregate on the bounded lang key.
+
+    Output: (lang, n_docs, ws_tokens, re_tokens, n_bytes, fert_e6,
+    bytes_per_tok_e6).
+    """
+    text = F.col("text")
+    per = (docs.filter(F.col("lang").isNotNull() & text.isNotNull())
+           .select("lang", _ws_tokens(text).cast("long").alias("ws"),
+                   F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+                   .cast("long").alias("re"),
+                   F.octet_length(text).cast("long").alias("nb"))
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("ws").alias("ws_tokens"),
+                F.sum("re").alias("re_tokens"),
+                F.sum("nb").alias("n_bytes"))
+           .filter((F.col("ws_tokens") > 0) & (F.col("re_tokens") > 0)))
+    return per.select(
+        "lang", "n_docs", "ws_tokens", "re_tokens", "n_bytes",
+        F.expr("cast(re_tokens as decimal(38,0)) * 1000000"
+               " div ws_tokens").alias("fert_e6"),
+        F.expr("cast(n_bytes as decimal(38,0)) * 1000000"
+               " div re_tokens").alias("bytes_per_tok_e6"))
+
+
+def fertility_oracle_sql() -> str:
+    """DuckDB twin of fertility_by_lang (same word/token regexes as
+    token_counts' oracle; HUGEINT products, // exact division)."""
+    return r"""
+        WITH fper AS (
+            SELECT lang,
+                   length(regexp_split_to_array(trim(text), '\s+')) AS ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re,
+                   strlen(text) AS nb
+            FROM documents
+            WHERE lang IS NOT NULL AND text IS NOT NULL
+        ),
+        fagg AS (
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(ws)::BIGINT AS ws_tokens,
+                   sum(re)::BIGINT AS re_tokens,
+                   sum(nb)::BIGINT AS n_bytes
+            FROM fper GROUP BY lang
+            HAVING sum(ws) > 0 AND sum(re) > 0
+        )
+        SELECT lang, n_docs, ws_tokens, re_tokens, n_bytes,
+               (re_tokens::HUGEINT * 1000000 // ws_tokens)::BIGINT
+                   AS fert_e6,
+               (n_bytes::HUGEINT * 1000000 // re_tokens)::BIGINT
+                   AS bytes_per_tok_e6
+        FROM fagg
+    """

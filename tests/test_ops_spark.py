@@ -2681,6 +2681,47 @@ class TestRound6Session7Ops:
         assert got[0] == (4, 2, 693147)   # 2 ln 2 exactly
         assert got[1] == (4, 1, 0)        # single-char runs score zero
 
+    def test_negative_sampling_hand_counted(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import negative_sampling_table
+
+        # "aa" x8, "bb" x8, "cc" x1 (cut by min_count=5)
+        df = spark.createDataFrame(
+            [(1, "aa bb " * 4), (2, "aa bb " * 4 + "cc")],
+            "doc_id long, text string")
+        got = {r["term"]: (r["freq"], r["w_e6"], r["share_e9"])
+               for r in negative_sampling_table(df).collect()}
+        w8 = math.floor(math.sqrt(8 * math.sqrt(8)) * 1e6)  # 8^0.75
+        assert got == {"aa": (8, w8, 500_000_000),
+                       "bb": (8, w8, 500_000_000)}
+
+    def test_negative_sampling_flattens_zipf(self, spark):
+        from bella_domify_spark.ops.textstats import negative_sampling_table
+
+        # 100:5 raw ratio compresses to 100^.75/5^.75 ~ 9.46 under alpha=3/4
+        df = spark.createDataFrame(
+            [(1, "hot " * 100 + "cold " * 5)], "doc_id long, text string")
+        got = {r["term"]: r["share_e9"]
+               for r in negative_sampling_table(df).collect()}
+        ratio = got["hot"] / got["cold"]
+        assert 9.0 < ratio < 10.0
+
+    def test_fertility_by_lang_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import fertility_by_lang
+
+        # "don't stop." = 2 ws words, 5 regex tokens (don / ' / t /
+        # stop / .), 11 bytes; "café" = caf + é (2 tokens — the accent
+        # falls out of [A-Za-z0-9]+), 5 bytes (bytes > chars)
+        df = spark.createDataFrame(
+            [(1, "en", "don't stop."), (2, "fr", "café"), (3, None, "x")],
+            "doc_id long, lang string, text string")
+        got = {r["lang"]: (r["n_docs"], r["ws_tokens"], r["re_tokens"],
+                           r["n_bytes"], r["fert_e6"], r["bytes_per_tok_e6"])
+               for r in fertility_by_lang(df).collect()}
+        assert got == {"en": (1, 2, 5, 11, 2_500_000, 2_200_000),
+                       "fr": (1, 1, 2, 5, 2_000_000, 2_500_000)}
+
     def test_winnow_fingerprints_vs_reference(self, spark):
         import hashlib
 

@@ -72,7 +72,11 @@ def entries() -> dict[str, str]:
                                                t_closeness_oracle_sql
                                                as _tclose_oracle_sql)
     from bella_domify_spark.ops.textstats import (char_entropy_oracle_sql
-                                                  as _chent_oracle_sql)
+                                                  as _chent_oracle_sql,
+                                                  fertility_oracle_sql
+                                                  as _fert_oracle_sql,
+                                                  negative_sampling_oracle_sql
+                                                  as _ns_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql)
     from bella_domify_spark.ops.analyze import (cusum_oracle_sql
@@ -458,6 +462,8 @@ def entries() -> dict[str, str]:
         "l_diversity": _ldiv_oracle_sql(),
         "t_closeness": _tclose_oracle_sql(),
         "char_entropy": _chent_oracle_sql(),
+        "negative_sampling": _ns_oracle_sql(),
+        "fertility_by_lang": _fert_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
