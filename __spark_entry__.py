@@ -1726,6 +1726,38 @@ def _q_fertility_by_lang(spark, sf):
     return fertility_by_lang(_t(spark, sf, "documents"))
 
 
+def _q_ks_drift(spark, sf):
+    """Two-sample KS drift on event value, first vs second time-half
+    (ops/analyze.py ks_drift): exact integer CDF numerators on the e6
+    grid, 1.358·sqrt((n+m)/nm) critical line."""
+    from bella_domify_spark.ops.analyze import ks_drift
+    return ks_drift(_t(spark, sf, "events"))
+
+
+def _q_ess_by_source(spark, sf):
+    """Kish effective sample size of length-weighted sampling per
+    source (ops/analyze.py ess_by_source): (Σw)²/Σw² in DECIMAL(38,0),
+    within-source concentration companion to gini_concentration."""
+    from bella_domify_spark.ops.analyze import ess_by_source
+    return ess_by_source(_t(spark, sf, "documents"))
+
+
+def _q_benford_audit(spark, sf):
+    """Benford first-digit audit of event values (ops/analyze.py
+    benford_audit): integer-grid leading digit, Python-precomputed
+    log10(1+1/d) literals identical in both plans."""
+    from bella_domify_spark.ops.analyze import benford_audit
+    return benford_audit(_t(spark, sf, "events"))
+
+
+def _q_zipf_fit(spark, sf):
+    """Zipf's-law OLS fit of ln(freq) on ln(rank) over the corpus
+    vocabulary (ops/textstats.py zipf_fit): floor-e9 ln grid,
+    DECIMAL(38,0) OLS sums, slope ≈ -1e6 for natural text."""
+    from bella_domify_spark.ops.textstats import zipf_fit
+    return zipf_fit(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1861,6 +1893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "negative_sampling": _q_negative_sampling,
         "fertility_by_lang": _q_fertility_by_lang,
+        "ks_drift": _q_ks_drift,
+        "ess_by_source": _q_ess_by_source,
+        "benford_audit": _q_benford_audit,
+        "zipf_fit": _q_zipf_fit,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

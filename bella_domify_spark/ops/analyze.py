@@ -20,6 +20,8 @@ single aggregated row — no second pass.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["analyze_table_stats", "psi_drift", "ab_conversion_chi2",
@@ -1020,4 +1022,236 @@ def cusum_oracle_sql() -> str:
         SELECT event_type, n_days, day AS cp_day,
                acs::BIGINT AS max_abs_cusum
         FROM scored WHERE pr = 1
+    """
+
+
+def ks_drift(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on the event ``value``
+    distribution, first time-half vs second — the distribution-shaped
+    companion to psi_drift's categorical monitor: PSI sees a shifted
+    event-type mix, KS sees a shifted value CDF (same split convention:
+    midpoint of the epoch-µs range, ts IS NOT NULL).
+
+    Exact integer algebra end to end: values land on the e6 grid
+    (floor(value·1e6)), per-grid-point ref/live counts cumulate into the
+    two empirical CDF numerators, and the KS statistic is
+    D_e6 = max |cumref·n_live − cumlive·n_ref| ·1e6 div (n_ref·n_live)
+    in DECIMAL(38,0) (cum·n reaches ~1e24 at corpus scale — far past
+    int64). Ties on the max break to the smallest grid value. The
+    classical α=0.05 rejection line c(α)·sqrt((n+m)/nm) with c = 1.358
+    quantizes through the correctly-rounded /-sqrt-· chain (IEEE 754
+    specifies each step, so both engines agree bitwise).
+
+    Scale: one scan to the (v_e6 → c_ref, c_live) grid via a map-side
+    combined aggregate; the cumulative window then runs on the grid, not
+    the corpus (|grid| ≤ distinct e6 values — for a genuinely continuous
+    value at petabyte scale, coarsen the grid: D only needs resolution
+    comparable to the critical value, so an e2 grid loses nothing at any
+    plausible n; the statistic on a coarsened grid is a lower bound that
+    crosses the same threshold).
+
+    Output: one row (n_ref, n_live, d_e6, at_v_e6, crit_e6); drift is
+    significant at 5% when d_e6 > crit_e6.
+    """
+    e = events.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    t = e.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+                 F.floor(F.col("value") * 1e6).cast("long").alias("v_e6"))
+    mm = t.agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+    g = (t.crossJoin(F.broadcast(mm))
+         .groupBy("v_e6")
+         .agg(F.sum(F.when(F.col("u") <= F.expr("(lo + hi) div 2"), 1)
+                    .otherwise(0)).cast("long").alias("cr"),
+              F.sum(F.when(F.col("u") <= F.expr("(lo + hi) div 2"), 0)
+                    .otherwise(1)).cast("long").alias("cl")))
+    tot = g.agg(F.sum("cr").cast("long").alias("nr"),
+                F.sum("cl").cast("long").alias("nl"))
+    w = Window.orderBy("v_e6").rowsBetween(Window.unboundedPreceding, 0)
+    d = (g.withColumn("ccr", F.sum("cr").over(w))
+          .withColumn("ccl", F.sum("cl").over(w))
+          .crossJoin(F.broadcast(tot))
+          .select("v_e6", "nr", "nl",
+                  F.expr("abs(cast(ccr as decimal(38,0)) * nl"
+                         " - cast(ccl as decimal(38,0)) * nr) * 1000000"
+                         " div (cast(nr as decimal(38,0)) * nl)")
+                   .alias("d_e6")))
+    md = d.agg(F.max("d_e6").alias("d_max"))
+    return (d.crossJoin(F.broadcast(md))
+            .filter(F.col("d_e6") == F.col("d_max"))
+            .groupBy("nr", "nl", "d_max")
+            .agg(F.min("v_e6").alias("at_v_e6"))
+            .select(F.col("nr").alias("n_ref"), F.col("nl").alias("n_live"),
+                    F.col("d_max").cast("long").alias("d_e6"), "at_v_e6",
+                    F.floor(F.lit(1.358)
+                            * F.sqrt((F.col("nr") + F.col("nl"))
+                                     .cast("double")
+                                     / (F.col("nr").cast("double")
+                                        * F.col("nl").cast("double")))
+                            * 1e6).cast("long").alias("crit_e6")))
+
+
+def ks_oracle_sql() -> str:
+    """DuckDB twin of ks_drift (same e6 grid, HUGEINT numerators, //
+    exact division, same 1.358·sqrt((n+m)/nm) critical line)."""
+    return """
+        WITH kse AS (
+            SELECT epoch_us(ts) AS u, floor(value * 1e6)::BIGINT AS v_e6
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), ksmm AS (
+            SELECT min(u) AS lo, max(u) AS hi FROM kse
+        ), ksg AS (
+            SELECT v_e6,
+                   sum(CASE WHEN u <= (lo + hi) // 2 THEN 1 ELSE 0 END)
+                       ::BIGINT AS cr,
+                   sum(CASE WHEN u <= (lo + hi) // 2 THEN 0 ELSE 1 END)
+                       ::BIGINT AS cl
+            FROM kse CROSS JOIN ksmm GROUP BY v_e6
+        ), kst AS (
+            SELECT sum(cr)::BIGINT AS nr, sum(cl)::BIGINT AS nl FROM ksg
+        ), ksd AS (
+            SELECT v_e6,
+                   abs((sum(cr) OVER w)::HUGEINT * nl
+                       - (sum(cl) OVER w)::HUGEINT * nr) * 1000000
+                       // (nr::HUGEINT * nl) AS d_e6
+            FROM ksg CROSS JOIN kst
+            WINDOW w AS (ORDER BY v_e6 ROWS UNBOUNDED PRECEDING)
+        ), ksm AS (SELECT max(d_e6) AS d_max FROM ksd)
+        SELECT nr AS n_ref, nl AS n_live, d_max::BIGINT AS d_e6,
+               (SELECT min(v_e6) FROM ksd WHERE d_e6 = d_max) AS at_v_e6,
+               floor(1.358 * sqrt((nr + nl)::DOUBLE
+                                  / (nr::DOUBLE * nl::DOUBLE))
+                     * 1e6)::BIGINT AS crit_e6
+        FROM kst CROSS JOIN ksm
+    """
+
+
+def ess_by_source(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
+    """Kish effective sample size of length-weighted sampling, per
+    source — the "how many docs is this source REALLY worth?" readout.
+    Sampling documents proportional to length (the usual token-budget
+    view of a corpus) concentrates mass on long documents; Kish's
+    ESS = (Σw)²/Σw² is the equivalent count of equally-weighted docs.
+    ess_ratio near 1e6 means lengths are uniform inside the source;
+    a low ratio means a few giant documents carry the source and
+    dedup/quality decisions there are really about those documents.
+    Companion to gini_concentration (across sources) — this is the
+    within-source concentration number.
+
+    All-integer: Σw is a BIGINT sum, Σw² sums DECIMAL(38,0) squares
+    (w² ~ 1e12 per million-char doc × 1e12 docs = 1e24, past int64),
+    ess_e6 = (Σw)²·1e6 div Σw² and ess_ratio_e6 = (Σw)²·1e6 div
+    (Σw²·n) are exact integer divisions of DECIMAL(38,0) products
+    ((Σw)²·1e6 ~ 1e34 < 1e38 headroom at 100 TB).
+
+    Scale: ONE map-side-combined groupBy collapsing the corpus to
+    |sources| rows; no window, no second pass.
+
+    Output: (source, n_docs, sum_w, ess_e6, ess_ratio_e6).
+    """
+    dec = "decimal(38,0)"
+    per = (docs.filter(F.col("source").isNotNull()
+                       & F.col(weight_col).isNotNull())
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(weight_col).cast("long").alias("sum_w"),
+                F.sum(F.col(weight_col).cast(dec)
+                      * F.col(weight_col).cast(dec)).cast(dec)
+                 .alias("sum_w2"))
+           .filter(F.col("sum_w2") > 0))
+    return per.select(
+        "source", "n_docs", "sum_w",
+        F.expr("cast(sum_w as decimal(38,0)) * sum_w * 1000000"
+               " div sum_w2").alias("ess_e6"),
+        F.expr("cast(sum_w as decimal(38,0)) * sum_w * 1000000"
+               " div (sum_w2 * n_docs)").alias("ess_ratio_e6"))
+
+
+def ess_oracle_sql() -> str:
+    """DuckDB twin of ess_by_source (HUGEINT squares, // division)."""
+    return """
+        WITH essp AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_w,
+                   sum(n_chars::HUGEINT * n_chars::HUGEINT) AS sum_w2
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            GROUP BY source HAVING sum(n_chars::HUGEINT * n_chars) > 0
+        )
+        SELECT source, n_docs, sum_w,
+               (sum_w::HUGEINT * sum_w * 1000000 // sum_w2)::BIGINT
+                   AS ess_e6,
+               (sum_w::HUGEINT * sum_w * 1000000
+                // (sum_w2 * n_docs))::BIGINT AS ess_ratio_e6
+        FROM essp
+    """
+
+
+# First-digit Benford shares floor(log10(1 + 1/d)·1e6), precomputed in
+# Python so BOTH engines consume identical integer literals (no
+# cross-engine log in the hot path at all).
+BENFORD_E6 = {d: int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1e6))
+              for d in range(1, 10)}
+
+
+def benford_audit(events: DataFrame) -> DataFrame:
+    """Benford first-digit audit of the event ``value`` column — the
+    classic synthetic-data / fraud smell test: organically-grown
+    magnitudes follow P(d) = log10(1+1/d); uniform generators, capped
+    metrics, and fabricated rows do not. A large |dev| on digit 1 is
+    the canonical "this column was synthesized" tell.
+
+    Values land on the e6 integer grid first (floor(value·1e6), > 0 —
+    sub-µ values and non-positives have no leading digit); the first
+    significant digit is the first character of the base-10 integer
+    rendering (integer→string is exact on both engines, unlike any
+    double formatting). Observed shares quantize as cnt·1e6 div n
+    (DECIMAL(38,0) product); expected shares are the BENFORD_E6
+    integer literals baked into both plans.
+
+    Scale: one scan, one map-side-combined 9-key aggregate; the CASE
+    lookup is constant-folded JVM-side.
+
+    Output: (digit, n_obs, obs_e6, exp_e6, dev_e6), dev = obs − exp.
+    """
+    exp_case = ("CASE digit "
+                + " ".join(f"WHEN {d} THEN {v}L"
+                           for d, v in BENFORD_E6.items())
+                + " END")
+    per = (events.filter(F.col("value").isNotNull())
+           .select(F.floor(F.col("value") * 1e6).cast("long").alias("v"))
+           .filter(F.col("v") > 0)
+           .select(F.substring(F.col("v").cast("string"), 1, 1)
+                   .cast("int").alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    tot = per.agg(F.sum("n_obs").cast("long").alias("n"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs",
+                    F.expr("cast(n_obs as decimal(38,0)) * 1000000 div n")
+                     .alias("obs_e6"),
+                    F.expr(exp_case).alias("exp_e6"))
+            .withColumn("dev_e6", F.col("obs_e6") - F.col("exp_e6")))
+
+
+def benford_oracle_sql() -> str:
+    """DuckDB twin of benford_audit (same integer grid, same injected
+    BENFORD_E6 literals, // exact division)."""
+    exp_case = ("CASE digit "
+                + " ".join(f"WHEN {d} THEN {v}"
+                           for d, v in BENFORD_E6.items())
+                + " END")
+    return f"""
+        WITH bfv AS (
+            SELECT floor(value * 1e6)::BIGINT AS v FROM events
+            WHERE value IS NOT NULL AND floor(value * 1e6) > 0
+        ), bfd AS (
+            SELECT substr(v::VARCHAR, 1, 1)::INT AS digit,
+                   count(*)::BIGINT AS n_obs
+            FROM bfv GROUP BY 1
+        ), bft AS (SELECT sum(n_obs)::BIGINT AS n FROM bfd)
+        SELECT digit, n_obs,
+               (n_obs::HUGEINT * 1000000 // n)::BIGINT AS obs_e6,
+               ({exp_case})::BIGINT AS exp_e6,
+               (n_obs::HUGEINT * 1000000 // n)::BIGINT
+                   - ({exp_case})::BIGINT AS dev_e6
+        FROM bfd CROSS JOIN bft
     """

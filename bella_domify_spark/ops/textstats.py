@@ -1282,3 +1282,120 @@ def fertility_oracle_sql() -> str:
                    AS bytes_per_tok_e6
         FROM fagg
     """
+
+
+ZIPF_MIN_COUNT = 5
+ZIPF_MAX_RANK = 10_000
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             min_count: int = ZIPF_MIN_COUNT,
+             max_rank: int = ZIPF_MAX_RANK) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) — the one-number "is this natural language?"
+    check (natural corpora fit slope ≈ −1; boilerplate-heavy or
+    synthetic text flattens toward 0, spam with a few hammered tokens
+    steepens past −1.3). Companion to heaps_law (vocabulary growth) and
+    negative_sampling_table (the same unigram table, different read).
+
+    Quantized-recipe determinism: x = floor(ln(rank)·1e9) and
+    y = floor(ln(freq)·1e9) use the established floor-e9 ln idiom; the
+    OLS pieces are then pure integer sums, slope_e6 = (nΣxy − ΣxΣy)·1e6
+    div (nΣx² − (Σx)²) in DECIMAL(38,0) (Σxy ~ 1e24 at a 10⁴-rank
+    cut — past int64), and the intercept derives from the quantized
+    means: intercept_e9 = ȳ_e9 − slope_e6·x̄_e9 div 1e6. Both engines
+    run the identical integer recipe, so the hash matches bitwise.
+
+    Scale: one corpus-sized token aggregate (map-side combined) down to
+    the vocabulary, a ≥min_count cut, then rank + sums on the
+    vocab-sized table (the single-partition rank window runs on ≤
+    max_rank rows by construction).
+
+    Output: one row (n_terms, slope_e6, xbar_e9, ybar_e9,
+    intercept_e9).
+    """
+    terms = (df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"\s+")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("freq"))
+             .filter(F.col("freq") >= min_count))
+    ranked = (terms
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.desc("freq"), F.asc("term"))))
+              .filter(F.col("rnk") <= max_rank)
+              .select(F.floor(F.log(F.col("rnk").cast("double")) * 1e9)
+                       .cast("long").alias("x"),
+                      F.floor(F.log(F.col("freq").cast("double")) * 1e9)
+                       .cast("long").alias("y")))
+    dec = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec)
+         .alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec)
+         .alias("sxx"))
+    return (sums.filter(F.expr(
+                "cast(n as decimal(38,0)) * sxx"
+                " - cast(sx as decimal(38,0)) * sx != 0"))
+            .select(
+                F.col("n").alias("n_terms"),
+                F.expr("(cast(n as decimal(38,0)) * sxy"
+                       " - cast(sx as decimal(38,0)) * sy) * 1000000"
+                       " div (cast(n as decimal(38,0)) * sxx"
+                       "      - cast(sx as decimal(38,0)) * sx)")
+                 .alias("slope_e6"),
+                F.expr("sx div n").alias("xbar_e9"),
+                F.expr("sy div n").alias("ybar_e9"))
+            .withColumn("intercept_e9",
+                        F.expr("ybar_e9 - cast(slope_e6 as decimal(38,0))"
+                               " * xbar_e9 div 1000000")))
+
+
+def zipf_oracle_sql(min_count: int = ZIPF_MIN_COUNT,
+                    max_rank: int = ZIPF_MAX_RANK) -> str:
+    """DuckDB twin of zipf_fit (same floor-e9 ln grid, HUGEINT OLS,
+    // exact division)."""
+    return rf"""
+        WITH zt AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x != '')) AS term
+            FROM documents
+        ),
+        zc AS (
+            SELECT term, count(*)::BIGINT AS freq FROM zt
+            GROUP BY term HAVING count(*) >= {min_count}
+        ),
+        zr AS (
+            SELECT floor(ln(rnk::DOUBLE) * 1e9)::BIGINT AS x,
+                   floor(ln(freq::DOUBLE) * 1e9)::BIGINT AS y
+            FROM (SELECT freq, row_number()
+                             OVER (ORDER BY freq DESC, term) AS rnk
+                  FROM zc)
+            WHERE rnk <= {max_rank}
+        ),
+        zs AS (
+            SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                   sum(y)::BIGINT AS sy,
+                   sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                   sum(x::HUGEINT * x::HUGEINT) AS sxx
+            FROM zr
+        ),
+        zf AS (
+            SELECT n AS n_terms,
+                   ((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+                    // (n::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT
+                       AS slope_e6,
+                   (sx // n)::BIGINT AS xbar_e9,
+                   (sy // n)::BIGINT AS ybar_e9
+            FROM zs
+            WHERE n::HUGEINT * sxx - sx::HUGEINT * sx != 0
+        )
+        SELECT n_terms, slope_e6, xbar_e9, ybar_e9,
+               (ybar_e9 - slope_e6::HUGEINT * xbar_e9 // 1000000)::BIGINT
+                   AS intercept_e9
+        FROM zf
+    """

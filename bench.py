@@ -189,7 +189,16 @@ def main() -> int:
                  "c4_filters", "encoding_report", "secrets_detect",
                  # round-6 session-6 queries (first-bench floors):
                  "lexical_diversity", "k_anonymity", "rater_kappa",
-                 "rank_rbo", "context_budget", "sq_error"]:
+                 "rank_rbo", "context_budget", "sq_error",
+                 # round-6 session-7/8 queries (first-bench floors):
+                 "gini_concentration", "mann_kendall", "heaps_law",
+                 "lev_verify", "interarrival_stats", "cusum_changepoint",
+                 "script_mix", "source_temperature", "l_diversity",
+                 "winnow_fingerprints", "lpa_communities",
+                 "neighborhood_sizes", "t_closeness", "char_entropy",
+                 "negative_sampling", "fertility_by_lang",
+                 "ks_drift", "ess_by_source", "benford_audit",
+                 "zipf_fit"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

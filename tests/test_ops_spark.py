@@ -2753,3 +2753,104 @@ class TestRound6Session7Ops:
         # the winnowing guarantee: the shared >= k+w-1 substring
         # "the quick brown fox" contributes a shared fingerprint
         assert {f for _, f in got[1]} & {f for _, f in got[2]}
+
+
+class TestRound6Session8Ops:
+    def test_ks_drift_fully_separated(self, spark):
+        from datetime import datetime
+
+        from bella_domify_spark.ops.analyze import ks_drift
+
+        # ref half (ts 0,1s) values {1,2}; live half (9,10s) {3,4}:
+        # CDFs never overlap -> D = 1, argmax at the last ref value 2.0
+        t0 = datetime(2024, 1, 1)
+        rows = [(t0.replace(second=0), 1.0), (t0.replace(second=1), 2.0),
+                (t0.replace(second=9), 3.0), (t0.replace(second=10), 4.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        got = ks_drift(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["n_ref"], r["n_live"]) == (2, 2)
+        assert r["d_e6"] == 1_000_000
+        assert r["at_v_e6"] == 2_000_000
+        assert r["crit_e6"] == 1_358_000   # 1.358*sqrt(4/4)*1e6
+
+    def test_ks_drift_tie_breaks_to_smallest_value(self, spark):
+        from datetime import datetime
+
+        from bella_domify_spark.ops.analyze import ks_drift
+
+        # ref {1,2,3} vs live {2,3,4}: D = 1/3 attained at v=1,2,3 ->
+        # report the smallest grid point
+        t0 = datetime(2024, 1, 1)
+        rows = ([(t0.replace(second=s), float(v))
+                 for s, v in ((0, 1), (1, 2), (2, 3))]
+                + [(t0.replace(second=s), float(v))
+                   for s, v in ((8, 2), (9, 3), (10, 4))])
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        r = ks_drift(df).collect()[0]
+        assert r["d_e6"] == 333_333
+        assert r["at_v_e6"] == 1_000_000
+
+    def test_ess_by_source_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import ess_by_source
+
+        df = spark.createDataFrame(
+            [(1, "a", 3), (2, "a", 4), (3, "b", 5),
+             (4, None, 9), (5, "c", None)],
+            "doc_id long, source string, n_chars long")
+        got = {r["source"]: (r["n_docs"], r["sum_w"], r["ess_e6"],
+                             r["ess_ratio_e6"])
+               for r in ess_by_source(df).collect()}
+        # a: (3+4)^2/ (9+16) = 49/25 = 1.96 effective docs of 2
+        assert got == {"a": (2, 7, 1_960_000, 980_000),
+                       "b": (1, 5, 1_000_000, 1_000_000)}
+
+    def test_benford_audit_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import BENFORD_E6, benford_audit
+
+        assert BENFORD_E6[1] == 301_029 and BENFORD_E6[9] == 45_757
+        df = spark.createDataFrame(
+            [(1.0,), (2.5,), (19.0,), (0.0000005,), (-3.0,), (None,)],
+            "value double")
+        got = {r["digit"]: (r["n_obs"], r["obs_e6"], r["exp_e6"],
+                            r["dev_e6"])
+               for r in benford_audit(df).collect()}
+        assert got == {1: (2, 666_666, 301_029, 365_637),
+                       2: (1, 333_333, 176_091, 157_242)}
+
+    def test_zipf_fit_perfect_zipf_slope(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import zipf_fit
+
+        # freq = 30/rank exactly: ln(freq) = ln 30 - ln(rank) -> OLS
+        # slope -1; mirror the integer recipe for the exact expectation
+        df = spark.createDataFrame(
+            [(1, "a " * 30 + "b " * 15 + "c " * 10)],
+            "doc_id long, text string")
+        r = zipf_fit(df).collect()[0]
+        xs = [math.floor(math.log(k) * 1e9) for k in (1, 2, 3)]
+        ys = [math.floor(math.log(f) * 1e9) for f in (30, 15, 10)]
+        n, sx, sy = 3, sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+
+        def tdiv(a, b):   # Spark div / DuckDB // truncate toward zero
+            return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+        slope = tdiv((n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx)
+        assert r["n_terms"] == 3
+        assert r["slope_e6"] == slope
+        assert abs(r["slope_e6"] + 1_000_000) <= 2
+        assert r["xbar_e9"] == sx // n and r["ybar_e9"] == sy // n
+        assert r["intercept_e9"] == sy // n - tdiv(slope * (sx // n),
+                                                   1_000_000)
+
+    def test_zipf_fit_single_rank_degenerate_empty(self, spark):
+        from bella_domify_spark.ops.textstats import zipf_fit
+
+        # one surviving term -> zero OLS denominator -> empty result
+        df = spark.createDataFrame([(1, "a " * 9)],
+                                   "doc_id long, text string")
+        assert zipf_fit(df).count() == 0

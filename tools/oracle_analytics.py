@@ -76,10 +76,18 @@ def entries() -> dict[str, str]:
                                                   fertility_oracle_sql
                                                   as _fert_oracle_sql,
                                                   negative_sampling_oracle_sql
-                                                  as _ns_oracle_sql)
+                                                  as _ns_oracle_sql,
+                                                  zipf_oracle_sql
+                                                  as _zipf_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql)
-    from bella_domify_spark.ops.analyze import (cusum_oracle_sql
+    from bella_domify_spark.ops.analyze import (benford_oracle_sql
+                                                as _benford_oracle_sql,
+                                                ess_oracle_sql
+                                                as _ess_oracle_sql,
+                                                ks_oracle_sql
+                                                as _ks_oracle_sql,
+                                                cusum_oracle_sql
                                                 as _cusum_oracle_sql)
     from bella_domify_spark.ops.textstats import (flesch_oracle_sql
                                                   as _flesch_oracle_sql)
@@ -464,6 +472,10 @@ def entries() -> dict[str, str]:
         "char_entropy": _chent_oracle_sql(),
         "negative_sampling": _ns_oracle_sql(),
         "fertility_by_lang": _fert_oracle_sql(),
+        "ks_drift": _ks_oracle_sql(),
+        "ess_by_source": _ess_oracle_sql(),
+        "benford_audit": _benford_oracle_sql(),
+        "zipf_fit": _zipf_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
