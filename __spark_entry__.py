@@ -1758,6 +1758,31 @@ def _q_zipf_fit(spark, sf):
     return zipf_fit(_t(spark, sf, "documents"))
 
 
+def _q_ppjoin_pairs(spark, sf):
+    """Prefix-filtered set-similarity self-join (ops/dedup.py
+    ppjoin_pairs): AllPairs/PPJoin frequency-ascending prefixes +
+    length filter + exact verify; the oracle is deliberately brute
+    force — it checks the filter's exactness claim."""
+    from bella_domify_spark.ops.dedup import ppjoin_pairs
+    return ppjoin_pairs(_t(spark, sf, "documents"))
+
+
+def _q_theil_sen(spark, sf):
+    """Theil-Sen robust daily-volume trend slope per event type
+    (ops/analyze.py theil_sen): truncating integer pair slopes,
+    lower-median selection."""
+    from bella_domify_spark.ops.analyze import theil_sen
+    return theil_sen(_t(spark, sf, "events"))
+
+
+def _q_vocab_overlap(spark, sf):
+    """Pairwise source vocabulary Jaccard + overlap coefficient
+    (ops/textstats.py vocab_overlap): term-keyed join over the
+    (source, term) grid, fan-out bounded by C(|sources|,2)."""
+    from bella_domify_spark.ops.textstats import vocab_overlap
+    return vocab_overlap(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1861,12 +1886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-5 new queries (never driver-confirmed — window priority):
         "c4_filters": _q_c4_filters,
         # --- exiled tail (51+): no driver row this round ---
-        # 58 never-driver-confirmed queries compete for the 50 window
-        # slots; the 8 newest (the two remaining session-5 queries plus
-        # the six session-6 queries below) defer to round 7 — oldest
-        # unconfirmed first. All 8 are green in the local exact-hash
-        # oracle at sf0.01 AND sf0.1 (this session's run) and take
-        # FIRST priority in the round-7 rotation (see plan below).
+        # The never-driver-confirmed queries below the boundary (the two
+        # remaining session-5 queries, six session-6, fourteen session-7,
+        # and the session-8 additions) defer to round 7 — oldest
+        # unconfirmed first. ALL are green in the local exact-hash
+        # oracle at sf0.01 AND sf0.1 (per-session runs) and take FIRST
+        # priority in the round-7 rotation: they fill ~31 of the 50
+        # window slots, the rest go to the longest-unconfirmed
+        # stalwarts further down.
         "encoding_report": _q_encoding_report,
         "secrets_detect": _q_secrets_detect,
         # session-6 new queries (never driver-confirmed):
@@ -1897,6 +1924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ess_by_source": _q_ess_by_source,
         "benford_audit": _q_benford_audit,
         "zipf_fit": _q_zipf_fit,
+        "ppjoin_pairs": _q_ppjoin_pairs,
+        "theil_sen": _q_theil_sen,
+        "vocab_overlap": _q_vocab_overlap,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -1255,3 +1255,84 @@ def benford_oracle_sql() -> str:
                    - ({exp_case})::BIGINT AS dev_e6
         FROM bfd CROSS JOIN bft
     """
+
+
+def theil_sen(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend slope of each event type's daily volume —
+    the MAGNITUDE companion to mann_kendall's direction test: the
+    median of all pairwise day-slopes, the estimator that shrugs off
+    ~29% outlier days where OLS would chase a single spike.
+
+    Integer recipe: per-pair slope quantizes as (c_j − c_i)·1e6 div
+    (day_j − day_i) (truncating div, identical in Spark and DuckDB);
+    the median is the LOWER median — the k = (n_pairs+1) div 2-th value
+    of the slope multiset ordered ascending (selection by value, so
+    ordering ties are irrelevant to the result). The anomaly_mad
+    lower-median convention.
+
+    Scale: the corpus collapses to (type, day) in one map-side-combined
+    aggregate; the pairwise self-join is quadratic ONLY in days-per-type
+    — calendar-bounded (3.65k days/decade → ≤ ~6.7M pair rows per type,
+    an aggregate-sized relation), never in corpus rows.
+
+    Output: (event_type, n_days, n_pairs, slope_e6).
+    """
+    days = (events.filter(F.col("ts").isNotNull()
+                          & F.col("event_type").isNotNull())
+            .groupBy("event_type",
+                     F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                      .cast("long").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    i = days.select("event_type", F.col("day").alias("d_i"),
+                    F.col("c").alias("c_i"))
+    j = days.select("event_type", F.col("day").alias("d_j"),
+                    F.col("c").alias("c_j"))
+    slopes = (i.join(j, "event_type")
+              .filter(F.col("d_i") < F.col("d_j"))
+              .select("event_type",
+                      F.expr("(c_j - c_i) * 1000000 div (d_j - d_i)")
+                       .alias("sl")))
+    wt = Window.partitionBy("event_type")
+    ranked = (slopes
+              .withColumn("n_pairs", F.count(F.lit(1)).over(wt))
+              .withColumn("k", F.row_number().over(wt.orderBy("sl"))))
+    nd = days.groupBy("event_type").agg(F.count(F.lit(1)).cast("long")
+                                        .alias("n_days"))
+    return (ranked.filter(F.expr("k = (n_pairs + 1) div 2"))
+            .join(nd, "event_type")
+            .select("event_type", "n_days",
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("sl").alias("slope_e6")))
+
+
+def theil_sen_oracle_sql() -> str:
+    """DuckDB twin of theil_sen (same truncating per-pair slopes, same
+    lower-median selection)."""
+    return """
+        WITH tsd AS (
+            SELECT event_type,
+                   (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+                   count(*)::BIGINT AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, day
+        ), tsp AS (
+            SELECT i.event_type,
+                   (j.c - i.c) * 1000000 // (j.day - i.day) AS sl
+            FROM tsd i JOIN tsd j USING (event_type)
+            WHERE i.day < j.day
+        ), tsr AS (
+            SELECT event_type, sl,
+                   count(*) OVER (PARTITION BY event_type)::BIGINT
+                       AS n_pairs,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY sl) AS k
+            FROM tsp
+        ), tsn AS (
+            SELECT event_type, count(*)::BIGINT AS n_days
+            FROM tsd GROUP BY event_type
+        )
+        SELECT event_type, n_days, n_pairs, sl AS slope_e6
+        FROM tsr JOIN tsn USING (event_type)
+        WHERE k = (n_pairs + 1) // 2
+    """

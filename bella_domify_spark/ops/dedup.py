@@ -743,3 +743,105 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.col("id").alias(id_col),
         (F.lit(2 ** 31 - 1) - F.col("mk") % F.lit(2 ** 31)).alias("pos"),
         F.expr("mk div 2147483648").alias("fp"))
+
+
+PPJOIN_T_NUM = 1   # Jaccard threshold t = T_NUM / T_DEN (exact rational)
+PPJOIN_T_DEN = 2
+
+
+def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 t_num: int = PPJOIN_T_NUM,
+                 t_den: int = PPJOIN_T_DEN) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
+    principle, Bayardo et al. WWW'07 / Xiao et al. WWW'08): all document
+    pairs with word-n-gram Jaccard ≥ t, WITHOUT the all-shared-shingles
+    candidate join of jaccard_pairs. Each document's shingles sort by
+    ascending global frequency (rarest first, ties by shingle text); two
+    sets with Jaccard ≥ t MUST share a shingle inside each other's first
+    p = s − ⌈t·s⌉ + 1 shingles, so candidate generation joins only those
+    prefixes. A length filter (t·|a| ≤ |b| ≤ |a|/t) prunes before
+    verification; verification re-joins the FULL shingle lists for the
+    exact intersection, so the result is identical to brute force — the
+    filter only removes pairs it can prove are below t.
+
+    The threshold is an exact rational t_num/t_den, so every comparison
+    is integer: ⌈t·s⌉ = (t_num·s + t_den − 1) div t_den, the length
+    filter is t_den·small ≥ t_num·big, and the final test is
+    t_den·inter ≥ t_num·(sa + sb − inter). jacc_e6 = inter·1e6 div
+    union (DECIMAL(38,0) product). No float exists in the plan.
+
+    Scale notes (100 TB): brute force generates Σ_shingle f² candidate
+    rows — quadratic in the hottest shingle; the prefix join touches
+    ~(1−t)·|doc| shingles per document and those are by construction
+    the RAREST, so hot-shingle blowup is structurally excluded (the
+    frequency-ascending order is exactly the optimization the papers
+    prove minimal). The frequency-rank window is vocabulary-sized; the
+    per-document position window partitions by id.
+
+    Output: (id_a, id_b, n_a, n_b, n_common, jacc_e6), pairs id_a < id_b.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    rnk = freq.select(
+        "shingle",
+        F.row_number().over(Window.orderBy(F.asc("f"), F.asc("shingle")))
+         .alias("rnk"))
+    tok = sh.join(rnk, "shingle").select("id", "rnk")
+    wid = Window.partitionBy("id")
+    tokp = (tok.withColumn("s", F.count(F.lit(1)).over(wid))
+               .withColumn("pos", F.row_number().over(wid.orderBy("rnk"))))
+    ceil_ts = F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}")
+    pref = tokp.filter(F.col("pos") <= F.col("s") - ceil_ts + 1)
+    a = pref.select(F.col("id").alias("id_a"),
+                    F.col("s").cast("long").alias("n_a"), "rnk")
+    b = pref.select(F.col("id").alias("id_b"),
+                    F.col("s").cast("long").alias("n_b"), "rnk")
+    cand = (a.join(b, "rnk")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (t_den * F.col("n_a") >= t_num * F.col("n_b"))
+                    & (t_den * F.col("n_b") >= t_num * F.col("n_a")))
+            .select("id_a", "id_b", "n_a", "n_b").distinct())
+    ta = tok.select(F.col("id").alias("id_a"), "rnk")
+    tb = tok.select(F.col("id").alias("id_b"), "rnk")
+    inter = (cand.join(ta, "id_a").join(tb, ["id_b", "rnk"])
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    return (inter.filter(t_den * F.col("n_common")
+                         >= t_num * (F.col("n_a") + F.col("n_b")
+                                     - F.col("n_common")))
+            .select("id_a", "id_b", "n_a", "n_b", "n_common",
+                    F.expr("cast(n_common as decimal(38,0)) * 1000000"
+                           " div (n_a + n_b - n_common)").alias("jacc_e6")))
+
+
+def ppjoin_oracle_sql(t_num: int = PPJOIN_T_NUM,
+                      t_den: int = PPJOIN_T_DEN) -> str:
+    """DuckDB twin of ppjoin_pairs — deliberately BRUTE FORCE (all
+    shared shingles, no prefix filter, no frequency cap): the oracle
+    checks the prefix filter's exactness claim, not a mirrored plan.
+    Same integer threshold algebra, same jacc_e6 quantization."""
+    return rf"""
+        WITH ppw AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+            FROM documents
+        ),
+        ppsh AS (
+            SELECT DISTINCT doc_id AS id,
+                   array_to_string(w[i:i+2], ' ') AS shingle
+            FROM ppw, UNNEST(range(1, len(w) - 1)) AS t(i)
+        ),
+        ppsz AS (SELECT id, count(*)::BIGINT AS s FROM ppsh GROUP BY id),
+        ppc AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+            FROM ppsh a JOIN ppsh b USING (shingle)
+            WHERE a.id < b.id GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, sa.s AS n_a, sb.s AS n_b, n_common,
+               (n_common::HUGEINT * 1000000
+                // (sa.s + sb.s - n_common))::BIGINT AS jacc_e6
+        FROM ppc
+        JOIN ppsz sa ON sa.id = id_a
+        JOIN ppsz sb ON sb.id = id_b
+        WHERE {t_den} * n_common >= {t_num} * (sa.s + sb.s - n_common)
+    """

@@ -1399,3 +1399,85 @@ def zipf_oracle_sql(min_count: int = ZIPF_MIN_COUNT,
                    AS intercept_e9
         FROM zf
     """
+
+
+def vocab_overlap(docs: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary overlap between sources — the redundancy map
+    a corpus-mix designer reads next to gini_concentration: Jaccard says
+    how much two sources are the same language surface; the overlap
+    coefficient (|∩| / min) exposes when a small source is a strict
+    subset of a big one (near-1 overlap with low Jaccard = "this crawl
+    is a slice of that one", a dedup-priority signal no document-level
+    near-dup pass shows).
+
+    All-integer: vocabularies are DISTINCT (source, term) rows; the
+    pair intersection counts through a term-keyed equality join;
+    jacc_e6 = inter·1e6 div (|a|+|b|−inter) and ovl_e6 = inter·1e6 div
+    least(|a|,|b|) are DECIMAL(38,0)-product exact divisions.
+
+    Scale: the corpus collapses to the (source, term) vocabulary grid
+    in one map-side-combined DISTINCT; the join is term-keyed over that
+    grid and each term fans out at most C(|sources|,2) pair rows —
+    source cardinality is ingest-config-bounded, so the hot-key blowup
+    of document-level shingle joins cannot occur.
+
+    Output: (src_a, src_b, v_a, v_b, inter, jacc_e6, ovl_e6),
+    src_a < src_b.
+    """
+    vocab = (docs.filter(F.col(group_col).isNotNull()
+                         & F.col(text_col).isNotNull())
+             .select(F.col(group_col).alias("src"),
+                     F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                      .alias("term"))
+             .filter(F.col("term") != "")
+             .distinct())
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("v"))
+    a = vocab.select(F.col("src").alias("src_a"), "term")
+    b = vocab.select(F.col("src").alias("src_b"), "term")
+    inter = (a.join(b, "term")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("src").alias("src_a"),
+                               F.col("v").alias("v_a")), "src_a")
+            .join(sizes.select(F.col("src").alias("src_b"),
+                               F.col("v").alias("v_b")), "src_b")
+            .select("src_a", "src_b", "v_a", "v_b", "inter",
+                    F.expr("cast(inter as decimal(38,0)) * 1000000"
+                           " div (v_a + v_b - inter)").alias("jacc_e6"),
+                    F.expr("cast(inter as decimal(38,0)) * 1000000"
+                           " div least(v_a, v_b)").alias("ovl_e6")))
+
+
+def vocab_overlap_oracle_sql() -> str:
+    """DuckDB twin of vocab_overlap (same DISTINCT vocabulary grid,
+    HUGEINT products, // exact division)."""
+    return r"""
+        WITH vov0 AS (
+            SELECT source AS src,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x != '')) AS term
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+        ),
+        vov AS (SELECT DISTINCT src, term FROM vov0),
+        vos AS (SELECT src, count(*)::BIGINT AS v FROM vov GROUP BY src),
+        voi AS (
+            SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT
+                       AS inter
+            FROM vov a JOIN vov b USING (term)
+            WHERE a.src < b.src GROUP BY a.src, b.src
+        )
+        SELECT src_a, src_b, sa.v AS v_a, sb.v AS v_b, inter,
+               (inter::HUGEINT * 1000000
+                // (sa.v + sb.v - inter))::BIGINT AS jacc_e6,
+               (inter::HUGEINT * 1000000
+                // least(sa.v, sb.v))::BIGINT AS ovl_e6
+        FROM voi
+        JOIN vos sa ON sa.src = src_a
+        JOIN vos sb ON sb.src = src_b
+    """

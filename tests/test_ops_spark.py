@@ -2854,3 +2854,82 @@ class TestRound6Session8Ops:
         df = spark.createDataFrame([(1, "a " * 9)],
                                    "doc_id long, text string")
         assert zipf_fit(df).count() == 0
+
+    def test_ppjoin_pairs_hand_counted(self, spark):
+        from bella_domify_spark.ops.dedup import ppjoin_pairs
+
+        # d1/d2 share 2 of 4 distinct 3-gram shingles -> J = 0.5 kept;
+        # d4 shares 1 with d1 (J = 0.2) dropped; d3 disjoint
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x"),
+             (3, "z y x w v"), (4, "a b c q r")],
+            "doc_id long, text string")
+        got = [(r["id_a"], r["id_b"], r["n_a"], r["n_b"], r["n_common"],
+                r["jacc_e6"]) for r in ppjoin_pairs(df).collect()]
+        assert got == [(1, 2, 3, 3, 2, 500_000)]
+
+    def test_ppjoin_prefix_filter_is_exact_vs_brute_force(self, spark):
+        import itertools
+
+        from bella_domify_spark.ops.dedup import ppjoin_pairs
+
+        # 20 sliding-window docs over a shared word stream: many partial
+        # overlaps straddling the threshold; the prefix filter must
+        # reproduce brute force EXACTLY (no lost pairs)
+        stream = [f"w{i % 13}" for i in range(40)]
+        texts = {i: " ".join(stream[i:i + 8] + [f"u{i}"])
+                 for i in range(20)}
+
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        brute = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter = len(sa & sb)
+            if 2 * inter >= len(sa) + len(sb) - inter:
+                brute[(a, b)] = (len(sa), len(sb), inter,
+                                 inter * 1_000_000
+                                 // (len(sa) + len(sb) - inter))
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["n_common"],
+                                        r["jacc_e6"])
+               for r in ppjoin_pairs(df).collect()}
+        assert got == brute
+        assert len(got) >= 3   # the fixture genuinely exercises pairs
+
+    def test_theil_sen_hand_counted(self, spark):
+        from datetime import datetime
+
+        from bella_domify_spark.ops.analyze import theil_sen
+
+        def day(d, n, typ):
+            return [(datetime(2024, 1, 1 + d), typ)] * n
+
+        rows = (day(0, 1, "a") + day(1, 3, "a") + day(2, 5, "a")
+                # outlier day: OLS would chase 100, Theil-Sen stays at 1
+                + day(0, 10, "b") + day(1, 11, "b") + day(2, 12, "b")
+                + day(3, 100, "b")
+                + day(0, 5, "c") + day(1, 2, "c"))
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        got = {r["event_type"]: (r["n_days"], r["n_pairs"], r["slope_e6"])
+               for r in theil_sen(df).collect()}
+        assert got == {"a": (3, 3, 2_000_000),
+                       "b": (4, 6, 1_000_000),
+                       "c": (2, 1, -3_000_000)}
+
+    def test_vocab_overlap_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import vocab_overlap
+
+        df = spark.createDataFrame(
+            [(1, "A", "x y z"), (2, "B", "x y q"), (3, "C", "x")],
+            "doc_id long, source string, text string")
+        got = {(r["src_a"], r["src_b"]):
+               (r["v_a"], r["v_b"], r["inter"], r["jacc_e6"], r["ovl_e6"])
+               for r in vocab_overlap(df).collect()}
+        # C's vocabulary is a strict subset: ovl = 1e6 while jacc = 1/3
+        assert got == {("A", "B"): (3, 3, 2, 500_000, 666_666),
+                       ("A", "C"): (3, 1, 1, 333_333, 1_000_000),
+                       ("B", "C"): (3, 1, 1, 333_333, 1_000_000)}

@@ -78,7 +78,11 @@ def entries() -> dict[str, str]:
                                                   negative_sampling_oracle_sql
                                                   as _ns_oracle_sql,
                                                   zipf_oracle_sql
-                                                  as _zipf_oracle_sql)
+                                                  as _zipf_oracle_sql,
+                                                  vocab_overlap_oracle_sql
+                                                  as _vocab_oracle_sql)
+    from bella_domify_spark.ops.dedup import (ppjoin_oracle_sql
+                                              as _ppjoin_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql)
     from bella_domify_spark.ops.analyze import (benford_oracle_sql
@@ -87,6 +91,8 @@ def entries() -> dict[str, str]:
                                                 as _ess_oracle_sql,
                                                 ks_oracle_sql
                                                 as _ks_oracle_sql,
+                                                theil_sen_oracle_sql
+                                                as _theil_oracle_sql,
                                                 cusum_oracle_sql
                                                 as _cusum_oracle_sql)
     from bella_domify_spark.ops.textstats import (flesch_oracle_sql
@@ -476,6 +482,9 @@ def entries() -> dict[str, str]:
         "ess_by_source": _ess_oracle_sql(),
         "benford_audit": _benford_oracle_sql(),
         "zipf_fit": _zipf_oracle_sql(),
+        "ppjoin_pairs": _ppjoin_oracle_sql(),
+        "theil_sen": _theil_oracle_sql(),
+        "vocab_overlap": _vocab_oracle_sql(),
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
