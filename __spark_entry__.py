@@ -1783,6 +1783,54 @@ def _q_vocab_overlap(spark, sf):
     return vocab_overlap(_t(spark, sf, "documents"))
 
 
+def _q_hill_tail(spark, sf):
+    """Hill tail-index estimator over document lengths
+    (ops/textstats.py hill_tail): distributed top-(k+1), floor-e9 ln
+    order statistics, alpha = 1/hill."""
+    from bella_domify_spark.ops.textstats import hill_tail
+    return hill_tail(_t(spark, sf, "documents"))
+
+
+def _q_freq_spectrum(spark, sf):
+    """Good-Turing frequency-of-frequencies spectrum
+    (ops/textstats.py freq_spectrum): N_r for r=1..10, hapax share,
+    (r+1)·N_{r+1}/N_r adjusted counts."""
+    from bella_domify_spark.ops.textstats import freq_spectrum
+    return freq_spectrum(_t(spark, sf, "documents"))
+
+
+def _q_transition_entropy(spark, sf):
+    """Markov next-event entropy per source state (ops/temporal.py
+    transition_entropy): (ts, event_id)-ordered lag stream,
+    quantize-then-integer-sum surprisal."""
+    from bella_domify_spark.ops.temporal import transition_entropy
+    return transition_entropy(_t(spark, sf, "events"))
+
+
+def _q_cross_source_dups(spark, sf):
+    """Cross-source near-dup matrix (ops/dedup.py cross_source_dups):
+    jaccard_pairs(0.2) labeled with least/greatest source pair —
+    intra- vs cross-crawl duplication mass."""
+    from bella_domify_spark.ops.dedup import cross_source_dups
+    return cross_source_dups(_t(spark, sf, "documents"))
+
+
+def _q_length_fences(spark, sf):
+    """Tukey length-outlier census per source (ops/analyze.py
+    length_fences): exact ceil(k·n/4) rank quartiles, doubled 1.5·IQR
+    fence comparisons."""
+    from bella_domify_spark.ops.analyze import length_fences
+    return length_fences(_t(spark, sf, "documents"))
+
+
+def _q_meta_mi(spark, sf):
+    """Source×language mutual information (ops/analyze.py meta_mi):
+    per-cell PMI on the floor-e9 two-ln chain, exact integer weighted
+    total."""
+    from bella_domify_spark.ops.analyze import meta_mi
+    return meta_mi(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1927,6 +1975,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": _q_ppjoin_pairs,
         "theil_sen": _q_theil_sen,
         "vocab_overlap": _q_vocab_overlap,
+        "hill_tail": _q_hill_tail,
+        "freq_spectrum": _q_freq_spectrum,
+        "transition_entropy": _q_transition_entropy,
+        "cross_source_dups": _q_cross_source_dups,
+        "length_fences": _q_length_fences,
+        "meta_mi": _q_meta_mi,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -1336,3 +1336,155 @@ def theil_sen_oracle_sql() -> str:
         FROM tsr JOIN tsn USING (event_type)
         WHERE k = (n_pairs + 1) // 2
     """
+
+
+def length_fences(docs: DataFrame, group_col: str = "source",
+                  weight_col: str = "n_chars") -> DataFrame:
+    """Tukey-fence length outliers per source — the whale-and-stub
+    census: exact quartiles of document length (type-1 order
+    statistics: Q_k = value at rank ⌈k·n/4⌉), and counts beyond the
+    1.5·IQR fences. n_high > 0 tells the shard packer which sources
+    hide whale documents; a fat n_low exposes truncated/stub crawls.
+
+    All-integer: rank selection (ties can swap WHICH doc holds a rank
+    but never the value there), and the fences compare doubled to
+    avoid the half: outlier_low ⇔ 2x < 2·Q1 − 3·IQR, outlier_high ⇔
+    2x > 2·Q3 + 3·IQR.
+
+    Scale: one per-source window pass (partitioned shuffle) + one
+    map-side-combined conditional aggregate; no self-join, no global
+    sort. (Exact per-group quantiles at petabyte scale would swap to
+    two-pass partition-prefix ranks; per-source windows are the
+    honest single-pass form at this cardinality.)
+
+    Output: (source, n_docs, q1, med, q3, n_low, n_high).
+    """
+    wt = Window.partitionBy("source")
+    ranked = (docs.filter(F.col(group_col).isNotNull()
+                          & F.col(weight_col).isNotNull())
+              .select(F.col(group_col).alias("source"),
+                      F.col(weight_col).cast("long").alias("x"))
+              .withColumn("n", F.count(F.lit(1)).over(wt))
+              .withColumn("rn", F.row_number().over(wt.orderBy("x"))))
+    q = (ranked.groupBy("source")
+         .agg(F.max("n").cast("long").alias("n_docs"),
+              F.min(F.when(F.expr("rn = (n + 3) div 4"), F.col("x")))
+               .alias("q1"),
+              F.min(F.when(F.expr("rn = (n + 1) div 2"), F.col("x")))
+               .alias("med"),
+              F.min(F.when(F.expr("rn = (3 * n + 3) div 4"), F.col("x")))
+               .alias("q3")))
+    return (ranked.join(q, "source")
+            .groupBy("source", "n_docs", "q1", "med", "q3")
+            .agg(F.sum(F.when(2 * F.col("x")
+                              < 2 * F.col("q1") - 3 * (F.col("q3")
+                                                       - F.col("q1")),
+                              1).otherwise(0)).cast("long").alias("n_low"),
+                 F.sum(F.when(2 * F.col("x")
+                              > 2 * F.col("q3") + 3 * (F.col("q3")
+                                                       - F.col("q1")),
+                              1).otherwise(0)).cast("long")
+                  .alias("n_high"))
+            .select("source", "n_docs", "q1", "med", "q3",
+                    "n_low", "n_high"))
+
+
+def fences_oracle_sql() -> str:
+    """DuckDB twin of length_fences (same ⌈k·n/4⌉ rank selection, same
+    doubled fence comparisons)."""
+    return """
+        WITH lfr AS (
+            SELECT source, n_chars::BIGINT AS x,
+                   count(*) OVER (PARTITION BY source)::BIGINT AS n,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars) AS rn
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        ), lfq AS (
+            SELECT source, max(n)::BIGINT AS n_docs,
+                   min(CASE WHEN rn = (n + 3) // 4 THEN x END) AS q1,
+                   min(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med,
+                   min(CASE WHEN rn = (3 * n + 3) // 4 THEN x END) AS q3
+            FROM lfr GROUP BY source
+        )
+        SELECT source, n_docs, q1, med, q3,
+               sum(CASE WHEN 2 * x < 2 * q1 - 3 * (q3 - q1)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_low,
+               sum(CASE WHEN 2 * x > 2 * q3 + 3 * (q3 - q1)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_high
+        FROM lfr JOIN lfq USING (source)
+        GROUP BY source, n_docs, q1, med, q3
+    """
+
+
+def meta_mi(docs: DataFrame, x_col: str = "source",
+            y_col: str = "lang") -> DataFrame:
+    """Mutual information between two metadata dimensions (source ×
+    language by default) — "does knowing the crawl tell you the
+    language?": per-cell pointwise MI and the corpus MI total. MI ≈ 0
+    means the mix is factorized (language balance survives any source
+    reweighting); high MI warns that source-level mixing decisions ARE
+    language decisions (dropping a source silently drops a language).
+
+    Quantized recipe: pmi_e9 = floor((ln(c_xy/c_x) − ln(c_y/N))·1e9) —
+    both engines evaluate the identical two-ln chain on exact-double
+    ratios of BIGINT counts (< 2⁵³, exactly representable); the total
+    MI is the exact integer Σ c_xy·pmi_e9 div N in DECIMAL(38,0),
+    repeated on every row (the gini_e9 convention).
+
+    Scale: one map-side-combined cell aggregate (≤ |X|·|Y| rows);
+    margins derive from cells; one broadcast of the totals.
+
+    Output: (source, lang, c_xy, pmi_e9, mi_e9).
+    """
+    cells = (docs.filter(F.col(x_col).isNotNull()
+                         & F.col(y_col).isNotNull())
+             .groupBy(F.col(x_col).alias("xk"), F.col(y_col).alias("yk"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c_xy")))
+    cx = cells.groupBy("xk").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    cy = cells.groupBy("yk").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    n = cells.agg(F.sum("c_xy").cast("long").alias("nn"))
+    per = (cells.join(F.broadcast(cx), "xk").join(F.broadcast(cy), "yk")
+           .crossJoin(F.broadcast(n))
+           .select("xk", "yk", "c_xy",
+                   F.floor((F.log(F.col("c_xy").cast("double")
+                                  / F.col("c_x").cast("double"))
+                            - F.log(F.col("c_y").cast("double")
+                                    / F.col("nn").cast("double")))
+                           * 1e9).cast("long").alias("pmi_e9"),
+                   "nn"))
+    mi = per.agg(F.expr("sum(cast(c_xy as decimal(38,0)) * pmi_e9)"
+                        " div max(nn)").alias("mi_e9"))
+    return (per.crossJoin(F.broadcast(mi))
+            .select(F.col("xk").alias("source"), F.col("yk").alias("lang"),
+                    "c_xy", "pmi_e9", "mi_e9"))
+
+
+def meta_mi_oracle_sql() -> str:
+    """DuckDB twin of meta_mi (same two-ln chain on exact-double count
+    ratios, HUGEINT weighted total, // division)."""
+    return """
+        WITH mmc AS (
+            SELECT source AS xk, lang AS yk, count(*)::BIGINT AS c_xy
+            FROM documents
+            WHERE source IS NOT NULL AND lang IS NOT NULL
+            GROUP BY source, lang
+        ), mmx AS (SELECT xk, sum(c_xy)::BIGINT AS c_x FROM mmc
+                   GROUP BY xk),
+        mmy AS (SELECT yk, sum(c_xy)::BIGINT AS c_y FROM mmc GROUP BY yk),
+        mmn AS (SELECT sum(c_xy)::BIGINT AS nn FROM mmc),
+        mmp AS (
+            SELECT xk, yk, c_xy,
+                   floor((ln(c_xy::DOUBLE / c_x::DOUBLE)
+                          - ln(c_y::DOUBLE / nn::DOUBLE))
+                         * 1e9)::BIGINT AS pmi_e9, nn
+            FROM mmc JOIN mmx USING (xk) JOIN mmy USING (yk)
+            CROSS JOIN mmn
+        ), mmt AS (
+            SELECT (sum(c_xy::HUGEINT * pmi_e9) // max(nn))::BIGINT
+                       AS mi_e9
+            FROM mmp
+        )
+        SELECT xk AS source, yk AS lang, c_xy, pmi_e9, mi_e9
+        FROM mmp CROSS JOIN mmt
+    """

@@ -845,3 +845,41 @@ def ppjoin_oracle_sql(t_num: int = PPJOIN_T_NUM,
         JOIN ppsz sb ON sb.id = id_b
         WHERE {t_den} * n_common >= {t_num} * (sa.s + sb.s - n_common)
     """
+
+
+def cross_source_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.2) -> DataFrame:
+    """Cross-source duplication matrix — WHERE the near-duplicate mass
+    sits: every jaccard_pairs near-dup pair labels with its two
+    sources (unordered, least/greatest normalized) and the matrix
+    counts pairs per source pair. Diagonal rows = intra-crawl
+    duplication (fix with per-source dedup); heavy off-diagonal rows =
+    one crawl mirroring another (fix by dropping a source). The
+    pair-level companion to source_modularity's single number.
+
+    share_e6 = n_pairs·1e6 div total (DECIMAL(38,0) product) — exact.
+
+    Scale: pair generation is jaccard_pairs (frequency-capped shingle
+    join); the source labeling is two joins against the (id, source)
+    projection — at 100 TB, broadcast-sized relative to pairs. The
+    matrix itself is ≤ |sources|² rows.
+
+    Output: (src_lo, src_hi, n_pairs, share_e6).
+    """
+    pairs = jaccard_pairs(docs, id_col, text_col, threshold=threshold)
+    src = docs.select(F.col(id_col).alias("id"), "source")
+    lab = (pairs
+           .join(src.select(F.col("id").alias("id_a"),
+                            F.col("source").alias("s_a")), "id_a")
+           .join(src.select(F.col("id").alias("id_b"),
+                            F.col("source").alias("s_b")), "id_b")
+           .select(F.least("s_a", "s_b").alias("src_lo"),
+                   F.greatest("s_a", "s_b").alias("src_hi")))
+    m = lab.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    tot = m.agg(F.sum("n_pairs").cast("long").alias("tot"))
+    return (m.crossJoin(F.broadcast(tot))
+            .select("src_lo", "src_hi", "n_pairs",
+                    F.expr("cast(n_pairs as decimal(38,0)) * 1000000"
+                           " div tot").alias("share_e6")))

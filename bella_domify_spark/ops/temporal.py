@@ -571,3 +571,87 @@ def interarrival_oracle_sql() -> str:
                max_gap_us
         FROM a
     """
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Markov transition entropy of user event journeys — per source
+    state, the Shannon entropy of "what happens next": H(next | prev) =
+    −Σ p ln p over the corpus-wide (prev → next) transition table built
+    from each user's time-ordered event stream. Low-entropy states are
+    funnels (one dominant continuation); high-entropy states are
+    browse/chaos points. The behavioral-analytics companion to
+    funnel_stages' fixed-order view.
+
+    Integer recipe: each transition type's surprisal quantizes once as
+    floor(−ln(c_pn/c_p)·1e9); the state entropy is then the exact
+    weighted sum Σ c_pn·s_e9 div c_p in DECIMAL(38,0) (the
+    bigram_surprisal quantize-then-integer-sum discipline — no float
+    summation order exists).
+
+    Ordering determinism: each user's stream orders by (ts, event_id) —
+    the event_id tie-break makes lag() identical on both engines.
+
+    Scale: one per-user window (partitioned shuffle, no global sort)
+    produces the transition stream; it aggregates map-side to the
+    (prev, next) table (≤ |event_type|² rows) and everything after is
+    aggregate-sized.
+
+    Output: (prev_type, c_p, n_next, h_e9).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (events.filter(F.col("ts").isNotNull()
+                         & F.col("user_id").isNotNull()
+                         & F.col("event_type").isNotNull())
+           .select("user_id", "ts", "event_id", "event_type")
+           .withColumn("prev_type", F.lag("event_type").over(w))
+           .filter(F.col("prev_type").isNotNull()))
+    pn = (seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+          .agg(F.count(F.lit(1)).cast("long").alias("c_pn")))
+    p = pn.groupBy("prev_type").agg(F.sum("c_pn").cast("long")
+                                    .alias("c_p"),
+                                    F.count(F.lit(1)).cast("long")
+                                    .alias("n_next"))
+    terms = (pn.join(p, "prev_type")
+             .select("prev_type", "c_p", "n_next",
+                     F.col("c_pn").cast("decimal(38,0)").alias("c_pn_d"),
+                     F.floor(-F.log(F.col("c_pn").cast("double")
+                                    / F.col("c_p").cast("double"))
+                             * 1e9).cast("long").alias("s_e9")))
+    return (terms.groupBy("prev_type", "c_p", "n_next")
+            .agg(F.sum(F.col("c_pn_d")
+                       * F.col("s_e9").cast("decimal(38,0)"))
+                 .alias("num"))
+            .select("prev_type", "c_p", "n_next",
+                    F.expr("num div c_p").alias("h_e9")))
+
+
+def transition_entropy_oracle_sql() -> str:
+    """DuckDB twin of transition_entropy (same (ts, event_id) lag
+    ordering, same floor-e9 surprisal-then-integer-sum)."""
+    return """
+        WITH teq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL
+        ), tepn AS (
+            SELECT prev_type, event_type AS next_type,
+                   count(*)::BIGINT AS c_pn
+            FROM teq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        ), tep AS (
+            SELECT prev_type, sum(c_pn)::BIGINT AS c_p,
+                   count(*)::BIGINT AS n_next
+            FROM tepn GROUP BY prev_type
+        )
+        SELECT prev_type, c_p, n_next,
+               (sum(c_pn::HUGEINT *
+                    floor(-ln(c_pn::DOUBLE / c_p::DOUBLE)
+                          * 1e9)::BIGINT)
+                // c_p)::BIGINT AS h_e9
+        FROM tepn JOIN tep USING (prev_type)
+        GROUP BY prev_type, c_p, n_next
+    """

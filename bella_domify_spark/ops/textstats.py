@@ -1481,3 +1481,171 @@ def vocab_overlap_oracle_sql() -> str:
         JOIN vos sa ON sa.src = src_a
         JOIN vos sb ON sb.src = src_b
     """
+
+
+HILL_K = 100
+
+
+def hill_tail(docs: DataFrame, weight_col: str = "n_chars",
+              k: int = HILL_K) -> DataFrame:
+    """Hill estimator of the document-length tail index — the
+    heavy-tail companion to zipf_fit: over the k largest documents,
+    hill = mean(ln xᵢ − ln x_ref) with x_ref the (k+1)-th order
+    statistic, and α = 1/hill is the Pareto tail exponent. α ≤ 2 means
+    infinite-variance lengths: shard packing and skew salting must
+    assume a whale document in every partition's future.
+
+    Integer recipe: each order statistic quantizes via the floor-e9 ln
+    idiom BEFORE the subtraction; the mean is an exact DECIMAL(38,0)
+    division by k, and alpha_e6 = 1e15 div hill_e9. Ties among equal
+    lengths can swap WHICH doc is picked but never the value multiset,
+    so the estimate is deterministic without an id tie-break.
+
+    Scale: the ONLY corpus-sized operation is a distributed top-(k+1)
+    (TakeOrderedAndProject — per-partition heaps, no global sort, no
+    shuffle of the corpus); everything after runs on k+1 rows.
+
+    Output: one row (k_used, x_ref, hill_e9, alpha_e6).
+    """
+    top = (docs.filter(F.col(weight_col).isNotNull()
+                       & (F.col(weight_col) > 0))
+           .select(F.col(weight_col).cast("long").alias("x"))
+           .orderBy(F.desc("x")).limit(k + 1))
+    w = Window.orderBy(F.desc("x"))
+    ranked = (top.withColumn("rn", F.row_number().over(w))
+                 .withColumn("lnx", F.floor(F.log(F.col("x")
+                                                  .cast("double")) * 1e9)
+                              .cast("long")))
+    ref = (ranked.groupBy()
+           .agg(F.max("rn").alias("m"),
+                F.min(F.when(F.col("rn") == k + 1, F.col("lnx")))
+                 .alias("ln_ref"),
+                F.min(F.when(F.col("rn") == k + 1, F.col("x")))
+                 .alias("x_ref")))
+    s = (ranked.filter(F.col("rn") <= k)
+         .crossJoin(F.broadcast(ref))
+         .filter(F.col("m") == k + 1)   # fewer than k+1 docs: no estimate
+         .groupBy("x_ref", "ln_ref")
+         .agg(F.count(F.lit(1)).cast("long").alias("k_used"),
+              F.sum("lnx").cast("long").alias("sum_ln")))
+    return (s.select(
+        "k_used", "x_ref",
+        F.expr("cast(sum_ln as decimal(38,0)) - cast(k_used as"
+               " decimal(38,0)) * ln_ref").alias("_num"),
+        F.col("k_used").alias("_k"))
+        .select("k_used", "x_ref",
+                F.expr("_num div _k").alias("hill_e9"))
+        .filter(F.col("hill_e9") > 0)
+        .withColumn("alpha_e6",
+                    F.expr("cast(1000000000000000 as decimal(38,0))"
+                           " div hill_e9")))
+
+
+def hill_oracle_sql(k: int = HILL_K) -> str:
+    """DuckDB twin of hill_tail (same top-(k+1), same floor-e9 ln
+    grid, HUGEINT arithmetic, // exact division)."""
+    return f"""
+        WITH htop AS (
+            SELECT n_chars::BIGINT AS x FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY x DESC LIMIT {k + 1}
+        ), hrk AS (
+            SELECT x, floor(ln(x::DOUBLE) * 1e9)::BIGINT AS lnx,
+                   row_number() OVER (ORDER BY x DESC) AS rn
+            FROM htop
+        ), href AS (
+            SELECT max(rn) AS m,
+                   min(CASE WHEN rn = {k + 1} THEN lnx END) AS ln_ref,
+                   min(CASE WHEN rn = {k + 1} THEN x END) AS x_ref
+            FROM hrk
+        ), hs AS (
+            SELECT x_ref, ln_ref, count(*)::BIGINT AS k_used,
+                   sum(lnx)::BIGINT AS sum_ln
+            FROM hrk CROSS JOIN href
+            WHERE rn <= {k} AND m = {k + 1}
+            GROUP BY x_ref, ln_ref
+        ), hh AS (
+            SELECT k_used, x_ref,
+                   ((sum_ln::HUGEINT - k_used::HUGEINT * ln_ref)
+                    // k_used)::BIGINT AS hill_e9
+            FROM hs
+        )
+        SELECT k_used, x_ref, hill_e9,
+               (1000000000000000::HUGEINT // hill_e9)::BIGINT AS alpha_e6
+        FROM hh WHERE hill_e9 > 0
+    """
+
+
+def freq_spectrum(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_r: int = 10,
+                  n: int = 3) -> DataFrame:
+    """Document-frequency spectrum of word-n-gram shingles with
+    Good-Turing mass transfer — N_r = how many distinct shingles occur
+    in exactly r documents, r = 1..max_r. The hapax row (r=1) is each
+    corpus's unique-content mass (the shingles only one document owns —
+    what dedup can never collapse); its complement is the shared/
+    boilerplate tail that cooccurrence_pairs and corpus_boilerplate
+    feed on. The Good-Turing adjusted count r* = (r+1)·N_{r+1}/N_r is
+    the classical smoothing sanity-check over the same table. (Unigram
+    frequency would be the textbook form, but this corpus's bounded
+    word vocabulary makes every unigram frequent — shingle document
+    frequency is the spectrum with signal.)
+
+    Integer outputs: N_r are exact counts; gt_e6 = (r+1)·N_{r+1}·1e6
+    div N_r (DECIMAL(38,0) product, 0 when N_{r+1} is absent);
+    share_e6 = N_r·1e6 div V with V the distinct-shingle count.
+
+    Scale: one corpus shingle aggregate to the shingle vocabulary, one
+    vocabulary aggregate to ≤ max_r+1 rows, one broadcast total.
+
+    Output: (r, n_r, share_e6, gt_e6), rows r = 1..max_r with N_r > 0.
+    """
+    from bella_domify_spark.ops.dedup import word_shingles
+    vocab = (word_shingles(df, id_col, text_col, n)
+             .groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")))
+    spec = (vocab.groupBy(F.col("freq").alias("r"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+            .filter(F.col("r") <= max_r + 1))
+    tot = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    nxt = spec.select((F.col("r") - 1).alias("r"),
+                      F.col("n_r").alias("n_next"))
+    return (spec.filter(F.col("r") <= max_r)
+            .join(nxt, "r", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("r").cast("long").alias("r"), "n_r",
+                    F.expr("cast(n_r as decimal(38,0)) * 1000000 div v")
+                     .alias("share_e6"),
+                    F.coalesce(
+                        F.expr("(r + 1) * cast(n_next as decimal(38,0))"
+                               " * 1000000 div n_r"),
+                        F.lit(0)).cast("long").alias("gt_e6")))
+
+
+def freq_spectrum_oracle_sql(max_r: int = 10) -> str:
+    """DuckDB twin of freq_spectrum (same distinct 3-gram shingles as
+    the jaccard oracle, HUGEINT products, // division, absent
+    N_{r+1} -> 0)."""
+    return rf"""
+        WITH fsw AS (
+            SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+            FROM documents
+        ),
+        fsv AS (
+            SELECT DISTINCT doc_id AS id,
+                   array_to_string(w[i:i+2], ' ') AS shingle
+            FROM fsw, UNNEST(range(1, len(w) - 1)) AS t(i)
+        ),
+        fsc AS (SELECT shingle, count(*)::BIGINT AS freq FROM fsv
+                GROUP BY shingle),
+        fss AS (SELECT freq AS r, count(*)::BIGINT AS n_r FROM fsc
+                WHERE freq <= {max_r + 1} GROUP BY freq),
+        fst AS (SELECT count(*)::BIGINT AS v FROM fsc)
+        SELECT s.r, s.n_r,
+               (s.n_r::HUGEINT * 1000000 // v)::BIGINT AS share_e6,
+               coalesce((s.r + 1)::HUGEINT * nx.n_r * 1000000 // s.n_r,
+                        0)::BIGINT AS gt_e6
+        FROM fss s
+        LEFT JOIN fss nx ON nx.r = s.r + 1
+        CROSS JOIN fst
+        WHERE s.r <= {max_r}
+    """

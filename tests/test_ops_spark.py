@@ -2933,3 +2933,115 @@ class TestRound6Session8Ops:
         assert got == {("A", "B"): (3, 3, 2, 500_000, 666_666),
                        ("A", "C"): (3, 1, 1, 333_333, 1_000_000),
                        ("B", "C"): (3, 1, 1, 333_333, 1_000_000)}
+
+    def test_hill_tail_hand_counted(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import hill_tail
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 80), (3, 60), (4, 40), (5, 20)],
+            "doc_id long, n_chars long")
+        r = hill_tail(df, k=3).collect()
+        assert len(r) == 1
+        lns = [math.floor(math.log(v) * 1e9) for v in (100, 80, 60, 40)]
+        hill = (sum(lns[:3]) - 3 * lns[3]) // 3
+        assert (r[0]["k_used"], r[0]["x_ref"]) == (3, 40)
+        assert r[0]["hill_e9"] == hill
+        assert r[0]["alpha_e6"] == 10**15 // hill
+
+    def test_hill_tail_needs_k_plus_one_docs(self, spark):
+        from bella_domify_spark.ops.textstats import hill_tail
+
+        df = spark.createDataFrame([(1, 100), (2, 80), (3, 60)],
+                                   "doc_id long, n_chars long")
+        assert hill_tail(df, k=3).count() == 0
+
+    def test_freq_spectrum_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import freq_spectrum
+
+        # shingle doc-frequencies: "x y z" in 3 docs, "y z w" in 2,
+        # "y z q" in 1 -> N_1 = N_2 = N_3 = 1, V = 3
+        df = spark.createDataFrame(
+            [(1, "x y z w"), (2, "x y z q"), (3, "x y z w")],
+            "doc_id long, text string")
+        got = {r["r"]: (r["n_r"], r["share_e6"], r["gt_e6"])
+               for r in freq_spectrum(df).collect()}
+        # Good-Turing r* numerator: (r+1)·N_{r+1}/N_r; N_4 absent -> 0
+        assert got == {1: (1, 333_333, 2_000_000),
+                       2: (1, 333_333, 3_000_000),
+                       3: (1, 333_333, 0)}
+
+    def test_transition_entropy_hand_counted(self, spark):
+        import math
+        from datetime import datetime
+
+        from bella_domify_spark.ops.temporal import transition_entropy
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [(10, t(0), 1, "A"), (11, t(1), 1, "B"),
+                (12, t(2), 1, "A"), (13, t(3), 1, "C"),
+                (20, t(0), 2, "A"), (21, t(1), 2, "B"),
+                # same-ts pair: event_id tie-break pins D -> E
+                (30, t(5), 3, "D"), (31, t(5), 3, "E")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string")
+        got = {r["prev_type"]: (r["c_p"], r["n_next"], r["h_e9"])
+               for r in transition_entropy(df).collect()}
+        sab = math.floor(-math.log(2 / 3) * 1e9)
+        sac = math.floor(-math.log(1 / 3) * 1e9)
+        assert got == {"A": (3, 2, (2 * sab + sac) // 3),
+                       "B": (1, 1, 0), "D": (1, 1, 0)}
+
+    def test_cross_source_dups_hand_counted(self, spark):
+        from bella_domify_spark.ops.dedup import cross_source_dups
+
+        # d3 copies d1 (intra-X pair); d2 extends d1 by one word
+        # (J = 3/4 with both) -> matrix: (X,X)=1, (X,Y)=2
+        df = spark.createDataFrame(
+            [(1, "X", "a b c d e"), (2, "Y", "a b c d e f"),
+             (3, "X", "a b c d e")],
+            "doc_id long, source string, text string")
+        got = {(r["src_lo"], r["src_hi"]): (r["n_pairs"], r["share_e6"])
+               for r in cross_source_dups(df).collect()}
+        assert got == {("X", "X"): (1, 333_333), ("X", "Y"): (2, 666_666)}
+
+    def test_length_fences_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import length_fences
+
+        rows = [(i, "s", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7,
+                                                   8, 100])]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, source string,"
+                                   " n_chars long")
+        r = length_fences(df).collect()
+        assert len(r) == 1
+        # n=9: Q1 at rank 3, med at rank 5, Q3 at rank 7; IQR=4 ->
+        # high fence 13: only the 100-char whale is flagged
+        assert tuple(r[0]) == ("s", 9, 3, 5, 7, 0, 1)
+
+    def test_meta_mi_hand_counted(self, spark):
+        import math
+
+        from bella_domify_spark.ops.analyze import meta_mi
+
+        df = spark.createDataFrame(
+            [(1, "A", "en"), (2, "A", "en"), (3, "A", "fr"),
+             (4, "B", "fr")],
+            "doc_id long, source string, lang string")
+        got = {(r["source"], r["lang"]): (r["c_xy"], r["pmi_e9"],
+                                          r["mi_e9"])
+               for r in meta_mi(df).collect()}
+
+        def pmi(cxy, cx, cy, n):
+            return math.floor((math.log(cxy / cx) - math.log(cy / n))
+                              * 1e9)
+
+        p_aen = pmi(2, 3, 2, 4)
+        p_afr = pmi(1, 3, 2, 4)
+        p_bfr = pmi(1, 1, 2, 4)
+        mi = (2 * p_aen + p_afr + p_bfr) // 4   # positive: trunc = floor
+        assert got == {("A", "en"): (2, p_aen, mi),
+                       ("A", "fr"): (1, p_afr, mi),
+                       ("B", "fr"): (1, p_bfr, mi)}

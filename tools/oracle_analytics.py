@@ -80,13 +80,23 @@ def entries() -> dict[str, str]:
                                                   zipf_oracle_sql
                                                   as _zipf_oracle_sql,
                                                   vocab_overlap_oracle_sql
-                                                  as _vocab_oracle_sql)
+                                                  as _vocab_oracle_sql,
+                                                  hill_oracle_sql
+                                                  as _hill_oracle_sql,
+                                                  freq_spectrum_oracle_sql
+                                                  as _fspec_oracle_sql)
     from bella_domify_spark.ops.dedup import (ppjoin_oracle_sql
                                               as _ppjoin_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
-                                                 as _ia_oracle_sql)
+                                                 as _ia_oracle_sql,
+                                                 transition_entropy_oracle_sql
+                                                 as _te_oracle_sql)
     from bella_domify_spark.ops.analyze import (benford_oracle_sql
                                                 as _benford_oracle_sql,
+                                                fences_oracle_sql
+                                                as _fences_oracle_sql,
+                                                meta_mi_oracle_sql
+                                                as _meta_mi_oracle_sql,
                                                 ess_oracle_sql
                                                 as _ess_oracle_sql,
                                                 ks_oracle_sql
@@ -485,6 +495,30 @@ def entries() -> dict[str, str]:
         "ppjoin_pairs": _ppjoin_oracle_sql(),
         "theil_sen": _theil_oracle_sql(),
         "vocab_overlap": _vocab_oracle_sql(),
+        "hill_tail": _hill_oracle_sql(),
+        "freq_spectrum": _fspec_oracle_sql(),
+        "transition_entropy": _te_oracle_sql(),
+        "length_fences": _fences_oracle_sql(),
+        "meta_mi": _meta_mi_oracle_sql(),
+        "cross_source_dups": f"""
+            WITH {jaccard_pair_ctes()},
+            csl AS (
+                SELECT least(da.source, db.source) AS src_lo,
+                       greatest(da.source, db.source) AS src_hi
+                FROM pairs
+                JOIN documents da ON da.doc_id = pairs.id_a
+                JOIN documents db ON db.doc_id = pairs.id_b
+            ),
+            csm AS (
+                SELECT src_lo, src_hi, count(*)::BIGINT AS n_pairs
+                FROM csl GROUP BY src_lo, src_hi
+            ),
+            cst AS (SELECT sum(n_pairs)::BIGINT AS tot FROM csm)
+            SELECT src_lo, src_hi, n_pairs,
+                   (n_pairs::HUGEINT * 1000000 // tot)::BIGINT
+                       AS share_e6
+            FROM csm CROSS JOIN cst
+        """,
         "containment_pairs": containment_pair_sql(),
         "scd2_history": """
             WITH ks AS (
