@@ -783,10 +783,15 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sh = word_shingles(df, id_col, text_col, n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    # the vocab-sized rank table is consumed by all four tok pipelines
+    # below (two prefixes + two verify sides): persist IT — one corpus
+    # aggregate + one global sort instead of four — while the
+    # corpus-sized shingle stream itself stays recompute-not-cache
+    # (the jaccard_pairs discipline); released via _eager_release
     rnk = freq.select(
         "shingle",
         F.row_number().over(Window.orderBy(F.asc("f"), F.asc("shingle")))
-         .alias("rnk"))
+         .alias("rnk")).persist()
     tok = sh.join(rnk, "shingle").select("id", "rnk")
     wid = Window.partitionBy("id")
     tokp = (tok.withColumn("s", F.count(F.lit(1)).over(wid))
@@ -807,12 +812,13 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
     inter = (cand.join(ta, "id_a").join(tb, ["id_b", "rnk"])
              .groupBy("id_a", "id_b", "n_a", "n_b")
              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
-    return (inter.filter(t_den * F.col("n_common")
-                         >= t_num * (F.col("n_a") + F.col("n_b")
-                                     - F.col("n_common")))
-            .select("id_a", "id_b", "n_a", "n_b", "n_common",
-                    F.expr("cast(n_common as decimal(38,0)) * 1000000"
-                           " div (n_a + n_b - n_common)").alias("jacc_e6")))
+    out = (inter.filter(t_den * F.col("n_common")
+                        >= t_num * (F.col("n_a") + F.col("n_b")
+                                    - F.col("n_common")))
+           .select("id_a", "id_b", "n_a", "n_b", "n_common",
+                   F.expr("cast(n_common as decimal(38,0)) * 1000000"
+                          " div (n_a + n_b - n_common)").alias("jacc_e6")))
+    return _eager_release(out, rnk)
 
 
 def ppjoin_oracle_sql(t_num: int = PPJOIN_T_NUM,

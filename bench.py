@@ -198,7 +198,11 @@ def main() -> int:
                  "neighborhood_sizes", "t_closeness", "char_entropy",
                  "negative_sampling", "fertility_by_lang",
                  "ks_drift", "ess_by_source", "benford_audit",
-                 "zipf_fit"]:
+                 "zipf_fit",
+                 # round-6 session-9 queries (first-bench floors):
+                 "ppjoin_pairs", "theil_sen", "vocab_overlap",
+                 "hill_tail", "freq_spectrum", "transition_entropy",
+                 "cross_source_dups", "length_fences", "meta_mi"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
