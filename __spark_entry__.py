@@ -1831,6 +1831,22 @@ def _q_meta_mi(spark, sf):
     return meta_mi(_t(spark, sf, "documents"))
 
 
+def _q_kcenter_coreset(spark, sf):
+    """Greedy k-center coreset over embeddings (ops/ann.py
+    kcenter_coreset): integer-exact farthest-point traversal, k−1
+    broadcast rounds, unrolled-round oracle."""
+    from bella_domify_spark.ops.ann import kcenter_coreset
+    return kcenter_coreset(_t(spark, sf, "embeddings"))
+
+
+def _q_props_keys(spark, sf):
+    """props JSON-key inventory per event type (ops/analyze.py
+    props_keys): regex capture (not a JSON parser — survives drifted
+    payloads), per-type share."""
+    from bella_domify_spark.ops.analyze import props_keys
+    return props_keys(_t(spark, sf, "events"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1981,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": _q_cross_source_dups,
         "length_fences": _q_length_fences,
         "meta_mi": _q_meta_mi,
+        "kcenter_coreset": _q_kcenter_coreset,
+        "props_keys": _q_props_keys,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

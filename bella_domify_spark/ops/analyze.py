@@ -1488,3 +1488,66 @@ def meta_mi_oracle_sql() -> str:
         SELECT xk AS source, yk AS lang, c_xy, pmi_e9, mi_e9
         FROM mmp CROSS JOIN mmt
     """
+
+
+PROPS_KEY_RE = r'"([A-Za-z0-9_]+)"\s*:'
+
+
+def props_keys(events: DataFrame) -> DataFrame:
+    """Semi-structured schema inventory of the ``props`` JSON column —
+    the schema-drift monitor for the one column a warehouse can't type:
+    per event type, which top-level-looking keys appear and in what
+    share of events. A key whose share collapses between snapshots is a
+    producer-side schema change no relational check sees; a key that
+    appears under only one event type documents the de-facto schema.
+
+    Both engines extract keys with the SAME regex capture
+    (``"(\\w+)"\\s*:`` shaped) — pure pattern matching, deliberately not
+    a JSON parser (identical on malformed payloads, which is the
+    point: drift detection must not die on the drifted rows).
+    share_e6 = n·1e6 div n_events (DECIMAL(38,0) product, exact).
+
+    Scale: regex extraction fuses into the scan (JVM codegen, no
+    Python); one map-side-combined (type, key) aggregate; the per-type
+    totals are an aggregate-sized broadcast.
+
+    Output: (event_type, key, n, share_e6).
+    """
+    base = events.filter(F.col("event_type").isNotNull()
+                         & F.col("props").isNotNull())
+    tot = (base.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    keys = (base.select("event_type",
+                        F.explode(F.regexp_extract_all(
+                            F.col("props"), F.lit(PROPS_KEY_RE), 1))
+                        .alias("key"))
+            .groupBy("event_type", "key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (keys.join(F.broadcast(tot), "event_type")
+            .select("event_type", "key", "n",
+                    F.expr("cast(n as decimal(38,0)) * 1000000"
+                           " div n_events").alias("share_e6")))
+
+
+def props_keys_oracle_sql() -> str:
+    """DuckDB twin of props_keys (same regex capture group, HUGEINT
+    product, // exact division)."""
+    return rf"""
+        WITH pkb AS (
+            SELECT event_type, props FROM events
+            WHERE event_type IS NOT NULL AND props IS NOT NULL
+        ),
+        pkt AS (SELECT event_type, count(*)::BIGINT AS n_events
+                FROM pkb GROUP BY event_type),
+        pkk AS (
+            SELECT event_type,
+                   unnest(regexp_extract_all(props,
+                                             '{PROPS_KEY_RE}', 1)) AS key
+            FROM pkb
+        ),
+        pkc AS (SELECT event_type, key, count(*)::BIGINT AS n
+                FROM pkk GROUP BY event_type, key)
+        SELECT event_type, key, n,
+               (n::HUGEINT * 1000000 // n_events)::BIGINT AS share_e6
+        FROM pkc JOIN pkt USING (event_type)
+    """

@@ -950,3 +950,101 @@ def sq_error_oracle_sql(scale: int = 1_000_000) -> str:
         FROM e JOIN sized USING (id)
         GROUP BY e.id, e.n_dims
     """
+
+
+KCENTER_K = 4
+
+
+def kcenter_coreset(vectors: DataFrame, k: int = KCENTER_K,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation —
+    the farthest-point traversal every diversity-sampling / active-
+    learning pipeline reaches for): pick the max-norm vector, then
+    repeatedly pick the point FARTHEST from everything picked so far.
+    The selected rows are the most mutually-distant exemplars, and the
+    last pick's distance is (within 2×) the corpus's covering radius —
+    the "how spread out is this embedding space?" number.
+
+    Integer-exact under the kmeans_assign discipline: coordinates
+    quantize ONCE to floor(x·scale) BIGINT, every distance is integer
+    squared-euclidean, argmax ties break to the smallest id (and the
+    seed is max integer norm², same tie rule) — bit-reproducible across
+    engines and partitionings, no float anywhere after quantization.
+
+    Scale: each of the k−1 rounds is ONE map-side pass over the vector
+    table against a BROADCAST ≤k-row center table (no shuffle of the
+    big side) followed by a distributed top-1 (TakeOrderedAndProject).
+    k is small and fixed; plan depth grows linearly (a production run
+    at large k would localCheckpoint between rounds — the
+    connected_components discipline).
+
+    Output: (sel_idx, vec_id, d2_pick) — d2_pick is the greedy
+    objective at pick time (norm² for the seed, min-dist² to the
+    already-picked set for the rest).
+    """
+    q = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * F.lit(float(scale)))
+                    .cast("long")).alias("v"))
+    norm2 = F.aggregate("v", F.lit(0).cast("long"),
+                        lambda acc, x: acc + x * x)
+    seed = (q.select("id", "v", norm2.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("id")).limit(1)
+            .select(F.lit(0).alias("sel_idx"), "id", "v", "d2"))
+    centers = seed
+    for r in range(1, k):
+        c = centers.select(F.col("id").alias("cid"),
+                           F.col("v").alias("cv"))
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        top = (q.crossJoin(F.broadcast(c))
+               .select("id", d2.alias("dc"))
+               .groupBy("id").agg(F.min("dc").alias("d2"))
+               .orderBy(F.desc("d2"), F.asc("id")).limit(1))
+        pick = (top.join(q, "id")
+                .select(F.lit(r).alias("sel_idx"), "id", "v", "d2"))
+        centers = centers.unionByName(pick)
+    return centers.select("sel_idx", F.col("id").alias("vec_id"),
+                          F.col("d2").alias("d2_pick"))
+
+
+def kcenter_oracle_sql(k: int = KCENTER_K,
+                       scale: int = 1_000_000) -> str:
+    """DuckDB twin of kcenter_coreset: quantized positional explode
+    (the kmeans_ctes pattern), then k−1 unrolled greedy rounds — each a
+    distance CTE against the accumulated center set, a DESC/id-asc
+    top-1, and a center-set union. ``//`` unused: distances stay sums
+    of products, BIGINT-cast like every iterative twin."""
+    parts = [f"""kqe AS (
+            SELECT vec_id AS id, i AS pos,
+                   floor(embedding[i]::DOUBLE * {scale}.0)::BIGINT AS x
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        kp0 AS (
+            SELECT id, sum(x * x)::BIGINT AS d2 FROM kqe GROUP BY id
+            ORDER BY d2 DESC, id LIMIT 1
+        ),
+        kcs0 AS (SELECT id FROM kp0)"""]
+    for r in range(1, k):
+        parts.append(f"""kdd{r} AS (
+            SELECT a.id, b.cid,
+                   sum((a.x - b.x) * (a.x - b.x))::BIGINT AS d2
+            FROM kqe a
+            JOIN (SELECT cs.id AS cid, q.pos, q.x
+                  FROM kcs{r - 1} cs JOIN kqe q ON q.id = cs.id) b
+                 USING (pos)
+            GROUP BY a.id, b.cid
+        ),
+        kp{r} AS (
+            SELECT id, min(d2)::BIGINT AS d2 FROM kdd{r} GROUP BY id
+            ORDER BY d2 DESC, id LIMIT 1
+        ),
+        kcs{r} AS (SELECT id FROM kcs{r - 1}
+                   UNION ALL SELECT id FROM kp{r})""")
+    sel = "\n        UNION ALL\n".join(
+        f"        SELECT {r} AS sel_idx, id AS vec_id, d2 AS d2_pick"
+        f" FROM kp{r}" for r in range(k))
+    return "WITH " + ",\n        ".join(parts) + "\n" + sel

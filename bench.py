@@ -202,7 +202,8 @@ def main() -> int:
                  # round-6 session-9 queries (first-bench floors):
                  "ppjoin_pairs", "theil_sen", "vocab_overlap",
                  "hill_tail", "freq_spectrum", "transition_entropy",
-                 "cross_source_dups", "length_fences", "meta_mi"]:
+                 "cross_source_dups", "length_fences", "meta_mi",
+                 "kcenter_coreset", "props_keys"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -3045,3 +3045,34 @@ class TestRound6Session8Ops:
         assert got == {("A", "en"): (2, p_aen, mi),
                        ("A", "fr"): (1, p_afr, mi),
                        ("B", "fr"): (1, p_bfr, mi)}
+
+    def test_kcenter_coreset_hand_counted(self, spark):
+        from bella_domify_spark.ops.ann import kcenter_coreset
+
+        # seed = max-norm (tie 1 vs 3 -> min id 1); then farthest-point:
+        # v3 at 36e12 from v1, then v2 at min(13e12, 13e12)
+        df = spark.createDataFrame(
+            [(1, [3.0, 0.0]), (2, [0.0, 2.0]),
+             (3, [-3.0, 0.0]), (4, [0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        got = [(r["sel_idx"], r["vec_id"], r["d2_pick"])
+               for r in kcenter_coreset(df, k=3)
+               .orderBy("sel_idx").collect()]
+        e12 = 10**12
+        assert got == [(0, 1, 9 * e12), (1, 3, 36 * e12),
+                       (2, 2, 13 * e12)]
+
+    def test_props_keys_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import props_keys
+
+        df = spark.createDataFrame(
+            [(1, "a", '{"x": 1, "y": "z"}'), (2, "a", '{"x": 2}'),
+             (3, "b", 'garbage "k":1 not json'), (4, "b", None)],
+            "event_id long, event_type string, props string")
+        got = {(r["event_type"], r["key"]): (r["n"], r["share_e6"])
+               for r in props_keys(df).collect()}
+        # NULL-props rows leave the denominator; malformed rows still
+        # yield their key (regex, not a JSON parser)
+        assert got == {("a", "x"): (2, 1_000_000),
+                       ("a", "y"): (1, 500_000),
+                       ("b", "k"): (1, 1_000_000)}

@@ -87,6 +87,8 @@ def entries() -> dict[str, str]:
                                                   as _fspec_oracle_sql)
     from bella_domify_spark.ops.dedup import (ppjoin_oracle_sql
                                               as _ppjoin_oracle_sql)
+    from bella_domify_spark.ops.ann import (kcenter_oracle_sql
+                                            as _kcenter_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql,
                                                  transition_entropy_oracle_sql
@@ -97,6 +99,8 @@ def entries() -> dict[str, str]:
                                                 as _fences_oracle_sql,
                                                 meta_mi_oracle_sql
                                                 as _meta_mi_oracle_sql,
+                                                props_keys_oracle_sql
+                                                as _props_oracle_sql,
                                                 ess_oracle_sql
                                                 as _ess_oracle_sql,
                                                 ks_oracle_sql
@@ -500,6 +504,8 @@ def entries() -> dict[str, str]:
         "transition_entropy": _te_oracle_sql(),
         "length_fences": _fences_oracle_sql(),
         "meta_mi": _meta_mi_oracle_sql(),
+        "kcenter_coreset": _kcenter_oracle_sql(),
+        "props_keys": _props_oracle_sql(),
         "cross_source_dups": f"""
             WITH {jaccard_pair_ctes()},
             csl AS (
