@@ -1847,6 +1847,22 @@ def _q_props_keys(spark, sf):
     return props_keys(_t(spark, sf, "events"))
 
 
+def _q_blocking_quality(spark, sf):
+    """Record-linkage blocking audit of MinHash-LSH (ops/dedup.py
+    blocking_quality): reduction ratio + pairs completeness vs the
+    brute-force Jaccard truth."""
+    from bella_domify_spark.ops.dedup import blocking_quality
+    return blocking_quality(_t(spark, sf, "documents"))
+
+
+def _q_reshard_stats(spark, sf):
+    """Modulo vs rendezvous-hash reshard cost for 16→17 shards
+    (ops/lakehouse.py reshard_stats): HRW movement via greatest() over
+    inline md5s — no argmax, no explode."""
+    from bella_domify_spark.ops.lakehouse import reshard_stats
+    return reshard_stats(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -1999,6 +2015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_mi": _q_meta_mi,
         "kcenter_coreset": _q_kcenter_coreset,
         "props_keys": _q_props_keys,
+        "blocking_quality": _q_blocking_quality,
+        "reshard_stats": _q_reshard_stats,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -889,3 +889,58 @@ def cross_source_dups(docs: DataFrame, id_col: str = "doc_id",
             .select("src_lo", "src_hi", "n_pairs",
                     F.expr("cast(n_pairs as decimal(38,0)) * 1000000"
                            " div tot").alias("share_e6")))
+
+
+def blocking_quality(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3,
+                     num_hashes: int = 64, bands: int = 16,
+                     threshold: float = 0.2) -> DataFrame:
+    """Blocking-quality audit of the MinHash-LSH candidate generator —
+    the two numbers record-linkage literature grades a blocker on:
+    reduction ratio RR = 1 − |candidates| / C(n,2) (how much of the
+    quadratic pair space the bands prune) and pairs completeness
+    PC = |candidates ∩ true pairs| / |true pairs| (recall against the
+    brute-force Jaccard truth at ``threshold``). The S-curve tuning
+    loop in one query: move bands/rows, watch RR·PC.
+
+    Exact integers: rr_e6 = (C(n,2) − n_cand)·1e6 div C(n,2) and
+    pc_e6 = n_found·1e6 div n_true in DECIMAL(38,0) (C(n,2) ~ 1e24 at
+    corpus scale). n_docs counts shingle-bearing documents (the pair
+    universe both sides draw from).
+
+    Scale: the truth side is the brute-force shingle join — by
+    construction the expensive half (it is the thing the blocker
+    replaces); run this audit on a sample in production, which is
+    exactly how blocking quality is measured in practice. Both the
+    truth pair set and the signature table persist for their two
+    consumers and release eagerly.
+
+    Output: one row (n_docs, n_true, n_cand, n_found, rr_e6, pc_e6).
+    """
+    truth = (jaccard_pairs(df, id_col, text_col, n, threshold)
+             .select("id_a", "id_b").persist())
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes) \
+        .persist()
+    banded = minhash_band_buckets(sig, bands, num_hashes // bands)
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    nd = (word_shingles(df, id_col, text_col, n)
+          .select("id").distinct()
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    f = (cand.join(truth, ["id_a", "id_b"])
+         .agg(F.count(F.lit(1)).cast("long").alias("n_found")))
+    out = (nd.crossJoin(t).crossJoin(c).crossJoin(f)
+           .filter(F.col("n_true") > 0)
+           .select("n_docs", "n_true", "n_cand", "n_found",
+                   F.expr("(cast(n_docs as decimal(38,0)) * (n_docs - 1)"
+                          " div 2 - n_cand) * 1000000"
+                          " div (cast(n_docs as decimal(38,0))"
+                          " * (n_docs - 1) div 2)").alias("rr_e6"),
+                   F.expr("cast(n_found as decimal(38,0)) * 1000000"
+                          " div n_true").alias("pc_e6")))
+    return _eager_release(out, truth, sig)

@@ -617,3 +617,47 @@ def snapshot_diff(before: DataFrame, after: DataFrame,
     return (j.select(F.col("k").alias(key), op.alias("op"),
                      "text_before", "text_after")
              .filter(F.col("op").isNotNull()))
+
+
+RESHARD_FROM = 16
+
+
+def reshard_stats(docs: DataFrame, id_col: str = "doc_id",
+                  n_from: int = RESHARD_FROM) -> DataFrame:
+    """Reshard-cost comparison: how many documents MOVE when the shard
+    count grows n → n+1, under naive modulo placement vs rendezvous
+    (highest-random-weight) hashing. Modulo reshuffles ~n/(n+1) of the
+    corpus (every bucket boundary shifts); HRW moves only the docs the
+    NEW shard wins, ~1/(n+1) — the reason every storage layer that
+    expects growth places by consistent/rendezvous hashing. This query
+    is the migration-cost estimate a 100 TB table wants BEFORE an
+    OPTIMIZE-style re-bucketing is scheduled.
+
+    Determinism: all hashes are the md5-int60 family (bit-identical on
+    both engines). HRW movement needs no argmax: with shards 0..n, a
+    doc moves iff h(n, id) > max_{s<n} h(s, id) — a greatest() over
+    n+1 inline md5 expressions, fully codegen'd, no explode, no
+    shuffle until the single global aggregate.
+
+    Output: one row (n_docs, moved_mod, moved_hrw, frac_mod_e6,
+    frac_hrw_e6), fractions as x·1e6 div n_docs.
+    """
+    from bella_domify_spark.ops.dedup import _md5_int60
+    sid = F.col(id_col).cast("string")
+    hid = _md5_int60(sid)
+    hs = [_md5_int60(F.concat(sid, F.lit(f":{s}")))
+          for s in range(n_from + 1)]
+    per = docs.select(
+        (F.pmod(hid, F.lit(n_from))
+         != F.pmod(hid, F.lit(n_from + 1))).cast("int").alias("mv_mod"),
+        (hs[n_from] > F.greatest(*hs[:n_from])).cast("int")
+         .alias("mv_hrw"))
+    agg = per.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("mv_mod").cast("long").alias("moved_mod"),
+                  F.sum("mv_hrw").cast("long").alias("moved_hrw"))
+    return agg.select(
+        "n_docs", "moved_mod", "moved_hrw",
+        F.expr("cast(moved_mod as decimal(38,0)) * 1000000 div n_docs")
+         .alias("frac_mod_e6"),
+        F.expr("cast(moved_hrw as decimal(38,0)) * 1000000 div n_docs")
+         .alias("frac_hrw_e6"))

@@ -203,7 +203,8 @@ def main() -> int:
                  "ppjoin_pairs", "theil_sen", "vocab_overlap",
                  "hill_tail", "freq_spectrum", "transition_entropy",
                  "cross_source_dups", "length_fences", "meta_mi",
-                 "kcenter_coreset", "props_keys"]:
+                 "kcenter_coreset", "props_keys",
+                 "blocking_quality", "reshard_stats"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

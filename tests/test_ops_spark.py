@@ -3076,3 +3076,54 @@ class TestRound6Session8Ops:
         assert got == {("a", "x"): (2, 1_000_000),
                        ("a", "y"): (1, 500_000),
                        ("b", "k"): (1, 1_000_000)}
+
+    def test_reshard_stats_vs_python_md5(self, spark):
+        import hashlib
+
+        from bella_domify_spark.ops.lakehouse import reshard_stats
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        ids = list(range(1, 61))
+        mv_mod = sum(1 for i in ids
+                     if h60(str(i)) % 16 != h60(str(i)) % 17)
+        mv_hrw = sum(1 for i in ids
+                     if h60(f"{i}:16") > max(h60(f"{i}:{s}")
+                                             for s in range(16)))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        r = reshard_stats(df).collect()[0]
+        assert (r["n_docs"], r["moved_mod"], r["moved_hrw"]) == \
+            (60, mv_mod, mv_hrw)
+        assert r["frac_mod_e6"] == mv_mod * 1_000_000 // 60
+        assert r["frac_hrw_e6"] == mv_hrw * 1_000_000 // 60
+        # the whole point: consistent placement moves far less
+        assert r["moved_hrw"] < r["moved_mod"]
+
+    def test_blocking_quality_invariants(self, spark):
+        import itertools
+
+        from bella_domify_spark.ops.dedup import blocking_quality
+
+        stream = [f"w{i % 13}" for i in range(40)]
+        texts = {i: " ".join(stream[i:i + 8] + [f"u{i}"])
+                 for i in range(20)}
+
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        n_true = sum(
+            1 for a, b in itertools.combinations(sorted(texts), 2)
+            if (lambda sa, sb: len(sa & sb)
+                >= 0.2 * (len(sa) + len(sb) - len(sa & sb)))
+               (shingles(texts[a]), shingles(texts[b])))
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        r = blocking_quality(df).collect()[0]
+        assert r["n_docs"] == 20
+        assert r["n_true"] == n_true > 0
+        assert 0 <= r["n_found"] <= min(r["n_true"], r["n_cand"])
+        assert r["pc_e6"] == r["n_found"] * 1_000_000 // r["n_true"]
+        allp = 20 * 19 // 2
+        assert r["rr_e6"] == (allp - r["n_cand"]) * 1_000_000 // allp

@@ -506,6 +506,50 @@ def entries() -> dict[str, str]:
         "meta_mi": _meta_mi_oracle_sql(),
         "kcenter_coreset": _kcenter_oracle_sql(),
         "props_keys": _props_oracle_sql(),
+        "blocking_quality": f"""
+            WITH {jaccard_pair_ctes()},
+            {minhash_cand_ctes(params_values_sql(64),
+                               include_shingles=False)},
+            bqd AS (SELECT count(DISTINCT id)::BIGINT AS n_docs FROM sh),
+            bqt AS (SELECT count(*)::BIGINT AS n_true FROM pairs),
+            bqc AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+            bqf AS (SELECT count(*)::BIGINT AS n_found
+                    FROM cand JOIN pairs USING (id_a, id_b))
+            SELECT n_docs, n_true, n_cand, n_found,
+                   ((n_docs::HUGEINT * (n_docs - 1) // 2 - n_cand)
+                    * 1000000
+                    // (n_docs::HUGEINT * (n_docs - 1) // 2))::BIGINT
+                       AS rr_e6,
+                   (n_found::HUGEINT * 1000000 // n_true)::BIGINT
+                       AS pc_e6
+            FROM bqd CROSS JOIN bqt CROSS JOIN bqc CROSS JOIN bqf
+            WHERE n_true > 0
+        """,
+        "reshard_stats": f"""
+            WITH rsp AS (
+                SELECT CASE WHEN {md5_int60('doc_id::VARCHAR')} % 16
+                            != {md5_int60('doc_id::VARCHAR')} % 17
+                            THEN 1 ELSE 0 END AS mv_mod,
+                       CASE WHEN {md5_int60("doc_id::VARCHAR || ':16'")}
+                            > greatest({', '.join(
+                                md5_int60(f"doc_id::VARCHAR || ':{s}'")
+                                for s in range(16))})
+                            THEN 1 ELSE 0 END AS mv_hrw
+                FROM documents
+            ),
+            rsa AS (
+                SELECT count(*)::BIGINT AS n_docs,
+                       sum(mv_mod)::BIGINT AS moved_mod,
+                       sum(mv_hrw)::BIGINT AS moved_hrw
+                FROM rsp
+            )
+            SELECT n_docs, moved_mod, moved_hrw,
+                   (moved_mod::HUGEINT * 1000000 // n_docs)::BIGINT
+                       AS frac_mod_e6,
+                   (moved_hrw::HUGEINT * 1000000 // n_docs)::BIGINT
+                       AS frac_hrw_e6
+            FROM rsa
+        """,
         "cross_source_dups": f"""
             WITH {jaccard_pair_ctes()},
             csl AS (
