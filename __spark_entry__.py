@@ -1863,6 +1863,22 @@ def _q_reshard_stats(spark, sf):
     return reshard_stats(_t(spark, sf, "documents"))
 
 
+def _q_pareto_users(spark, sf):
+    """Skyline of users over (event count, summed value)
+    (ops/analyze.py pareto_users): sort-and-prefix-max over the
+    distinct-count table, strict dominance."""
+    from bella_domify_spark.ops.analyze import pareto_users
+    return pareto_users(_t(spark, sf, "events"))
+
+
+def _q_type_affinity(spark, sf):
+    """Market-basket lift of event types over user baskets
+    (ops/analyze.py type_affinity): user-keyed pair join with
+    C(|types|,2)-bounded fan-out, integer lift/support."""
+    from bella_domify_spark.ops.analyze import type_affinity
+    return type_affinity(_t(spark, sf, "events"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -2017,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_keys": _q_props_keys,
         "blocking_quality": _q_blocking_quality,
         "reshard_stats": _q_reshard_stats,
+        "pareto_users": _q_pareto_users,
+        "type_affinity": _q_type_affinity,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -1551,3 +1551,147 @@ def props_keys_oracle_sql() -> str:
                (n::HUGEINT * 1000000 // n_events)::BIGINT AS share_e6
         FROM pkc JOIN pkt USING (event_type)
     """
+
+
+def pareto_users(events: DataFrame) -> DataFrame:
+    """Skyline (Pareto frontier) of users over (activity, value): the
+    users no one beats on BOTH event count and summed value — the
+    classic "best customers/power users" set that no single score
+    captures (any weighted score picks one point of this frontier;
+    the skyline returns all of them).
+
+    Strict-dominance rule: u is dominated iff some v is ≥ on both
+    axes and > on at least one; equal twins both survive. Exact
+    integers: per-event values floor to the e6 grid before summing.
+    The skyline evaluates with the textbook sort-and-prefix-max: keep
+    u iff its value is the max within its count AND beats the max
+    value over all strictly-higher counts.
+
+    Scale: corpus → per-user aggregate (one map-side-combined
+    shuffle); the prefix-max window runs on the DISTINCT-COUNT table
+    (bounded by max events/user, not by users); the final filter is a
+    broadcast-sized join back. (A frontier over a truly unbounded key
+    would range-partition the prefix max — two-level, same algebra.)
+
+    Output: (user_id, n_events, val_e6), frontier rows only.
+    """
+    g = (events.filter(F.col("user_id").isNotNull()
+                       & F.col("value").isNotNull())
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+              F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+               .cast("long").alias("val_e6")))
+    per_n = g.groupBy("n_events").agg(F.max("val_e6").alias("vmax"))
+    w = (Window.orderBy(F.desc("n_events"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    keep_n = (per_n.withColumn("hi_max", F.max("vmax").over(w))
+              .filter(F.col("hi_max").isNull()
+                      | (F.col("vmax") > F.col("hi_max")))
+              .select("n_events", "vmax"))
+    return (g.join(F.broadcast(keep_n), "n_events")
+            .filter(F.col("val_e6") == F.col("vmax"))
+            .select("user_id", "n_events", "val_e6"))
+
+
+def pareto_oracle_sql() -> str:
+    """DuckDB twin of pareto_users (same e6 grid, same
+    prefix-max-over-distinct-counts skyline)."""
+    return """
+        WITH pug AS (
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(floor(value * 1e6)::BIGINT)::BIGINT AS val_e6
+            FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+            GROUP BY user_id
+        ), pun AS (
+            SELECT n_events, max(val_e6) AS vmax FROM pug
+            GROUP BY n_events
+        ), puk AS (
+            SELECT n_events, vmax,
+                   max(vmax) OVER (ORDER BY n_events DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS hi_max
+            FROM pun
+        )
+        SELECT user_id, g.n_events, val_e6
+        FROM pug g JOIN puk k ON g.n_events = k.n_events
+        WHERE val_e6 = vmax AND (hi_max IS NULL OR vmax > hi_max)
+    """
+
+
+def type_affinity(events: DataFrame) -> DataFrame:
+    """Market-basket affinity of event types — basket = user, item =
+    event type: for every type pair, how many users do BOTH, the
+    support, and the lift (observed co-occurrence over the
+    independence expectation). Lift ≫ 1e6 is the classic "users who
+    view also purchase" journey coupling; lift ≪ 1e6 exposes disjoint
+    user populations sharing one product surface. The corpus-level
+    companion to transition_entropy's sequential view (affinity
+    ignores order; entropy is all order).
+
+    Exact integers: lift_e6 = n_ab·N·1e6 div (n_a·n_b) and
+    support_e6 = n_ab·1e6 div N in DECIMAL(38,0) (n_ab·N ~ 1e24 at
+    corpus scale); N = users with ≥1 typed event; per-user types are
+    DISTINCT; pairs ordered type_a < type_b.
+
+    Scale: the pair join is keyed by user_id with fan-out C(k,2) over
+    each user's OWN distinct-type count (bounded by |event_type|,
+    single digits) — never corpus-quadratic; margins and totals are
+    aggregate-sized broadcasts.
+
+    Output: (type_a, type_b, n_ab, n_a, n_b, support_e6, lift_e6).
+    """
+    ut = (events.filter(F.col("user_id").isNotNull()
+                        & F.col("event_type").isNotNull())
+          .select("user_id", "event_type").distinct())
+    n_tot = ut.agg(F.countDistinct("user_id").cast("long").alias("nn"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1))
+                                           .cast("long").alias("n_k"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ab")))
+    return (pairs
+            .join(F.broadcast(singles.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_k").alias("n_a"))), "type_a")
+            .join(F.broadcast(singles.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_k").alias("n_b"))), "type_b")
+            .crossJoin(F.broadcast(n_tot))
+            .select("type_a", "type_b", "n_ab", "n_a", "n_b",
+                    F.expr("cast(n_ab as decimal(38,0)) * 1000000 div nn")
+                     .alias("support_e6"),
+                    F.expr("cast(n_ab as decimal(38,0)) * nn * 1000000"
+                           " div (cast(n_a as decimal(38,0)) * n_b)")
+                     .alias("lift_e6")))
+
+
+def type_affinity_oracle_sql() -> str:
+    """DuckDB twin of type_affinity (HUGEINT products, // division)."""
+    return """
+        WITH tau AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        tan AS (SELECT count(DISTINCT user_id)::BIGINT AS nn FROM tau),
+        tas AS (SELECT event_type, count(*)::BIGINT AS n_k FROM tau
+                GROUP BY event_type),
+        tap AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_ab
+            FROM tau a JOIN tau b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b, n_ab, sa.n_k AS n_a, sb.n_k AS n_b,
+               (n_ab::HUGEINT * 1000000 // nn)::BIGINT AS support_e6,
+               (n_ab::HUGEINT * nn * 1000000
+                // (sa.n_k::HUGEINT * sb.n_k))::BIGINT AS lift_e6
+        FROM tap
+        JOIN tas sa ON sa.event_type = type_a
+        JOIN tas sb ON sb.event_type = type_b
+        CROSS JOIN tan
+    """

@@ -204,7 +204,8 @@ def main() -> int:
                  "hill_tail", "freq_spectrum", "transition_entropy",
                  "cross_source_dups", "length_fences", "meta_mi",
                  "kcenter_coreset", "props_keys",
-                 "blocking_quality", "reshard_stats"]:
+                 "blocking_quality", "reshard_stats",
+                 "pareto_users", "type_affinity"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

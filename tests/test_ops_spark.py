@@ -3127,3 +3127,39 @@ class TestRound6Session8Ops:
         assert r["pc_e6"] == r["n_found"] * 1_000_000 // r["n_true"]
         allp = 20 * 19 // 2
         assert r["rr_e6"] == (allp - r["n_cand"]) * 1_000_000 // allp
+
+    def test_pareto_users_hand_counted(self, spark):
+        from datetime import datetime
+
+        from bella_domify_spark.ops.analyze import pareto_users
+
+        t = datetime(2024, 1, 1)
+        rows = ([(t, 1, 1.0)] * 3            # u1: (3, 3e6) frontier
+                + [(t, 2, 5.0)] * 2          # u2: (2, 10e6) frontier
+                + [(t, 3, 0.5)] * 3          # u3: dominated by u1
+                + [(t, 4, 20.0)]             # u4: (1, 20e6) frontier
+                + [(t, 5, 5.0)] * 2          # u5: twin of u2 -> kept
+                + [(t, 6, 3.0)])             # u6: dominated by u4
+        df = spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double")
+        got = {r["user_id"]: (r["n_events"], r["val_e6"])
+               for r in pareto_users(df).collect()}
+        assert got == {1: (3, 3_000_000), 2: (2, 10_000_000),
+                       4: (1, 20_000_000), 5: (2, 10_000_000)}
+
+    def test_type_affinity_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import type_affinity
+
+        # baskets: u1 {a,b}, u2 {a,b,c}, u3 {a}, u4 {d}; N = 4
+        rows = [(1, "a"), (1, "b"), (1, "a"),
+                (2, "a"), (2, "b"), (2, "c"),
+                (3, "a"), (4, "d")]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {(r["type_a"], r["type_b"]):
+               (r["n_ab"], r["n_a"], r["n_b"], r["support_e6"],
+                r["lift_e6"])
+               for r in type_affinity(df).collect()}
+        # lift(a,b) = 2·4/(3·2) = 4/3; lift(b,c) = 1·4/(2·1) = 2
+        assert got == {("a", "b"): (2, 3, 2, 500_000, 1_333_333),
+                       ("a", "c"): (1, 3, 1, 250_000, 1_333_333),
+                       ("b", "c"): (1, 2, 1, 250_000, 2_000_000)}

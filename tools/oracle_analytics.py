@@ -101,6 +101,10 @@ def entries() -> dict[str, str]:
                                                 as _meta_mi_oracle_sql,
                                                 props_keys_oracle_sql
                                                 as _props_oracle_sql,
+                                                pareto_oracle_sql
+                                                as _pareto_oracle_sql,
+                                                type_affinity_oracle_sql
+                                                as _taff_oracle_sql,
                                                 ess_oracle_sql
                                                 as _ess_oracle_sql,
                                                 ks_oracle_sql
@@ -506,6 +510,8 @@ def entries() -> dict[str, str]:
         "meta_mi": _meta_mi_oracle_sql(),
         "kcenter_coreset": _kcenter_oracle_sql(),
         "props_keys": _props_oracle_sql(),
+        "pareto_users": _pareto_oracle_sql(),
+        "type_affinity": _taff_oracle_sql(),
         "blocking_quality": f"""
             WITH {jaccard_pair_ctes()},
             {minhash_cand_ctes(params_values_sql(64),
