@@ -569,6 +569,51 @@ def _q_top_revenue_orders(spark, sf):
     return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
 
 
+def _q_q5_local_supplier(spark, sf):
+    """TPC-H Q5 shape: 6-way join (region→nation→customer→orders→
+    lineitem→supplier) with the local-supplier constraint
+    (s_nationkey = c_nationkey). Dims broadcast; the fact-side joins
+    shuffle on their keys and AQE handles the rest."""
+    re_ = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    na = _t(spark, sf, "nation")
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier")
+    j = (li.join(od, li.l_orderkey == od.o_orderkey)
+         .join(su, li.l_suppkey == su.s_suppkey)
+         .join(cu, (od.o_custkey == cu.c_custkey)
+               & (su.s_nationkey == cu.c_nationkey))
+         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+         .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+def _q_returned_revenue(spark, sf):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter — lineitem(l_returnflag='R') ⋈ orders(quarter window) ⋈
+    customer ⋈ broadcast(nation), top 20 by revenue."""
+    cu = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = _t(spark, sf, "nation")
+    j = (li.join(od, li.l_orderkey == od.o_orderkey)
+         .join(cu, od.o_custkey == cu.c_custkey)
+         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey))
+    rev = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
 def _q_segment_order_stats(spark, sf):
     cu = _t(spark, sf, "customer")
     od = _t(spark, sf, "orders")
@@ -2095,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_distribution": _q_salt_distribution,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "returned_revenue": _q_returned_revenue,
         "segment_order_stats": _q_segment_order_stats,
         "customers_without_orders": _q_customers_without_orders,
         "brands_in_lineitem": _q_brands_in_lineitem,
@@ -2714,6 +2761,36 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
+        """,
+        "returned_revenue": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-10-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "top_revenue_orders": """
             SELECT o_orderkey, o_orderdate,

@@ -205,7 +205,8 @@ def main() -> int:
                  "cross_source_dups", "length_fences", "meta_mi",
                  "kcenter_coreset", "props_keys",
                  "blocking_quality", "reshard_stats",
-                 "pareto_users", "type_affinity"]:
+                 "pareto_users", "type_affinity",
+                 "q5_local_supplier", "returned_revenue"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),
