@@ -1924,6 +1924,20 @@ def _q_type_affinity(spark, sf):
     return type_affinity(_t(spark, sf, "events"))
 
 
+def _q_ivf_balance(spark, sf):
+    """IVF inverted-list balance under kmeans_assign centroids
+    (ops/ann.py ivf_balance): list sizes + imbalance factor."""
+    from bella_domify_spark.ops.ann import ivf_balance
+    return ivf_balance(_t(spark, sf, "embeddings"))
+
+
+def _q_shard_balance(spark, sf):
+    """md5 hash-shard byte-balance audit (ops/lakehouse.py
+    shard_balance): per-shard doc/byte mass + max-over-even skew."""
+    from bella_domify_spark.ops.lakehouse import shard_balance
+    return shard_balance(_t(spark, sf, "documents"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -2080,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reshard_stats": _q_reshard_stats,
         "pareto_users": _q_pareto_users,
         "type_affinity": _q_type_affinity,
+        "ivf_balance": _q_ivf_balance,
+        "shard_balance": _q_shard_balance,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

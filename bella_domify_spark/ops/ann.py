@@ -1048,3 +1048,35 @@ def kcenter_oracle_sql(k: int = KCENTER_K,
         f"        SELECT {r} AS sel_idx, id AS vec_id, d2 AS d2_pick"
         f" FROM kp{r}" for r in range(k))
     return "WITH " + ",\n        ".join(parts) + "\n" + sel
+
+
+def ivf_balance(vectors: DataFrame, n_clusters: int = 8,
+                iters: int = 2) -> DataFrame:
+    """IVF index health readout: the size of every inverted list under
+    the kmeans_assign centroids, plus the imbalance factor
+    (list size over the perfectly-even share). IVF probe latency is
+    gated by the largest lists an nprobe touches — imb_e6 ≫ 1e6 on a
+    few lists means the quantizer collapsed (duplicate-heavy corpora
+    do this) and the index needs re-training or list splitting before
+    it ships.
+
+    All-integer: shares and imbalance quantize as n·k·1e6 div N /
+    n·1e6 div N (DECIMAL(38,0) products); the assignment itself is
+    kmeans_assign's bit-reproducible integer pipeline.
+
+    Scale: kmeans_assign's broadcast rounds + ONE map-side-combined
+    k-row aggregate.
+
+    Output: (cluster_id, n_vecs, share_e6, imb_e6).
+    """
+    a = kmeans_assign(vectors, n_clusters=n_clusters, iters=iters)
+    per = a.groupBy("cluster_id").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("n_vecs"))
+    tot = per.agg(F.sum("n_vecs").cast("long").alias("nn"),
+                  F.count(F.lit(1)).cast("long").alias("k"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("cluster_id", "n_vecs",
+                    F.expr("cast(n_vecs as decimal(38,0)) * 1000000"
+                           " div nn").alias("share_e6"),
+                    F.expr("cast(n_vecs as decimal(38,0)) * k * 1000000"
+                           " div nn").alias("imb_e6")))

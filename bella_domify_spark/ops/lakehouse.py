@@ -661,3 +661,40 @@ def reshard_stats(docs: DataFrame, id_col: str = "doc_id",
          .alias("frac_mod_e6"),
         F.expr("cast(moved_hrw as decimal(38,0)) * 1000000 div n_docs")
          .alias("frac_hrw_e6"))
+
+
+SHARD_N = 32
+
+
+def shard_balance(docs: DataFrame, id_col: str = "doc_id",
+                  weight_col: str = "n_chars",
+                  n_shards: int = SHARD_N) -> DataFrame:
+    """Hash-shard balance audit: place every document on one of
+    ``n_shards`` shards by md5 and report each shard's document count
+    and byte mass plus the corpus-wide skew factor (max shard over the
+    even share). This is the pre-flight check for any bucketed write:
+    skew_e6 ≈ 1e6 means hash partitioning will saturate all executors;
+    a fat shard predicts the straggler BEFORE the 100 TB job runs.
+
+    All-integer: md5-int60 placement (bit-identical cross-engine),
+    BIGINT byte sums, skew_e6 = max_bytes·n_shards·1e6 div total_bytes
+    repeated on every row (the gini_e9 convention).
+
+    Scale: one map-side-combined n_shards-row aggregate; the skew
+    scalar is a broadcast of that aggregate's max/sum.
+
+    Output: (shard, n_docs, n_bytes, skew_e6).
+    """
+    from bella_domify_spark.ops.dedup import _md5_int60
+    per = (docs.filter(F.col(weight_col).isNotNull())
+           .groupBy(F.pmod(_md5_int60(F.col(id_col).cast("string")),
+                           F.lit(n_shards)).alias("shard"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(weight_col).cast("long").alias("n_bytes")))
+    tot = per.agg(F.max("n_bytes").alias("mx"),
+                  F.sum("n_bytes").cast("long").alias("tot"),
+                  F.count(F.lit(1)).cast("long").alias("k"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("shard", "n_docs", "n_bytes",
+                    F.expr("cast(mx as decimal(38,0)) * k * 1000000"
+                           " div tot").alias("skew_e6")))

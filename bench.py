@@ -206,7 +206,8 @@ def main() -> int:
                  "kcenter_coreset", "props_keys",
                  "blocking_quality", "reshard_stats",
                  "pareto_users", "type_affinity",
-                 "q5_local_supplier", "returned_revenue"]:
+                 "q5_local_supplier", "returned_revenue",
+                 "ivf_balance", "shard_balance"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

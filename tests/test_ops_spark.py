@@ -3163,3 +3163,40 @@ class TestRound6Session8Ops:
         assert got == {("a", "b"): (2, 3, 2, 500_000, 1_333_333),
                        ("a", "c"): (1, 3, 1, 250_000, 1_333_333),
                        ("b", "c"): (1, 2, 1, 250_000, 2_000_000)}
+
+    def test_shard_balance_hand_counted(self, spark):
+        import hashlib
+
+        from bella_domify_spark.ops.lakehouse import shard_balance
+
+        rows = [(i, 10 * (i + 1)) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        exp = {}
+        for i, w in rows:
+            s = int(hashlib.md5(str(i).encode()).hexdigest()[:15],
+                    16) % 32
+            d, b = exp.get(s, (0, 0))
+            exp[s] = (d + 1, b + w)
+        got = {r["shard"]: (r["n_docs"], r["n_bytes"])
+               for r in shard_balance(df).collect()}
+        assert got == exp
+        mx = max(b for _, b in exp.values())
+        tot = sum(b for _, b in exp.values())
+        r0 = shard_balance(df).collect()[0]
+        assert r0["skew_e6"] == mx * len(exp) * 1_000_000 // tot
+
+    def test_ivf_balance_sums_to_corpus(self, spark):
+        from bella_domify_spark.ops.ann import ivf_balance, kmeans_assign
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 4), float(i // 4)]) for i in range(16)],
+            "vec_id long, embedding array<double>")
+        rows = ivf_balance(df, n_clusters=4).collect()
+        assert sum(r["n_vecs"] for r in rows) == 16
+        # shares sum to ~1e6 and imbalance = share·k exactly
+        for r in rows:
+            assert r["imb_e6"] == r["n_vecs"] * len(rows) * 10**6 // 16
+        # cluster ids match the assignment op's own output
+        a = {r["cluster_id"] for r in
+             kmeans_assign(df, n_clusters=4).collect()}
+        assert {r["cluster_id"] for r in rows} == a

@@ -512,6 +512,38 @@ def entries() -> dict[str, str]:
         "props_keys": _props_oracle_sql(),
         "pareto_users": _pareto_oracle_sql(),
         "type_affinity": _taff_oracle_sql(),
+        "ivf_balance": f"""
+            WITH {kmeans_ctes()},
+            ibw AS (
+                SELECT id, c_id FROM dF
+                QUALIFY row_number() OVER (PARTITION BY id
+                                           ORDER BY dist2, c_id) = 1
+            ),
+            ibp AS (SELECT c_id AS cluster_id, count(*)::BIGINT AS n_vecs
+                    FROM ibw GROUP BY c_id),
+            ibt AS (SELECT sum(n_vecs)::BIGINT AS nn,
+                           count(*)::BIGINT AS k FROM ibp)
+            SELECT cluster_id, n_vecs,
+                   (n_vecs::HUGEINT * 1000000 // nn)::BIGINT AS share_e6,
+                   (n_vecs::HUGEINT * k * 1000000 // nn)::BIGINT
+                       AS imb_e6
+            FROM ibp CROSS JOIN ibt
+        """,
+        "shard_balance": f"""
+            WITH sbp AS (
+                SELECT {md5_int60('doc_id::VARCHAR')} % 32 AS shard,
+                       count(*)::BIGINT AS n_docs,
+                       sum(n_chars)::BIGINT AS n_bytes
+                FROM documents WHERE n_chars IS NOT NULL
+                GROUP BY shard
+            ),
+            sbt AS (SELECT max(n_bytes) AS mx, sum(n_bytes)::BIGINT
+                               AS tot,
+                           count(*)::BIGINT AS k FROM sbp)
+            SELECT shard, n_docs, n_bytes,
+                   (mx::HUGEINT * k * 1000000 // tot)::BIGINT AS skew_e6
+            FROM sbp CROSS JOIN sbt
+        """,
         "blocking_quality": f"""
             WITH {jaccard_pair_ctes()},
             {minhash_cand_ctes(params_values_sql(64),
