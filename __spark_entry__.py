@@ -2041,14 +2041,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session-5 new queries (never driver-confirmed — window priority):
         "c4_filters": _q_c4_filters,
         # --- exiled tail (51+): no driver row this round ---
-        # The never-driver-confirmed queries below the boundary (the two
-        # remaining session-5 queries, six session-6, fourteen session-7,
-        # and the session-8 additions) defer to round 7 — oldest
-        # unconfirmed first. ALL are green in the local exact-hash
-        # oracle at sf0.01 AND sf0.1 (per-session runs) and take FIRST
-        # priority in the round-7 rotation: they fill ~31 of the 50
-        # window slots, the rest go to the longest-unconfirmed
-        # stalwarts further down.
+        # The never-driver-confirmed queries below the boundary (two
+        # session-5, six session-6, fourteen session-7, and the
+        # twenty-five session-8/9 additions = 47) defer to round 7 —
+        # oldest unconfirmed first. ALL are green in the local
+        # exact-hash oracle at sf0.01 AND sf0.1 (per-session runs) and
+        # take FIRST priority in the round-7 rotation: they fill 47 of
+        # the 50 window slots, the remainder goes to the
+        # longest-unconfirmed stalwarts further down.
         "encoding_report": _q_encoding_report,
         "secrets_detect": _q_secrets_detect,
         # session-6 new queries (never driver-confirmed):

@@ -776,40 +776,44 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
     ~(1−t)·|doc| shingles per document and those are by construction
     the RAREST, so hot-shingle blowup is structurally excluded (the
     frequency-ascending order is exactly the optimization the papers
-    prove minimal). The frequency-rank window is vocabulary-sized; the
-    per-document position window partitions by id.
+    prove minimal). The global order is (frequency, shingle) used
+    DIRECTLY — no dense rank, hence no global window anywhere in the
+    plan; the only window partitions by document id.
 
     Output: (id_a, id_b, n_a, n_b, n_common, jacc_e6), pairs id_a < id_b.
     """
     sh = word_shingles(df, id_col, text_col, n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-    # the vocab-sized rank table is consumed by all four tok pipelines
-    # below (two prefixes + two verify sides): persist IT — one corpus
-    # aggregate + one global sort instead of four — while the
-    # corpus-sized shingle stream itself stays recompute-not-cache
-    # (the jaccard_pairs discipline); released via _eager_release
-    rnk = freq.select(
-        "shingle",
-        F.row_number().over(Window.orderBy(F.asc("f"), F.asc("shingle")))
-         .alias("rnk")).persist()
-    tok = sh.join(rnk, "shingle").select("id", "rnk")
+    # the vocab-sized frequency table is consumed by all the tok
+    # pipelines below (prefix sides + verify sides): persist IT — one
+    # corpus aggregate instead of four — while the corpus-sized shingle
+    # stream itself stays recompute-not-cache (the jaccard_pairs
+    # discipline); released via _eager_release. The papers' global
+    # frequency order needs NO dense rank (and therefore NO global
+    # window anywhere): (f, shingle) is already a total order, the
+    # per-document prefix positions come from an id-partitioned window
+    # over it, and both the candidate and verify joins key on the
+    # shingle itself.
+    freq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+            .persist())
+    tok = sh.join(freq, "shingle").select("id", "shingle", "f")
     wid = Window.partitionBy("id")
     tokp = (tok.withColumn("s", F.count(F.lit(1)).over(wid))
-               .withColumn("pos", F.row_number().over(wid.orderBy("rnk"))))
+               .withColumn("pos", F.row_number().over(
+                   wid.orderBy("f", "shingle"))))
     ceil_ts = F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}")
     pref = tokp.filter(F.col("pos") <= F.col("s") - ceil_ts + 1)
     a = pref.select(F.col("id").alias("id_a"),
-                    F.col("s").cast("long").alias("n_a"), "rnk")
+                    F.col("s").cast("long").alias("n_a"), "shingle")
     b = pref.select(F.col("id").alias("id_b"),
-                    F.col("s").cast("long").alias("n_b"), "rnk")
-    cand = (a.join(b, "rnk")
+                    F.col("s").cast("long").alias("n_b"), "shingle")
+    cand = (a.join(b, "shingle")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (t_den * F.col("n_a") >= t_num * F.col("n_b"))
                     & (t_den * F.col("n_b") >= t_num * F.col("n_a")))
             .select("id_a", "id_b", "n_a", "n_b").distinct())
-    ta = tok.select(F.col("id").alias("id_a"), "rnk")
-    tb = tok.select(F.col("id").alias("id_b"), "rnk")
-    inter = (cand.join(ta, "id_a").join(tb, ["id_b", "rnk"])
+    ta = sh.select(F.col("id").alias("id_a"), "shingle")
+    tb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (cand.join(ta, "id_a").join(tb, ["id_b", "shingle"])
              .groupBy("id_a", "id_b", "n_a", "n_b")
              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
     out = (inter.filter(t_den * F.col("n_common")
@@ -818,7 +822,7 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
            .select("id_a", "id_b", "n_a", "n_b", "n_common",
                    F.expr("cast(n_common as decimal(38,0)) * 1000000"
                           " div (n_a + n_b - n_common)").alias("jacc_e6")))
-    return _eager_release(out, rnk)
+    return _eager_release(out, freq)
 
 
 def ppjoin_oracle_sql(t_num: int = PPJOIN_T_NUM,
