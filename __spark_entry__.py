@@ -1938,6 +1938,22 @@ def _q_shard_balance(spark, sf):
     return shard_balance(_t(spark, sf, "documents"))
 
 
+def _q_weekday_profile(spark, sf):
+    """Day-of-week seasonality + χ² uniformity per event type
+    (ops/temporal.py weekday_profile): engine-neutral
+    (epoch_days+4) mod 7 weekday, integer χ²."""
+    from bella_domify_spark.ops.temporal import weekday_profile
+    return weekday_profile(_t(spark, sf, "events"))
+
+
+def _q_conversion_lag(spark, sf):
+    """First-touch view→purchase conversion latency
+    (ops/temporal.py conversion_lag): rate + lower-median and p90
+    lag via rank selection."""
+    from bella_domify_spark.ops.temporal import conversion_lag
+    return conversion_lag(_t(spark, sf, "events"))
+
+
 def _q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (ops/dedup.py winnow_fingerprints):
     5-gram md5 hashes, 4-window packed-integer minima, guaranteed
@@ -2096,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_affinity": _q_type_affinity,
         "ivf_balance": _q_ivf_balance,
         "shard_balance": _q_shard_balance,
+        "weekday_profile": _q_weekday_profile,
+        "conversion_lag": _q_conversion_lag,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -655,3 +655,173 @@ def transition_entropy_oracle_sql() -> str:
         FROM tepn JOIN tep USING (prev_type)
         GROUP BY prev_type, c_p, n_next
     """
+
+
+def weekday_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile per event type, with a χ²
+    uniformity statistic — the "is this metric weekly-periodic?"
+    readout that decides whether anomaly baselines (anomaly_mad,
+    cusum_changepoint) must be day-of-week-conditioned. chi2 ≫ the
+    12.592 (α=0.05, 6 df) line means a flat baseline will page every
+    weekend.
+
+    Engine-neutral weekday: dow = (epoch_days + 4) mod 7 (1970-01-01
+    was a Thursday, so 0=Sunday..6=Saturday) — pure integer on both
+    engines, no locale-dependent dayofweek() anywhere. χ² against the
+    uniform expectation T/7 stays integer: Σ(7c − T)²·1e6 div (7·T)
+    in DECIMAL(38,0), repeated per type on each row (the gini_e9
+    convention).
+
+    Scale: one map-side-combined (type, dow) aggregate (≤ 7·|types|
+    rows); everything after is aggregate-sized.
+
+    Output: (event_type, dow, c, share_e6, chi2_e6).
+    """
+    per = (events.filter(F.col("ts").isNotNull()
+                         & F.col("event_type").isNotNull())
+           .groupBy("event_type",
+                    F.pmod(F.datediff(F.to_date("ts"),
+                                      F.lit("1970-01-01")) + 4, F.lit(7))
+                    .cast("long").alias("dow"))
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = per.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("t"))
+    # absent weekday cells (c = 0) still contribute (0 - T/7)² terms:
+    # num = Σ_present (7c - T)² + (7 - k)·T² with k = present cells
+    chi = (per.join(tot, "event_type")
+           .groupBy("event_type", "t")
+           .agg(F.sum(F.expr(
+               "cast(7 * c - t as decimal(38,0))"
+               " * cast(7 * c - t as decimal(38,0))")).alias("num_p"),
+                F.count(F.lit(1)).alias("k")))
+    return (per.join(chi.select("event_type",
+                                F.expr("(num_p + (7 - k) * cast(t as"
+                                       " decimal(38,0)) * t) * 1000000"
+                                       " div (7 * cast(t as"
+                                       " decimal(38,0)))").alias("chi2_e6"),
+                                F.col("t")), "event_type")
+            .select("event_type", "dow", "c",
+                    F.expr("cast(c as decimal(38,0)) * 1000000 div t")
+                     .alias("share_e6"),
+                    "chi2_e6"))
+
+
+def weekday_oracle_sql() -> str:
+    """DuckDB twin of weekday_profile (same (epoch_days+4) mod 7 grid,
+    HUGEINT χ², // division)."""
+    return """
+        WITH wdp AS (
+            SELECT event_type,
+                   ((ts::DATE - DATE '1970-01-01') + 4) % 7 AS dow,
+                   count(*)::BIGINT AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, dow
+        ), wdt AS (
+            SELECT event_type, sum(c)::BIGINT AS t FROM wdp
+            GROUP BY event_type
+        ), wdc AS (
+            SELECT p.event_type,
+                   ((sum((7 * c - t)::HUGEINT * (7 * c - t))
+                     + (7 - count(*)) * max(t)::HUGEINT * max(t))
+                    * 1000000 // (7 * max(t)::HUGEINT))::BIGINT
+                       AS chi2_e6
+            FROM wdp p JOIN wdt USING (event_type)
+            GROUP BY p.event_type
+        )
+        SELECT p.event_type, p.dow::BIGINT AS dow, p.c,
+               (c::HUGEINT * 1000000 // t)::BIGINT AS share_e6,
+               chi2_e6
+        FROM wdp p JOIN wdt USING (event_type)
+        JOIN wdc USING (event_type)
+    """
+
+
+def conversion_lag(events: DataFrame, from_type: str = "view",
+                   to_type: str = "purchase") -> DataFrame:
+    """First-touch conversion latency: per user, the time from the
+    FIRST ``from_type`` event to the first ``to_type`` event at or
+    after it, summarized as conversion rate + lower-median and p90
+    lag — the funnel-velocity number next to funnel_stages' pure
+    counts (how MANY convert vs how FAST they do).
+
+    Exact integers: lags are epoch-µs differences; the median is the
+    lower median (rank (n+1) div 2) and p90 the rank ⌈9n/10⌉ order
+    statistic — rank selection on the converted-user table, so ties
+    never change the reported value. conv_rate_e6 = converted·1e6 div
+    exposed in DECIMAL(38,0).
+
+    Scale: two map-side-combined per-user aggregates + one join; the
+    quantile window orders the CONVERTED-USER table (the same honest
+    single-pass form as length_fences — a truly unbounded user
+    population would two-level the rank selection).
+
+    Output: one row (n_exposed, n_converted, conv_rate_e6, med_lag_us,
+    p90_lag_us).
+    """
+    base = events.filter(F.col("ts").isNotNull()
+                         & F.col("user_id").isNotNull())
+    u = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = (base.filter(F.col("event_type") == from_type)
+         .groupBy("user_id").agg(F.min(u).alias("v_us")))
+    p = (base.filter(F.col("event_type") == to_type)
+         .select("user_id", u.alias("p_us")))
+    lag = (v.join(p, "user_id")
+           .filter(F.col("p_us") >= F.col("v_us"))
+           .groupBy("user_id", "v_us")
+           .agg(F.min("p_us").alias("p_us"))
+           .select((F.col("p_us") - F.col("v_us")).alias("lag_us")))
+    n_exp = v.agg(F.count(F.lit(1)).cast("long").alias("n_exposed"))
+    w = Window.orderBy("lag_us")
+    ranked = (lag.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    q = (ranked.groupBy("n")
+         .agg(F.min(F.when(F.expr("rn = (n + 1) div 2"),
+                           F.col("lag_us"))).alias("med_lag_us"),
+              F.min(F.when(F.expr("rn = (9 * n + 9) div 10"),
+                           F.col("lag_us"))).alias("p90_lag_us")))
+    return (n_exp.crossJoin(F.broadcast(q))
+            .select("n_exposed",
+                    F.col("n").cast("long").alias("n_converted"),
+                    F.expr("cast(n as decimal(38,0)) * 1000000"
+                           " div n_exposed").alias("conv_rate_e6"),
+                    "med_lag_us", "p90_lag_us"))
+
+
+def conversion_lag_oracle_sql(from_type: str = "view",
+                              to_type: str = "purchase") -> str:
+    """DuckDB twin of conversion_lag (same first-touch min-join, same
+    rank-selected quantiles)."""
+    return f"""
+        WITH clv AS (
+            SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type = '{from_type}'
+            GROUP BY user_id
+        ), clp AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+            FROM events e JOIN clv USING (user_id)
+            WHERE e.ts IS NOT NULL AND e.event_type = '{to_type}'
+                  AND epoch_us(e.ts) >= v_us
+            GROUP BY e.user_id
+        ), cll AS (
+            SELECT p_us - v_us AS lag_us FROM clv JOIN clp USING (user_id)
+        ), clr AS (
+            SELECT lag_us, row_number() OVER (ORDER BY lag_us) AS rn,
+                   count(*) OVER ()::BIGINT AS n
+            FROM cll
+        ), clq AS (
+            SELECT n,
+                   min(CASE WHEN rn = (n + 1) // 2 THEN lag_us END)
+                       AS med_lag_us,
+                   min(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_us END)
+                       AS p90_lag_us
+            FROM clr GROUP BY n
+        ), cle AS (SELECT count(*)::BIGINT AS n_exposed FROM clv)
+        SELECT n_exposed, n AS n_converted,
+               (n::HUGEINT * 1000000 // n_exposed)::BIGINT
+                   AS conv_rate_e6,
+               med_lag_us, p90_lag_us
+        FROM cle CROSS JOIN clq
+    """

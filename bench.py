@@ -207,7 +207,8 @@ def main() -> int:
                  "blocking_quality", "reshard_stats",
                  "pareto_users", "type_affinity",
                  "q5_local_supplier", "returned_revenue",
-                 "ivf_balance", "shard_balance"]:
+                 "ivf_balance", "shard_balance",
+                 "weekday_profile", "conversion_lag"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

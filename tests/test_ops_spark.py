@@ -3200,3 +3200,40 @@ class TestRound6Session8Ops:
         a = {r["cluster_id"] for r in
              kmeans_assign(df, n_clusters=4).collect()}
         assert {r["cluster_id"] for r in rows} == a
+
+    def test_weekday_profile_hand_counted(self, spark):
+        from datetime import datetime, timedelta
+
+        from bella_domify_spark.ops.temporal import weekday_profile
+
+        sun = datetime(2024, 1, 7)          # a Sunday -> dow 0
+        rows = [(sun, "a")] * 7             # all mass in one cell
+        rows += [(sun + timedelta(days=d), "b") for d in range(7)]
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        got = {(r["event_type"], r["dow"]): (r["c"], r["share_e6"],
+                                             r["chi2_e6"])
+               for r in weekday_profile(df).collect()}
+        # a: chi2 = (7-1)²/1 + 6·1 = 42 (absent cells count!)
+        assert got[("a", 0)] == (7, 1_000_000, 42_000_000)
+        # b: perfectly uniform -> chi2 0, one event per dow
+        for d in range(7):
+            assert got[("b", d)] == (1, 142_857, 0)
+
+    def test_conversion_lag_hand_counted(self, spark):
+        from datetime import datetime
+
+        from bella_domify_spark.ops.temporal import conversion_lag
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [(1, t(0), "view"), (1, t(10), "purchase"),
+                (2, t(0), "view"), (2, t(5), "purchase"),
+                (3, t(0), "view"),                  # never converts
+                (4, t(0), "purchase"),              # never exposed
+                (5, t(5), "view"), (5, t(0), "purchase")]  # p before v
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        r = conversion_lag(df).collect()[0]
+        assert (r["n_exposed"], r["n_converted"]) == (4, 2)
+        assert r["conv_rate_e6"] == 500_000
+        assert r["med_lag_us"] == 5_000_000    # lower median of {5s,10s}
+        assert r["p90_lag_us"] == 10_000_000   # rank ceil(0.9·2) = 2

@@ -92,7 +92,11 @@ def entries() -> dict[str, str]:
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql,
                                                  transition_entropy_oracle_sql
-                                                 as _te_oracle_sql)
+                                                 as _te_oracle_sql,
+                                                 weekday_oracle_sql
+                                                 as _wd_oracle_sql,
+                                                 conversion_lag_oracle_sql
+                                                 as _clag_oracle_sql)
     from bella_domify_spark.ops.analyze import (benford_oracle_sql
                                                 as _benford_oracle_sql,
                                                 fences_oracle_sql
@@ -512,6 +516,8 @@ def entries() -> dict[str, str]:
         "props_keys": _props_oracle_sql(),
         "pareto_users": _pareto_oracle_sql(),
         "type_affinity": _taff_oracle_sql(),
+        "weekday_profile": _wd_oracle_sql(),
+        "conversion_lag": _clag_oracle_sql(),
         "ivf_balance": f"""
             WITH {kmeans_ctes()},
             ibw AS (
