@@ -990,6 +990,45 @@ def _q_resumable_roundtrip(spark, sf):
                       "extracted_text", "status")
 
 
+def _q_manifest_stats(spark, sf):
+    """Lineage-manifest analytics under the driver oracle: run the
+    resumable sink with an md5-family bucket expression (so DuckDB can
+    recompute the routing from `documents` alone), then read the
+    committed per-bucket manifest JSONs back and report each bucket's
+    recorded row count + the row-balance skew — the driver-verified
+    proof that manifests record exactly what the bucket assignment
+    dictates. bytes/wall_ms are lineage-only (encoding- and
+    host-dependent) and deliberately excluded from the hashed output.
+    Reference: services/parse_manager.py task ledger (SURVEY.md S4)."""
+    import os
+    import shutil
+
+    from bella_domify_spark.engine.manifest import run_resumable
+    from bella_domify_spark.ops.dedup import _md5_int60
+
+    t = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"))
+    out = f"/tmp/bds_manifests_{os.path.basename(sf.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    bexpr = F.pmod(_md5_int60(F.concat_ws(":", F.col("conv_id"),
+                                          F.col("turn_idx"))), F.lit(16))
+    run_resumable(t, out, n_buckets=16, bucket_expr=bexpr)
+    m = (spark.read.json(f"{out}/_manifests/bucket-*.json")
+         .select(F.col("bucket").cast("long").alias("bucket"),
+                 F.col("rows").cast("long").alias("n_rows")))
+    tot = m.agg(F.sum("n_rows").cast("long").alias("tot"),
+                F.max("n_rows").alias("mx"),
+                F.count(F.lit(1)).cast("long").alias("k"))
+    return (m.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_rows",
+                    F.expr("cast(n_rows as decimal(38,0)) * 1000000"
+                           " div tot").alias("share_e6"),
+                    F.expr("cast(mx as decimal(38,0)) * k * 1000000"
+                           " div tot").alias("skew_e6")))
+
+
 def _q_gopher_quality(spark, sf):
     """Gopher-rule quality gates (word-count / mean-word-length windows,
     alpha ratio, stopword presence) — integer-quantized, shuffle-free."""
@@ -2114,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance": _q_shard_balance,
         "weekday_profile": _q_weekday_profile,
         "conversion_lag": _q_conversion_lag,
+        "manifest_stats": _q_manifest_stats,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

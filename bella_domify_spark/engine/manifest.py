@@ -294,17 +294,25 @@ def read_manifests(out_dir: str) -> List[dict]:
             if n.startswith("bucket-")]
 
 
-def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+def with_bucket(df: DataFrame, n_buckets: int,
+                bucket_expr=None) -> DataFrame:
     """Deterministic work-unit id — also the salt that spreads a long
-    conversation across buckets (skew handling per north_rule)."""
-    return df.withColumn(
-        "pid", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_buckets)).cast("int"))
+    conversation across buckets (skew handling per north_rule).
+    ``bucket_expr`` (optional Column in 0..n_buckets-1) overrides the
+    default xxhash64 pid — used by oracle-mirrored lineage audits that
+    need an md5-family bucket both engines can compute; the default
+    path is byte-identical to before."""
+    pid = (bucket_expr if bucket_expr is not None
+           else F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                       F.lit(n_buckets)))
+    return df.withColumn("pid", pid.cast("int"))
 
 
 def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
                   partitions: Optional[int] = None, run_id: str = "run",
                   fused: bool = True,
-                  ocr_provider: Optional[str] = None) -> dict:
+                  ocr_provider: Optional[str] = None,
+                  bucket_expr=None) -> dict:
     """Full resumable extraction: bucket → resume-filter → shuffle → parse →
     per-bucket atomic sink. ``df`` is the raw transcript table; ``out_dir``
     is a local path or a pyarrow-compatible URI.
@@ -333,7 +341,7 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
 
     done = completed_buckets(out_dir)
     _pin_run_params(_store, done, ocr_provider, n_buckets)
-    df = with_bucket(df, n_buckets)
+    df = with_bucket(df, n_buckets, bucket_expr)
     if done and len(done) <= RESUME_ISIN_LIMIT:
         # literal NOT IN pushes into the scan stage (rows of completed
         # buckets are dropped at the source)

@@ -208,7 +208,8 @@ def main() -> int:
                  "pareto_users", "type_affinity",
                  "q5_local_supplier", "returned_revenue",
                  "ivf_balance", "shard_balance",
-                 "weekday_profile", "conversion_lag"]:
+                 "weekday_profile", "conversion_lag",
+                 "manifest_stats"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

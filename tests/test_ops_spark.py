@@ -3237,3 +3237,31 @@ class TestRound6Session8Ops:
         assert r["conv_rate_e6"] == 500_000
         assert r["med_lag_us"] == 5_000_000    # lower median of {5s,10s}
         assert r["p90_lag_us"] == 10_000_000   # rank ceil(0.9·2) = 2
+
+    def test_run_resumable_custom_bucket_expr_resumes(self, spark, tmp_path):
+        import hashlib
+
+        import pyspark.sql.functions as F
+
+        from bella_domify_spark.engine.manifest import run_resumable
+        from bella_domify_spark.ops.dedup import _md5_int60
+
+        df = spark.createDataFrame(
+            [(str(i), 0, f"text {i}") for i in range(20)],
+            "conv_id string, turn_idx int, text string")
+        bexpr = F.pmod(_md5_int60(F.concat_ws(":", F.col("conv_id"),
+                                              F.col("turn_idx"))),
+                       F.lit(4))
+        out = str(tmp_path / "mstats")
+        first = run_resumable(df, out, n_buckets=4, bucket_expr=bexpr)
+        second = run_resumable(df, out, n_buckets=4, bucket_expr=bexpr)
+        assert first["rows"] == 20 and second["buckets_written"] == 0
+        # routing matches the md5 recipe exactly
+        m = spark.read.json(f"{out}/_manifests/bucket-*.json")
+        got = {r["bucket"]: r["rows"] for r in m.collect()}
+        exp = {}
+        for i in range(20):
+            b = int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:15],
+                    16) % 4
+            exp[b] = exp.get(b, 0) + 1
+        assert got == exp

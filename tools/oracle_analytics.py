@@ -518,6 +518,21 @@ def entries() -> dict[str, str]:
         "type_affinity": _taff_oracle_sql(),
         "weekday_profile": _wd_oracle_sql(),
         "conversion_lag": _clag_oracle_sql(),
+        "manifest_stats": f"""
+            WITH msb AS (
+                SELECT {md5_int60("doc_id::VARCHAR || ':0'")} % 16
+                           AS bucket,
+                       count(*)::BIGINT AS n_rows
+                FROM documents GROUP BY bucket
+            ),
+            mst AS (SELECT sum(n_rows)::BIGINT AS tot,
+                           max(n_rows) AS mx,
+                           count(*)::BIGINT AS k FROM msb)
+            SELECT bucket, n_rows,
+                   (n_rows::HUGEINT * 1000000 // tot)::BIGINT AS share_e6,
+                   (mx::HUGEINT * k * 1000000 // tot)::BIGINT AS skew_e6
+            FROM msb CROSS JOIN mst
+        """,
         "ivf_balance": f"""
             WITH {kmeans_ctes()},
             ibw AS (
