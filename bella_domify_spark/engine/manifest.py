@@ -257,14 +257,19 @@ RUN_PARAMS_NAME = "_run_params.json"
 
 
 def _pin_run_params(store: BucketStore, done: set,
-                    ocr_provider: Optional[str], n_buckets: int) -> None:
+                    ocr_provider: Optional[str], n_buckets: int,
+                    custom_bucket: bool = False) -> None:
     """Parse-affecting parameters must be IDENTICAL across every run that
     shares one out_dir: resuming with a different ``ocr_provider`` would
     mix provider and provider-less buckets into one silently inconsistent
     dataset, and a different ``n_buckets`` remaps rows into already-"done"
     bucket ids (skipped = silent data loss). The first run pins them in
-    ``_manifests/_run_params.json``; resumes verify and fail loud."""
-    params = {"ocr_provider": ocr_provider, "n_buckets": int(n_buckets)}
+    ``_manifests/_run_params.json``; resumes verify and fail loud.
+    ``custom_bucket`` records that a caller-supplied bucket_expr routed
+    this layout — point reads (lookup_turn) refuse such layouts rather
+    than silently probing the wrong bucket with the default hash."""
+    params = {"ocr_provider": ocr_provider, "n_buckets": int(n_buckets),
+              "custom_bucket": bool(custom_bucket)}
     try:
         recorded = store.read_json("_manifests", RUN_PARAMS_NAME)
     except Exception:  # noqa: BLE001 — missing/unreadable = not recorded
@@ -340,7 +345,8 @@ def run_resumable(df: DataFrame, out_dir: str, n_buckets: int = 64,
     _store.clean_tmp()  # orphans from crashed attempts; no attempt is live
 
     done = completed_buckets(out_dir)
-    _pin_run_params(_store, done, ocr_provider, n_buckets)
+    _pin_run_params(_store, done, ocr_provider, n_buckets,
+                    custom_bucket=bucket_expr is not None)
     df = with_bucket(df, n_buckets, bucket_expr)
     if done and len(done) <= RESUME_ISIN_LIMIT:
         # literal NOT IN pushes into the scan stage (rows of completed
@@ -474,6 +480,11 @@ def lookup_turn(spark, out_dir: str, conv_id, turn_idx) -> DataFrame:
 
     store = BucketStore(out_dir)
     params = store.read_json("_manifests", RUN_PARAMS_NAME)
+    if params.get("custom_bucket"):
+        raise ValueError(
+            f"{out_dir} was written with a caller-supplied bucket_expr; "
+            "lookup_turn's default-hash routing would probe the wrong "
+            "bucket — read the layout with spark.read.parquet instead")
     n_buckets = int(params["n_buckets"])
     manifests = read_manifests(out_dir)
     if not manifests:

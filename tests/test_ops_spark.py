@@ -3265,3 +3265,23 @@ class TestRound6Session8Ops:
                     16) % 4
             exp[b] = exp.get(b, 0) + 1
         assert got == exp
+
+    def test_lookup_refuses_custom_bucket_layout(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        import pytest
+
+        from bella_domify_spark.engine.manifest import (lookup_turn,
+                                                        run_resumable)
+        from bella_domify_spark.ops.dedup import _md5_int60
+
+        df = spark.createDataFrame(
+            [(str(i), 0, f"text {i}") for i in range(8)],
+            "conv_id string, turn_idx int, text string")
+        bexpr = F.pmod(_md5_int60(F.col("conv_id")), F.lit(4))
+        out = str(tmp_path / "custom")
+        run_resumable(df, out, n_buckets=4, bucket_expr=bexpr)
+        with pytest.raises(ValueError, match="bucket_expr"):
+            lookup_turn(spark, out, "3", 0)
+        # and a default-hash resume against the custom layout fails loud
+        with pytest.raises(ValueError, match="mismatch"):
+            run_resumable(df, out, n_buckets=4)
