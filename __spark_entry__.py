@@ -990,6 +990,14 @@ def _q_resumable_roundtrip(spark, sf):
                       "extracted_text", "status")
 
 
+def _q_tool_latency_tail(spark, sf):
+    """p50/p95/p99 tool-invocation latency (ops/transcript.py
+    tool_latency_tail): rank-selected exact order statistics per tool
+    — the SLO view next to tool_latency's n/sum/max."""
+    from bella_domify_spark.ops.transcript import tool_latency_tail
+    return tool_latency_tail(_agent_transcripts(spark, sf))
+
+
 def _q_manifest_stats(spark, sf):
     """Lineage-manifest analytics under the driver oracle: run the
     resumable sink with an md5-family bucket expression (so DuckDB can
@@ -2154,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": _q_weekday_profile,
         "conversion_lag": _q_conversion_lag,
         "manifest_stats": _q_manifest_stats,
+        "tool_latency_tail": _q_tool_latency_tail,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,
@@ -2692,6 +2701,30 @@ def oracle_sql() -> dict[str, str]:
                    max(gap_us) AS max_gap_us
             FROM gaps WHERE role = 'tool' AND gap_us IS NOT NULL
             GROUP BY tool
+        """,
+        "tool_latency_tail": f"""
+            WITH {_AGENT_T_CTE},
+            gaps AS (
+                SELECT role, tool,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+                FROM t
+            ),
+            tg AS (
+                SELECT tool, gap_us,
+                       count(*) OVER (PARTITION BY tool)::BIGINT AS n,
+                       row_number() OVER (PARTITION BY tool
+                                          ORDER BY gap_us) AS rn
+                FROM gaps WHERE role = 'tool' AND gap_us IS NOT NULL
+            )
+            SELECT tool, max(n) AS n_calls,
+                   min(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                       AS p50_us,
+                   min(CASE WHEN rn = (95 * n + 99) // 100 THEN gap_us END)
+                       AS p95_us,
+                   min(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END)
+                       AS p99_us
+            FROM tg GROUP BY tool
         """,
         "session_gap": """
             SELECT user_id, event_id,

@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["tool_run_stats", "role_transitions", "tool_latency",
-           "truncate_conversations", "event_trigrams",
-           "turn_revision_stats"]
+           "tool_latency_tail", "truncate_conversations",
+           "event_trigrams", "turn_revision_stats"]
 
 
 def _turn_window(conv_col: str, idx_col: str) -> Window:
@@ -261,3 +261,43 @@ def context_budget_oracle_sql(budget: int = CONTEXT_BUDGET_TOKENS) -> str:
         FROM c
         GROUP BY user_id
     """
+
+
+def tool_latency_tail(t: DataFrame, conv_col: str = "conv_id",
+                      idx_col: str = "turn_idx", role_col: str = "role",
+                      tool_col: str = "tool",
+                      ts_col: str = "ts") -> DataFrame:
+    """Tail latency per tool — the SLO numbers tool_latency's n/sum/max
+    can't give: p50/p95/p99 of the gap between a tool turn and its
+    conversation's previous turn. Production tool budgets are set on
+    p95/p99, not means; a tool whose p99 is 50× its p50 needs a timeout
+    policy, not more capacity.
+
+    Exact order statistics by rank selection (value at rank ⌈q·n⌉,
+    computed as (q_num·n + q_den − 1) div q_den) — ties never change
+    the reported value, and every lag is an exact integer µs.
+
+    Scale: the gap window partitions by conversation, the rank window
+    by tool — both bounded partitions, no global sort.
+
+    Output: (tool, n_calls, p50_us, p95_us, p99_us).
+    """
+    w = _turn_window(conv_col, idx_col)
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    g = (t.withColumn("_gap_us", gap)
+         .filter((F.col(role_col) == "tool")
+                 & F.col("_gap_us").isNotNull())
+         .select(F.col(tool_col).alias("tool"), "_gap_us"))
+    wt = Window.partitionBy("tool")
+    ranked = (g.withColumn("n", F.count(F.lit(1)).over(wt))
+               .withColumn("rn", F.row_number().over(
+                   wt.orderBy("_gap_us"))))
+    return (ranked.groupBy("tool")
+            .agg(F.max("n").cast("long").alias("n_calls"),
+                 F.min(F.when(F.expr("rn = (n + 1) div 2"),
+                              F.col("_gap_us"))).alias("p50_us"),
+                 F.min(F.when(F.expr("rn = (95 * n + 99) div 100"),
+                              F.col("_gap_us"))).alias("p95_us"),
+                 F.min(F.when(F.expr("rn = (99 * n + 99) div 100"),
+                              F.col("_gap_us"))).alias("p99_us")))

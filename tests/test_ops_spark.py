@@ -3285,3 +3285,24 @@ class TestRound6Session8Ops:
         # and a default-hash resume against the custom layout fails loud
         with pytest.raises(ValueError, match="mismatch"):
             run_resumable(df, out, n_buckets=4)
+
+    def test_tool_latency_tail_hand_counted(self, spark):
+        from datetime import datetime
+
+        from bella_domify_spark.ops.transcript import tool_latency_tail
+
+        rows = []
+        for i in range(1, 11):          # gaps 1s..10s on one tool
+            t0 = datetime(2024, 1, 1, i)
+            rows += [(f"c{i}", 0, "user", "", t0),
+                     (f"c{i}", 1, "tool", "tool_x",
+                      t0.replace(second=i))]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string,"
+                  " tool string, ts timestamp")
+        r = tool_latency_tail(df).collect()
+        assert len(r) == 1
+        assert (r[0]["tool"], r[0]["n_calls"]) == ("tool_x", 10)
+        assert r[0]["p50_us"] == 5_000_000      # rank (10+1) div 2 = 5
+        assert r[0]["p95_us"] == 10_000_000     # rank ceil(9.5) = 10
+        assert r[0]["p99_us"] == 10_000_000

@@ -250,7 +250,8 @@ class TestEngineThreading:
         run_resumable(df, out, n_buckets=4, partitions=2)
         params = json.load(open(os.path.join(out, "_manifests",
                                              "_run_params.json")))
-        assert params == {"ocr_provider": None, "n_buckets": 4}
+        assert params == {"ocr_provider": None, "n_buckets": 4,
+                          "custom_bucket": False}
 
         with pytest.raises(ValueError, match="resume parameter mismatch"):
             run_resumable(df, out, n_buckets=4, partitions=2,
