@@ -998,6 +998,14 @@ def _q_tool_latency_tail(spark, sf):
     return tool_latency_tail(_agent_transcripts(spark, sf))
 
 
+def _q_bottomk_estimate(spark, sf):
+    """Bottom-k (KMV) Jaccard estimator calibration vs exact truth
+    (ops/sketches.py bottomk_estimate): single-permutation sketch, the
+    union-B_k estimator, per-pair error table."""
+    from bella_domify_spark.ops.sketches import bottomk_estimate
+    return bottomk_estimate(_t(spark, sf, "documents"))
+
+
 def _q_manifest_stats(spark, sf):
     """Lineage-manifest analytics under the driver oracle: run the
     resumable sink with an md5-family bucket expression (so DuckDB can
@@ -2163,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": _q_conversion_lag,
         "manifest_stats": _q_manifest_stats,
         "tool_latency_tail": _q_tool_latency_tail,
+        "bottomk_estimate": _q_bottomk_estimate,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -285,3 +285,129 @@ def hll_sliding_distinct(events: DataFrame, window_days: int = 7,
             .select(F.col("t_day").alias("day"), "n_exact",
                     F.floor(est * F.lit(1e4)).cast("long")
                     .alias("est_hll_e4")))
+
+
+BK_K = 32
+
+
+def bottomk_estimate(docs: DataFrame, k: int = BK_K,
+                     threshold: float = 0.2) -> DataFrame:
+    """Bottom-k (single-permutation KMV) Jaccard estimation, calibrated
+    against exact truth — the sketch production dedup actually ships
+    when 64 independent minhashes are too expensive: ONE hash per
+    shingle, keep each document's k smallest values, and estimate
+    J(A,B) = |B_k(A∪B) ∩ B_k(A) ∩ B_k(B)| / |B_k(A∪B)| (Bar-Yossef et
+    al.'s KMV estimator — B_k of the union is computable from the two
+    sketches alone). This query scores the estimator per true near-dup
+    pair, the calibration table that picks k.
+
+    Everything is relational and exact-deterministic: md5-int60 hashes,
+    per-document bottom-k by rank, the pair-level union re-ranked by a
+    (pair)-partitioned window over ≤ 2k rows, and
+    est_e6 = hits·1e6 div k_eff. true_e6 = floor(jaccard·1e6) floors
+    the same IEEE division both engines compute.
+
+    Scale: the truth side is brute force (this is an audit — sample in
+    production, exactly like blocking_quality); the sketch side is one
+    scan + a per-document rank. Per-pair work is O(k).
+
+    Output: (id_a, id_b, true_e6, est_e6, err_e6).
+    """
+    from bella_domify_spark.ops.dedup import (_md5_int60, jaccard_pairs,
+                                              word_shingles)
+    sh = word_shingles(docs)
+    wid = Window.partitionBy("id").orderBy("hv")
+    bk = (sh.select("id", _md5_int60(F.col("shingle")).alias("hv"))
+          .withColumn("rn", F.row_number().over(wid))
+          .filter(F.col("rn") <= k).select("id", "hv"))
+    tp = (jaccard_pairs(docs, threshold=threshold)
+          .select("id_a", "id_b",
+                  F.floor(F.col("jaccard") * 1e6).cast("long")
+                   .alias("true_e6")).persist())
+    ea = (tp.join(bk.withColumnRenamed("id", "id_a"), "id_a")
+          .select("id_a", "id_b", "hv", F.lit(1).alias("ia"),
+                  F.lit(0).alias("ib")))
+    eb = (tp.join(bk.withColumnRenamed("id", "id_b"), "id_b")
+          .select("id_a", "id_b", "hv", F.lit(0).alias("ia"),
+                  F.lit(1).alias("ib")))
+    g = (ea.unionByName(eb)
+         .groupBy("id_a", "id_b", "hv")
+         .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+    wp = Window.partitionBy("id_a", "id_b").orderBy("hv")
+    r = g.withColumn("rn", F.row_number().over(wp))
+    s = (r.groupBy("id_a", "id_b")
+         .agg(F.sum(F.when((F.col("rn") <= k) & (F.col("ia") == 1)
+                           & (F.col("ib") == 1), 1).otherwise(0))
+               .cast("long").alias("num"),
+              F.sum(F.when(F.col("rn") <= k, 1).otherwise(0))
+               .cast("long").alias("keff")))
+    out = (s.join(tp, ["id_a", "id_b"])
+           .select("id_a", "id_b", "true_e6",
+                   F.expr("cast(num as decimal(38,0)) * 1000000"
+                          " div keff").alias("est_e6"))
+           .withColumn("err_e6", F.abs(F.col("est_e6")
+                                       - F.col("true_e6"))))
+    from bella_domify_spark.ops.dedup import _eager_release
+    return _eager_release(out, tp)
+
+
+def bottomk_oracle_sql(k: int = BK_K, threshold: float = 0.2) -> str:
+    """DuckDB twin of bottomk_estimate (same md5-int60 bottom-k, same
+    KMV union estimator, // exact division). Assembled on the shared
+    shingle/jaccard CTEs by the caller (needs `sh`, `sizes`, `freq`,
+    `shf`, `common` in scope)."""
+    return f"""
+            bktp AS (
+                SELECT id_a, id_b,
+                       floor(n_common::DOUBLE
+                             / (sa.n_sh + sb.n_sh - n_common)
+                             * 1e6)::BIGINT AS true_e6
+                FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+                      >= {threshold}
+            ),
+            bkh AS (
+                SELECT id, hv FROM (
+                    SELECT id,
+                           ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                               AS hv,
+                           row_number() OVER (
+                               PARTITION BY id
+                               ORDER BY ('0x' || substr(md5(shingle),
+                                                        1, 15))::BIGINT)
+                               AS rn
+                    FROM sh
+                ) WHERE rn <= {k}
+            ),
+            bke AS (
+                SELECT p.id_a, p.id_b, b.hv, 1 AS ia, 0 AS ib
+                FROM bktp p JOIN bkh b ON b.id = p.id_a
+                UNION ALL
+                SELECT p.id_a, p.id_b, b.hv, 0, 1
+                FROM bktp p JOIN bkh b ON b.id = p.id_b
+            ),
+            bkg AS (
+                SELECT id_a, id_b, hv, max(ia) AS ia, max(ib) AS ib
+                FROM bke GROUP BY id_a, id_b, hv
+            ),
+            bkr AS (
+                SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                                             ORDER BY hv) AS rn
+                FROM bkg
+            ),
+            bks AS (
+                SELECT id_a, id_b,
+                       sum(CASE WHEN rn <= {k} AND ia = 1 AND ib = 1
+                                THEN 1 ELSE 0 END)::BIGINT AS num,
+                       sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END)::BIGINT
+                           AS keff
+                FROM bkr GROUP BY id_a, id_b
+            )
+            SELECT s.id_a, s.id_b, true_e6,
+                   (num::HUGEINT * 1000000 // keff)::BIGINT AS est_e6,
+                   abs((num::HUGEINT * 1000000 // keff)::BIGINT
+                       - true_e6) AS err_e6
+            FROM bks s JOIN bktp USING (id_a, id_b)
+    """

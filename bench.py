@@ -209,7 +209,8 @@ def main() -> int:
                  "q5_local_supplier", "returned_revenue",
                  "ivf_balance", "shard_balance",
                  "weekday_profile", "conversion_lag",
-                 "manifest_stats", "tool_latency_tail"]:
+                 "manifest_stats", "tool_latency_tail",
+                 "bottomk_estimate"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

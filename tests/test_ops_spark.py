@@ -3306,3 +3306,21 @@ class TestRound6Session8Ops:
         assert r[0]["p50_us"] == 5_000_000      # rank (10+1) div 2 = 5
         assert r[0]["p95_us"] == 10_000_000     # rank ceil(9.5) = 10
         assert r[0]["p99_us"] == 10_000_000
+
+    def test_bottomk_estimate_exact_on_identical_docs(self, spark):
+        from bella_domify_spark.ops.sketches import bottomk_estimate
+
+        # identical docs: sketches identical -> est = k_eff/k_eff = 1e6,
+        # true = 1e6, err 0; the near pair estimates within 1/k
+        base = " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, base + " extra tail words here")],
+            "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): (r["true_e6"], r["est_e6"],
+                                        r["err_e6"])
+               for r in bottomk_estimate(df).collect()}
+        assert got[(1, 2)] == (1_000_000, 1_000_000, 0)
+        for pair in ((1, 3), (2, 3)):
+            true_e6, est_e6, err = got[pair]
+            assert true_e6 < 1_000_000
+            assert err == abs(est_e6 - true_e6) < 200_000  # within ~k/32

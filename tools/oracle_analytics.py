@@ -147,7 +147,10 @@ def entries() -> dict[str, str]:
         walk_ctes,
     )
     from bella_domify_spark.ops.hashfamily import params_values_sql
-    from bella_domify_spark.ops.sketches import CMS_D, CMS_W, HLL_NUMERATOR
+    from bella_domify_spark.ops.sketches import (CMS_D, CMS_W,
+                                                 HLL_NUMERATOR,
+                                                 bottomk_oracle_sql
+                                                 as _bk_oracle_tail)
 
     # same locals as __spark_entry__.oracle_sql() (the moved entries
     # interpolate them; definitions duplicated, constants imported)
@@ -518,6 +521,10 @@ def entries() -> dict[str, str]:
         "type_affinity": _taff_oracle_sql(),
         "weekday_profile": _wd_oracle_sql(),
         "conversion_lag": _clag_oracle_sql(),
+        "bottomk_estimate": f"""
+            WITH {jaccard_pair_ctes()},
+            {_bk_oracle_tail()}
+        """,
         "manifest_stats": f"""
             WITH msb AS (
                 SELECT {md5_int60("doc_id::VARCHAR || ':0'")} % 16
