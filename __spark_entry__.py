@@ -998,6 +998,22 @@ def _q_tool_latency_tail(spark, sf):
     return tool_latency_tail(_agent_transcripts(spark, sf))
 
 
+def _q_postings_compression(spark, sf):
+    """Inverted-index size planner (ops/retrieval.py
+    postings_compression): delta+varint bytes vs raw per
+    document-frequency bucket, engine-identical bin() bit lengths."""
+    from bella_domify_spark.ops.retrieval import postings_compression
+    return postings_compression(_t(spark, sf, "documents"))
+
+
+def _q_apportion_sample(spark, sf):
+    """Hamilton largest-remainder sample apportionment
+    (ops/curate.py apportion_sample): integer div/mod quotas, ranked
+    remainders, Σ quota = N exactly."""
+    from bella_domify_spark.ops.curate import apportion_sample
+    return apportion_sample(_t(spark, sf, "documents"))
+
+
 def _q_bottomk_estimate(spark, sf):
     """Bottom-k (KMV) Jaccard estimator calibration vs exact truth
     (ops/sketches.py bottomk_estimate): single-permutation sketch, the
@@ -2172,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_stats": _q_manifest_stats,
         "tool_latency_tail": _q_tool_latency_tail,
         "bottomk_estimate": _q_bottomk_estimate,
+        "postings_compression": _q_postings_compression,
+        "apportion_sample": _q_apportion_sample,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

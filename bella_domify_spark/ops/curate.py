@@ -336,3 +336,77 @@ def t_closeness_oracle_sql() -> str:
                     > {T_CLOSENESS_E9}) AS at_risk
         FROM tx
     """
+
+
+APPORTION_N = 1000
+
+
+def apportion_sample(docs: DataFrame, n_target: int = APPORTION_N,
+                     group_col: str = "source") -> DataFrame:
+    """Exact sample-quota apportionment across sources by Hamilton's
+    largest-remainder method: every source gets ⌊N·nᵢ/T⌋ slots, and the
+    N − Σ⌊·⌋ leftover slots go to the largest fractional remainders —
+    the ONLY rounding scheme whose quotas sum to exactly N (naive
+    per-source rounding over- or under-shoots, and at 10⁴ sources the
+    drift is hundreds of documents). The eval-set construction step
+    after source_temperature decides the proportions.
+
+    Pure integers: qᵢ = N·nᵢ, baseᵢ = qᵢ div T, remainderᵢ = qᵢ mod T;
+    remainders rank (desc, source asc) and the top (N − Σbase) sources
+    take one extra. N·nᵢ ~ 1e3·1e12 — DECIMAL(38,0) products.
+
+    Scale: one map-side-combined groupBy to |sources| rows; the
+    remainder rank window runs on that bounded table.
+
+    Output: (source, n_docs, base_quota, extra, quota); Σ quota = N by
+    construction (pinned by the unit test).
+    """
+    per = (docs.filter(F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("source"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    tot = per.agg(F.sum("n_docs").cast("long").alias("t"))
+    q = (per.crossJoin(F.broadcast(tot))
+         .select("source", "n_docs",
+                 F.expr(f"cast({n_target} as decimal(38,0)) * n_docs"
+                        " div t").cast("long").alias("base_quota"),
+                 F.expr(f"cast(cast({n_target} as decimal(38,0))"
+                        " * n_docs % t as long)").alias("rem")))
+    deficit = q.agg((F.lit(n_target) - F.sum("base_quota")).cast("long")
+                    .alias("d"))
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (q.withColumn("rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(deficit))
+            .select("source", "n_docs", "base_quota",
+                    F.when(F.col("rk") <= F.col("d"), 1).otherwise(0)
+                     .cast("long").alias("extra"))
+            .withColumn("quota", F.col("base_quota") + F.col("extra")))
+
+
+def apportion_oracle_sql(n_target: int = APPORTION_N) -> str:
+    """DuckDB twin of apportion_sample (same div/mod quotas, same
+    remainder ranking)."""
+    return f"""
+        WITH app AS (
+            SELECT source, count(*)::BIGINT AS n_docs FROM documents
+            WHERE source IS NOT NULL GROUP BY source
+        ),
+        apt AS (SELECT sum(n_docs)::BIGINT AS t FROM app),
+        apq AS (
+            SELECT source, n_docs,
+                   ({n_target}::HUGEINT * n_docs // t)::BIGINT
+                       AS base_quota,
+                   ({n_target}::HUGEINT * n_docs % t)::BIGINT AS rem
+            FROM app CROSS JOIN apt
+        ),
+        apd AS (SELECT ({n_target} - sum(base_quota))::BIGINT AS d
+                FROM apq),
+        apr AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+                          AS rk
+            FROM apq
+        )
+        SELECT source, n_docs, base_quota,
+               CASE WHEN rk <= d THEN 1 ELSE 0 END::BIGINT AS extra,
+               base_quota + CASE WHEN rk <= d THEN 1 ELSE 0 END AS quota
+        FROM apr CROSS JOIN apd
+    """

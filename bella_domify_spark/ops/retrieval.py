@@ -412,3 +412,95 @@ def rank_rbo(docs: DataFrame,
                  F.sum("_sw").cast("long").alias("_tot"))
             .select("query_id", "n_docs", "footrule",
                     F.expr("_tot div 25200").alias("rbo_e9")))
+
+
+def postings_compression(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index size planner: per document-frequency bucket, the
+    byte cost of the postings lists raw (8 B/doc-id) vs delta+varint
+    (gap-encode each term's sorted doc-id list, LEB128 bytes per gap) —
+    the estimate that decides whether the 100 TB index fits the serving
+    tier. Rare terms (df=1) compress worst (gap = the raw id); the
+    head terms carry dense lists whose gaps fit one byte.
+
+    All-integer: gaps are exact BIGINT differences over each term's
+    id-ordered postings (first gap = doc_id + 1 so zero ids cost ≥ 1
+    byte); varint bytes = (bitlen(gap) + 6) div 7 with bitlen =
+    length(bin(gap)) — Spark's bin() and DuckDB's bin() both render
+    minimal binary, so the byte counts agree bitwise. ratio_e6 =
+    varint·1e6 div raw in DECIMAL(38,0).
+
+    Scale: one corpus token aggregate to the (term, doc) postings, one
+    per-term window (term-bounded partitions), one map-side-combined
+    bucket rollup.
+
+    Output: (df_bucket, n_terms, n_postings, raw_bytes, varint_bytes,
+    ratio_e6) — df_bucket in {1, 10, 100, 1000, 1000000} upper bounds.
+    """
+    post = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(F.split(F.lower(F.col(text_col)),
+                                          r"\s+")).alias("term"))
+            .filter(F.col("term") != "").distinct())
+    wt = Window.partitionBy("term").orderBy("id")
+    g = (post.withColumn("prev", F.lag("id").over(wt))
+         .withColumn("gap", F.when(F.col("prev").isNull(),
+                                   F.col("id") + 1)
+                     .otherwise(F.col("id") - F.col("prev")))
+         .withColumn("vb", F.expr("(length(bin(gap)) + 6) div 7")))
+    per_term = (g.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                     F.sum("vb").cast("long").alias("vbytes")))
+    bucket = (F.when(F.col("df") <= 1, 1)
+              .when(F.col("df") <= 10, 10)
+              .when(F.col("df") <= 100, 100)
+              .when(F.col("df") <= 1000, 1000)
+              .otherwise(1000000)).cast("long")
+    return (per_term.groupBy(bucket.alias("df_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+                 F.sum("df").cast("long").alias("n_postings"),
+                 (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+                 F.sum("vbytes").cast("long").alias("varint_bytes"))
+            .withColumn("ratio_e6",
+                        F.expr("cast(varint_bytes as decimal(38,0))"
+                               " * 1000000 div raw_bytes")))
+
+
+def postings_oracle_sql() -> str:
+    """DuckDB twin of postings_compression (same gap recipe, same
+    (length(bin(gap))+6)//7 varint bytes, HUGEINT ratio)."""
+    return r"""
+        WITH pcp0 AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x != '')) AS term
+            FROM documents
+        ),
+        pcp AS (SELECT DISTINCT id, term FROM pcp0),
+        pcg AS (
+            SELECT term,
+                   CASE WHEN lag(id) OVER w IS NULL THEN id + 1
+                        ELSE id - lag(id) OVER w END AS gap
+            FROM pcp
+            WINDOW w AS (PARTITION BY term ORDER BY id)
+        ),
+        pct AS (
+            SELECT term, count(*)::BIGINT AS df,
+                   sum((length(bin(gap)) + 6) // 7)::BIGINT AS vbytes
+            FROM pcg GROUP BY term
+        ),
+        pcb AS (
+            SELECT CASE WHEN df <= 1 THEN 1 WHEN df <= 10 THEN 10
+                        WHEN df <= 100 THEN 100 WHEN df <= 1000 THEN 1000
+                        ELSE 1000000 END::BIGINT AS df_bucket,
+                   count(*)::BIGINT AS n_terms,
+                   sum(df)::BIGINT AS n_postings,
+                   (sum(df) * 8)::BIGINT AS raw_bytes,
+                   sum(vbytes)::BIGINT AS varint_bytes
+            FROM pct GROUP BY df_bucket
+        )
+        SELECT df_bucket, n_terms, n_postings, raw_bytes, varint_bytes,
+               (varint_bytes::HUGEINT * 1000000 // raw_bytes)::BIGINT
+                   AS ratio_e6
+        FROM pcb
+    """

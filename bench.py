@@ -210,7 +210,8 @@ def main() -> int:
                  "ivf_balance", "shard_balance",
                  "weekday_profile", "conversion_lag",
                  "manifest_stats", "tool_latency_tail",
-                 "bottomk_estimate"]:
+                 "bottomk_estimate", "postings_compression",
+                 "apportion_sample"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

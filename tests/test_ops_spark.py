@@ -3324,3 +3324,31 @@ class TestRound6Session8Ops:
             true_e6, est_e6, err = got[pair]
             assert true_e6 < 1_000_000
             assert err == abs(est_e6 - true_e6) < 200_000  # within ~k/32
+
+    def test_postings_compression_hand_counted(self, spark):
+        from bella_domify_spark.ops.retrieval import postings_compression
+
+        # x in docs 1,2,3 (gaps 2,1,1 -> 3 B); y in 1,300 (gaps 2,299 ->
+        # 1+2 B; bin(299) is 9 bits); z in 3 only (gap 4 -> 1 B)
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x"), (3, "x z"), (300, "y")],
+            "doc_id long, text string")
+        got = {r["df_bucket"]: (r["n_terms"], r["n_postings"],
+                                r["raw_bytes"], r["varint_bytes"],
+                                r["ratio_e6"])
+               for r in postings_compression(df).collect()}
+        assert got == {10: (2, 5, 40, 6, 150_000),
+                       1: (1, 1, 8, 1, 125_000)}
+
+    def test_apportion_sample_sums_exactly(self, spark):
+        from bella_domify_spark.ops.curate import apportion_sample
+
+        rows = ([(i, "a") for i in range(5)] + [(10 + i, "b")
+                                                for i in range(4)]
+                + [(20, "c")])
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {r["source"]: (r["base_quota"], r["extra"], r["quota"])
+               for r in apportion_sample(df, n_target=7).collect()}
+        # q = 7·n/10: a 3 rem 5, b 2 rem 8, c 0 rem 7; deficit 2 -> b, c
+        assert got == {"a": (3, 0, 3), "b": (2, 1, 3), "c": (0, 1, 1)}
+        assert sum(q for _, _, q in got.values()) == 7

@@ -89,6 +89,10 @@ def entries() -> dict[str, str]:
                                               as _ppjoin_oracle_sql)
     from bella_domify_spark.ops.ann import (kcenter_oracle_sql
                                             as _kcenter_oracle_sql)
+    from bella_domify_spark.ops.retrieval import (postings_oracle_sql
+                                                  as _postings_oracle_sql)
+    from bella_domify_spark.ops.curate import (apportion_oracle_sql
+                                               as _apportion_oracle_sql)
     from bella_domify_spark.ops.temporal import (interarrival_oracle_sql
                                                  as _ia_oracle_sql,
                                                  transition_entropy_oracle_sql
@@ -521,6 +525,8 @@ def entries() -> dict[str, str]:
         "type_affinity": _taff_oracle_sql(),
         "weekday_profile": _wd_oracle_sql(),
         "conversion_lag": _clag_oracle_sql(),
+        "postings_compression": _postings_oracle_sql(),
+        "apportion_sample": _apportion_oracle_sql(),
         "bottomk_estimate": f"""
             WITH {jaccard_pair_ctes()},
             {_bk_oracle_tail()}
