@@ -1014,6 +1014,16 @@ def _q_apportion_sample(spark, sf):
     return apportion_sample(_t(spark, sf, "documents"))
 
 
+def _q_assortativity(spark, sf):
+    """Degree assortativity of the near-dup graph (ops/graph.py
+    assortativity): Newman's r over directed edge copies,
+    DECIMAL(38,0) moments, one truncating division."""
+    from bella_domify_spark.ops.dedup import jaccard_pairs
+    from bella_domify_spark.ops.graph import assortativity
+    return assortativity(jaccard_pairs(_t(spark, sf, "documents"),
+                                       threshold=0.2))
+
+
 def _q_bottomk_estimate(spark, sf):
     """Bottom-k (KMV) Jaccard estimator calibration vs exact truth
     (ops/sketches.py bottomk_estimate): single-permutation sketch, the
@@ -2190,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_estimate": _q_bottomk_estimate,
         "postings_compression": _q_postings_compression,
         "apportion_sample": _q_apportion_sample,
+        "assortativity": _q_assortativity,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -602,3 +602,86 @@ def neighborhood_sizes(pairs: DataFrame, radius: int = 2) -> DataFrame:
                 .transform(lambda d: _ckpt(d, "local")))
     return ball.groupBy(F.col("src").alias("node_id")).agg(
         F.count(F.lit(1)).cast("long").alias("ball_size"))
+
+
+def assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman's r): the
+    Pearson correlation of endpoint degrees over directed edge copies —
+    do hub documents duplicate OTHER hubs (assortative, template farms
+    cross-linking, r > 0) or mostly leaves (disassortative star/
+    plagiarism topology, r < 0)? The topology number that decides
+    whether removing a few hubs even helps (see kcore/triangle views of
+    the same graph).
+
+    Integer recipe: degrees are exact counts; over the 2m directed
+    copies Sy = Sx and Syy = Sxx by symmetry, so
+    r = (2m·Sxy − Sx²) / (2m·Sxx − Sx²) with every product in
+    DECIMAL(38,0) (Sxy ~ deg²·m — far past int64 on a hub graph);
+    r_e6 is one truncating div of possibly-negative exact integers —
+    identical in both engines. Degenerate regular graphs (denominator
+    0) emit no row.
+
+    Scale: one degree aggregate, one broadcast-joinable degree lookup
+    per endpoint (the degree table is node-sized), one global sum.
+
+    Output: one row (n_edges, n_nodes, r_e6).
+    """
+    sym = _symmetrize(pairs, "id_a", "id_b")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("d"))
+    e = (sym.join(deg.withColumnRenamed("src", "_s")
+                  .withColumnRenamed("d", "dx"),
+                  F.col("src") == F.col("_s"))
+         .join(deg.withColumnRenamed("src", "_t")
+               .withColumnRenamed("d", "dy"),
+               F.col("dst") == F.col("_t"))
+         .select("dx", "dy"))
+    dec = "decimal(38,0)"
+    s = e.agg(F.count(F.lit(1)).cast("long").alias("m2"),
+              F.sum("dx").cast("long").alias("sx"),
+              F.sum(F.col("dx").cast(dec) * F.col("dy").cast(dec))
+               .cast(dec).alias("sxy"),
+              F.sum(F.col("dx").cast(dec) * F.col("dx").cast(dec))
+               .cast(dec).alias("sxx"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (s.crossJoin(F.broadcast(nn))
+            .filter(F.expr("cast(m2 as decimal(38,0)) * sxx"
+                           " - cast(sx as decimal(38,0)) * sx != 0"))
+            .select(F.expr("m2 div 2").alias("n_edges"), "n_nodes",
+                    F.expr("(cast(m2 as decimal(38,0)) * sxy"
+                           " - cast(sx as decimal(38,0)) * sx) * 1000000"
+                           " div (cast(m2 as decimal(38,0)) * sxx"
+                           "      - cast(sx as decimal(38,0)) * sx)")
+                     .alias("r_e6")))
+
+
+def assortativity_oracle_sql() -> str:
+    """DuckDB twin of assortativity (HUGEINT moments, // truncating
+    division). Assembled on a `pairs` CTE by the caller."""
+    return """
+            asym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            adeg AS (SELECT src, count(*)::BIGINT AS d FROM asym
+                     GROUP BY src),
+            ae AS (
+                SELECT da.d AS dx, db.d AS dy
+                FROM asym
+                JOIN adeg da ON da.src = asym.src
+                JOIN adeg db ON db.src = asym.dst
+            ),
+            asm AS (
+                SELECT count(*)::BIGINT AS m2, sum(dx)::BIGINT AS sx,
+                       sum(dx::HUGEINT * dy) AS sxy,
+                       sum(dx::HUGEINT * dx) AS sxx
+                FROM ae
+            ),
+            ann_ AS (SELECT count(*)::BIGINT AS n_nodes FROM adeg)
+            SELECT (m2 // 2)::BIGINT AS n_edges, n_nodes,
+                   ((m2::HUGEINT * sxy - sx::HUGEINT * sx) * 1000000
+                    // (m2::HUGEINT * sxx - sx::HUGEINT * sx))::BIGINT
+                       AS r_e6
+            FROM asm CROSS JOIN ann_
+            WHERE m2::HUGEINT * sxx - sx::HUGEINT * sx != 0
+    """

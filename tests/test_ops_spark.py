@@ -3352,3 +3352,20 @@ class TestRound6Session8Ops:
         # q = 7·n/10: a 3 rem 5, b 2 rem 8, c 0 rem 7; deficit 2 -> b, c
         assert got == {"a": (3, 0, 3), "b": (2, 1, 3), "c": (0, 1, 1)}
         assert sum(q for _, _, q in got.values()) == 7
+
+    def test_assortativity_star_is_minus_one(self, spark):
+        from bella_domify_spark.ops.graph import assortativity
+
+        star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)],
+                                     "id_a long, id_b long")
+        r = assortativity(star).collect()
+        assert len(r) == 1
+        assert (r[0]["n_edges"], r[0]["n_nodes"]) == (3, 4)
+        assert r[0]["r_e6"] == -1_000_000   # perfect disassortativity
+
+    def test_assortativity_regular_graph_is_degenerate(self, spark):
+        from bella_domify_spark.ops.graph import assortativity
+
+        tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                    "id_a long, id_b long")
+        assert assortativity(tri).count() == 0

@@ -132,7 +132,9 @@ def entries() -> dict[str, str]:
                                                  late_oracle_sql
                                                  as _late_oracle_sql)
     from bella_domify_spark.ops.graph import (modularity_oracle_sql
-                                              as _modularity_oracle_sql)
+                                              as _modularity_oracle_sql,
+                                              assortativity_oracle_sql
+                                              as _assort_oracle_tail)
     from bella_domify_spark.ops.textstats import (pmi_oracle_sql
                                                   as _pmi_oracle_sql)
     from tools.oracle_lib import (
@@ -527,6 +529,10 @@ def entries() -> dict[str, str]:
         "conversion_lag": _clag_oracle_sql(),
         "postings_compression": _postings_oracle_sql(),
         "apportion_sample": _apportion_oracle_sql(),
+        "assortativity": f"""
+            WITH {jaccard_pair_ctes()},
+            {_assort_oracle_tail()}
+        """,
         "bottomk_estimate": f"""
             WITH {jaccard_pair_ctes()},
             {_bk_oracle_tail()}
