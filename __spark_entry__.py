@@ -1024,6 +1024,14 @@ def _q_assortativity(spark, sf):
                                        threshold=0.2))
 
 
+def _q_cluster_label_mi(spark, sf):
+    """Clustering-quality MI of kmeans clusters vs ground-truth labels
+    (ops/ann.py cluster_label_mi): meta_mi's exact integer recipe over
+    the (label, cluster) contingency table."""
+    from bella_domify_spark.ops.ann import cluster_label_mi
+    return cluster_label_mi(_t(spark, sf, "embeddings"))
+
+
 def _q_bottomk_estimate(spark, sf):
     """Bottom-k (KMV) Jaccard estimator calibration vs exact truth
     (ops/sketches.py bottomk_estimate): single-permutation sketch, the
@@ -2201,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_compression": _q_postings_compression,
         "apportion_sample": _q_apportion_sample,
         "assortativity": _q_assortativity,
+        "cluster_label_mi": _q_cluster_label_mi,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -1080,3 +1080,36 @@ def ivf_balance(vectors: DataFrame, n_clusters: int = 8,
                            " div nn").alias("share_e6"),
                     F.expr("cast(n_vecs as decimal(38,0)) * k * 1000000"
                            " div nn").alias("imb_e6")))
+
+
+def cluster_label_mi(vectors: DataFrame, n_clusters: int = 8,
+                     iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """External clustering-quality evaluation: mutual information
+    between the integer k-means assignment and the ground-truth label —
+    MI ≈ H(label) means the unsupervised clusters recovered the classes
+    (semdedup's cluster granularity is trustworthy); MI ≈ 0 means the
+    embedding space doesn't separate them and every downstream
+    cluster-based decision (splits, dedup tiers) inherits that.
+
+    Reuses meta_mi's exact integer recipe verbatim (per-cell floor-e9
+    two-ln PMI on exact-double count ratios, DECIMAL(38,0) weighted
+    total repeated per row) over the (label, cluster_id) contingency
+    table of kmeans_assign's bit-reproducible assignment.
+
+    Scale: kmeans_assign's broadcast rounds + one map-side-combined
+    |labels|·k cell aggregate.
+
+    Output: (source, lang, c_xy, pmi_e9, mi_e9) — meta_mi's column
+    names, where source = label (string-cast) and lang = cluster_id.
+    """
+    from bella_domify_spark.ops.analyze import meta_mi
+    a = kmeans_assign(vectors, n_clusters=n_clusters, iters=iters,
+                      id_col=id_col, vec_col=vec_col)
+    lab = vectors.select(F.col(id_col).alias("vec_id"),
+                         F.col(label_col).cast("string").alias("lbl"))
+    joined = (a.join(lab, "vec_id")
+              .select("lbl", F.col("cluster_id").cast("string")
+                      .alias("cl")))
+    return meta_mi(joined, x_col="lbl", y_col="cl")

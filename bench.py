@@ -211,7 +211,8 @@ def main() -> int:
                  "weekday_profile", "conversion_lag",
                  "manifest_stats", "tool_latency_tail",
                  "bottomk_estimate", "postings_compression",
-                 "apportion_sample", "assortativity"]:
+                 "apportion_sample", "assortativity",
+                 "cluster_label_mi"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -3369,3 +3369,17 @@ class TestRound6Session8Ops:
         tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
                                     "id_a long, id_b long")
         assert assortativity(tri).count() == 0
+
+    def test_cluster_label_mi_perfect_separation(self, spark):
+        from bella_domify_spark.ops.ann import cluster_label_mi
+
+        # two tight groups, labels match -> MI = ln 2 exactly (e9 grid)
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0], "a"), (2, [10.0, 10.0], "b"),
+             (3, [0.1, 0.0], "a"), (4, [10.0, 10.1], "b")],
+            "vec_id long, embedding array<double>, label string")
+        rows = cluster_label_mi(df, n_clusters=2).collect()
+        assert len(rows) == 2                    # diagonal cells only
+        assert all(r["c_xy"] == 2 for r in rows)
+        assert all(r["mi_e9"] == 693_147_180 for r in rows)
+        assert all(r["pmi_e9"] == 693_147_180 for r in rows)

@@ -533,6 +533,40 @@ def entries() -> dict[str, str]:
             WITH {jaccard_pair_ctes()},
             {_assort_oracle_tail()}
         """,
+        "cluster_label_mi": f"""
+            WITH {kmeans_ctes()},
+            clw AS (
+                SELECT id, c_id FROM dF
+                QUALIFY row_number() OVER (PARTITION BY id
+                                           ORDER BY dist2, c_id) = 1
+            ),
+            clc AS (
+                SELECT e.label::VARCHAR AS xk, w.c_id::VARCHAR AS yk,
+                       count(*)::BIGINT AS c_xy
+                FROM clw w JOIN embeddings e ON e.vec_id = w.id
+                GROUP BY xk, yk
+            ),
+            clx AS (SELECT xk, sum(c_xy)::BIGINT AS c_x FROM clc
+                    GROUP BY xk),
+            cly AS (SELECT yk, sum(c_xy)::BIGINT AS c_y FROM clc
+                    GROUP BY yk),
+            cln AS (SELECT sum(c_xy)::BIGINT AS nn FROM clc),
+            clp AS (
+                SELECT xk, yk, c_xy,
+                       floor((ln(c_xy::DOUBLE / c_x::DOUBLE)
+                              - ln(c_y::DOUBLE / nn::DOUBLE))
+                             * 1e9)::BIGINT AS pmi_e9, nn
+                FROM clc JOIN clx USING (xk) JOIN cly USING (yk)
+                CROSS JOIN cln
+            ),
+            clt AS (
+                SELECT (sum(c_xy::HUGEINT * pmi_e9) // max(nn))::BIGINT
+                           AS mi_e9
+                FROM clp
+            )
+            SELECT xk AS source, yk AS lang, c_xy, pmi_e9, mi_e9
+            FROM clp CROSS JOIN clt
+        """,
         "bottomk_estimate": f"""
             WITH {jaccard_pair_ctes()},
             {_bk_oracle_tail()}
