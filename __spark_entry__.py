@@ -1024,6 +1024,22 @@ def _q_assortativity(spark, sf):
                                        threshold=0.2))
 
 
+def _q_conformal_threshold(spark, sf):
+    """Split-conformal keep threshold + realized coverage for the
+    quality classifier (ops/classifier.py conformal_threshold):
+    integer margins, conformal rank (n+1) div 10."""
+    from bella_domify_spark.ops.classifier import conformal_threshold
+    return conformal_threshold(_t(spark, sf, "documents"))
+
+
+def _q_vocab_delta(spark, sf):
+    """Top-k vocabulary drift terms between doc-parity halves
+    (ops/textstats.py vocab_delta): e9 shares, deterministic
+    (gap desc, term) cut — psi_drift's named culprits."""
+    from bella_domify_spark.ops.textstats import vocab_delta
+    return vocab_delta(_t(spark, sf, "documents"))
+
+
 def _q_cluster_label_mi(spark, sf):
     """Clustering-quality MI of kmeans clusters vs ground-truth labels
     (ops/ann.py cluster_label_mi): meta_mi's exact integer recipe over
@@ -2210,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apportion_sample": _q_apportion_sample,
         "assortativity": _q_assortativity,
         "cluster_label_mi": _q_cluster_label_mi,
+        "conformal_threshold": _q_conformal_threshold,
+        "vocab_delta": _q_vocab_delta,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

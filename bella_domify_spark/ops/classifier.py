@@ -189,3 +189,56 @@ def classifier_auc(docs: DataFrame) -> DataFrame:
         F.floor(F.col("u2").cast("double")
                 / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
                 * 1e9).cast("long").alias("auc_e9"))
+
+
+CONFORMAL_ALPHA_DEN = 10   # alpha = 1/ALPHA_DEN miscoverage budget
+
+
+def conformal_threshold(docs: DataFrame,
+                        alpha_den: int = CONFORMAL_ALPHA_DEN) -> DataFrame:
+    """Split-conformal keep-threshold for the quality classifier: the
+    margin cutoff τ that GUARANTEES ≥ (1−α) of true in-class documents
+    survive the filter (α = 1/alpha_den), plus the realized coverage on
+    a held-out split — distribution-free, no calibration model, just
+    exchangeability. This is how a curation pipeline turns a raw margin
+    into a keep threshold with a stated recall contract instead of an
+    eyeballed cut (calibration_bins shows the shape; this names the
+    number).
+
+    Exact recipe: calibration = even doc_ids with lang='en', test = odd;
+    τ = the k-th smallest calibration margin with k = (n_cal+1) div
+    alpha_den (the conformal rank — keeping margin ≥ τ leaves at most
+    k−1 of n_cal+1 exchangeable positives below the cut). Margins are
+    exact BIGINTs, so every comparison is integer; coverage_e6 =
+    covered·1e6 div n_test. k = 0 (tiny calibration) emits no row.
+
+    Scale: one scoring pass (JVM aggregate over hashed features), one
+    rank selection on the calibration-positive table (bounded subset;
+    the length_fences caveat applies), one broadcast of (τ, n_cal).
+
+    Output: one row (n_cal, n_test, tau_margin, n_covered,
+    coverage_e6).
+    """
+    from pyspark.sql import Window
+
+    scored = quality_classifier(docs, passthrough=("lang",)).select(
+        "doc_id", "margin",
+        (F.col("lang") == "en").cast("long").alias("y"))
+    pos = scored.filter(F.col("y") == 1)
+    cal = pos.filter(F.expr("doc_id % 2 = 0"))
+    test = pos.filter(F.expr("doc_id % 2 = 1"))
+    w = Window.orderBy("margin")
+    ranked = (cal.withColumn("rn", F.row_number().over(w))
+              .withColumn("n_cal", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    tau = (ranked.filter(F.expr(f"rn = (n_cal + 1) div {alpha_den}"))
+           .select(F.col("margin").alias("tau_margin"),
+                   F.col("n_cal").cast("long").alias("n_cal")))
+    return (test.crossJoin(F.broadcast(tau))
+            .groupBy("n_cal", "tau_margin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
+                 F.sum(F.when(F.col("margin") >= F.col("tau_margin"), 1)
+                       .otherwise(0)).cast("long").alias("n_covered"))
+            .select("n_cal", "n_test", "tau_margin", "n_covered",
+                    F.expr("cast(n_covered as decimal(38,0)) * 1000000"
+                           " div n_test").alias("coverage_e6")))

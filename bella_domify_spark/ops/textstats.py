@@ -1649,3 +1649,89 @@ def freq_spectrum_oracle_sql(max_r: int = 10) -> str:
         CROSS JOIN fst
         WHERE s.r <= {max_r}
     """
+
+
+VOCAB_DELTA_K = 20
+
+
+def vocab_delta(df: DataFrame, text_col: str = "text",
+                k: int = VOCAB_DELTA_K) -> DataFrame:
+    """Term-level vocabulary drift: the k terms whose corpus share
+    moved most between the even-doc_id half and the odd half — the
+    named-culprits readout behind psi_drift's single number (PSI says
+    THAT the distribution moved; this says WHICH words). Run between
+    two real snapshots in production; the parity split here is the
+    deterministic stand-in the oracle can reproduce.
+
+    All-integer: per-half shares quantize as c·1e9 div T (DECIMAL
+    products), the gap is an exact integer |·|, and the top-k cut
+    breaks ties (gap desc, term asc) so the boundary is deterministic.
+
+    Scale: one corpus token aggregate per half fused into a single
+    (term, parity) groupBy, the rank window on the vocab-sized table.
+
+    Output: (rnk, term, c_a, c_b, share_a_e9, share_b_e9, gap_e9).
+    """
+    terms = (df.select(F.pmod(F.col("doc_id"), F.lit(2)).alias("h"),
+                       F.explode(F.split(F.lower(F.col(text_col)),
+                                         r"\s+")).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy("term")
+             .agg(F.sum(F.when(F.col("h") == 0, 1).otherwise(0))
+                  .cast("long").alias("c_a"),
+                  F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+                  .cast("long").alias("c_b")))
+    tot = terms.agg(F.sum("c_a").cast("long").alias("ta"),
+                    F.sum("c_b").cast("long").alias("tb"))
+    g = (terms.crossJoin(F.broadcast(tot))
+         .select("term", "c_a", "c_b",
+                 F.expr("cast(c_a as decimal(38,0)) * 1000000000 div ta")
+                  .alias("share_a_e9"),
+                 F.expr("cast(c_b as decimal(38,0)) * 1000000000 div tb")
+                  .alias("share_b_e9"))
+         .withColumn("gap_e9", F.abs(F.col("share_a_e9")
+                                     - F.col("share_b_e9"))))
+    w = Window.orderBy(F.desc("gap_e9"), F.asc("term"))
+    return (g.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("rnk", "term", "c_a", "c_b",
+                    "share_a_e9", "share_b_e9", "gap_e9"))
+
+
+def vocab_delta_oracle_sql(k: int = VOCAB_DELTA_K) -> str:
+    """DuckDB twin of vocab_delta (same parity halves, HUGEINT shares,
+    same (gap desc, term) top-k)."""
+    return rf"""
+        WITH vd0 AS (
+            SELECT doc_id % 2 AS h,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x != '')) AS term
+            FROM documents
+        ),
+        vdc AS (
+            SELECT term,
+                   sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)::BIGINT AS c_a,
+                   sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)::BIGINT AS c_b
+            FROM vd0 GROUP BY term
+        ),
+        vdt AS (SELECT sum(c_a)::BIGINT AS ta, sum(c_b)::BIGINT AS tb
+                FROM vdc),
+        vdg AS (
+            SELECT term, c_a, c_b,
+                   (c_a::HUGEINT * 1000000000 // ta)::BIGINT
+                       AS share_a_e9,
+                   (c_b::HUGEINT * 1000000000 // tb)::BIGINT
+                       AS share_b_e9
+            FROM vdc CROSS JOIN vdt
+        ),
+        vdr AS (
+            SELECT *, abs(share_a_e9 - share_b_e9) AS gap_e9,
+                   row_number() OVER (
+                       ORDER BY abs(share_a_e9 - share_b_e9) DESC, term)
+                       AS rnk
+            FROM vdg
+        )
+        SELECT rnk, term, c_a, c_b, share_a_e9, share_b_e9, gap_e9
+        FROM vdr WHERE rnk <= {k}
+    """

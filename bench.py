@@ -212,7 +212,8 @@ def main() -> int:
                  "manifest_stats", "tool_latency_tail",
                  "bottomk_estimate", "postings_compression",
                  "apportion_sample", "assortativity",
-                 "cluster_label_mi"]:
+                 "cluster_label_mi", "conformal_threshold",
+                 "vocab_delta"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

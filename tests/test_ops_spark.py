@@ -3383,3 +3383,39 @@ class TestRound6Session8Ops:
         assert all(r["c_xy"] == 2 for r in rows)
         assert all(r["mi_e9"] == 693_147_180 for r in rows)
         assert all(r["pmi_e9"] == 693_147_180 for r in rows)
+
+    def test_vocab_delta_hand_counted(self, spark):
+        from bella_domify_spark.ops.textstats import vocab_delta
+
+        df = spark.createDataFrame(
+            [(2, "x x y"), (1, "x z z z")], "doc_id long, text string")
+        got = [(r["rnk"], r["term"], r["c_a"], r["c_b"], r["gap_e9"])
+               for r in vocab_delta(df).orderBy("rnk").collect()]
+        assert got == [(1, "z", 0, 3, 750_000_000),
+                       (2, "x", 2, 1, 416_666_666),
+                       (3, "y", 1, 0, 333_333_333)]
+
+    def test_conformal_threshold_matches_python_mirror(self, spark):
+        from bella_domify_spark.ops.classifier import (conformal_threshold,
+                                                       quality_classifier)
+
+        rows = [(i, "en" if i % 3 else "fr",
+                 f"w{i} common words here doc {i} tail t{i % 7}")
+                for i in range(1, 61)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, text string")
+        m = {r["doc_id"]: r["margin"]
+             for r in quality_classifier(df).collect()}
+        en = [i for i, l, _ in rows if l == "en"]
+        cal = sorted(m[i] for i in en if i % 2 == 0)
+        test = [m[i] for i in en if i % 2 == 1]
+        k = (len(cal) + 1) // 10
+        assert k >= 1
+        tau = cal[k - 1]
+        cov = sum(1 for x in test if x >= tau)
+        r = conformal_threshold(df).collect()
+        assert len(r) == 1
+        assert (r[0]["n_cal"], r[0]["n_test"]) == (len(cal), len(test))
+        assert r[0]["tau_margin"] == tau
+        assert r[0]["n_covered"] == cov
+        assert r[0]["coverage_e6"] == cov * 1_000_000 // len(test)

@@ -79,6 +79,8 @@ def entries() -> dict[str, str]:
                                                   as _ns_oracle_sql,
                                                   zipf_oracle_sql
                                                   as _zipf_oracle_sql,
+                                                  vocab_delta_oracle_sql
+                                                  as _vdelta_oracle_sql,
                                                   vocab_overlap_oracle_sql
                                                   as _vocab_oracle_sql,
                                                   hill_oracle_sql
@@ -532,6 +534,38 @@ def entries() -> dict[str, str]:
         "assortativity": f"""
             WITH {jaccard_pair_ctes()},
             {_assort_oracle_tail()}
+        """,
+        "vocab_delta": _vdelta_oracle_sql(),
+        "conformal_threshold": f"""
+            WITH {classifier_feats_sql()}, cfs AS (
+                SELECT f.doc_id,
+                       COALESCE(list_aggregate(
+                           list_transform(fs,
+                               t -> ({classifier_weight_expr('t',
+                                                             'duckdb')})),
+                           'sum'), 0)::BIGINT AS margin
+                FROM feats f
+            ), cfp AS (
+                SELECT s.doc_id, margin FROM cfs s
+                JOIN documents USING (doc_id) WHERE lang = 'en'
+            ), cfc AS (
+                SELECT margin,
+                       row_number() OVER (ORDER BY margin) AS rn,
+                       count(*) OVER ()::BIGINT AS n_cal
+                FROM cfp WHERE doc_id % 2 = 0
+            ), cft AS (
+                SELECT margin AS tau_margin, n_cal FROM cfc
+                WHERE rn = (n_cal + 1) // 10
+            )
+            SELECT n_cal, count(*)::BIGINT AS n_test, tau_margin,
+                   sum(CASE WHEN p.margin >= tau_margin THEN 1 ELSE 0
+                       END)::BIGINT AS n_covered,
+                   (sum(CASE WHEN p.margin >= tau_margin THEN 1 ELSE 0
+                        END)::HUGEINT * 1000000 // count(*))::BIGINT
+                       AS coverage_e6
+            FROM cfp p CROSS JOIN cft
+            WHERE p.doc_id % 2 = 1
+            GROUP BY n_cal, tau_margin
         """,
         "cluster_label_mi": f"""
             WITH {kmeans_ctes()},
