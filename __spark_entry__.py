@@ -1024,6 +1024,21 @@ def _q_assortativity(spark, sf):
                                        threshold=0.2))
 
 
+def _q_survival_curve(spark, sf):
+    """Discrete Kaplan-Meier of user activity spans with edge
+    censoring (ops/temporal.py survival_curve): integer risk sets,
+    log-survival via the quantize-then-integer-sum ln discipline."""
+    from bella_domify_spark.ops.temporal import survival_curve
+    return survival_curve(_t(spark, sf, "events"))
+
+
+def _q_trimmed_mean(spark, sf):
+    """Raw vs 10%-trimmed mean doc length per source (ops/analyze.py
+    trimmed_mean): rank-selected trim, truncating integer means."""
+    from bella_domify_spark.ops.analyze import trimmed_mean
+    return trimmed_mean(_t(spark, sf, "documents"))
+
+
 def _q_conformal_threshold(spark, sf):
     """Split-conformal keep threshold + realized coverage for the
     quality classifier (ops/classifier.py conformal_threshold):
@@ -2228,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_label_mi": _q_cluster_label_mi,
         "conformal_threshold": _q_conformal_threshold,
         "vocab_delta": _q_vocab_delta,
+        "survival_curve": _q_survival_curve,
+        "trimmed_mean": _q_trimmed_mean,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -1695,3 +1695,72 @@ def type_affinity_oracle_sql() -> str:
         JOIN tas sb ON sb.event_type = type_b
         CROSS JOIN tan
     """
+
+
+TRIM_DEN = 10   # trim 1/DEN of rows at each end
+
+
+def trimmed_mean(docs: DataFrame, group_col: str = "source",
+                 weight_col: str = "n_chars",
+                 trim_den: int = TRIM_DEN) -> DataFrame:
+    """Robust per-source length statistics: the raw mean next to the
+    10%-trimmed mean (drop the ⌊n/den⌋ smallest and largest by rank).
+    A trimmed mean far below the raw mean is the whale signature
+    length_fences counts — this is the magnitude: how much of the
+    source's "average document" is actually two giant files.
+
+    Exact integers: rank selection (ties swap docs, never values),
+    BIGINT sums, truncating div means; n < 2·⌊n/den⌋+1 can't happen
+    (⌊n/den⌋ ≤ n/2 for den ≥ 2 leaves ≥ 1 row... den ≥ 3 guaranteed;
+    the kept-range filter is empty-safe regardless).
+
+    Scale: one per-source window pass + one conditional aggregate —
+    the length_fences plan shape.
+
+    Output: (source, n_docs, mean_all, n_kept, mean_trimmed).
+    """
+    wt = Window.partitionBy("source")
+    ranked = (docs.filter(F.col(group_col).isNotNull()
+                          & F.col(weight_col).isNotNull())
+              .select(F.col(group_col).alias("source"),
+                      F.col(weight_col).cast("long").alias("x"))
+              .withColumn("n", F.count(F.lit(1)).over(wt))
+              .withColumn("rn", F.row_number().over(wt.orderBy("x")))
+              .withColumn("lo", F.expr(f"n div {trim_den}")))
+    return (ranked.groupBy("source")
+            .agg(F.max("n").cast("long").alias("n_docs"),
+                 F.expr("sum(x) div max(n)").alias("mean_all"),
+                 F.sum(F.when((F.col("rn") > F.col("lo"))
+                              & (F.col("rn") <= F.col("n") - F.col("lo")),
+                              1).otherwise(0)).cast("long")
+                  .alias("n_kept"),
+                 F.expr("sum(CASE WHEN rn > lo AND rn <= n - lo"
+                        " THEN x ELSE 0 END)"
+                        " div sum(CASE WHEN rn > lo AND rn <= n - lo"
+                        " THEN 1 ELSE 0 END)").alias("mean_trimmed")))
+
+
+def trimmed_mean_oracle_sql(trim_den: int = TRIM_DEN) -> str:
+    """DuckDB twin of trimmed_mean (same rank trim, // means)."""
+    return f"""
+        WITH tmr AS (
+            SELECT source, n_chars::BIGINT AS x,
+                   count(*) OVER (PARTITION BY source)::BIGINT AS n,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars) AS rn
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        )
+        SELECT source, max(n)::BIGINT AS n_docs,
+               (sum(x) // max(n))::BIGINT AS mean_all,
+               sum(CASE WHEN rn > n // {trim_den}
+                        AND rn <= n - n // {trim_den}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               (sum(CASE WHEN rn > n // {trim_den}
+                         AND rn <= n - n // {trim_den}
+                         THEN x ELSE 0 END)
+                // sum(CASE WHEN rn > n // {trim_den}
+                            AND rn <= n - n // {trim_den}
+                            THEN 1 ELSE 0 END))::BIGINT AS mean_trimmed
+        FROM tmr GROUP BY source
+    """

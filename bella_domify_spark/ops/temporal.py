@@ -825,3 +825,117 @@ def conversion_lag_oracle_sql(from_type: str = "view",
                med_lag_us, p90_lag_us
         FROM cle CROSS JOIN clq
     """
+
+
+SURVIVAL_CENSOR_DAYS = 1
+
+
+def survival_curve(events: DataFrame,
+                   censor_days: int = SURVIVAL_CENSOR_DAYS) -> DataFrame:
+    """Discrete Kaplan-Meier survival of user activity spans — "how
+    long does a user stay active?" with the censoring done RIGHT:
+    users still active near the corpus edge (last event within
+    ``censor_days`` of the corpus max) are censored, not counted as
+    churned — the error every naive tenure histogram makes. Spans
+    measure in HOURS (this corpus's users live ~a month with
+    hour-scale differences; day resolution would collapse the curve).
+
+    Exact integer recipe: spans in whole hours; at each event time t,
+    n_risk = N − (users whose span ended before t), d = uncensored
+    spans equal to t; the hazard is d·1e9 div n_risk and survival is
+    reported in LOG space — ln_surv_e9 = Σ floor-e9 ln((n−d)/n) over
+    event times ≤ t (the bigram_surprisal quantize-then-integer-sum
+    discipline; a probability PRODUCT would need exp, which is not
+    correctly rounded anywhere).
+
+    Scale: one per-user span aggregate; every window runs on the
+    distinct-span-day table (calendar-bounded), not on users.
+
+    Output: (t_hours, n_risk, d, c, haz_e9, ln_surv_e9), one row per
+    span value with ≥ 1 uncensored event.
+    """
+    u = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (events.filter(F.col("ts").isNotNull()
+                         & F.col("user_id").isNotNull())
+           .groupBy("user_id")
+           .agg(F.min(u).alias("first_us"), F.max(u).alias("last_us")))
+    mx = per.agg(F.max("last_us").alias("mx"))
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+    spans = (per.crossJoin(F.broadcast(mx))
+             .select(F.expr(f"(last_us - first_us) div {hour_us}")
+                     .alias("t"),
+                     (F.col("mx") - F.col("last_us")
+                      < F.lit(censor_days * day_us)).cast("int")
+                     .alias("cen")))
+    g = (spans.groupBy("t")
+         .agg(F.sum(F.expr("1 - cen")).cast("long").alias("d"),
+              F.sum("cen").cast("long").alias("c")))
+    n_tot = g.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n"))
+    w = Window.orderBy("t")
+    risk = (g.crossJoin(F.broadcast(n_tot))
+            .withColumn("ended_before",
+                        F.coalesce(F.sum(F.col("d") + F.col("c")).over(
+                            w.rowsBetween(Window.unboundedPreceding, -1)),
+                            F.lit(0)))
+            .withColumn("n_risk", F.col("n") - F.col("ended_before")))
+    ev = (risk.filter(F.col("d") > 0)
+          .withColumn("lnterm",
+                      F.floor(F.log((F.col("n_risk") - F.col("d"))
+                                    .cast("double")
+                                    / F.col("n_risk").cast("double"))
+                              * 1e9).cast("long")))
+    we = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (ev.withColumn("ln_surv_e9", F.sum("lnterm").over(we))
+            .select(F.col("t").alias("t_hours"),
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    "d", "c",
+                    F.expr("cast(d as decimal(38,0)) * 1000000000"
+                           " div n_risk").alias("haz_e9"),
+                    "ln_surv_e9"))
+
+
+def survival_oracle_sql(censor_days: int = SURVIVAL_CENSOR_DAYS) -> str:
+    """DuckDB twin of survival_curve (same spans, censor rule, risk
+    sets, and floor-e9 ln((n−d)/n) integer cumsum)."""
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+    return f"""
+        WITH svp AS (
+            SELECT user_id, min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        svm AS (SELECT max(last_us) AS mx FROM svp),
+        svs AS (
+            SELECT (last_us - first_us) // {hour_us} AS t,
+                   CASE WHEN mx - last_us < {censor_days * day_us}
+                        THEN 1 ELSE 0 END AS cen
+            FROM svp CROSS JOIN svm
+        ),
+        svg AS (
+            SELECT t, sum(1 - cen)::BIGINT AS d, sum(cen)::BIGINT AS c
+            FROM svs GROUP BY t
+        ),
+        svn AS (SELECT sum(d + c)::BIGINT AS n FROM svg),
+        svr AS (
+            SELECT t, d, c,
+                   n - coalesce(sum(d + c) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_risk
+            FROM svg CROSS JOIN svn
+        ),
+        sve AS (
+            SELECT t, d, c, n_risk,
+                   floor(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE)
+                         * 1e9)::BIGINT AS lnterm
+            FROM svr WHERE d > 0
+        )
+        SELECT t AS t_hours, n_risk::BIGINT AS n_risk, d, c,
+               (d::HUGEINT * 1000000000 // n_risk)::BIGINT AS haz_e9,
+               (sum(lnterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                   ::BIGINT AS ln_surv_e9
+        FROM sve
+    """

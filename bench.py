@@ -213,7 +213,8 @@ def main() -> int:
                  "bottomk_estimate", "postings_compression",
                  "apportion_sample", "assortativity",
                  "cluster_label_mi", "conformal_threshold",
-                 "vocab_delta"]:
+                 "vocab_delta", "survival_curve",
+                 "trimmed_mean"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

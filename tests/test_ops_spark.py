@@ -3419,3 +3419,45 @@ class TestRound6Session8Ops:
         assert r[0]["tau_margin"] == tau
         assert r[0]["n_covered"] == cov
         assert r[0]["coverage_e6"] == cov * 1_000_000 // len(test)
+
+    def test_survival_curve_hand_counted(self, spark):
+        import math
+        from datetime import datetime, timedelta
+
+        from bella_domify_spark.ops.temporal import survival_curve
+
+        d0 = datetime(2024, 1, 1)
+
+        def ev(uid, *days):
+            return [(uid, d0 + timedelta(days=d)) for d in days]
+
+        # u2 runs to the corpus max -> censored; u3 span 0, u4 120h,
+        # u1 240h are uncensored deaths
+        rows = (ev(1, 0, 10) + ev(2, 0, 15, 30) + ev(3, 0) + ev(4, 0, 5))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = [(r["t_hours"], r["n_risk"], r["d"], r["c"], r["haz_e9"],
+                r["ln_surv_e9"]) for r in
+               survival_curve(df).orderBy("t_hours").collect()]
+        ln = lambda num, den: math.floor(math.log(num / den) * 1e9)
+        assert got == [
+            (0, 4, 1, 0, 250_000_000, ln(3, 4)),
+            (120, 3, 1, 0, 333_333_333, ln(3, 4) + ln(2, 3)),
+            (240, 2, 1, 0, 500_000_000,
+             ln(3, 4) + ln(2, 3) + ln(1, 2)),
+        ]
+
+    def test_trimmed_mean_hand_counted(self, spark):
+        from bella_domify_spark.ops.analyze import trimmed_mean
+
+        rows = ([(i, "s", i) for i in range(1, 11)]
+                + [(100 + i, "w", v)
+                   for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                          1000])])
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, source string,"
+                                   " n_chars long")
+        got = {r["source"]: (r["n_docs"], r["mean_all"], r["n_kept"],
+                             r["mean_trimmed"])
+               for r in trimmed_mean(df).collect()}
+        # the whale source: raw mean 104, trimmed mean 5
+        assert got == {"s": (10, 5, 8, 5), "w": (10, 104, 8, 5)}

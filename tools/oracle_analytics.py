@@ -102,11 +102,15 @@ def entries() -> dict[str, str]:
                                                  weekday_oracle_sql
                                                  as _wd_oracle_sql,
                                                  conversion_lag_oracle_sql
-                                                 as _clag_oracle_sql)
+                                                 as _clag_oracle_sql,
+                                                 survival_oracle_sql
+                                                 as _surv_oracle_sql)
     from bella_domify_spark.ops.analyze import (benford_oracle_sql
                                                 as _benford_oracle_sql,
                                                 fences_oracle_sql
                                                 as _fences_oracle_sql,
+                                                trimmed_mean_oracle_sql
+                                                as _tmean_oracle_sql,
                                                 meta_mi_oracle_sql
                                                 as _meta_mi_oracle_sql,
                                                 props_keys_oracle_sql
@@ -536,6 +540,8 @@ def entries() -> dict[str, str]:
             {_assort_oracle_tail()}
         """,
         "vocab_delta": _vdelta_oracle_sql(),
+        "survival_curve": _surv_oracle_sql(),
+        "trimmed_mean": _tmean_oracle_sql(),
         "conformal_threshold": f"""
             WITH {classifier_feats_sql()}, cfs AS (
                 SELECT f.doc_id,
