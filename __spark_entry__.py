@@ -2179,12 +2179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- exiled tail (51+): no driver row this round ---
         # The never-driver-confirmed queries below the boundary (two
         # session-5, six session-6, fourteen session-7, and the
-        # twenty-five session-8/9 additions = 47) defer to round 7 —
+        # session-8/9 additions — ~58 in all) defer to round 7 —
         # oldest unconfirmed first. ALL are green in the local
-        # exact-hash oracle at sf0.01 AND sf0.1 (per-session runs) and
-        # take FIRST priority in the round-7 rotation: they fill 47 of
-        # the 50 window slots, the remainder goes to the
-        # longest-unconfirmed stalwarts further down.
+        # exact-hash oracle at sf0.01 AND sf0.1 (per-session runs,
+        # plus full-registry certifications at 185/195/200/206) and
+        # take FIRST priority in the round-7 rotation: they overfill
+        # the 50 window slots, so the newest ~8 defer again to
+        # round 8.
         "encoding_report": _q_encoding_report,
         "secrets_detect": _q_secrets_detect,
         # session-6 new queries (never driver-confirmed):
