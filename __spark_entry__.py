@@ -1039,6 +1039,14 @@ def _q_trimmed_mean(spark, sf):
     return trimmed_mean(_t(spark, sf, "documents"))
 
 
+def _q_spearman_lq(spark, sf):
+    """Exact Spearman rho between doc length and classifier margin
+    (ops/classifier.py spearman_length_quality): deterministic
+    (value, doc_id) tie-break ranks, integer 1 − 6Σd²/(n(n²−1))."""
+    from bella_domify_spark.ops.classifier import spearman_length_quality
+    return spearman_length_quality(_t(spark, sf, "documents"))
+
+
 def _q_conformal_threshold(spark, sf):
     """Split-conformal keep threshold + realized coverage for the
     quality classifier (ops/classifier.py conformal_threshold):
@@ -2246,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_delta": _q_vocab_delta,
         "survival_curve": _q_survival_curve,
         "trimmed_mean": _q_trimmed_mean,
+        "spearman_lq": _q_spearman_lq,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

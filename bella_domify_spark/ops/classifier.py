@@ -242,3 +242,48 @@ def conformal_threshold(docs: DataFrame,
             .select("n_cal", "n_test", "tau_margin", "n_covered",
                     F.expr("cast(n_covered as decimal(38,0)) * 1000000"
                            " div n_test").alias("coverage_e6")))
+
+
+def spearman_length_quality(docs: DataFrame) -> DataFrame:
+    """Exact Spearman rank correlation between document length and the
+    classifier margin — "is the quality score just a length detector?"
+    |ρ| near 1 means the expensive classifier is re-deriving n_chars
+    and a length cut would curate the same corpus for free; the routine
+    confounder check before any margin threshold ships.
+
+    Integer recipe: both variables rank by row_number over a
+    deterministic total order ((value, doc_id) — a documented
+    tie-break: classic Spearman's fractional average ranks cannot be
+    exact-hashed), then ρ = 1 − 6·Σd² / (n(n²−1)) computes as
+    rho_e6 = (n(n²−1) − 6Σd²)·1e6 div (n(n²−1)) in DECIMAL(38,0)
+    (n³ ~ 1e36 at corpus scale — inside the 38-digit budget, noted).
+
+    Scale: one scoring pass, two global rank windows over the doc
+    table (the length_fences caveat: range-partitioned two-level ranks
+    at truly unbounded n), one global sum.
+
+    Output: one row (n_docs, sum_d2, rho_e6).
+    """
+    from pyspark.sql import Window
+
+    scored = quality_classifier(docs).select("doc_id", "margin")
+    lens = docs.select("doc_id", F.col("n_chars").cast("long").alias("x"))
+    j = scored.join(lens, "doc_id").filter(F.col("x").isNotNull())
+    wl = Window.orderBy("x", "doc_id")
+    wm = Window.orderBy("margin", "doc_id")
+    r = (j.withColumn("rx", F.row_number().over(wl))
+         .withColumn("rm", F.row_number().over(wm)))
+    dec = "decimal(38,0)"
+    s = r.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(((F.col("rx") - F.col("rm"))
+                     * (F.col("rx") - F.col("rm"))).cast(dec))
+               .cast(dec).alias("sum_d2"))
+    return (s.filter(F.col("n") > 1)
+            .select(F.col("n").alias("n_docs"),
+                    F.col("sum_d2").cast("long").alias("sum_d2"),
+                    F.expr("(cast(n as decimal(38,0)) * (cast(n as"
+                           " decimal(38,0)) * n - 1) - 6 * sum_d2)"
+                           " * 1000000"
+                           " div (cast(n as decimal(38,0))"
+                           " * (cast(n as decimal(38,0)) * n - 1))")
+                     .alias("rho_e6")))

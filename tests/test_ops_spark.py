@@ -3461,3 +3461,24 @@ class TestRound6Session8Ops:
                for r in trimmed_mean(df).collect()}
         # the whale source: raw mean 104, trimmed mean 5
         assert got == {"s": (10, 5, 8, 5), "w": (10, 104, 8, 5)}
+
+    def test_spearman_length_quality_mirror(self, spark):
+        from bella_domify_spark.ops.classifier import (
+            quality_classifier, spearman_length_quality)
+
+        rows = [(i, f"doc {i} words w{i % 5} tail " + "pad " * i, 0)
+                for i in range(1, 13)]
+        df = spark.createDataFrame(
+            [(i, t, len(t)) for i, t, _ in rows],
+            "doc_id long, text string, n_chars long")
+        m = {r["doc_id"]: r["margin"]
+             for r in quality_classifier(df).collect()}
+        xs = sorted((len(t), i) for i, t, _ in rows)
+        ms = sorted((m[i], i) for i, t, _ in rows)
+        rx = {i: k + 1 for k, (_, i) in enumerate(xs)}
+        rm = {i: k + 1 for k, (_, i) in enumerate(ms)}
+        n = len(rows)
+        d2 = sum((rx[i] - rm[i]) ** 2 for i in rx)
+        rho = (n * (n * n - 1) - 6 * d2) * 10**6 // (n * (n * n - 1))
+        r = spearman_length_quality(df).collect()[0]
+        assert (r["n_docs"], r["sum_d2"], r["rho_e6"]) == (n, d2, rho)

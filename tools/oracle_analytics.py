@@ -542,6 +542,35 @@ def entries() -> dict[str, str]:
         "vocab_delta": _vdelta_oracle_sql(),
         "survival_curve": _surv_oracle_sql(),
         "trimmed_mean": _tmean_oracle_sql(),
+        "spearman_lq": f"""
+            WITH {classifier_feats_sql()}, sqs AS (
+                SELECT f.doc_id,
+                       COALESCE(list_aggregate(
+                           list_transform(fs,
+                               t -> ({classifier_weight_expr('t',
+                                                             'duckdb')})),
+                           'sum'), 0)::BIGINT AS margin
+                FROM feats f
+            ), sqj AS (
+                SELECT d.doc_id, d.n_chars::BIGINT AS x, s.margin
+                FROM documents d JOIN sqs s USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            ), sqr AS (
+                SELECT row_number() OVER (ORDER BY x, doc_id) AS rx,
+                       row_number() OVER (ORDER BY margin, doc_id) AS rm
+                FROM sqj
+            ), sqa AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum((rx - rm)::HUGEINT * (rx - rm)) AS sum_d2
+                FROM sqr
+            )
+            SELECT n AS n_docs, sum_d2::BIGINT AS sum_d2,
+                   ((n::HUGEINT * (n::HUGEINT * n - 1) - 6 * sum_d2)
+                    * 1000000
+                    // (n::HUGEINT * (n::HUGEINT * n - 1)))::BIGINT
+                       AS rho_e6
+            FROM sqa WHERE n > 1
+        """,
         "conformal_threshold": f"""
             WITH {classifier_feats_sql()}, cfs AS (
                 SELECT f.doc_id,
