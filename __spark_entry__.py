@@ -1039,6 +1039,14 @@ def _q_trimmed_mean(spark, sf):
     return trimmed_mean(_t(spark, sf, "documents"))
 
 
+def _q_dedup_savings(spark, sf):
+    """Bytes-saved ledger per dedup tier (ops/dedup.py dedup_savings):
+    exact md5 groups vs near-dup cluster canonicals, each against the
+    raw corpus bytes."""
+    from bella_domify_spark.ops.dedup import dedup_savings
+    return dedup_savings(_t(spark, sf, "documents"))
+
+
 def _q_spearman_lq(spark, sf):
     """Exact Spearman rho between doc length and classifier margin
     (ops/classifier.py spearman_length_quality): deterministic
@@ -2255,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": _q_survival_curve,
         "trimmed_mean": _q_trimmed_mean,
         "spearman_lq": _q_spearman_lq,
+        "dedup_savings": _q_dedup_savings,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

@@ -214,7 +214,8 @@ def main() -> int:
                  "apportion_sample", "assortativity",
                  "cluster_label_mi", "conformal_threshold",
                  "vocab_delta", "survival_curve",
-                 "trimmed_mean", "spearman_lq"]:
+                 "trimmed_mean", "spearman_lq",
+                 "dedup_savings"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

@@ -3482,3 +3482,19 @@ class TestRound6Session8Ops:
         rho = (n * (n * n - 1) - 6 * d2) * 10**6 // (n * (n * n - 1))
         r = spearman_length_quality(df).collect()[0]
         assert (r["n_docs"], r["sum_d2"], r["rho_e6"]) == (n, d2, rho)
+
+    def test_dedup_savings_hand_counted(self, spark):
+        from bella_domify_spark.ops.dedup import dedup_savings
+
+        t = "a b c d e"
+        df = spark.createDataFrame(
+            [(1, t, 9), (2, t, 9), (3, "a b c d q", 9),
+             (4, "zzz yyy xxx www vvv", 19)],
+            "doc_id long, text string, n_chars long")
+        got = {r["tier"]: (r["n_groups"], r["n_docs_grouped"],
+                           r["bytes_saved"], r["save_ratio_e6"])
+               for r in dedup_savings(df).collect()}
+        # exact: one md5 group of 2, saves 9 of 46 corpus bytes;
+        # cluster {1,2,3} keeps canonical 1, saves 18
+        assert got == {"exact": (1, 2, 9, 9 * 10**6 // 46),
+                       "cluster": (1, 3, 18, 18 * 10**6 // 46)}

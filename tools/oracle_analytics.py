@@ -542,6 +542,43 @@ def entries() -> dict[str, str]:
         "vocab_delta": _vdelta_oracle_sql(),
         "survival_curve": _surv_oracle_sql(),
         "trimmed_mean": _tmean_oracle_sql(),
+        "dedup_savings": f"""
+            WITH RECURSIVE {jaccard_pair_ctes()},
+            {_closure("pairs")},
+            dstot AS (SELECT sum(n_chars)::BIGINT AS corpus_bytes
+                      FROM documents),
+            dsex AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(n_chars)::BIGINT AS b,
+                       min(n_chars)::BIGINT AS keep_b
+                FROM documents GROUP BY md5(text)
+                HAVING count(*) >= 2
+            ),
+            dse AS (
+                SELECT 'exact' AS tier, count(*)::BIGINT AS n_groups,
+                       coalesce(sum(n), 0)::BIGINT AS n_docs_grouped,
+                       coalesce(sum(b - keep_b), 0)::BIGINT
+                           AS bytes_saved
+                FROM dsex
+            ),
+            dscl AS (
+                SELECT node, canonical_id, d.n_chars::BIGINT AS nb
+                FROM lab JOIN documents d ON d.doc_id = lab.node
+            ),
+            dsc AS (
+                SELECT 'cluster' AS tier,
+                       count(DISTINCT canonical_id)::BIGINT AS n_groups,
+                       count(*)::BIGINT AS n_docs_grouped,
+                       sum(CASE WHEN node != canonical_id THEN nb
+                                ELSE 0 END)::BIGINT AS bytes_saved
+                FROM dscl
+            ),
+            dsu AS (SELECT * FROM dse UNION ALL SELECT * FROM dsc)
+            SELECT tier, n_groups, n_docs_grouped, bytes_saved,
+                   (bytes_saved::HUGEINT * 1000000
+                    // corpus_bytes)::BIGINT AS save_ratio_e6
+            FROM dsu CROSS JOIN dstot
+        """,
         "spearman_lq": f"""
             WITH {classifier_feats_sql()}, sqs AS (
                 SELECT f.doc_id,
