@@ -1039,6 +1039,14 @@ def _q_trimmed_mean(spark, sf):
     return trimmed_mean(_t(spark, sf, "documents"))
 
 
+def _q_source_jsd(spark, sf):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (ops/textstats.py source_jsd): shared-term floor-e12
+    chain + LN2_E12 unique-mass fold."""
+    from bella_domify_spark.ops.textstats import source_jsd
+    return source_jsd(_t(spark, sf, "documents"))
+
+
 def _q_dedup_savings(spark, sf):
     """Bytes-saved ledger per dedup tier (ops/dedup.py dedup_savings):
     exact md5 groups vs near-dup cluster canonicals, each against the
@@ -2264,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": _q_trimmed_mean,
         "spearman_lq": _q_spearman_lq,
         "dedup_savings": _q_dedup_savings,
+        "source_jsd": _q_source_jsd,
         # r5-rotated-out stalwarts (r4-driver-green; displaced past the
         # window boundary by the session-3..6 never-confirmed queries):
         "layout_flat_text": _q_layout_flat_text,

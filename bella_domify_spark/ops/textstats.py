@@ -8,6 +8,8 @@ SQL twin for the DuckDB oracle (same formulas, same results).
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, Column, Window, functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic;
@@ -1734,4 +1736,128 @@ def vocab_delta_oracle_sql(k: int = VOCAB_DELTA_K) -> str:
         )
         SELECT rnk, term, c_a, c_b, share_a_e9, share_b_e9, gap_e9
         FROM vdr WHERE rnk <= {k}
+    """
+
+
+# ln 2 · 1e12, Python-precomputed so both engines consume the identical
+# integer literal (the BENFORD_E6 discipline)
+LN2_E12 = int(_math.floor(_math.log(2.0) * 1e12))
+
+
+def source_jsd(docs: DataFrame, group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the DISTRIBUTIONAL corpus-similarity metric next to
+    vocab_overlap's set view: two crawls can share every word
+    (overlap ≈ 1) yet use them at wildly different rates (JSD ≫ 0);
+    symmetric, bounded by ln 2, and the standard input to
+    corpus-mixing decisions.
+
+    Decomposition that needs only the SHARED-term join: with p, q the
+    per-source term shares and m = (p+q)/2,
+    JSD = ½·Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+        + ½·ln2·[(1−P_sh) + (1−Q_sh)]
+    — every term unique to one side contributes exactly p·ln2, so the
+    unique mass folds into two exact integer ratios of BIGINT counts
+    times the Python-precomputed LN2_E12 literal. Shared-term
+    contributions quantize floor-e12 PER TERM and sum as integers (the
+    bigram_surprisal discipline); the count ratios feeding ln are
+    exact doubles (counts < 2⁵³).
+
+    Scale: one (source, term) aggregate, a term-keyed pair join with
+    C(|sources|,2)-bounded per-term fan-out (the vocab_overlap shape),
+    aggregate-sized margins broadcast.
+
+    Output: (src_a, src_b, n_shared, jsd_e12); jsd_e12/1e12 ∈
+    [0, ln 2]. A pair with ZERO shared terms emits no row (its JSD is
+    exactly ln 2 by definition — absent-row = maximal divergence; real
+    text sources always share stopwords, so the case is theoretical).
+    """
+    cnt = (docs.filter(F.col(group_col).isNotNull()
+                       & F.col(text_col).isNotNull())
+           .select(F.col(group_col).alias("src"),
+                   F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                    .alias("term"))
+           .filter(F.col("term") != "")
+           .groupBy("src", "term")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    a = (cnt.join(tot, "src")
+         .select(F.col("src").alias("src_a"), "term",
+                 F.col("c").alias("ca"), F.col("t").alias("ta")))
+    b = (cnt.join(tot, "src")
+         .select(F.col("src").alias("src_b"), "term",
+                 F.col("c").alias("cb"), F.col("t").alias("tb")))
+    sh = (a.join(b, "term")
+          .filter(F.col("src_a") < F.col("src_b"))
+          .select("src_a", "src_b", "ca", "ta", "cb", "tb"))
+    p = F.col("ca").cast("double") / F.col("ta").cast("double")
+    q = F.col("cb").cast("double") / F.col("tb").cast("double")
+    term = (sh.withColumn(
+        "s_e12",
+        (F.floor(p * F.log(F.lit(2.0) * p / (p + q)) * 1e12)
+         + F.floor(q * F.log(F.lit(2.0) * q / (p + q)) * 1e12))
+        .cast("long")))
+    agg = (term.groupBy("src_a", "src_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shared"),
+                F.sum(F.col("s_e12").cast("decimal(38,0)")).alias("ssum"),
+                F.sum("ca").cast("long").alias("csa"),
+                F.max("ta").alias("ta"),
+                F.sum("cb").cast("long").alias("csb"),
+                F.max("tb").alias("tb")))
+    return agg.select(
+        "src_a", "src_b", "n_shared",
+        F.expr(f"(ssum + cast(ta - csa as decimal(38,0)) * {LN2_E12}"
+               f" div ta + cast(tb - csb as decimal(38,0)) * {LN2_E12}"
+               f" div tb) div 2").alias("jsd_e12"))
+
+
+def source_jsd_oracle_sql() -> str:
+    """DuckDB twin of source_jsd (same per-term floor-e12 chain, same
+    LN2_E12 literal, // exact division)."""
+    return rf"""
+        WITH sj0 AS (
+            SELECT source AS src,
+                   unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\s+'),
+                                      x -> x != '')) AS term
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL
+        ),
+        sjc AS (SELECT src, term, count(*)::BIGINT AS c FROM sj0
+                GROUP BY src, term),
+        sjt AS (SELECT src, sum(c)::BIGINT AS t FROM sjc GROUP BY src),
+        sjp AS (
+            SELECT a.src AS src_a, b.src AS src_b,
+                   a.c AS ca, ta.t AS ta, b.c AS cb, tb.t AS tb
+            FROM sjc a
+            JOIN sjc b USING (term)
+            JOIN sjt ta ON ta.src = a.src
+            JOIN sjt tb ON tb.src = b.src
+            WHERE a.src < b.src
+        ),
+        sje AS (
+            SELECT src_a, src_b, ca, ta, cb, tb,
+                   (floor((ca::DOUBLE / ta)
+                          * ln(2.0 * (ca::DOUBLE / ta)
+                               / (ca::DOUBLE / ta + cb::DOUBLE / tb))
+                          * 1e12)
+                    + floor((cb::DOUBLE / tb)
+                            * ln(2.0 * (cb::DOUBLE / tb)
+                                 / (ca::DOUBLE / ta + cb::DOUBLE / tb))
+                            * 1e12))::BIGINT AS s_e12
+            FROM sjp
+        ),
+        sja AS (
+            SELECT src_a, src_b, count(*)::BIGINT AS n_shared,
+                   sum(s_e12::HUGEINT) AS ssum,
+                   sum(ca)::BIGINT AS csa, max(ta) AS ta,
+                   sum(cb)::BIGINT AS csb, max(tb) AS tb
+            FROM sje GROUP BY src_a, src_b
+        )
+        SELECT src_a, src_b, n_shared,
+               ((ssum + (ta - csa)::HUGEINT * {LN2_E12} // ta
+                 + (tb - csb)::HUGEINT * {LN2_E12} // tb)
+                // 2)::BIGINT AS jsd_e12
+        FROM sja
     """

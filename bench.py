@@ -215,7 +215,7 @@ def main() -> int:
                  "cluster_label_mi", "conformal_threshold",
                  "vocab_delta", "survival_curve",
                  "trimmed_mean", "spearman_lq",
-                 "dedup_savings"]:
+                 "dedup_savings", "source_jsd"]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop")
               .mode("overwrite").save(),

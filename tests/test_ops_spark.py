@@ -3498,3 +3498,31 @@ class TestRound6Session8Ops:
         # cluster {1,2,3} keeps canonical 1, saves 18
         assert got == {"exact": (1, 2, 9, 9 * 10**6 // 46),
                        "cluster": (1, 3, 18, 18 * 10**6 // 46)}
+
+    def test_source_jsd_hand_counted(self, spark):
+        import math
+
+        from bella_domify_spark.ops.textstats import LN2_E12, source_jsd
+
+        assert LN2_E12 == math.floor(math.log(2.0) * 1e12)
+        # A and B identical distributions -> JSD 0; A and C share only
+        # "x" (A: x 1/2, C: x 1/3) -> hand-mirror the quantized chain
+        df = spark.createDataFrame(
+            [(1, "A", "x y"), (2, "B", "x y"), (3, "C", "x z z")],
+            "doc_id long, source string, text string")
+        got = {(r["src_a"], r["src_b"]): (r["n_shared"], r["jsd_e12"])
+               for r in source_jsd(df).collect()}
+        assert got[("A", "B")] == (2, 0)
+
+        def jsd(ca, ta, cb, tb, shared_mass):
+            p, q = ca / ta, cb / tb
+            s = (math.floor(p * math.log(2 * p / (p + q)) * 1e12)
+                 + math.floor(q * math.log(2 * q / (p + q)) * 1e12))
+            ua, ub = shared_mass
+            return (s + (ta - ua) * LN2_E12 // ta
+                    + (tb - ub) * LN2_E12 // tb) // 2
+
+        expected_ac = jsd(1, 2, 1, 3, (1, 1))
+        assert got[("A", "C")] == (1, expected_ac)
+        assert got[("B", "C")] == (1, expected_ac)
+        assert 0 < expected_ac < LN2_E12

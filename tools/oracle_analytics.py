@@ -81,6 +81,8 @@ def entries() -> dict[str, str]:
                                                   as _zipf_oracle_sql,
                                                   vocab_delta_oracle_sql
                                                   as _vdelta_oracle_sql,
+                                                  source_jsd_oracle_sql
+                                                  as _sjsd_oracle_sql,
                                                   vocab_overlap_oracle_sql
                                                   as _vocab_oracle_sql,
                                                   hill_oracle_sql
@@ -542,6 +544,7 @@ def entries() -> dict[str, str]:
         "vocab_delta": _vdelta_oracle_sql(),
         "survival_curve": _surv_oracle_sql(),
         "trimmed_mean": _tmean_oracle_sql(),
+        "source_jsd": _sjsd_oracle_sql(),
         "dedup_savings": f"""
             WITH RECURSIVE {jaccard_pair_ctes()},
             {_closure("pairs")},
