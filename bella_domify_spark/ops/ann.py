@@ -139,36 +139,65 @@ def kmeans_assign(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
         F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.floor(x * F.lit(float(scale))).cast("long"))
         .alias("v"))
-    seeds = (q.orderBy("id").limit(n_clusters)
-             .withColumn("c_id", F.row_number().over(Window.orderBy("id")) - 1)
-             .select("c_id", F.col("v").alias("c")))
+    # centroids live as driver-side LITERALS (k·dim ints — the same k rows
+    # train_centroids already collects): assignment is then a pure
+    # map-side projection — one d2 expression per centroid, argmin via
+    # least() with a first-match CASE for the (dist2 ASC, c_id ASC) tie
+    # rule — instead of the former k× crossJoin fan-out + per-id window,
+    # which shuffled k·n fat vector rows EVERY iteration (guide §2.4:
+    # remove the shuffle outright; §3.1 taken to its limit — the small
+    # side rides the plan). Measured at sf0.1: kmeans_assign 2.6 → ~1 s,
+    # and every downstream consumer (semdedup, ivf_balance,
+    # cluster_label_mi) inherits the flat assignment plan. Arithmetic is
+    # unchanged (same zip_with integer squared-L2, same tie-break), so
+    # the output is bit-identical to the former plan and the oracle.
+    seed_rows = sorted(q.orderBy("id").limit(n_clusters).collect(),
+                       key=lambda r: r["id"])
+    cents = [list(r["v"]) for r in seed_rows]
 
-    def assign(cdf):
-        d2 = F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("c_id"))
-        return (q.crossJoin(F.broadcast(cdf))
-                .select("id", "v", "c_id", d2.alias("dist2"))
-                .withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1).drop("r"))
+    def assigned():
+        """(id, v, mn=(d: dist2, c: c_id)) under the current literal
+        centroids. The whole argmin is ONE fixed-shape expression:
+        ``array_min(transform(<2-D centroid literal>, (c, i) ->
+        (d2(v, c), i)))`` — struct ordering compares d first then the
+        index, exactly the former (dist2 ASC, c_id ASC) window tie rule.
+        Two deliberate shapes here, both measured at sf0.1:
+        - the centroids ride as a SINGLE complex-typed literal (a codegen
+          reference object), so the generated source is identical across
+          iterations and invocations — per-element primitive literals
+          re-janino-compile every centroid update (6-13 s/pass vs 0.4 s);
+        - the d2 aggregates live inside one expression, so CollapseProject
+          cannot multiply their evaluation across consumer references
+          (per-centroid columns + least()/CASE re-evaluated them ~6×)."""
+        cl = F.lit([[int(x) for x in c] for c in cents]) \
+            .cast("array<array<bigint>>")
+        mn = F.array_min(F.transform(cl, lambda c, i: F.struct(
+            F.aggregate(F.zip_with(F.col("v"), c,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("d"),
+            i.alias("c"))))
+        return q.select("id", "v", mn.alias("mn"))
 
-    cents = seeds
     for _ in range(iters):
-        won = assign(cents)
-        means = (won.select("c_id", F.posexplode("v").alias("pos", "x"))
+        means = (assigned()
+                 .select(F.col("mn.c").alias("c_id"),
+                         F.posexplode("v").alias("pos", "x"))
                  .groupBy("c_id", "pos")
                  .agg(F.expr("sum(x) div count(1)").alias("m"))
                  .groupBy("c_id")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                       .alias("pm"))
                  .select("c_id",
-                         F.transform("pm", lambda s: s["m"]).alias("cnew")))
-        cents = (cents.join(means, "c_id", "left")
-                 .select("c_id", F.coalesce("cnew", "c").alias("c")))
-    return (assign(cents)
+                         F.transform("pm", lambda s: s["m"]).alias("cnew"))
+                 .collect())  # k rows of k·dim ints — driver-tiny
+        new = {r["c_id"]: list(r["cnew"]) for r in means}
+        # empty clusters keep their previous centroid (standard Lloyd)
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return (assigned()
             .select(F.col("id").alias(id_col),
-                    F.col("c_id").cast("long").alias("cluster_id"), "dist2"))
+                    F.col("mn.c").cast("long").alias("cluster_id"),
+                    F.col("mn.d").alias("dist2")))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,

@@ -344,6 +344,9 @@ def link_prediction(pairs: DataFrame, max_center_deg: int = 1000,
     Output: (id_a, id_b, n_common, deg_a, deg_b, nb_jaccard_e9),
     id_a < id_b.
     """
+    # deliberately NOT checkpointed (walk_centrality rationale: single
+    # plan, Catalyst exchange reuse already computes the pair DAG once —
+    # an eager localCheckpoint measured 8.3 → 10.2 s at sf0.1)
     e = pairs.select("id_a", "id_b")
     sym = _symmetrize(e, "id_a", "id_b")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -392,6 +395,11 @@ def walk_centrality(pairs: DataFrame, iters: int = 3) -> DataFrame:
     ANSI mode throws rather than wraps if exceeded — raise the cast to
     decimal output and re-pin the oracle if a corpus ever hits that).
     """
+    # deliberately NOT checkpointed: this is ONE final plan, so Catalyst
+    # reuses the pair-generator exchange across the iteration joins and
+    # AQE keeps its runtime stats; an eager localCheckpoint was measured
+    # SLOWER at sf0.1 (3.1 → 4.9 s) — the kcore/lpa loops differ because
+    # their per-round eager checkpoints split execution into many actions
     sym = _symmetrize(pairs.select("id_a", "id_b"), "id_a", "id_b")
     x = (sym.groupBy(F.col("dst").alias("id"))
          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("s")))
@@ -516,12 +524,24 @@ def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     with their degree entering the final peel (>= k by construction).
     """
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    sym = _symmetrize(e, "a", "b")
+    # materialize the symmetrized edge list ONCE: its lineage is the whole
+    # candidate-generator DAG (shingle explode + self-join), and every
+    # round's eager checkpoint would otherwise re-run it from the scan —
+    # rounds+1 recomputes of the most expensive subtree (guide §2.4:
+    # remove repeated work feeding a loop). Measured at sf0.1:
+    # 13.6 s → 5.4 s for the 3-round peel.
+    sym = _ckpt(_symmetrize(e, "a", "b"), "local")
     alive = sym.select("src").distinct()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    for _ in range(rounds):
-        induced = (sym.join(alive.select("src"), "src")
-                      .join(alive.select(F.col("src").alias("dst")), "dst"))
+    for r in range(rounds):
+        if r == 0:
+            # round 1's alive set is ALL endpoints, so the induced
+            # subgraph is sym itself — skip the two no-op semijoins
+            induced = sym
+        else:
+            induced = (sym.join(alive.select("src"), "src")
+                          .join(alive.select(F.col("src").alias("dst")),
+                                "dst"))
         deg = induced.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         alive = _ckpt(deg.filter(F.col("deg") >= k).select("src"), "local")
     return (deg.join(alive, "src")
@@ -553,7 +573,9 @@ def lpa_communities(pairs: DataFrame, rounds: int = 3) -> DataFrame:
 
     Output: (node_id, community) for every node with an edge.
     """
-    sym = _symmetrize(pairs, "id_a", "id_b")
+    # one-shot materialization of the edge list (the kcore_peel rationale:
+    # every round's checkpoint would re-run the pair-generator DAG)
+    sym = _ckpt(_symmetrize(pairs, "id_a", "id_b"), "local")
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("lab", F.col("node"))
               .transform(lambda d: _ckpt(d, "local")))
@@ -590,7 +612,10 @@ def neighborhood_sizes(pairs: DataFrame, radius: int = 2) -> DataFrame:
 
     Output: (node_id, ball_size) for every node with an edge.
     """
-    sym = _symmetrize(pairs, "id_a", "id_b")
+    # one-shot materialization (kcore_peel rationale): each hop extension
+    # joins sym again, and the per-hop checkpoints would re-run the
+    # pair-generator DAG once per hop otherwise
+    sym = _ckpt(_symmetrize(pairs, "id_a", "id_b"), "local")
     ball = sym.distinct().transform(lambda d: _ckpt(d, "local"))
     for _ in range(radius - 1):
         ext = (ball.alias("b")
@@ -626,6 +651,9 @@ def assortativity(pairs: DataFrame) -> DataFrame:
 
     Output: one row (n_edges, n_nodes, r_e6).
     """
+    # deliberately NOT checkpointed (walk_centrality rationale: single
+    # plan, exchange reuse beats materialization — measured 3.9 → 4.9 s
+    # with an eager localCheckpoint at sf0.1)
     sym = _symmetrize(pairs, "id_a", "id_b")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long")
                                  .alias("d"))
