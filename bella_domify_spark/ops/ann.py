@@ -150,6 +150,10 @@ def kmeans_assign(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
     # cluster_label_mi 7.6 → 3.0 s. Arithmetic is unchanged (same
     # zip_with integer squared-L2, same tie-break), so the output is
     # bit-identical to the former plan and the oracle.
+    # pin the quantized vectors for the loop's iters+1 passes (seed +
+    # one means job per iteration); released before returning, so the
+    # consumer's final plan recomputes the narrow scan+quantize once
+    q = q.persist()
     seed_rows = sorted(q.orderBy("id").limit(n_clusters).collect(),
                        key=lambda r: r["id"])
     cents = [list(r["v"]) for r in seed_rows]
@@ -193,6 +197,7 @@ def kmeans_assign(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
         new = {r["c_id"]: list(r["cnew"]) for r in means}
         # empty clusters keep their previous centroid (standard Lloyd)
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    q.unpersist()
     return (assigned()
             .select(F.col("id").alias(id_col),
                     F.col("mn.c").cast("long").alias("cluster_id"),
@@ -537,12 +542,16 @@ def semdedup_prune(vectors: DataFrame, n_clusters: int = 8, iters: int = 2,
         F.transform(F.col(vec_col).cast("array<double>"),
                     lambda x: F.floor(x * F.lit(float(scale))).cast("long"))
         .alias("v"))
-    norms = q.select(
-        "id",
+    # n2 rides the same projection as v (one HOF per row) instead of a
+    # separate norms table joined back by id — that join re-shuffled the
+    # quantized vectors a second time for a value computable in place
+    # (guide §2.4); same expression, bit-identical output
+    qn = q.select(
+        "id", "v",
         F.aggregate(F.transform("v", lambda x: x * x),
                     F.lit(0).cast("long"), lambda acc, x: acc + x)
          .alias("n2"))
-    x = assign.join(q, "id").join(norms, "id")
+    x = assign.join(qn, "id")
     a = x.select(F.col("id").alias("id_a"), F.col("cluster_id").alias("c"),
                  F.col("v").alias("va"), F.col("n2").alias("n2a"))
     b = x.select(F.col("id").alias("id_b"), F.col("cluster_id").alias("c"),

@@ -568,7 +568,10 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
     all-pairs anywhere; hot shingles spread by key like any skewed join
     (AQE skew split applies)."""
     inst = word_shingles(df, id_col, text_col, n, dedupe=False)
-    docfreq = (inst.distinct()
+    # document frequency from the per-row-deduped stream (array_distinct
+    # before explode) — the former inst.distinct() shuffled the whole
+    # instance stream a second time just to dedupe within documents
+    docfreq = (word_shingles(df, id_col, text_col, n, dedupe=True)
                .groupBy("shingle").agg(F.count(F.lit(1)).alias("docs")))
     per = (inst.join(docfreq, "shingle")
            .groupBy("id")
@@ -721,10 +724,19 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     the triangle_stats packing convention). Selected keys decode back
     to (pos, fp).
 
-    Scale: one row per character (the k-gram explode), a per-doc
-    ordered window (doc-bounded partitions, corpus-cardinality key),
-    then DISTINCT on the winnowed ~2/(w+1) density subset — the only
-    corpus-wide shuffle runs on the already-thinned selection.
+    Scale: ZERO shuffles before the final thinning — winnowing is
+    per-document over positions, so the k-gram keys, the w-window
+    minima and the per-doc dedup all run as in-row array expressions
+    (transform/slice/array_min/array_distinct), replacing the former
+    one-row-per-character explode + per-doc ordered window, which
+    shuffled and sorted the ENTIRE character stream by doc id (guide
+    §2.4; row-identical output, oracle-verified. Local sf0.1 wall is
+    unchanged ~3.7 s — the operator is md5-bound, one hash per
+    character — but the per-character shuffle+sort it drops is the part
+    that grows with corpus size). The
+    keys array stays behind its own projection so CollapseProject
+    cannot inline the md5 chain into the per-window slice lambda (the
+    word_shingles discipline).
 
     Output: (doc_id, pos, fp), one row per selected fingerprint; docs
     shorter than k+w−1 chars emit nothing (no full window).
@@ -734,19 +746,21 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                       & (F.length(text_col) >= k))
             .select(F.col(id_col).alias("id"),
                     F.lower(F.col(text_col)).alias("t")))
-    pg = base.select("id", F.explode(F.expr(
+    # keys[i] = h31(gram at pos i)·2³¹ + (2³¹−1−i), 1-indexed by position
+    keyed = base.select("id", F.expr(
         f"transform(sequence(1, length(t) - {k} + 1),"
-        f" i -> named_struct('pos', cast(i as bigint),"
-        f"                   'g', substring(t, i, {k})))")).alias("pg"))
-    h31 = _md5_int60(F.col("pg.g")) % F.lit(2 ** 31)
-    keyed = pg.select(
-        "id", F.col("pg.pos").alias("pos"),
-        (h31 * F.lit(2 ** 31)
-         + (F.lit(2 ** 31 - 1) - F.col("pg.pos"))).alias("key"))
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    sel = (keyed.withColumn("mk", F.min("key").over(win))
-           .filter(F.col("pos") >= w)
-           .select("id", "mk").distinct())
+        f" i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 15),"
+        f"            16, 10) as bigint)"
+        f"      % 2147483648L * 2147483648L"
+        f"      + (2147483647L - cast(i as bigint)))").alias("keys"))
+    # window minima exist only for pos ≥ w (full windows); sequence()
+    # counts DOWN when stop < start, so the short-doc case must gate
+    mins = F.when(
+        F.size("keys") >= w,
+        F.expr(f"transform(sequence({w}, size(keys)),"
+               f" j -> array_min(slice(keys, j - {w} + 1, {w})))")
+    ).otherwise(F.array().cast("array<bigint>"))
+    sel = keyed.select("id", F.explode(F.array_distinct(mins)).alias("mk"))
     return sel.select(
         F.col("id").alias(id_col),
         (F.lit(2 ** 31 - 1) - F.col("mk") % F.lit(2 ** 31)).alias("pos"),

@@ -579,14 +579,20 @@ def lpa_communities(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("lab", F.col("node"))
               .transform(lambda d: _ckpt(d, "local")))
-    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(rounds):
         msgs = (sym.join(labels, sym.dst == labels.node)
                 .select("src", "lab"))
         counts = msgs.groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
-        labels = (counts.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select(F.col("src").alias("node"), "lab")
+        # modal pick as one hash aggregate: max of (c, −lab) structs ≡
+        # the former row_number window ordered (c DESC, lab ASC), minus
+        # its per-partition sort — a hash agg with map-side combine
+        # replaces the window's sort pass (guide §2.3)
+        labels = (counts.groupBy("src")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lab")).alias("nl")))
+                       .alias("m"))
+                  .select(F.col("src").alias("node"),
+                          (-F.col("m.nl")).alias("lab"))
                   .transform(lambda d: _ckpt(d, "local")))
     return labels.select(F.col("node").alias("node_id"),
                          F.col("lab").alias("community"))

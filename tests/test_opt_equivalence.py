@@ -1,0 +1,173 @@
+"""Round-7 optimization equivalence pins.
+
+Each optimization in this round restructured an operator's PLAN while
+keeping its OUTPUT bit-identical; these tests pin the equivalences
+against straightforward reference implementations so a future edit that
+breaks one fails here, not at the driver's oracle.
+
+Covered:
+- word_shingles dedupe via in-row array_distinct ≡ corpus-wide distinct
+- kmeans_assign literal-centroid argmin ≡ naive per-centroid scoring
+  (tie rule: dist2 ASC then c_id ASC; empty-cluster carry-forward)
+- winnow_fingerprints in-row window minima ≡ per-char windowed reference
+- lpa_communities max-of-(c, −lab) modal pick ≡ (c DESC, lab ASC) sort
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different text with no shared phrasing at all"),
+        (5, "short"),
+        (6, "repeat repeat repeat repeat repeat repeat"),  # in-doc dupes
+        (7, ""),
+    ]
+    return spark.createDataFrame(data, ["doc_id", "text"])
+
+
+class TestShingleDedupe:
+    def test_array_distinct_equals_corpus_distinct(self, docs):
+        from bella_domify_spark.ops.dedup import word_shingles
+        fast = word_shingles(docs, "doc_id", "text", n=3, dedupe=True)
+        slow = (word_shingles(docs, "doc_id", "text", n=3, dedupe=False)
+                .distinct())
+        assert _rows(fast, "id", "shingle") == _rows(slow, "id", "shingle")
+
+    def test_in_doc_duplicates_collapse(self, docs):
+        from bella_domify_spark.ops.dedup import word_shingles
+        rep = word_shingles(docs.filter("doc_id = 6"), "doc_id", "text",
+                            n=3, dedupe=True)
+        # "repeat repeat repeat" x4 instances -> ONE deduped shingle
+        assert rep.count() == 1
+
+
+class TestKmeansLiteralCentroids:
+    def test_matches_naive_reference(self, spark):
+        from bella_domify_spark.ops.ann import kmeans_assign
+        # vectors chosen so two clusters tie in distance for vec 10 —
+        # the (dist2 ASC, c_id ASC) rule must pick the smaller c_id
+        vecs = [
+            (0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.1, 0.0]),
+            (3, [10.1, 0.0]), (10, [5.0, 0.0]),  # equidistant from seeds
+        ]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        out = {r["vec_id"]: (r["cluster_id"], r["dist2"])
+               for r in kmeans_assign(df, n_clusters=2, iters=2).collect()}
+
+        # naive reference: same quantization, seeds, updates, tie rule
+        scale = 1_000_000
+        import math
+        pts = {i: [math.floor(x * scale) for x in v] for i, v in vecs}
+        cents = [pts[0], pts[1]]
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+        def assign():
+            res = {}
+            for i, v in pts.items():
+                ds = [d2(v, c) for c in cents]
+                best = min(ds)
+                res[i] = (ds.index(best), best)
+            return res
+        for _ in range(2):
+            a = assign()
+            for c in range(2):
+                members = [pts[i] for i, (ci, _) in a.items() if ci == c]
+                if members:
+                    n = len(members)
+                    cents[c] = [int(sum(col) // n) if sum(col) >= 0
+                                else -((-sum(col)) // n)
+                                for col in zip(*members)]
+        # Spark's `div` truncates toward zero; py // floors — all sums
+        # here are nonnegative so the reference uses // directly
+        ref = assign()
+        assert out == {i: (c, d) for i, (c, d) in ref.items()}
+
+    def test_null_vectors_dropped(self, spark):
+        from bella_domify_spark.ops.ann import kmeans_assign
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, None)],
+            "vec_id long, embedding array<double>")
+        got = kmeans_assign(df, n_clusters=2, iters=1)
+        assert sorted(r["vec_id"] for r in got.collect()) == [0, 1]
+
+
+class TestWinnowInRow:
+    def test_matches_windowed_reference(self, spark, docs):
+        from bella_domify_spark.ops.dedup import (WINNOW_K, WINNOW_W,
+                                                  _md5_int60,
+                                                  winnow_fingerprints)
+        k, w = WINNOW_K, WINNOW_W
+        fast = winnow_fingerprints(docs)
+        # reference: the pre-optimization explode + ordered-window plan
+        base = (docs.filter(F.col("doc_id").isNotNull()
+                            & F.col("text").isNotNull()
+                            & (F.length("text") >= k))
+                .select(F.col("doc_id").alias("id"),
+                        F.lower(F.col("text")).alias("t")))
+        pg = base.select("id", F.explode(F.expr(
+            f"transform(sequence(1, length(t) - {k} + 1),"
+            f" i -> named_struct('pos', cast(i as bigint),"
+            f"                   'g', substring(t, i, {k})))")).alias("pg"))
+        h31 = _md5_int60(F.col("pg.g")) % F.lit(2 ** 31)
+        keyed = pg.select(
+            "id", F.col("pg.pos").alias("pos"),
+            (h31 * F.lit(2 ** 31)
+             + (F.lit(2 ** 31 - 1) - F.col("pg.pos"))).alias("key"))
+        win = (Window.partitionBy("id").orderBy("pos")
+               .rowsBetween(-(w - 1), 0))
+        sel = (keyed.withColumn("mk", F.min("key").over(win))
+               .filter(F.col("pos") >= w)
+               .select("id", "mk").distinct())
+        slow = sel.select(
+            F.col("id").alias("doc_id"),
+            (F.lit(2 ** 31 - 1) - F.col("mk") % F.lit(2 ** 31)).alias("pos"),
+            F.expr("mk div 2147483648").alias("fp"))
+        assert _rows(fast, "doc_id", "pos", "fp") == \
+            _rows(slow, "doc_id", "pos", "fp")
+
+    def test_short_docs_emit_nothing(self, spark):
+        from bella_domify_spark.ops.dedup import winnow_fingerprints
+        df = spark.createDataFrame(
+            [(1, "abcdefg"), (2, "abcd")], ["doc_id", "text"])
+        got = winnow_fingerprints(df)  # k+w-1 = 8 chars minimum
+        assert got.count() == 0
+
+
+class TestLpaModalPick:
+    def test_max_struct_equals_sorted_pick(self, spark):
+        from bella_domify_spark.ops.graph import lpa_communities
+        # triangle {1,2,3} + pendant 4 and a tie-heavy star at 5
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (5, 1), (5, 2), (5, 4)],
+            ["id_a", "id_b"])
+        got = {r["node_id"]: r["community"]
+               for r in lpa_communities(pairs, rounds=3).collect()}
+
+        # reference: synchronous LPA with (count DESC, label ASC) pick
+        adj = {}
+        for a, b in [(1, 2), (2, 3), (1, 3), (3, 4), (5, 1), (5, 2), (5, 4)]:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {n: n for n in adj}
+        for _ in range(3):
+            new = {}
+            for n, nbrs in adj.items():
+                counts = {}
+                for m in nbrs:
+                    counts[lab[m]] = counts.get(lab[m], 0) + 1
+                new[n] = sorted(counts.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0][0]
+            lab = new
+        assert got == lab
