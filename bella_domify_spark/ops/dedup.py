@@ -87,7 +87,27 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     per call (guide §2.4: remove the shuffle outright; row-identical
     output, verified exceptAll-empty both ways at sf0.1).
     """
-    words_df = df.select(
+    return (shingle_arrays(df, id_col, text_col, n, dedupe)
+            .select("id", F.explode("sharr").alias("shingle")))
+
+
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   dedupe: bool = True) -> DataFrame:
+    """(id, sharr: array<string>) — each document's word ``n``-gram
+    shingles as ONE in-row array (``word_shingles`` is its explode).
+    Exposed so consumers that only need per-document scalars — shingle
+    counts (jaccard/containment sizes, ppjoin's s), bottom-k sketches,
+    has-any-shingle flags — can compute them as map-side projections of
+    the array instead of exploding + re-aggregating the corpus-wide
+    stream (guide §2.3/§2.4: the aggregate undoes the explode; skip
+    both).
+
+    ``_widen`` guards the under-split case (a small single-file table
+    scans as ONE split, which would serialize the whole shingle chain on
+    one core now that no early ``distinct`` exchange fans it out) — the
+    minhash_signatures discipline; a no-op at real scale."""
+    words_df = _widen(df).select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("w"))
     m = F.size("w") - n + 1  # number of shingles when >= 1
@@ -99,7 +119,7 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ).otherwise(F.array().cast("array<string>"))
     if dedupe:
         shingle = F.array_distinct(shingle)
-    return words_df.select("id", F.explode(shingle).alias("shingle"))
+    return words_df.select("id", shingle.alias("sharr"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -115,22 +135,29 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # size, so pinning it in executor memory is the scale-wrong choice —
     # recomputing it (scan + split, narrow and codegen'd) for the three
     # consumers is cheaper than spilling a 10×-input cache at 100 TB
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-    sh_f = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
+    # per-doc set sizes RIDE the shingle stream (a map-side projection of
+    # the in-row array) and travel through the pair join as extra
+    # grouping keys — no sizes table, no post-aggregation joins, and the
+    # shingle-build chain is evaluated exactly twice (once under the freq
+    # exchange, once on the join's probe side, itself shared by both pair
+    # sides via exchange reuse). The former shape paid either a
+    # corpus-wide distinct shuffle (pre-r7) or two un-reusable
+    # projection-side re-evaluations (guide §2.3/§2.4).
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    sh_s = arrs.select("id", F.size("sharr").cast("long").alias("n_sh"),
+                       F.explode("sharr").alias("shingle"))
+    freq = sh_s.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    sh_f = sh_s.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
 
-    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    a = sh_f.select(F.col("id").alias("id_a"),
+                    F.col("n_sh").alias("n_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"),
+                    F.col("n_sh").alias("n_b"), "shingle")
     common = (a.join(b, "shingle")
                .filter(F.col("id_a") < F.col("id_b"))
-               .groupBy("id_a", "id_b")
+               .groupBy("id_a", "id_b", "n_a", "n_b")
                .agg(F.count(F.lit(1)).alias("n_common")))
     out = (common
-           .join(sizes.withColumnRenamed("id", "id_a")
-                      .withColumnRenamed("n_sh", "n_a"), "id_a")
-           .join(sizes.withColumnRenamed("id", "id_b")
-                      .withColumnRenamed("n_sh", "n_b"), "id_b")
            .withColumn("jaccard",
                        F.col("n_common") /
                        (F.col("n_a") + F.col("n_b") - F.col("n_common")))
@@ -188,21 +215,26 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     corpus). Output: directed (id_a, id_b, n_common, n_a, containment)
     with id_a != id_b and containment(A→B) >= threshold.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = (sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-               .filter(F.col("n_sh") >= min_shingles))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-    sh_f = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
-    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    # sizes ride the pair join as grouping keys (jaccard_pairs note);
+    # the min_shingles membership filters on BOTH endpoints become
+    # post-aggregation predicates on the carried sizes — identical rows
+    # (the former inner joins only ever dropped sub-min documents)
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    sh_s = arrs.select("id", F.size("sharr").cast("long").alias("n_sh"),
+                       F.explode("sharr").alias("shingle"))
+    freq = sh_s.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    sh_f = sh_s.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
+    a = sh_f.select(F.col("id").alias("id_a"),
+                    F.col("n_sh").alias("n_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"),
+                    F.col("n_sh").alias("n_b"), "shingle")
     common = (a.join(b, "shingle")
                .filter(F.col("id_a") != F.col("id_b"))
-               .groupBy("id_a", "id_b")
+               .groupBy("id_a", "id_b", "n_a", "n_b")
                .agg(F.count(F.lit(1)).alias("n_common")))
     return (common
-            .join(sizes.withColumnRenamed("id", "id_a")
-                       .withColumnRenamed("n_sh", "n_a"), "id_a")
-            .join(sizes.select(F.col("id").alias("id_b")), "id_b")
+            .filter((F.col("n_a") >= min_shingles)
+                    & (F.col("n_b") >= min_shingles))
             .withColumn("containment", F.col("n_common") / F.col("n_a"))
             .filter(F.col("containment") >= threshold)
             .select("id_a", "id_b", "n_common", "n_a", "containment"))
@@ -804,7 +836,8 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Output: (id_a, id_b, n_a, n_b, n_common, jacc_e6), pairs id_a < id_b.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    sh = arrs.select("id", F.explode("sharr").alias("shingle"))
     # the vocab-sized frequency table is consumed by all the tok
     # pipelines below (prefix sides + verify sides): persist IT — one
     # corpus aggregate instead of four — while the corpus-sized shingle
@@ -814,14 +847,17 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
     # window anywhere): (f, shingle) is already a total order, the
     # per-document prefix positions come from an id-partitioned window
     # over it, and both the candidate and verify joins key on the
-    # shingle itself.
+    # shingle itself. The per-document set size rides the explode as a
+    # map-side array projection (jaccard_pairs note) — formerly a second
+    # unordered window pass over the id partition.
     freq = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
             .persist())
-    tok = sh.join(freq, "shingle").select("id", "shingle", "f")
+    tok = (arrs.select("id", F.size("sharr").cast("long").alias("s"),
+                       F.explode("sharr").alias("shingle"))
+           .join(freq, "shingle").select("id", "shingle", "f", "s"))
     wid = Window.partitionBy("id")
-    tokp = (tok.withColumn("s", F.count(F.lit(1)).over(wid))
-               .withColumn("pos", F.row_number().over(
-                   wid.orderBy("f", "shingle"))))
+    tokp = tok.withColumn("pos", F.row_number().over(
+        wid.orderBy("f", "shingle")))
     ceil_ts = F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}")
     pref = tokp.filter(F.col("pos") <= F.col("s") - ceil_ts + 1)
     a = pref.select(F.col("id").alias("id_a"),
@@ -953,8 +989,10 @@ def blocking_quality(df: DataFrame, id_col: str = "doc_id",
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    nd = (word_shingles(df, id_col, text_col, n)
-          .select("id").distinct()
+    # shingle-bearing doc count straight off the in-row arrays — no
+    # explode, no corpus-wide distinct (guide §2.4)
+    nd = (shingle_arrays(df, id_col, text_col, n)
+          .filter(F.size("sharr") > 0)
           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))

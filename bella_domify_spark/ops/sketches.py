@@ -314,12 +314,15 @@ def bottomk_estimate(docs: DataFrame, k: int = BK_K,
     Output: (id_a, id_b, true_e6, est_e6, err_e6).
     """
     from bella_domify_spark.ops.dedup import (_md5_int60, jaccard_pairs,
-                                              word_shingles)
-    sh = word_shingles(docs)
-    wid = Window.partitionBy("id").orderBy("hv")
-    bk = (sh.select("id", _md5_int60(F.col("shingle")).alias("hv"))
-          .withColumn("rn", F.row_number().over(wid))
-          .filter(F.col("rn") <= k).select("id", "hv"))
+                                              shingle_arrays)
+    # per-doc bottom-k straight off the in-row shingle array:
+    # sort_array + slice replaces the former per-doc ordered window over
+    # the whole exploded hash stream (guide §2.4 — the k smallest VALUES
+    # are the same either way; ties held duplicates in both shapes)
+    bk = (shingle_arrays(docs)
+          .select("id", F.explode(F.slice(F.array_sort(
+              F.transform("sharr", lambda g: _md5_int60(g))), 1, k))
+              .alias("hv")))
     tp = (jaccard_pairs(docs, threshold=threshold)
           .select("id_a", "id_b",
                   F.floor(F.col("jaccard") * 1e6).cast("long")
