@@ -1105,6 +1105,7 @@ def _q_manifest_stats(spark, sf):
     dictates. bytes/wall_ms are lineage-only (encoding- and
     host-dependent) and deliberately excluded from the hashed output.
     Reference: services/parse_manager.py task ledger (SURVEY.md S4)."""
+    import hashlib
     import os
     import shutil
 
@@ -1115,14 +1116,22 @@ def _q_manifest_stats(spark, sf):
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("text"))
-    out = f"/tmp/bds_manifests_{os.path.basename(sf.rstrip('/'))}"
+    # dir keyed on the FULL sf path + pid: two datasets sharing a
+    # basename no longer collide, and concurrent evaluations over the
+    # same dataset (bench vs check_oracle) cannot race each other's
+    # rmtree against the manifest read; the manifest frame is eagerly
+    # checkpointed so the scratch dir can be removed immediately
+    out = ("/tmp/bds_manifests_"
+           f"{hashlib.md5(sf.encode()).hexdigest()[:12]}_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     bexpr = F.pmod(_md5_int60(F.concat_ws(":", F.col("conv_id"),
                                           F.col("turn_idx"))), F.lit(16))
     run_resumable(t, out, n_buckets=16, bucket_expr=bexpr)
     m = (spark.read.json(f"{out}/_manifests/bucket-*.json")
          .select(F.col("bucket").cast("long").alias("bucket"),
-                 F.col("rows").cast("long").alias("n_rows")))
+                 F.col("rows").cast("long").alias("n_rows"))
+         .localCheckpoint(eager=True))
+    shutil.rmtree(out, ignore_errors=True)
     tot = m.agg(F.sum("n_rows").cast("long").alias("tot"),
                 F.max("n_rows").alias("mx"),
                 F.count(F.lit(1)).cast("long").alias("k"))

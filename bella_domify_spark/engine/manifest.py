@@ -274,10 +274,17 @@ def _pin_run_params(store: BucketStore, done: set,
         recorded = store.read_json("_manifests", RUN_PARAMS_NAME)
     except Exception:  # noqa: BLE001 — missing/unreadable = not recorded
         recorded = None
+    # defaults for keys a pre-upgrade layout never recorded: a missing
+    # key must diff as its default, or a legacy layout could be resumed
+    # with e.g. a custom bucket_expr without tripping the guard — rows
+    # would remap into already-committed bucket ids (silent data loss,
+    # exactly what the pin exists to prevent)
+    legacy_defaults = {"custom_bucket": False}
     if recorded is not None:
-        mism = {k: {"recorded": recorded.get(k), "requested": v}
+        mism = {k: {"recorded": recorded.get(k, legacy_defaults.get(k)),
+                    "requested": v}
                 for k, v in params.items()
-                if k in recorded and recorded[k] != v}
+                if recorded.get(k, legacy_defaults.get(k)) != v}
         if mism:
             raise ValueError(
                 f"resume parameter mismatch for {store.out_dir}: {mism} — "

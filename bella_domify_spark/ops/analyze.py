@@ -1719,6 +1719,11 @@ def trimmed_mean(docs: DataFrame, group_col: str = "source",
 
     Output: (source, n_docs, mean_all, n_kept, mean_trimmed).
     """
+    if trim_den < 3:
+        # den=2 on a 2-row group trims every row → mean_trimmed divides
+        # by 0 (ANSI throw in Spark vs NULL in the DuckDB twin); the
+        # docstring's "den ≥ 3 guaranteed" is enforced, not assumed
+        raise ValueError(f"trim_den must be >= 3, got {trim_den}")
     wt = Window.partitionBy("source")
     ranked = (docs.filter(F.col(group_col).isNotNull()
                           & F.col(weight_col).isNotNull())
