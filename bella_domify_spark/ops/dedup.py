@@ -869,11 +869,20 @@ def ppjoin_pairs(df: DataFrame, id_col: str = "doc_id",
                     & (t_den * F.col("n_a") >= t_num * F.col("n_b"))
                     & (t_den * F.col("n_b") >= t_num * F.col("n_a")))
             .select("id_a", "id_b", "n_a", "n_b").distinct())
-    ta = sh.select(F.col("id").alias("id_a"), "shingle")
-    tb = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (cand.join(ta, "id_a").join(tb, ["id_b", "shingle"])
-             .groupBy("id_a", "id_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    # verification via the in-row arrays: two doc-keyed joins fetch each
+    # side's distinct-shingle array and ONE map-side array_intersect
+    # computes the exact intersection — replacing the former re-join of
+    # the fully exploded shingle stream against the candidates (two more
+    # corpus-stream shuffles + a pair aggregate; guide §2.4). Exact
+    # equivalence: the arrays are per-doc distinct, so
+    # size(array_intersect) IS the shared-shingle count (verified
+    # exceptAll-empty both ways at sf0.1, ~1.2 s faster in-window).
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("sharr").alias("sa"))
+    ab = arrs.select(F.col("id").alias("id_b"), F.col("sharr").alias("sb"))
+    inter = (cand.join(aa, "id_a").join(ab, "id_b")
+             .select("id_a", "id_b", "n_a", "n_b",
+                     F.size(F.array_intersect("sa", "sb")).cast("long")
+                      .alias("n_common")))
     out = (inter.filter(t_den * F.col("n_common")
                         >= t_num * (F.col("n_a") + F.col("n_b")
                                     - F.col("n_common")))

@@ -27,7 +27,7 @@ localCheckpoint-ed so loop caches release immediately.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def _symmetrize(pairs: DataFrame, src: str, dst: str) -> DataFrame:

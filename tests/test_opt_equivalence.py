@@ -145,6 +145,83 @@ class TestWinnowInRow:
         assert got.count() == 0
 
 
+class TestPpjoinHotShingleSkew:
+    """VERDICT r6 #8: pin the claim that hot-shingle candidate blowup is
+    structurally excluded by the frequency-ascending prefixes — one
+    shingle present in 50% of documents, assert (a) exact equality vs
+    brute force and (b) a measured candidate-count bound: the prefix
+    join must generate far fewer candidates than the Σ C(f,2) a plain
+    shared-shingle join would."""
+
+    def _docs(self):
+        # 40 docs; half share the hot 3-gram "hot hot hot"; unique tails
+        # keep pairwise Jaccard low except for 3 engineered near-dups
+        texts = {}
+        for i in range(40):
+            tail = f"u{i} v{i} w{i} x{i} y{i} z{i}"
+            if i < 20:
+                texts[i] = f"hot hot hot {tail}"
+            else:
+                texts[i] = f"cold{i} cold{i} cold{i} {tail}"
+        texts[100] = "hot hot hot a b c d e f"
+        texts[101] = "hot hot hot a b c d e g"   # near-dup of 100
+        texts[102] = "hot hot hot a b c d e f"   # exact dup of 100
+        return texts
+
+    def test_exact_vs_brute_force_and_candidate_bound(self, spark):
+        import itertools
+
+        from bella_domify_spark.ops.dedup import (PPJOIN_T_DEN,
+                                                  PPJOIN_T_NUM,
+                                                  ppjoin_pairs,
+                                                  shingle_arrays)
+        t_num, t_den = PPJOIN_T_NUM, PPJOIN_T_DEN
+        texts = self._docs()
+
+        def sh(t):
+            w = t.lower().split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        brute = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            inter = len(sa & sb)
+            if t_den * inter >= t_num * (len(sa) + len(sb) - inter):
+                brute[(a, b)] = inter
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["n_common"]
+               for r in ppjoin_pairs(df).collect()}
+        assert got == brute
+        assert (100, 101) in got and (100, 102) in got
+
+        # candidate bound: replicate the prefix-candidate stage and
+        # compare against the naive shared-shingle join's pair count
+        from pyspark.sql import Window, functions as F
+        arrs = shingle_arrays(df, "doc_id", "text", 3)
+        s_sh = arrs.select("id", F.size("sharr").cast("long").alias("s"),
+                           F.explode("sharr").alias("shingle"))
+        freq = s_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        naive = sum(r["f"] * (r["f"] - 1) // 2
+                    for r in freq.collect())
+        tok = s_sh.join(freq, "shingle")
+        wid = Window.partitionBy("id")
+        tokp = tok.withColumn("pos", F.row_number().over(
+            wid.orderBy("f", "shingle")))
+        ceil_ts = F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}")
+        pref = tokp.filter(F.col("pos") <= F.col("s") - ceil_ts + 1)
+        a = pref.select(F.col("id").alias("id_a"), "shingle")
+        b = pref.select(F.col("id").alias("id_b"), "shingle")
+        n_cand = (a.join(b, "shingle")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .count())
+        # the hot shingle sits in 23 docs (C(23,2)=253 naive pairs from
+        # it alone); the frequency-ascending prefixes must keep the
+        # candidate stream well under half the naive join
+        assert naive >= 250
+        assert n_cand * 2 < naive, (n_cand, naive)
+
+
 class TestLpaModalPick:
     def test_max_struct_equals_sorted_pick(self, spark):
         from bella_domify_spark.ops.graph import lpa_communities
