@@ -599,11 +599,18 @@ def dup_span_stats(df: DataFrame, id_col: str = "doc_id",
     shingle with partial-combining per-doc aggregation after — no
     all-pairs anywhere; hot shingles spread by key like any skewed join
     (AQE skew split applies)."""
-    inst = word_shingles(df, id_col, text_col, n, dedupe=False)
-    # document frequency from the per-row-deduped stream (array_distinct
-    # before explode) — the former inst.distinct() shuffled the whole
-    # instance stream a second time just to dedupe within documents
-    docfreq = (word_shingles(df, id_col, text_col, n, dedupe=True)
+    # ONE shingle_arrays subtree feeds both streams. Document frequency
+    # comes from the per-row dedup (array_distinct before explode) — the
+    # former inst.distinct() shuffled the whole instance stream a second
+    # time. (Column pruning keeps the two branches' scans distinct —
+    # docfreq drops id — so the construction is still evaluated per
+    # branch; a count_distinct(id) variant that makes the exchange
+    # reusable measured SLOWER, its extra aggregate level outweighing
+    # the shared scan.)
+    arrs = shingle_arrays(df, id_col, text_col, n, dedupe=False)
+    inst = arrs.select("id", F.explode("sharr").alias("shingle"))
+    docfreq = (arrs.select(F.explode(F.array_distinct("sharr"))
+                           .alias("shingle"))
                .groupBy("shingle").agg(F.count(F.lit(1)).alias("docs")))
     per = (inst.join(docfreq, "shingle")
            .groupBy("id")
